@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
+  *
+  * Every operator claimed in SURVEY §2 is declared here as a named query;
+  * where the semantics are ANSI-SQL-expressible the matching DuckDB oracle
+  * is in [[oracleSql]] (driver hash-compares at sf0.01).
+  */
 object SparkEntry {
+
+  /** All query modules, merged. Later modules must not reuse names. */
+  private val modules: Seq[Map[String, QuerySpec]] = Seq(
+    CoreAnalytics.specs,
+    EtlOps.specs
+  )
+
+  private lazy val allSpecs: Map[String, QuerySpec] = {
+    val merged = modules.flatten.toMap
+    val dupes = modules.flatMap(_.keys).groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(",")}")
+    merged
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    allSpecs("q1_pricing_summary").fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allSpecs.map { case (k, v) => k -> v.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    allSpecs.collect { case (k, QuerySpec(_, Some(sql))) => k -> sql }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Table access + session tuning shared by every query entry point.
+  *
+  * Each `SparkEntry.queries` closure calls [[Tables.t]], which idempotently
+  * applies engine-level session configs first — so correctness does not
+  * depend on which harness (Verify, Bench, tests, driver) built the
+  * SparkSession.
+  */
+object Tables {
+
+  /** Engine session configs.
+    *  - LAST_WIN map dedup: JS object-spread precedence (SURVEY §7.4.1).
+    *  - ANSI off: lenient JS-like coercions (bad cast → null, not error),
+    *    matching the reference's PERMISSIVE ETL posture.
+    *  - AQE on: runtime re-plan (coalesce partitions, skew-join) — the
+    *    scale path for 100 TB runs.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Parquet TIMESTAMP(NANOS) (events.ts) is unreadable natively; read as
+    // long nanos and convert in t() below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    tune(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Restore nanos-as-long timestamp columns to TimestampType (micros —
+    // Spark's max precision; floor truncation matches the oracle's
+    // epoch_ms//1000 semantics at second granularity).
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        acc.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      case (acc, _) => acc
+    }
+  }
+
+  /** Epoch seconds (floor) of a timestamp column; works for both TIMESTAMP
+    * and TIMESTAMP_NTZ (parquet ns columns) under a UTC session.
+    * DuckDB oracle equivalent: `epoch_ms(ts)//1000`.
+    */
+  def epochS(c: Column): Column = unix_seconds(c.cast("timestamp"))
+}

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared column-level function library.
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions` builtins
+  * (codegen'd, whole-stage-compatible) — no Scala UDFs in the hot path. Each
+  * helper has a documented DuckDB-SQL equivalent so results can be
+  * hash-verified against the driver's oracle.
+  *
+  * Reference provenance (see SURVEY.md §2.9): the reference's scalar surface
+  * is md5 digests (/root/reference/connectors/csvETL.js:214-255), dayjs date
+  * parsing (csvETL.js:80-90), the 13-digit epoch-ms heuristic
+  * (csvETL.js:81-90), and JSON (de)serialization — all mapped to builtins
+  * below.
+  */
+object Fns {
+
+  /** Modulus for the deterministic polynomial rolling hash. Prime, small
+    * enough that acc*31+255 never overflows a signed 64-bit long.
+    */
+  val HashMod: Long = 1000000007L
+
+  /** Deterministic polynomial rolling hash of a string's ASCII codes:
+    * `h = fold(0, h*31 + ascii(c) mod p)`.
+    *
+    * Engine-portable: DuckDB equivalent is
+    * `list_reduce(list_transform(string_split(s,''), x -> ascii(x)),
+    *              (a,b) -> (a*31+b)%1000000007)`
+    * (DuckDB's seedless reduce starts at ascii(c0), identical to folding 0).
+    * Used for document fingerprinting and as the base hash for MinHash /
+    * SimHash / LSH so oracle SQL can reproduce signatures exactly.
+    */
+  def rollingHash(s: Column): Column =
+    when(s.isNull || s === "", lit(0L)).otherwise(
+      aggregate(
+        transform(split(s, ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (acc, v) => (acc * 31 + v) % HashMod
+      )
+    )
+
+  /** i-th MinHash permutation of a base hash: (a_i * h + b_i) mod p with
+    * a_i = 2i+1 (odd), b_i = i^2+i+41. Deterministic and oracle-expressible.
+    */
+  def permuteHash(h: Column, i: Int): Column =
+    (h * lit(2L * i + 1) + lit(1L * i * i + i + 41)) % lit(HashMod)
+
+  /** Whitespace tokenization matching DuckDB's
+    * `string_split_regex(trim(s), '\s+')`. Lowercases first.
+    */
+  def tokens(s: Column): Column =
+    split(trim(lower(s)), "\\s+")
+
+  /** Word n-gram shingles of a text column as an array of strings
+    * (space-joined n-grams). Empty array when fewer than n tokens.
+    * DuckDB equivalent: unnest(range(...)) + list_slice + array_to_string.
+    */
+  def shingles(s: Column, n: Int): Column = {
+    val ts = tokens(s)
+    when(size(ts) < n, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))
+      )
+    )
+  }
+
+  /** Deterministic surrogate key: md5 over '|'-joined column values
+    * (SURVEY §2.2 P8; reference: transform/amplitudeToMixpanel.js:160-163).
+    * Canonical field order is the caller's argument order — documented
+    * divergence from the reference's JS-object-serialization hash
+    * (SURVEY §7.4.3): same event ⇒ same id is the contract, not
+    * byte-parity with the reference.
+    */
+  def mpInsertId(cols: Column*): Column =
+    md5(concat_ws("|", cols: _*))
+
+  /** Time normalization with the reference's 13-digit epoch-ms heuristic
+    * (connectors/csvETL.js:81-90): numeric strings of >=13 digits are epoch
+    * millis, shorter are epoch seconds; non-numeric strings are parsed as
+    * timestamps. Returns epoch seconds as long.
+    */
+  def normalizeEpochSeconds(c: Column): Column = {
+    val digits = c.cast("string")
+    when(digits.rlike("^[0-9]+$") && length(digits) >= 13,
+      (digits.cast("long") / 1000L).cast("long"))
+      .when(digits.rlike("^[0-9]+$"), digits.cast("long"))
+      .otherwise(unix_timestamp(to_timestamp(digits)))
+  }
+
+  /** First non-empty-string, non-null wins (reference ID coalescing treats
+    * "" as missing: transform/gaToMixpanel.js:135). */
+  def coalesceNonEmpty(cols: Column*): Column =
+    coalesce(cols.map(c => when(c.isNull || c.cast("string") === "", lit(null)).otherwise(c.cast("string"))): _*)
+
+  /** Map-merge with later-wins precedence (JS object-spread semantics,
+    * SURVEY §2.2 P9; transform/amplitudeToMixpanel.js:138). Requires
+    * spark.sql.mapKeyDedupPolicy=LAST_WIN (set in GraftSession).
+    */
+  def mapMergeLastWins(maps: Column*): Column =
+    map_concat(maps: _*)
+
+  /** Dot product of two equal-length numeric array columns as double.
+    * Sequential left-fold ⇒ deterministic; oracle uses unnest+sum with
+    * round() absorbing the reordering error.
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d),
+      (acc, v) => acc + v
+    )
+
+  /** L2 norm of a numeric array column. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Cosine similarity of two embedding columns. */
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+}

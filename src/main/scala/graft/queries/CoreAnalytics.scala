@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{t, epochS}
+
+/** Analytics/query surface over the canonical star schema (SURVEY §7.2 M7):
+  * joins (broadcast/shuffle/semi/anti), aggregations (group-by, rollup,
+  * cube, distinct), windows (top-k, running), and set operations — all
+  * Catalyst built-ins, planned declaratively so pushdown/pruning/reorder
+  * are free.
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension joins (region/nation/part/customer) are `broadcast()`
+  *    hinted — no shuffle of the fact table for small dims;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  *    AQE re-plans skew at runtime;
+  *  - aggregates are partial (map-side combine) by construction.
+  */
+object CoreAnalytics {
+
+  val specs: Map[String, QuerySpec] = Map(
+    // ---- TPC-H Q1-like pricing summary (flagship agg) ------------------
+    "q1_pricing_summary" -> QuerySpec(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg("l_quantity"), 2).as("avg_qty"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),2) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ),
+
+    // ---- TPC-H Q3-like: 3-way join + agg + top-k -----------------------
+    "q3_top_revenue" -> QuerySpec(
+      (s, dir) => {
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+    ),
+
+    // ---- TPC-H Q5-like: 6-way join (broadcast dims + shuffled facts) ---
+    "q5_local_supplier_volume" -> QuerySpec(
+      (s, dir) => {
+        val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        val nation = t(s, dir, "nation")
+        val cust = t(s, dir, "customer")
+        val supp = t(s, dir, "supplier")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+    ),
+
+    // ---- broadcast dim join ------------------------------------------
+    "join_broadcast_dim" -> QuerySpec(
+      (s, dir) => {
+        val part = t(s, dir, "part")
+        t(s, dir, "lineitem")
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(round(avg("l_extendedprice"), 2).as("avg_price"),
+            count(lit(1)).as("n"))
+          .orderBy("p_brand")
+      },
+      """SELECT p_brand, round(avg(l_extendedprice),2) AS avg_price, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+    ),
+
+    // ---- semi join (EXISTS) ------------------------------------------
+    "join_semi_exists" -> QuerySpec(
+      (s, dir) => {
+        val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+        t(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin
+    ),
+
+    // ---- anti join (NOT EXISTS) --------------------------------------
+    "join_anti_not_exists" -> QuerySpec(
+      (s, dir) => {
+        val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        t(s, dir, "customer")
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin
+    ),
+
+    // ---- window: top-k per group -------------------------------------
+    "window_topk_per_group" -> QuerySpec(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin
+    ),
+
+    // ---- window: running aggregate -----------------------------------
+    "window_running_sum" -> QuerySpec(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("running_value", round(sum("value").over(w), 2))
+          .select("event_id", "user_id", "running_value")
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin
+    ),
+
+    // ---- rollup ------------------------------------------------------
+    "agg_rollup" -> QuerySpec(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+      },
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+    ),
+
+    // ---- cube --------------------------------------------------------
+    "agg_cube" -> QuerySpec(
+      (s, dir) => {
+        t(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+      },
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+    ),
+
+    // ---- distinct aggregation ----------------------------------------
+    "agg_count_distinct" -> QuerySpec(
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(countDistinct("user_id").as("n_users"),
+            count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("sum_value"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_events, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    ),
+
+    // ---- approximate distinct (HLL; rows-only check: approximation is
+    //      engine-specific so no hash oracle) ---------------------------
+    "agg_approx_distinct" -> QuerySpec(
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(approx_count_distinct("user_id").as("approx_users"))
+          .orderBy("event_type"),
+      None
+    ),
+
+    // ---- set ops -----------------------------------------------------
+    "setop_intersect" -> QuerySpec(
+      (s, dir) => {
+        val buyers = t(s, dir, "events").filter(col("event_type") === "purchase").select("user_id")
+        val clickers = t(s, dir, "events").filter(col("event_type") === "click").select("user_id")
+        buyers.intersect(clickers).orderBy("user_id")
+      },
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'click'
+        |ORDER BY user_id""".stripMargin
+    ),
+    "setop_except" -> QuerySpec(
+      (s, dir) => {
+        val all = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        val withUrgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey"))
+        all.except(withUrgent).orderBy("custkey")
+      },
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin
+    ),
+    "setop_union" -> QuerySpec(
+      (s, dir) => {
+        val a = t(s, dir, "events").filter(col("event_type") === "signup").select("user_id")
+        val b = t(s, dir, "events").filter(col("value") > 190).select("user_id")
+        a.union(b).distinct().orderBy("user_id")
+      },
+      """SELECT user_id FROM events WHERE event_type = 'signup'
+        |UNION
+        |SELECT user_id FROM events WHERE value > 190
+        |ORDER BY user_id""".stripMargin
+    ),
+
+    // ---- pivot (index/value → dynamic columns; SURVEY §2.2 P11) ------
+    "p11_pivot_event_counts" -> QuerySpec(
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val pivoted = t(s, dir, "events")
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .count()
+        types.foldLeft(pivoted)((df, c) =>
+          df.withColumn(c, coalesce(col(c), lit(0L))))
+          .orderBy("user_id")
+      },
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    )
+  )
+}

@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one per JVM — suites reuse it
+  * via getOrCreate).
+  */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Tables.tune(
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+  )
+  val sfDir = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool only — the
+shipped Scala library does not depend on this).
+
+Usage:
+  python3 tools/localverify.py <sfDir> <outDir> [query ...]
+
+Expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have produced
+<outDir>/<query>/ parquet dirs + <outDir>/oracle_sql.json. Runs each oracle
+SQL in DuckDB against the same tables and compares row-count, column names,
+and a hash of the sorted values (columns sorted by name, rows sorted by all
+columns) — mirroring the driver's compare as described in the brief.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize float columns to survive tiny representation differences is
+    # NOT done: the driver hashes values as-is, so we must match exactly.
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(qdir.rstrip("/"))
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        if name not in oracle:
+            print(f"SKIP {name}: rows-only check (rows={len(got)})")
+            n_skip += 1
+            if len(got) == 0:
+                print(f"  WARN {name}: zero rows"); n_fail += 1
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
+            n_fail += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
+        # compare column-wise with dtype awareness
+        bad = None
+        for c in g.columns:
+            gv, ev = g[c], e[c]
+            try:
+                if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
+                    import numpy as np
+                    if not np.allclose(gv.astype(float), ev.astype(float),
+                                       rtol=0, atol=0, equal_nan=True):
+                        bad = c; break
+                else:
+                    if not (gv.astype(str).values == ev.astype(str).values).all():
+                        bad = c; break
+            except Exception as ex:
+                bad = f"{c} ({ex})"; break
+        if bad:
+            print(f"FAIL {name}: column {bad} differs")
+            mism = g[g[bad] != e[bad]] if isinstance(bad, str) and bad in g else None
+            if mism is not None and len(mism):
+                print("  spark:", g[g[bad] != e[bad]].head(3).to_dict('records'))
+                print("  duck :", e[g[bad] != e[bad]].head(3).to_dict('records'))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
