@@ -14,7 +14,8 @@ object SparkEntry {
   /** All query modules, merged. Later modules must not reuse names. */
   private val modules: Seq[Map[String, QuerySpec]] = Seq(
     CoreAnalytics.specs,
-    EtlOps.specs
+    EtlOps.specs,
+    TrainingDataOps.specs
   )
 
   private lazy val allSpecs: Map[String, QuerySpec] = {

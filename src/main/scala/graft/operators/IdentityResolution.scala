@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Native identity resolution: connected components over an identity-edge
+  * list (the `$merge` pair table the reference emits and delegates to
+  * Mixpanel's backend — /root/reference/transform/amplitudeToMixpanel.js:203-217;
+  * SURVEY §2.4 J1). Our engine owns the transitive closure itself.
+  *
+  * Algorithm: iterative smallest-label propagation (a DataFrame rendering of
+  * large-star/small-star). Each round every node adopts the minimum label in
+  * its neighborhood (including itself); converges in O(log n) rounds for
+  * real identity graphs (shallow, star-heavy). Each round is one shuffle on
+  * node id; intermediate results are localCheckpoint()ed to cut lineage so
+  * the plan stays bounded on long chains.
+  */
+object IdentityResolution {
+
+  /** edges: (src: long, dst: long) undirected. Returns (node, component)
+    * where component = smallest node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate labels: own + min over neighbors' labels
+      val nbrLabels = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("component"))
+      val updated = labels.select(col("node"), col("component"))
+        .union(nbrLabels)
+        .groupBy("node").agg(min("component").as("component"))
+        .localCheckpoint()
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("node"))
+        .filter(col("u.component") =!= col("l.component"))
+        .limit(1).count() > 0
+      labels = updated
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+}

