@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.Model
+import graft.operators._
+import graft.sinks.{BatchedHttpSink, Sinks}
+import graft.sources.Sources
+
+/** Config-driven pipeline orchestration (SURVEY §2.11 O1 — with the
+  * reference's switch fall-through fixed by a sealed ADT; index.js:69-91).
+  *
+  * EXTRACT (source) → TRANSFORM (vendor pack) → LOAD (batched HTTP sink or
+  * local NDJSON). The reference's shell-script hourly fan-out (O2,
+  * ampReplicator.js) dissolves into Spark partition parallelism: staged
+  * inputs are read as one distributed scan.
+  */
+object Pipeline {
+
+  sealed trait Source
+  final case class CsvSource(path: String, roles: CsvTransform.CsvRoles) extends Source
+  final case class AmplitudeStaged(path: String, importTag: Option[String] = None) extends Source
+  final case class GaStaged(path: String) extends Source
+  final case class MixpanelStaged(path: String, where: Option[String] = None,
+      events: Seq[String] = Seq.empty) extends Source
+
+  sealed trait Destination
+  final case class LocalJson(dir: String) extends Destination
+  final case class HttpSink(vendor: String, opts: Map[String, String],
+      transport: BatchedHttpSink.Transport) extends Destination
+
+  final case class Config(source: Source, destination: Destination)
+
+  final case class Outputs(events: DataFrame, profiles: Option[DataFrame],
+      mergePairs: Option[DataFrame])
+
+  final case class Report(events: Long, profiles: Long, merges: Long,
+      sink: Option[BatchedHttpSink.SinkReport])
+
+  /** TRANSFORM stage: vendor dispatch to canonical outputs. */
+  def transform(spark: SparkSession, source: Source): Outputs = source match {
+    case CsvSource(path, roles) =>
+      val out = CsvTransform(Sources.csv(spark, path), roles)
+      Outputs(out.events, out.profiles, None)
+    case AmplitudeStaged(path, tag) =>
+      val amp = Sources.staged(spark, path, Model.amplitudeSchema)
+      val out = AmplitudeTransform(amp, tag)
+      Outputs(out.events, Some(out.profiles), Some(out.mergePairs))
+    case GaStaged(path) =>
+      val ga = Sources.staged(spark, path, Model.gaSessionSchema)
+      Outputs(GaTransform.events(spark, ga), Some(GaTransform.profiles(spark, ga)), None)
+    case MixpanelStaged(path, where, eventNames) =>
+      val raw = Sources.staged(spark, path, Model.mpEventSchema)
+      val filtered0 = where match {
+        case Some(w) => raw.filter(
+          graft.functions.SegmentationWhere.parse(w, org.apache.spark.sql.functions.col("properties")))
+        case None => raw
+      }
+      val filtered =
+        if (eventNames.nonEmpty)
+          filtered0.filter(org.apache.spark.sql.functions.col("event").isin(eventNames: _*))
+        else filtered0
+      Outputs(filtered, None, None)
+  }
+
+  /** Full E-T-L run. */
+  def run(spark: SparkSession, config: Config): Report = {
+    Tables.tune(spark)
+    val out = transform(spark, config.source)
+    config.destination match {
+      case LocalJson(dir) =>
+        Sinks.writeLocalJson(out.events, s"$dir/events")
+        out.profiles.foreach(p => Sinks.writeLocalJson(p, s"$dir/profiles"))
+        out.mergePairs.foreach(m => Sinks.writeLocalJson(m, s"$dir/mergeTables"))
+        Report(out.events.count(),
+          out.profiles.map(_.count()).getOrElse(0L),
+          out.mergePairs.map(_.count()).getOrElse(0L), None)
+      case HttpSink(vendor, opts, transport) =>
+        val cfg = Sinks.forVendor(vendor, opts)
+        val shaped = Sinks.shapeMixpanelEvents(out.events)
+        val report = Sinks.write(shaped, cfg, transport)
+        val profileReport = out.profiles.map { p =>
+          Sinks.write(Sinks.shapeMixpanelProfiles(p, opts.getOrElse("token", "")),
+            Sinks.mixpanelEngageConfig(opts.getOrElse("token", "")), transport)
+        }
+        val mergeReport = out.mergePairs.map { m =>
+          Sinks.write(Sinks.shapeMixpanelMerges(m), cfg, transport)
+        }
+        Report(report.records,
+          profileReport.map(_.records).getOrElse(0L),
+          mergeReport.map(_.records).getOrElse(0L), Some(report))
+    }
+  }
+}

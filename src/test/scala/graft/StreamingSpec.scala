@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.IncrementalPipeline
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental file stream dedups by insert_id and drives the batched sink") {
+    val staging = Files.createTempDirectory("stream-in").toString
+    val checkpoint = Files.createTempDirectory("stream-ck").toString
+    val t0 = 1700000000L
+    def line(id: String, t: Long): String =
+      s"""{"event":"e","distinct_id":"u","time":$t,"insert_id":"$id","source":"s","properties":{"k":"v"}}"""
+    // duplicate insert_id i1 appears twice within the watermark window
+    Files.write(java.nio.file.Paths.get(staging, "b1.json"),
+      Seq(line("i1", t0), line("i2", t0 + 10), line("i1", t0 + 20))
+        .mkString("\n").getBytes)
+
+    RecordingTransport.bodies.clear()
+    RecordingTransport.failFirstN.set(0)
+    val stream = IncrementalPipeline.eventStream(spark, staging)
+    val q = IncrementalPipeline.toHttpSink(stream,
+      graft.sinks.BatchedHttpSink.SinkConfig(url = "http://t", maxRetries = 0),
+      new RecordingTransport, checkpoint)
+    q.processAllAvailable()
+    // late second file: new id arrives, duplicate suppressed by state
+    Files.write(java.nio.file.Paths.get(staging, "b2.json"),
+      Seq(line("i2", t0 + 30), line("i3", t0 + 40)).mkString("\n").getBytes)
+    q.processAllAvailable()
+    q.stop()
+
+    val sent = RecordingTransport.bodies.toArray(Array.empty[Array[Byte]])
+      .map { b =>
+        val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+        new String(in.readAllBytes(), "UTF-8")
+      }.mkString
+    val ids = "\"\\$insert_id\":\"(i\\d)\"".r.findAllMatchIn(sent).map(_.group(1)).toSeq
+    assert(ids.sorted == Seq("i1", "i2", "i3"), s"got $ids")
+  }
+
+  test("profile upsert state merges $set with last-write-wins across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[IncrementalPipeline.ProfileUpdate]
+    val out = IncrementalPipeline.profileUpsertStream(spark, mem.toDF())
+    val q = out.writeStream.format("memory").queryName("profiles")
+      .outputMode("update").start()
+    mem.addData(IncrementalPipeline.ProfileUpdate("u1", 100L, Map("a" -> "1", "b" -> "1")))
+    q.processAllAvailable()
+    mem.addData(IncrementalPipeline.ProfileUpdate("u1", 200L, Map("b" -> "2", "c" -> "3")))
+    q.processAllAvailable()
+    val rows = spark.table("profiles")
+      .orderBy(col("time").desc).limit(1)
+      .select("set").as[Map[String, String]].head()
+    assert(rows == Map("a" -> "1", "b" -> "2", "c" -> "3"))
+    q.stop()
+  }
+}
