@@ -60,6 +60,9 @@ object Fns {
     */
   def shingles(s: Column, n: Int): Column = {
     val ts = tokens(s)
+    // NB: HOF lambdas are interpreted (no codegen) — fine for per-row use;
+    // corpus-scale shingling uses the relational formulation in
+    // graft.operators.Dedup.shingleIndex instead.
     when(size(ts) < n, array().cast("array<string>")).otherwise(
       transform(
         sequence(lit(0), size(ts) - n),
@@ -85,9 +88,12 @@ object Fns {
     */
   def normalizeEpochSeconds(c: Column): Column = {
     val digits = c.cast("string")
-    when(digits.rlike("^[0-9]+$") && length(digits) >= 13,
-      (digits.cast("long") / 1000L).cast("long"))
-      .when(digits.rlike("^[0-9]+$"), digits.cast("long"))
+    // nested (not repeated) branches: one rlike per value and a smaller
+    // codegen tree — this helper is often instantiated several times in
+    // one projection
+    when(digits.rlike("^[0-9]+$"),
+      when(length(digits) >= 13, (digits.cast("long") / 1000L).cast("long"))
+        .otherwise(digits.cast("long")))
       .otherwise(unix_timestamp(to_timestamp(digits)))
   }
 

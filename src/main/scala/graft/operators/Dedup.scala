@@ -42,32 +42,33 @@ object Dedup {
   def prefixKey(text: Column, k: Int): Column =
     concat_ws(" ", slice(Fns.tokens(text), 1, k))
 
-  /** (doc_id, shingle) inverted index with per-doc distinct shingles. */
-  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc"),
-      explode(array_distinct(Fns.shingles(col(textCol), n))).as("s"))
-
-  /** All-pairs n-gram Jaccard similarity ≥ threshold via inverted-index
-    * join. Output: (id_a, id_b, jaccard) with id_a < id_b.
+  /** (doc_id, shingle) inverted index with per-doc distinct shingles.
     *
-    * `maxShingleFreq` (optional) drops shingles appearing in more than that
-    * many docs before pairing — the standard stop-shingle cap that bounds
-    * the join blowup at scale (a shingle in f docs yields f² pair rows).
-    * Disabled (None) for oracle-exact runs.
+    * Relational formulation — posexplode tokens, then window `lead` to
+    * stitch n-grams — instead of a higher-order-function lambda:
+    * HOF lambdas are interpreted per element (never whole-stage-codegen'd)
+    * and measured ~10× slower at corpus scale. One shuffle on doc.
     */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh0 = shingleIndex(docs, idCol, textCol, n)
-    val sh = maxShingleFreq match {
-      case Some(cap) =>
-        val freq = sh0.groupBy("s").agg(count(lit(1)).as("f")).filter(col("f") <= cap)
-        sh0.join(freq.select("s"), "s")
-      case None => sh0
-    }
-    val cnt = sh0.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc").as("id_a"), col("s"))
-    val b = sh.select(col("doc").as("id_b"), col("s"))
-    val inter = a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy("doc").orderBy("p")
+    val parts = (0 until n).map(k => if (k == 0) col("w") else lead("w", k).over(w))
+    docs
+      .select(col(idCol).as("doc"), posexplode(Fns.tokens(col(textCol))).as(Seq("p", "w")))
+      .withColumn("s", when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
+      .filter(col("s").isNotNull)
+      .select(col("doc"), col("s"))
+      .distinct()
+  }
+
+  /** Exact Jaccard of candidate pairs against the full shingle index:
+    * inter = |shingles(a) ∩ shingles(b)| via a join restricted to the
+    * candidate set; union = n_a + n_b - inter.
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, cnt: DataFrame,
+      threshold: Double): DataFrame = {
+    val inter = cand
+      .join(sh.select(col("doc").as("id_a"), col("s")), "id_a")
+      .join(sh.select(col("doc").as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(cnt.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
@@ -75,6 +76,45 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** All-pairs n-gram Jaccard similarity ≥ threshold — prefix-filtered
+    * AllPairs/PPJoin (Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    *
+    * Candidate generation joins only each doc's PREFIX — its
+    * `n_sh - ceil(τ·n_sh) + 1` globally-rarest shingles (frequency-
+    * ascending canonical order). The prefix-filter theorem guarantees any
+    * pair with J ≥ τ shares a prefix shingle, so results are IDENTICAL to
+    * the naive all-pairs join while the candidate join touches a small
+    * fraction of the index (rare shingles have tiny fan-out). Candidates
+    * are then verified with exact Jaccard over the full index.
+    *
+    * `maxShingleFreq` (optional) additionally drops ubiquitous shingles
+    * from candidate generation — the stop-shingle cap for adversarial
+    * corpora; it can drop pairs whose overlap is only stop-shingles, so
+    * leave None for oracle-exact runs.
+    *
+    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n)
+    val cnt = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val freq0 = sh.groupBy("s").agg(count(lit(1)).as("f"))
+    val freq = maxShingleFreq.fold(freq0)(cap => freq0.filter(col("f") <= cap))
+    // rank shingles per doc by global rarity; keep each doc's prefix
+    val ranked = sh.join(freq.hint("broadcast"), "s")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc").orderBy("f", "s")))
+    val prefix = ranked
+      .join(cnt.hint("broadcast"), "doc")
+      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("doc"), col("s"))
+    val cand = prefix.select(col("doc").as("id_a"), col("s"))
+      .join(prefix.select(col("doc").as("id_b"), col("s")).hint("broadcast"), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(cand, sh, cnt, threshold)
   }
 
   /** MinHash signature columns sig_0..sig_{k-1}: per doc, min over shingles
@@ -113,9 +153,11 @@ object Dedup {
       .join(buckets.select(col("doc").as("id_b"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verify candidates with exact jaccard
-    ngramJaccardPairs(docs, idCol, textCol, n, threshold)
-      .join(cand, Seq("id_a", "id_b"), "left_semi")
+    // verify ONLY the candidates with exact jaccard (never all-pairs — at
+    // scale the candidate set is the whole point of LSH)
+    val sh = shingleIndex(docs, idCol, textCol, n)
+    val cnt = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    verifyJaccard(cand, sh, cnt, threshold)
   }
 
   /** Relational SimHash: `bits`-wide signature per doc from per-token bit
@@ -144,16 +186,48 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold over all id_a < id_b
-    * pairs. Exact variant (quadratic candidate generation) — use
-    * [[graft.operators.Ann.hyperplaneBuckets]] blocking for the scale path.
+    * pairs. Exact variant: the corpus is broadcast once as primitive
+    * arrays and each task scores its slice in a tight JVM loop
+    * (mapPartitions — HOF-per-pair allocates an array per comparison and
+    * is ~50× slower). Fold order matches [[Fns.cosine]] exactly, so
+    * results are bit-identical to the declarative form and to the SQL
+    * oracle. The broadcast side must fit in executor memory — for corpora
+    * where it can't, block first with [[Ann.hyperplaneBuckets]].
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", Fns.cosine(col("va"), col("vb")))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val all = vecs.collect().sortBy(_._1)
+    def norm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val norms = all.map { case (_, v) => norm(v) }
+    val bc = spark.sparkContext.broadcast((all, norms))
+    vecs.mapPartitions { it =>
+      val (corpus, ns) = bc.value
+      it.flatMap { case (idA, va) =>
+        val na = norm(va)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        var j = 0
+        while (j < corpus.length) {
+          val (idB, vb) = corpus(j)
+          if (idA < idB) {
+            var dot = 0.0; var i = 0
+            while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+            val cos = dot / (na * ns(j))
+            if (cos >= threshold) // HALF_UP to match Spark/DuckDB round()
+              out += ((idA, idB, BigDecimal(cos)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("id_a", "id_b", "cos")
   }
 }
