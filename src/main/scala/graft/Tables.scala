@@ -29,6 +29,8 @@ object Tables {
     // Parquet TIMESTAMP(NANOS) (events.ts) is unreadable natively; read as
     // long nanos and convert in t() below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // engine SQL functions (rolling_hash, mp_insert_id, explode_session)
+    graft.plans.GraftExtensions.register(spark)
     spark
   }
 

@@ -33,14 +33,20 @@ object Fns {
     * Used for document fingerprinting and as the base hash for MinHash /
     * SimHash / LSH so oracle SQL can reproduce signatures exactly.
     */
+  /** Column↔Expression bridge for custom Catalyst expressions (Spark 4). */
+  def ofExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(e)
+  def toExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftSqlBridge.expression(c)
+
   def rollingHash(s: Column): Column =
-    when(s.isNull || s === "", lit(0L)).otherwise(
-      aggregate(
-        transform(split(s, ""), c => ascii(c).cast("long")),
-        lit(0L),
-        (acc, v) => (acc * 31 + v) % HashMod
-      )
-    )
+    // native codegen'd expression (graft.functions.RollingHash); the
+    // composable HOF fold (aggregate∘transform∘split) computes the same
+    // value but interprets a lambda per character — ~10× slower in the
+    // MinHash/fingerprint hot path. Null maps to 0 to match the oracle's
+    // CASE guard.
+    when(s.isNull, lit(0L))
+      .otherwise(ofExpr(RollingHash(toExpr(s))))
 
   /** i-th MinHash permutation of a base hash: (a_i * h + b_i) mod p with
     * a_i = 2i+1 (odd), b_i = i^2+i+41. Deterministic and oracle-expressible.

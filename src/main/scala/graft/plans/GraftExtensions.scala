@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{ConcatWs, Expression, Literal, Md5}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.RollingHash
+
+/** Engine SQL-surface registration (SURVEY §2.12):
+  *
+  *  - `rolling_hash(s)`       — native codegen'd portable hash
+  *  - `mp_insert_id(c1, ...)` — deterministic surrogate key (md5 of
+  *                              '|'-joined values; SURVEY P8)
+  *  - `explode_session(t, h)` — session→events Generator (SURVEY X1)
+  *
+  * Two registration paths: `withExtensions(new GraftExtensions)` at
+  * session build, or [[GraftExtensions.register]] on a live session
+  * (used by Tables.tune so any harness-created session gets the SQL
+  * functions).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+  override def apply(e: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def mpInsertId(args: Seq[Expression]): Expression =
+    Md5(org.apache.spark.sql.catalyst.expressions.Cast(
+      ConcatWs(Literal("|") +: args), org.apache.spark.sql.types.BinaryType))
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash",
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => RollingHash(args.head)),
+    ("mp_insert_id",
+      new ExpressionInfo("graft.plans.GraftExtensions", "mp_insert_id"),
+      (args: Seq[Expression]) => mpInsertId(args)),
+    ("explode_session",
+      new ExpressionInfo(classOf[ExplodeSession].getName, "explode_session"),
+      (args: Seq[Expression]) => ExplodeSession(args(0), args(1)))
+  )
+
+  /** Idempotent runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** The engine's SQL surface: registered functions + generator. */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling_hash SQL function matches the column API and the documented fold") {
+    Tables.tune(spark)
+    val got = spark.sql("SELECT rolling_hash('abc') AS h, rolling_hash('') AS e")
+      .as[(Long, Long)].head()
+    assert(got == ((96354L, 0L)))
+    val viaColumn = Seq("abc").toDF("s").select(Fns.rollingHash(col("s"))).as[Long].head()
+    assert(viaColumn == 96354L)
+  }
+
+  test("rolling_hash stays inside WholeStageCodegen") {
+    Tables.tune(spark)
+    // needs a real scan — local literal relations get constant-folded
+    val plan = Tables.t(spark, sfDir, "documents")
+      .select(Fns.rollingHash(col("text")).as("h"))
+      .queryExecution.executedPlan
+    val wscg = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wscg.nonEmpty, plan.toString)
+  }
+
+  test("mp_insert_id SQL function equals md5 of pipe-joined values") {
+    Tables.tune(spark)
+    val got = spark.sql("SELECT mp_insert_id('click', 'u1', 42) AS id").as[String].head()
+    val expect = spark.sql("SELECT md5(concat_ws('|','click','u1',42)) AS id").as[String].head()
+    assert(got == expect && got.matches("[0-9a-f]{32}"))
+  }
+
+  test("explode_session generator emits begin/hits/end via LATERAL VIEW") {
+    Tables.tune(spark)
+    Seq(
+      (100L, 1700000000L, Seq(("click", 0L), ("view", 5000L))),
+      (101L, 1700009999L, Seq.empty[(String, Long)])
+    ).toDF("session_id", "start_sec", "hits")
+      .withColumn("hits", col("hits").cast("array<struct<name:string,offset_ms:bigint>>"))
+      .createOrReplaceTempView("ga_sessions")
+    val rows = spark.sql(
+      """SELECT session_id, e.event, e.time_s
+        |FROM ga_sessions
+        |LATERAL VIEW explode_session(start_sec, hits) e AS event, time_s
+        |ORDER BY session_id, time_s, event""".stripMargin)
+      .as[(Long, String, Long)].collect()
+    val s100 = rows.filter(_._1 == 100L).map(r => (r._2, r._3)).toSeq
+    assert(s100 == Seq(
+      ("session begins", 1700000000L),
+      ("click", 1700000001L),  // offset 0 → +1s bump
+      ("view", 1700000005L),
+      ("session ends", 1700000006L)))
+    val s101 = rows.filter(_._1 == 101L).map(_._2).toSeq
+    assert(s101 == Seq("session begins", "session ends"))
+  }
+
+  test("generator result matches the relational x1 formulation on real data") {
+    // explode_session over per-user event groups ≡ the begin/hit/end shape
+    val ev = Tables.t(spark, sfDir, "events")
+    val sessions = ev
+      .groupBy("user_id")
+      .agg(min(unix_seconds(col("ts").cast("timestamp"))).as("start_sec"),
+        sort_array(collect_list(struct(
+          unix_seconds(col("ts").cast("timestamp")).as("t"),
+          col("event_type").as("name")))).as("ordered"))
+      .withColumn("hits", expr(
+        "transform(ordered, h -> struct(h.name AS name, (h.t - start_sec) * 1000 AS offset_ms))"))
+    sessions.createOrReplaceTempView("user_sessions")
+    val exploded = spark.sql(
+      """SELECT user_id, e.event, e.time_s
+        |FROM user_sessions
+        |LATERAL VIEW explode_session(start_sec, hits) e AS event, time_s""".stripMargin)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // hits whose offset is exactly 0 get a +1s bump → still one row per event
+    assert(exploded.count() == nEvents + 2 * nUsers)
+  }
+}
