@@ -15,7 +15,8 @@ object SparkEntry {
   private val modules: Seq[Map[String, QuerySpec]] = Seq(
     CoreAnalytics.specs,
     EtlOps.specs,
-    TrainingDataOps.specs
+    TrainingDataOps.specs,
+    ExtendedAnalytics.specs
   )
 
   private lazy val allSpecs: Map[String, QuerySpec] = {

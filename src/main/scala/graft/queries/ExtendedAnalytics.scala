@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.{t, epochS}
+import graft.operators.AsofJoin
+
+/** Extended analytics surface: as-of join, range join, grouping sets,
+  * statistical aggregates — rounding out the M7 query layer with the
+  * join/agg shapes the reference's event domain needs at scale.
+  */
+object ExtendedAnalytics {
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // ---- as-of join: each event ↔ user's most recent prior signup ------
+    "join_asof_prior" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("t", epochS(col("ts")))
+        val signups = ev.filter(col("event_type") === "signup")
+          .withColumn("signup_t", col("t"))
+        AsofJoin.priorJoin(ev, signups, "user_id", "t", "event_id", "signup_t")
+          .select(col("event_id"), col("asof_time").as("last_signup_t"))
+          .orderBy("event_id")
+      },
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_ms(ts)//1000 AS t, event_id, 1 AS side,
+        |    CAST(NULL AS BIGINT) AS rt
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(ts)//1000, event_id, 0,
+        |    epoch_ms(ts)//1000
+        |  FROM events WHERE event_type = 'signup'),
+        |carried AS (
+        |  SELECT *, last_value(rt IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY t, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_t
+        |  FROM tagged)
+        |SELECT event_id, last_signup_t FROM carried WHERE side = 1
+        |ORDER BY event_id""".stripMargin
+    ),
+
+    // ---- range join: lineitems shipped within 60 days of order date ----
+    "join_range_window" -> QuerySpec(
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum("l_extendedprice"), 2).as("total"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(sum(l_extendedprice),2) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ),
+
+    // ---- grouping sets (SQL surface) -----------------------------------
+    "agg_grouping_sets" -> QuerySpec(
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            |FROM orders_v
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+      },
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+    ),
+
+    // ---- statistical aggregates ---------------------------------------
+    "agg_statistics" -> QuerySpec(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        t(s, dir, "orders")
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            round(stddev_samp("o_totalprice"), 2).as("sd_price"),
+            round(corr(col("o_totalprice"), col("c_acctbal")), 4).as("price_acct_corr"),
+            // discrete (not continuous) median: both engines pick the same
+            // actual data value; continuous interpolation arithmetic
+            // differs in the last ulp between engines
+            round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 2)
+              .as("median_price"),
+            round(avg("o_totalprice"), 2).as("avg_price"))
+          .orderBy("c_mktsegment")
+      },
+      """SELECT c_mktsegment,
+        | round(stddev_samp(o_totalprice),2) AS sd_price,
+        | round(corr(o_totalprice, c_acctbal),4) AS price_acct_corr,
+        | round(quantile_disc(o_totalprice, 0.5),2) AS median_price,
+        | round(avg(o_totalprice),2) AS avg_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    )
+  )
+}
