@@ -98,7 +98,12 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
+    // persist: the index feeds frequency ranking, per-doc counts, candidate
+    // generation AND verification — Catalyst does not CSE across branches,
+    // so without this the tokenize+shuffle pipeline runs 4×. Evicted by
+    // the ContextCleaner once the plan is GC'd.
     val sh = shingleIndex(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val freq0 = sh.groupBy("s").agg(count(lit(1)).as("f"))
     val freq = maxShingleFreq.fold(freq0)(cap => freq0.filter(col("f") <= cap))
@@ -156,6 +161,7 @@ object Dedup {
     // verify ONLY the candidates with exact jaccard (never all-pairs — at
     // scale the candidate set is the whole point of LSH)
     val sh = shingleIndex(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     verifyJaccard(cand, sh, cnt, threshold)
   }
