@@ -40,6 +40,34 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted == Seq("i1", "i2", "i3"), s"got $ids")
   }
 
+  test("watermarked tumbling-window aggregation over the file stream") {
+    val staging = Files.createTempDirectory("stream-agg").toString
+    val t0 = 1700000000L // aligned to minute boundaries below
+    def line(id: String, t: Long, v: Double): String =
+      s"""{"event":"e","distinct_id":"u","time":$t,"insert_id":"$id","source":"s","properties":{"v":"$v"}}"""
+    Files.write(java.nio.file.Paths.get(staging, "w1.json"),
+      Seq(line("a", t0, 1.0), line("b", t0 + 30, 2.0), line("c", t0 + 90, 5.0))
+        .mkString("\n").getBytes)
+    val stream = spark.readStream
+      .schema(graft.model.Model.mpEventSchema)
+      .json(staging)
+      .withColumn("event_time", to_timestamp(from_unixtime(col("time"))))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 minute"), col("event"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val rows = spark.table("winagg")
+      .select(col("window.start").cast("long").as("w"), col("n"))
+      .as[(Long, Long)].collect().toMap
+    q.stop()
+    // t0 is minute-aligned? normalize: window start floor to minute
+    val w0 = t0 - (t0 % 60)
+    assert(rows.getOrElse(w0, 0L) + rows.getOrElse(w0 + 60, 0L) == 3L)
+    assert(rows.size == 2) // events span exactly two 1-minute windows
+  }
+
   test("profile upsert state merges $set with last-write-wins across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
