@@ -191,6 +191,39 @@ object Dedup {
         "").as("simhash"))
   }
 
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, via the
+    * k+1-block pigeonhole banding: any two signatures differing in ≤ k
+    * bits agree on at least one of k+1 equal blocks, so candidates are
+    * generated by a block-equality join (never all-pairs) and verified
+    * with an exact Hamming count. Output: (id_a, id_b, hamming).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    val blocks = maxHamming + 1
+    require(bits % blocks == 0, s"bits=$bits must divide into ${blocks} blocks")
+    val blockLen = bits / blocks
+    val sig = simhash(docs, idCol, textCol, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sig.select(col("doc"),
+      posexplode(array((0 until blocks).map(b =>
+        substring(col("simhash"), b * blockLen + 1, blockLen)): _*)).as(Seq("band", "key")))
+    val cand = bands.select(col("doc").as("id_a"), col("band"), col("key"))
+      .join(bands.select(col("doc").as("id_b"), col("band"), col("key")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sig.select(col("doc").as("id_a"), col("simhash").as("sig_a")), "id_a")
+      .join(sig.select(col("doc").as("id_b"), col("simhash").as("sig_b")), "id_b")
+      // exact verify on candidates only — HOF cost is fine at this volume
+      .withColumn("hamming",
+        aggregate(
+          zip_with(split(col("sig_a"), ""), split(col("sig_b"), ""),
+            (x, y) => when(x === y, 0).otherwise(1)),
+          lit(0), (acc, v) => acc + v))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold over all id_a < id_b
     * pairs. Exact variant: the corpus is broadcast once as primitive
     * arrays and each task scores its slice in a tight JVM loop

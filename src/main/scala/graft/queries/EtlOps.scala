@@ -256,24 +256,9 @@ object EtlOps {
     // (gaToMixpanel.js:129-301).
     "x1_session_explode" -> QuerySpec(
       (s, dir) => {
-        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val sessions = t(s, dir, "events")
-          .withColumn("t", epochS(col("ts")))
-          .withColumn("prev_t", lag("t", 1).over(wOrd))
-          .withColumn("is_new",
-            when(col("prev_t").isNull || col("t") - col("prev_t") > 1800, 1L).otherwise(0L))
-          .withColumn("session_seq",
-            sum("is_new").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val hits = sessions.select(
-          col("user_id"), col("session_seq"),
-          col("event_type").as("event"), col("t").as("time_s"))
-        val bounds = sessions.groupBy("user_id", "session_seq")
-          .agg(min("t").as("t0"), max("t").as("t1"))
-        val begins = bounds.select(col("user_id"), col("session_seq"),
-          lit("session begins").as("event"), col("t0").as("time_s"))
-        val ends = bounds.select(col("user_id"), col("session_seq"),
-          lit("session ends").as("event"), (col("t1") + 1).as("time_s"))
-        hits.unionByName(begins).unionByName(ends)
+        val ev = t(s, dir, "events").withColumn("t", epochS(col("ts")))
+        graft.operators.Sessionize
+          .explode(ev, "user_id", "t", "event_id", "event_type", gapSeconds = 1800)
           .orderBy("user_id", "session_seq", "time_s", "event")
       },
       """WITH ordered AS (

@@ -84,6 +84,51 @@ object BatchedHttpSink {
     }
   }
 
+  /** Per-task batching core: count+byte-capped accumulation, gzip, retry,
+    * rate limit. Shared by the foreachPartition writer and the DSv2
+    * DataWriter (`graft.sinks.v2.HttpImportSink`).
+    */
+  final class PartitionBatcher(cfg: SinkConfig, transport: Transport,
+      onBatch: (Int, HttpResponseLite, Boolean) => Unit) {
+    private val bucket = new TokenBucket(cfg.ratePerSecond)
+    private val buf = new scala.collection.mutable.ArrayBuffer[String]()
+    private var bufBytes = 0L
+
+    def add(rec: String): Unit = {
+      val recBytes = rec.getBytes("UTF-8").length + 1
+      if (buf.nonEmpty &&
+        (buf.size >= cfg.maxRecordsPerBatch || bufBytes + recBytes > cfg.maxBytesPerBatch))
+        flush()
+      buf += rec
+      bufBytes += recBytes
+    }
+
+    def flush(): Unit = if (buf.nonEmpty) {
+      val body = buf.mkString("[", ",", "]").getBytes("UTF-8")
+      val payload = if (cfg.gzipBody) gzip(body) else body
+      val headers = cfg.headers ++
+        (if (cfg.gzipBody) Map("Content-Encoding" -> "gzip") else Map.empty) +
+        ("Content-Type" -> "application/json")
+      bucket.acquire()
+      var attempt = 0
+      var done = false
+      var lastResp = HttpResponseLite(-1, "")
+      while (!done && attempt <= cfg.maxRetries) {
+        lastResp =
+          try transport.post(cfg.url, payload, headers)
+          catch { case e: Exception => HttpResponseLite(-1, e.toString) }
+        done = lastResp.status >= 200 && lastResp.status < 300
+        if (!done) {
+          attempt += 1
+          if (attempt <= cfg.maxRetries)
+            Thread.sleep(cfg.initialBackoffMs * (1L << (attempt - 1)))
+        }
+      }
+      onBatch(buf.size, lastResp, done)
+      buf.clear(); bufBytes = 0L
+    }
+  }
+
   /** Write a DataFrame whose rows are single JSON strings (column `json`) —
     * the caller shapes records with to_json(struct(...)).
     */
@@ -97,47 +142,13 @@ object BatchedHttpSink {
 
     val jsonDf = df.select(col("json").cast("string"))
     jsonDf.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-      val bucket = new TokenBucket(cfg.ratePerSecond)
-      val buf = new scala.collection.mutable.ArrayBuffer[String]()
-      var bufBytes = 0L
-
-      def flush(): Unit = if (buf.nonEmpty) {
-        val body = buf.mkString("[", ",", "]").getBytes("UTF-8")
-        val payload = if (cfg.gzipBody) gzip(body) else body
-        val headers = cfg.headers ++
-          (if (cfg.gzipBody) Map("Content-Encoding" -> "gzip") else Map.empty) +
-          ("Content-Type" -> "application/json")
-        bucket.acquire()
-        var attempt = 0
-        var done = false
-        var lastResp = HttpResponseLite(-1, "")
-        while (!done && attempt <= cfg.maxRetries) {
-          lastResp =
-            try transport.post(cfg.url, payload, headers)
-            catch { case e: Exception => HttpResponseLite(-1, e.toString) }
-          done = lastResp.status >= 200 && lastResp.status < 300
-          if (!done) {
-            attempt += 1
-            if (attempt <= cfg.maxRetries)
-              Thread.sleep(cfg.initialBackoffMs * (1L << (attempt - 1)))
-          }
-        }
+      val batcher = new PartitionBatcher(cfg, transport, (n, resp, ok) => {
         batches.add(1)
-        if (!done) failed.add(1) else recs.add(buf.size)
-        responses.add((lastResp.status, lastResp.body.take(512)))
-        buf.clear(); bufBytes = 0L
-      }
-
-      it.foreach { row =>
-        val rec = row.getString(0)
-        val recBytes = rec.getBytes("UTF-8").length + 1
-        if (buf.nonEmpty &&
-          (buf.size >= cfg.maxRecordsPerBatch || bufBytes + recBytes > cfg.maxBytesPerBatch))
-          flush()
-        buf += rec
-        bufBytes += recBytes
-      }
-      flush()
+        if (ok) recs.add(n) else failed.add(1)
+        responses.add((resp.status, resp.body.take(512)))
+      })
+      it.foreach(row => batcher.add(row.getString(0)))
+      batcher.flush()
     }
     SinkReport(recs.value, batches.value, failed.value,
       { val l = responses.value; (0 until l.size()).map(l.get) })

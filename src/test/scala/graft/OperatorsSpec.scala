@@ -63,6 +63,37 @@ class OperatorsSpec extends SparkSpec {
     assert(a.map(_.format).toSet.subsetOf(Set("png", "jpeg", "webp")))
   }
 
+  test("simhashPairs finds near-dup docs via block banding with exact hamming verify") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 64-bit signatures: jaccard-0.9 pairs land within hamming 15 reliably
+    // (32-bit/hamming-7 measured only ~0.78 recall — simhash granularity)
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", bits = 64, maxHamming = 15)
+      .as[(Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 <= 15))
+    // high-jaccard planted pairs should overwhelmingly be simhash-close
+    val found = got.map(r => (r._1, r._2)).toSet
+    val recall = planted.count(found).toDouble / planted.size
+    assert(recall >= 0.8, s"simhash recall $recall over ${planted.size} planted pairs")
+  }
+
+  test("mixpanel reverse transforms reshape canonical rows to vendor wire shapes") {
+    val ev = Seq(("click", "u1", 1700000000L, "i1", "s", Map("a" -> "b")))
+      .toDF("event", "distinct_id", "time", "insert_id", "source", "properties")
+    val amp = MixpanelTransform.eventsToAmplitude(ev).collect()(0)
+    assert(amp.getAs[String]("event_type") == "click")
+    assert(amp.getAs[Long]("time") == 1700000000000L) // s → ms
+    assert(amp.getAs[String]("user_id") == "u1")
+    val woopra = MixpanelTransform.eventsToWoopra(ev).collect()(0)
+    assert(woopra.getAs[org.apache.spark.sql.Row]("visitor").getAs[String]("id") == "u1")
+    val engage = Seq(("u9", Map("x" -> "1"))).toDF("$distinct_id", "$properties")
+    val prof = MixpanelTransform.engageToProfiles(engage).collect()(0)
+    assert(prof.getAs[String]("distinct_id") == "u9")
+    assert(prof.getAs[Map[String, String]]("set") == Map("x" -> "1"))
+  }
+
   test("exactFirstWins keeps lowest-ordered row per key") {
     val df = Seq((1, "k1", "a"), (2, "k1", "b"), (3, "k2", "c")).toDF("id", "k", "v")
     val got = Dedup.exactFirstWins(df, Seq("k"), Seq("id"))
