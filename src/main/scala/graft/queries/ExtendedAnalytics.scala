@@ -77,6 +77,65 @@ object ExtendedAnalytics {
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
     ),
 
+    // ---- window: lag/lead (event-to-event deltas) ----------------------
+    "window_lag_lead" -> QuerySpec(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .withColumn("t", epochS(col("ts")))
+          .withColumn("prev_gap_s", col("t") - lag(col("t"), 1).over(w))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .select("event_id", "user_id", "prev_gap_s", "next_type")
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id,
+        | epoch_ms(ts)//1000 - lag(epoch_ms(ts)//1000) OVER w AS prev_gap_s,
+        | lead(event_type) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin
+    ),
+
+    // ---- window: rank / dense_rank / ntile -----------------------------
+    "window_rank_family" -> QuerySpec(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .filter(col("rnk") <= 5)
+          .select("o_orderpriority", "rnk", "drnk", "quartile", "o_orderkey")
+          .orderBy("o_orderpriority", "rnk")
+      },
+      """SELECT o_orderpriority, rnk, drnk, quartile, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |    CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rnk <= 5 ORDER BY o_orderpriority, rnk""".stripMargin
+    ),
+
+    // ---- ordered array collection --------------------------------------
+    "agg_array_collect" -> QuerySpec(
+      (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .withColumn("t", epochS(col("ts")))
+          .groupBy("user_id")
+          .agg(concat_ws(">", array_sort(collect_list(
+            concat_ws("@", col("t"), col("event_type"))))).as("timeline"))
+          .orderBy("user_id"),
+      """SELECT user_id,
+        | array_to_string(list_sort(list(epoch_ms(ts)//1000 || '@' || event_type)), '>') AS timeline
+        |FROM events WHERE user_id < 20
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+    ),
+
     // ---- statistical aggregates ---------------------------------------
     "agg_statistics" -> QuerySpec(
       (s, dir) => {

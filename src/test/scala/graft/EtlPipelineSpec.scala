@@ -122,6 +122,19 @@ class EtlPipelineSpec extends SparkSpec {
     assert(props.forall(_.contains("csv-batch-1")))
   }
 
+  test("mixpanel staged migration path: where predicate + event list filter") {
+    val dir = tmpDir("mp-staged")
+    writeLines(dir, "export.json", Seq(
+      """{"event":"click","distinct_id":"u1","time":1700000000,"insert_id":"a","source":"mp","properties":{"$source":"web"}}""",
+      """{"event":"click","distinct_id":"u2","time":1700000001,"insert_id":"b","source":"mp","properties":{}}""",
+      """{"event":"view","distinct_id":"u3","time":1700000002,"insert_id":"c","source":"mp","properties":{"$source":"app"}}"""))
+    val out = Pipeline.transform(spark, Pipeline.MixpanelStaged(dir,
+      where = Some("""defined(properties["$source"])"""),
+      events = Seq("click")))
+    val rows = out.events.collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("distinct_id") == "u1")
+  }
+
   test("segmentation where parser filters like the pushed-down predicate") {
     val df = Seq(
       ("a", Map("$source" -> "x", "n" -> "5")),

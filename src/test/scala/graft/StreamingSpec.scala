@@ -68,6 +68,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.size == 2) // events span exactly two 1-minute windows
   }
 
+  test("session_window streaming aggregation mirrors the batch sessionize semantics") {
+    val staging = Files.createTempDirectory("stream-sess").toString
+    val t0 = 1700000000L
+    def line(id: String, t: Long): String =
+      s"""{"event":"e","distinct_id":"u1","time":$t,"insert_id":"$id","source":"s","properties":{}}"""
+    // two bursts separated by > 30min → two sessions
+    Files.write(java.nio.file.Paths.get(staging, "s1.json"),
+      (Seq(line("a", t0), line("b", t0 + 60), line("c", t0 + 120)) ++
+        Seq(line("d", t0 + 5000), line("e", t0 + 5030)))
+        .mkString("\n").getBytes)
+    val stream = spark.readStream
+      .schema(graft.model.Model.mpEventSchema)
+      .json(staging)
+      .withColumn("event_time", to_timestamp(from_unixtime(col("time"))))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("distinct_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("sessagg")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val rows = spark.table("sessagg")
+      .select(col("session_window.start").cast("long"), col("n"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0) == ((t0, 3L)) && rows(1) == ((t0 + 5000, 2L)))
+  }
+
   test("profile upsert state merges $set with last-write-wins across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
