@@ -16,7 +16,8 @@ object SparkEntry {
     CoreAnalytics.specs,
     EtlOps.specs,
     TrainingDataOps.specs,
-    ExtendedAnalytics.specs
+    ExtendedAnalytics.specs,
+    ScalarOps.specs
   )
 
   private lazy val allSpecs: Map[String, QuerySpec] = {
