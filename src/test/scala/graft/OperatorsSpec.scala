@@ -94,6 +94,21 @@ class OperatorsSpec extends SparkSpec {
     assert(prof.getAs[Map[String, String]]("set") == Map("x" -> "1"))
   }
 
+  test("saltedJoin is row-identical to the direct join under heavy key skew") {
+    // 90% of rows on one hot key — the salting target
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "v")
+    val right = Seq((7L, "hot"), (10L, "ten"), (20L, "twenty")).toDF("k", "name")
+    val direct = left.join(right, "k").select("k", "v", "name")
+    val salted = SkewJoin.saltedJoin(left, right, "k", salts = 8)
+      .select("k", "v", "name")
+    assert(salted.count() == direct.count())
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+    // left join keeps unmatched probe rows exactly once
+    val lj = SkewJoin.saltedJoin(left, right, "k", salts = 4, joinType = "left")
+    assert(lj.count() == left.count())
+  }
+
   test("exactFirstWins keeps lowest-ordered row per key") {
     val df = Seq((1, "k1", "a"), (2, "k1", "b"), (3, "k2", "c")).toDF("id", "k", "v")
     val got = Dedup.exactFirstWins(df, Seq("k"), Seq("id"))
