@@ -62,22 +62,35 @@ object Pipeline {
       Outputs(filtered, None, None)
   }
 
-  /** Full E-T-L run. */
+  /** Full E-T-L run. Event counts are taken with `observe()` DURING the
+    * sink write — the reference's extracted = transformed = imported
+    * reconciliation (SURVEY §5) without a second scan of the data.
+    */
   def run(spark: SparkSession, config: Config): Report = {
     Tables.tune(spark)
     val out = transform(spark, config.source)
+    val obs = new org.apache.spark.sql.Observation()
+    val observedEvents = out.events.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"))
     config.destination match {
       case LocalJson(dir) =>
-        Sinks.writeLocalJson(out.events, s"$dir/events")
+        Sinks.writeLocalJson(observedEvents, s"$dir/events")
         out.profiles.foreach(p => Sinks.writeLocalJson(p, s"$dir/profiles"))
         out.mergePairs.foreach(m => Sinks.writeLocalJson(m, s"$dir/mergeTables"))
-        Report(out.events.count(),
+        Report(obs.get("n_events").asInstanceOf[Long],
           out.profiles.map(_.count()).getOrElse(0L),
           out.mergePairs.map(_.count()).getOrElse(0L), None)
       case HttpSink(vendor, opts, transport) =>
         val cfg = Sinks.forVendor(vendor, opts)
-        val shaped = Sinks.shapeMixpanelEvents(out.events)
+        val shaped = Sinks.shapeMixpanelEvents(observedEvents)
         val report = Sinks.write(shaped, cfg, transport)
+        // reconciliation invariant: with no failed batches, every
+        // transformed event must have been acknowledged by the sink
+        val transformed = obs.get("n_events").asInstanceOf[Long]
+        if (report.failedBatches == 0)
+          require(transformed == report.records,
+            s"count reconciliation broken: transformed=$transformed loaded=${report.records}")
         val profileReport = out.profiles.map { p =>
           Sinks.write(Sinks.shapeMixpanelProfiles(p, opts.getOrElse("token", "")),
             Sinks.mixpanelEngageConfig(opts.getOrElse("token", "")), transport)

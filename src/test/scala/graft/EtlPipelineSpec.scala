@@ -135,6 +135,31 @@ class EtlPipelineSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getAs[String]("distinct_id") == "u1")
   }
 
+  test("staging lifecycle: run dir cleaned unless keepLocalCopy") {
+    val base = tmpDir("staging")
+    val kept = graft.sources.Staging.withStaging(base, "amp", keepLocalCopy = true) { dir =>
+      Files.write(dir.resolve("x.json"), "{}".getBytes); dir
+    }
+    assert(Files.exists(kept))
+    val gone = graft.sources.Staging.withStaging(base, "amp", keepLocalCopy = false) { dir =>
+      Files.write(dir.resolve("x.json"), "{}".getBytes); dir
+    }
+    assert(!Files.exists(gone))
+  }
+
+  test("observe-based count reconciliation: transformed == loaded through the sink") {
+    val dir = tmpDir("amp-obs")
+    writeLines(dir, "events.json", ampLines)
+    RecordingTransport.bodies.clear()
+    RecordingTransport.failFirstN.set(0)
+    val report = Pipeline.run(spark, Pipeline.Config(
+      Pipeline.AmplitudeStaged(dir),
+      Pipeline.HttpSink("mixpanel", Map("project_id" -> "1", "auth" -> "x", "token" -> "t"),
+        new RecordingTransport)))
+    assert(report.events == 3)
+    assert(report.sink.exists(_.failedBatches == 0))
+  }
+
   test("segmentation where parser filters like the pushed-down predicate") {
     val df = Seq(
       ("a", Map("$source" -> "x", "n" -> "5")),
