@@ -2,17 +2,30 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Example driver: run a staged vendor pipeline from the command line.
+/** Example driver: run a vendor pipeline from the command line.
   *
-  *   runMain graft.Demo <vendor: amplitude|ga|csv> <inputDir> <outDir>
+  *   runMain graft.Demo <config.json>                 — reference-style
+  *   runMain graft.Demo <vendor> <inputDir> <outDir>  — quick staged run
   *
-  * Reads staged vendor files, transforms to the canonical model, writes
-  * NDJSON outputs (events/profiles/mergeTables) to outDir, prints a
-  * count-reconciliation report (SURVEY §5: extracted = transformed =
-  * loaded).
+  * The one-arg form accepts the reference's own JSON config shape
+  * (examples/configExample-*.json) via [[ConfigParser]] — a toMixpanel
+  * user's config runs as-is (with options.path pointing at staged data).
   */
 object Demo {
   def main(args: Array[String]): Unit = {
+    if (args.length == 1 && args(0).endsWith(".json")) {
+      val spark = Tables.tune(SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+        .appName("graft-demo")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+      spark.sparkContext.setLogLevel("WARN")
+      val report = Pipeline.run(spark, ConfigParser.parseFile(args(0)))
+      println(s"DEMO_REPORT config=${args(0)} events=${report.events} " +
+        s"profiles=${report.profiles} merges=${report.merges}")
+      spark.stop()
+      return
+    }
     val Array(vendor, in, out) = args.take(3)
     val spark = Tables.tune(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")

@@ -19,8 +19,13 @@ object IdentityResolution {
 
   /** edges: (src: long, dst: long) undirected. Returns (node, component)
     * where component = smallest node id reachable.
+    *
+    * Each round does (a) neighbor-min propagation and (b) pointer jumping
+    * (adopt your label's label). Propagation alone converges in O(diameter)
+    * rounds — a 1000-hop identity chain would need 1000 shuffles; pointer
+    * jumping halves chain depth every round, giving O(log n) total.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -32,13 +37,20 @@ object IdentityResolution {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // candidate labels: own + min over neighbors' labels
+      // (a) candidate labels: own + min over neighbors' labels
       val nbrLabels = sym
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("component"))
-      val updated = labels.select(col("node"), col("component"))
+      val propagated = labels.select(col("node"), col("component"))
         .union(nbrLabels)
         .groupBy("node").agg(min("component").as("component"))
+      // (b) pointer jump: component := component's component
+      val parents = propagated
+        .select(col("node").as("component"), col("component").as("grand"))
+      val updated = propagated
+        .join(parents, Seq("component"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("grand"), col("component"))).as("component"))
         .localCheckpoint()
       val changed = updated.alias("u")
         .join(labels.alias("l"), Seq("node"))

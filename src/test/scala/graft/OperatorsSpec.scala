@@ -16,6 +16,16 @@ class OperatorsSpec extends SparkSpec {
     assert(got(10L) == 10L && got(11L) == 10L)
   }
 
+  test("connectedComponents resolves a 1000-hop chain within the iteration budget") {
+    // worst case for pure propagation (needs 1000 rounds); pointer jumping
+    // must close it in O(log n)
+    val edges = (0L until 1000L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = IdentityResolution.connectedComponents(edges)
+    assert(got.count() == 1001)
+    assert(got.filter(col("component") =!= 0L).isEmpty,
+      "chain not fully labeled with root 0")
+  }
+
   test("minhash LSH finds the high-similarity pairs exact jaccard finds") {
     val docs = Tables.t(spark, sfDir, "documents")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
