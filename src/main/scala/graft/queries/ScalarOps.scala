@@ -52,6 +52,21 @@ object ScalarOps {
         |GROUP BY user_id ORDER BY user_id""".stripMargin
     ),
 
+    // ---- bag-semantics EXCEPT ALL --------------------------------------
+    "setop_except_all" -> QuerySpec(
+      (s, dir) => {
+        val a = t(s, dir, "events").filter(col("event_type") =!= "error").select("user_id")
+        val b = t(s, dir, "events").filter(col("event_type") === "purchase").select("user_id")
+        a.exceptAll(b).groupBy("user_id").agg(count(lit(1)).as("n"))
+          .orderBy("user_id")
+      },
+      """SELECT user_id, count(*) AS n FROM (
+        |  SELECT user_id FROM events WHERE event_type <> 'error'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+    ),
+
     // ---- array explode parity (posexplode ≡ unnest with ordinality) ----
     "sc_array_explode" -> QuerySpec(
       (s, dir) =>
