@@ -84,6 +84,8 @@ object Model {
     StructField("page", MapType(StringType, StringType)),
     StructField("appInfo", MapType(StringType, StringType)),
     StructField("social", MapType(StringType, StringType)),
+    StructField("product", ArrayType(MapType(StringType, StringType))),
+    StructField("promotion", ArrayType(MapType(StringType, StringType))),
     StructField("experiment", ArrayType(MapType(StringType, StringType))),
     StructField("customDimensions", ArrayType(StructType(Seq(
       StructField("index", StringType), StructField("value", StringType))))),

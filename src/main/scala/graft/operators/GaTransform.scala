@@ -30,6 +30,8 @@ object GaTransform {
       page: Map[String, String],
       appInfo: Map[String, String],
       social: Map[String, String],
+      product: Seq[Map[String, String]],
+      promotion: Seq[Map[String, String]],
       customDimensions: Seq[IndexValue],
       customMetrics: Seq[IndexValue])
   case class GaSession(
@@ -91,6 +93,12 @@ object GaTransform {
     dims.filter(iv => iv != null && usable(iv.value) && iv.index != null)
       .map(iv => s"$label #${iv.index} ($eventName)" -> iv.value).toMap
 
+  import scala.jdk.CollectionConverters._
+  private def toJsonString(v: Seq[Map[String, String]]): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.writeValueAsString(v.map(_.asJava).asJava)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -125,10 +133,16 @@ object GaTransform {
         ei.get("eventAction"), ei.get("eventCategory"),
         Option(h.`type`)).flatten.find(usable).getOrElse("unknown")
       val flat = nm(h.page) ++ ei ++ nm(h.appInfo) ++ nm(h.social)
+      // P10: product/promotion arrays stay NESTED under aliases (reference
+      // keeps them as sub-objects — gaToMixpanel.js:248-256); our string
+      // property bag carries them as canonical JSON
+      val nested = Seq("products" -> ns(h.product), "promotions" -> ns(h.promotion))
+        .filter(_._2.nonEmpty)
+        .map { case (k, v) => k -> toJsonString(v) }
       mk(name, tMs,
         flat.filter { case (_, v) => usable(v) } ++
           pivotDims(ns(h.customDimensions), "dimension", name) ++
-          pivotDims(ns(h.customMetrics), "metric", name))
+          pivotDims(ns(h.customMetrics), "metric", name) ++ nested)
     }
     val end = mk("session ends", endMs + 1000L, Map("summary" -> "end"))
     (begin +: hitEvents) :+ end

@@ -28,10 +28,15 @@ object CoreAnalytics {
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
+            // quantities are integer-valued: double sums are exact
             round(sum("l_quantity"), 2).as("sum_qty"),
-            round(sum("l_extendedprice"), 2).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            // money: exact decimal sums (order-independent — see QuerySpec.dec4)
+            QuerySpec.sumMoney(QuerySpec.dec4(col("l_extendedprice"))).as("sum_base_price"),
+            QuerySpec.sumMoney(QuerySpec.dec4(col("l_extendedprice")) *
+              (lit(1) - QuerySpec.dec4(col("l_discount")))).as("sum_disc_price"),
+            QuerySpec.sumMoney(QuerySpec.dec4(col("l_extendedprice")) *
+              (lit(1) - QuerySpec.dec4(col("l_discount"))) *
+              (lit(1) + QuerySpec.dec4(col("l_tax")))).as("sum_charge"),
             round(avg("l_quantity"), 2).as("avg_qty"),
             count(lit(1)).as("count_order")
           )
@@ -39,9 +44,9 @@ object CoreAnalytics {
       },
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1-CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1-CAST(l_discount AS DECIMAL(18,4)))*(1+CAST(l_tax AS DECIMAL(18,4)))),2) AS DOUBLE) AS sum_charge,
         | round(avg(l_quantity),2) AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -58,12 +63,13 @@ object CoreAnalytics {
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .agg(QuerySpec.sumMoney(QuerySpec.dec4(col("l_extendedprice")) *
+            (lit(1) - QuerySpec.dec4(col("l_discount")))).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
       },
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1-CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -92,10 +98,11 @@ object CoreAnalytics {
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .agg(QuerySpec.sumMoney(QuerySpec.dec4(col("l_extendedprice")) *
+            (lit(1) - QuerySpec.dec4(col("l_discount")))).as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      """SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1-CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -115,11 +122,15 @@ object CoreAnalytics {
         t(s, dir, "lineitem")
           .join(broadcast(part), col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand")
-          .agg(round(avg("l_extendedprice"), 2).as("avg_price"),
+          // exact decimal sum, then identical double division both engines
+          .agg(round(sum(QuerySpec.dec4(col("l_extendedprice"))).cast("double") /
+            count(lit(1)), 2).as("avg_price"),
             count(lit(1)).as("n"))
           .orderBy("p_brand")
       },
-      """SELECT p_brand, round(avg(l_extendedprice),2) AS avg_price, count(*) AS n
+      """SELECT p_brand,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)/count(*),2) AS avg_price,
+        | count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin
     ),
@@ -195,11 +206,12 @@ object CoreAnalytics {
       (s, dir) => {
         t(s, dir, "orders")
           .rollup("o_orderstatus", "o_orderpriority")
-          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .agg(count(lit(1)).as("n"),
+            QuerySpec.sumMoney(QuerySpec.dec4(col("o_totalprice"))).as("total"))
           .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
       },
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        | round(sum(o_totalprice),2) AS total
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
     ),
@@ -224,11 +236,12 @@ object CoreAnalytics {
           .groupBy("event_type")
           .agg(countDistinct("user_id").as("n_users"),
             count(lit(1)).as("n_events"),
-            round(sum("value"), 2).as("sum_value"))
+            QuerySpec.sumMoney(QuerySpec.dec4(col("value"))).as("sum_value"))
           .orderBy("event_type")
       },
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
-        | count(*) AS n_events, round(sum(value),2) AS sum_value
+        | count(*) AS n_events,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     ),
 

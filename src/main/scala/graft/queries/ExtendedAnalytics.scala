@@ -50,15 +50,48 @@ object ExtendedAnalytics {
           col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAYS"))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"),
-            round(sum("l_extendedprice"), 2).as("total"))
+            QuerySpec.sumMoney(QuerySpec.dec4(col("l_extendedprice"))).as("total"))
           .orderBy("o_orderpriority")
       },
       """SELECT o_orderpriority, count(*) AS n,
-        | round(sum(l_extendedprice),2) AS total
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))),2) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | AND l_shipdate >= o_orderdate
         | AND l_shipdate < o_orderdate + INTERVAL 60 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ),
+
+    // ---- full SQL-text query surface (Q10-like via spark.sql) ----------
+    "sql_q10_returned_items" -> QuerySpec(
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem", "nation").foreach(n =>
+          t(s, dir, n).createOrReplaceTempView(s"${n}_v"))
+        s.sql(
+          """SELECT c_custkey, c_name, n_name,
+            |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+            |FROM customer_v
+            |JOIN orders_v ON c_custkey = o_custkey
+            |JOIN lineitem_v ON l_orderkey = o_orderkey
+            |JOIN nation_v ON c_nationkey = n_nationkey
+            |WHERE l_returnflag = 'R'
+            |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+            |  AND o_orderdate < TIMESTAMP '1996-07-01'
+            |GROUP BY c_custkey, c_name, n_name
+            |ORDER BY revenue DESC, c_custkey
+            |LIMIT 20""".stripMargin)
+      },
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin
     ),
 
     // ---- grouping sets (SQL surface) -----------------------------------
@@ -151,14 +184,15 @@ object ExtendedAnalytics {
             // differs in the last ulp between engines
             round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 2)
               .as("median_price"),
-            round(avg("o_totalprice"), 2).as("avg_price"))
+            round(sum(QuerySpec.dec4(col("o_totalprice"))).cast("double") /
+              count(lit(1)), 2).as("avg_price"))
           .orderBy("c_mktsegment")
       },
       """SELECT c_mktsegment,
         | round(stddev_samp(o_totalprice),2) AS sd_price,
         | round(corr(o_totalprice, c_acctbal),4) AS price_acct_corr,
         | round(quantile_disc(o_totalprice, 0.5),2) AS median_price,
-        | round(avg(o_totalprice),2) AS avg_price
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)/count(*),2) AS avg_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
     )

@@ -26,7 +26,7 @@ class EtlPipelineSpec extends SparkSpec {
   )
 
   val gaLines: Seq[String] = Seq(
-    """{"visitNumber":"1","visitId":"v1","visitStartTime":"1611872327","date":"20210128","fullVisitorId":"fv1","channelGrouping":"Organic Search","totals":{"visits":"1","hits":"2","pageviews":"2"},"trafficSource":{"campaign":"(not set)","source":"google","medium":"organic"},"device":{"browser":"Chrome","operatingSystem":"Macintosh","deviceCategory":"desktop"},"geoNetwork":{"country":"United States","city":"San Francisco","latitude":"37.77","longitude":"-122.41"},"customDimensions":[{"index":"4","value":"str"}],"hits":[{"hitNumber":"1","time":"0","type":"PAGE","eventInfo":{"eventCategory":"engagement","eventAction":"click"},"page":{"pagePath":"/","hostname":"x.com"},"customDimensions":[],"customMetrics":[{"index":"2","value":"7"}]},{"hitNumber":"2","time":"5000","type":"EVENT","eventInfo":{"eventAction":"na","eventCategory":"scroll"},"page":{"pagePath":"/a"},"customDimensions":[{"index":"1","value":"x"}],"customMetrics":[]}]}""",
+    """{"visitNumber":"1","visitId":"v1","visitStartTime":"1611872327","date":"20210128","fullVisitorId":"fv1","channelGrouping":"Organic Search","totals":{"visits":"1","hits":"2","pageviews":"2"},"trafficSource":{"campaign":"(not set)","source":"google","medium":"organic"},"device":{"browser":"Chrome","operatingSystem":"Macintosh","deviceCategory":"desktop"},"geoNetwork":{"country":"United States","city":"San Francisco","latitude":"37.77","longitude":"-122.41"},"customDimensions":[{"index":"4","value":"str"}],"hits":[{"hitNumber":"1","time":"0","type":"PAGE","eventInfo":{"eventCategory":"engagement","eventAction":"click"},"page":{"pagePath":"/","hostname":"x.com"},"product":[{"productSKU":"sku1","v2ProductName":"Widget"}],"customDimensions":[],"customMetrics":[{"index":"2","value":"7"}]},{"hitNumber":"2","time":"5000","type":"EVENT","eventInfo":{"eventAction":"na","eventCategory":"scroll"},"page":{"pagePath":"/a"},"customDimensions":[{"index":"1","value":"x"}],"customMetrics":[]}]}""",
     """{"visitNumber":"2","visitId":"v2","visitStartTime":"1611900000","date":"20210129","userId":"USER9","fullVisitorId":"fv2","channelGrouping":"Direct","totals":{"visits":"1","hits":"1"},"trafficSource":{},"device":{"browser":"Firefox"},"geoNetwork":{"country":"France"},"customDimensions":[],"hits":[{"hitNumber":"1","time":"1000","type":"PAGE","eventInfo":{},"page":{"pagePath":"/b"},"customDimensions":[],"customMetrics":[]}]}"""
   )
 
@@ -95,6 +95,9 @@ class EtlPipelineSpec extends SparkSpec {
     assert(props1("mp_country_code") == "United States")
     assert(props1("$latitude") == "37.77")
     assert(props1("UTM Channel") == "Organic Search")
+    // P10: product array stays nested (JSON) under the "products" alias
+    assert(props1("products").contains(""""productSKU":"sku1""""))
+    assert(!props1.contains("promotions")) // empty arrays omitted
   }
 
   test("csv pipeline end-to-end to local NDJSON with heuristic time + profiles") {
