@@ -253,6 +253,19 @@ object TrainingDataOps {
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     ),
 
+    // ---- ANN: IVF probed-list top-k (rows-only: k-means centroid means
+    //      are double-summation-order-dependent, so no cross-engine hash
+    //      oracle; recall vs brute force is asserted in OperatorsSpec) ----
+    "ann_ivf_probe" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nLists = 8, nprobe = 3)
+          .orderBy("query_id", "rank")
+      },
+      None
+    ),
+
     // ---- ANN: hyperplane-LSH bucketed top-k ---------------------------
     "ann_lsh_bucketed" -> QuerySpec(
       (s, dir) => {

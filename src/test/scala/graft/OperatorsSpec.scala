@@ -63,6 +63,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k: probed-list search recalls most brute-force neighbors") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nLists = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    // probing 3/8 lists should still recover a solid share of true top-5
+    val recall = bf.count(ivf).toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    // every IVF hit must be a genuine corpus vector, never the query itself
+    assert(ivf.forall { case (q, n) => q != n })
+  }
+
   test("multimodal decode is deterministic, partition-count independent") {
     val docs = Tables.t(spark, sfDir, "documents").limit(50)
     val bin = Multimodal.withBinaryPayload(docs, "doc_id", "text")
