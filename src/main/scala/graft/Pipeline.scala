@@ -83,7 +83,21 @@ object Pipeline {
           out.mergePairs.map(_.count()).getOrElse(0L), None)
       case HttpSink(vendor, opts, transport) =>
         val cfg = Sinks.forVendor(vendor, opts)
-        val shaped = Sinks.shapeMixpanelEvents(observedEvents)
+        // K8 vendor routing: reverse sinks reshape to their own wire format
+        // (reference load/sendOther.js:7-18)
+        val shaped = vendor.toLowerCase match {
+          case "amplitude" =>
+            MixpanelTransform.eventsToAmplitude(observedEvents)
+              .select(org.apache.spark.sql.functions.to_json(
+                org.apache.spark.sql.functions.struct(
+                  org.apache.spark.sql.functions.col("*"))).as("json"))
+          case "woopra" =>
+            MixpanelTransform.eventsToWoopra(observedEvents)
+              .select(org.apache.spark.sql.functions.to_json(
+                org.apache.spark.sql.functions.struct(
+                  org.apache.spark.sql.functions.col("*"))).as("json"))
+          case _ => Sinks.shapeMixpanelEvents(observedEvents)
+        }
         val report = Sinks.write(shaped, cfg, transport)
         // reconciliation invariant: with no failed batches, every
         // transformed event must have been acknowledged by the sink

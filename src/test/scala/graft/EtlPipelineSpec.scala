@@ -163,6 +163,26 @@ class EtlPipelineSpec extends SparkSpec {
     assert(report.sink.exists(_.failedBatches == 0))
   }
 
+  test("reverse sink routing: amplitude destination gets amplitude wire format") {
+    val dir = tmpDir("mp-to-amp")
+    writeLines(dir, "export.json", Seq(
+      """{"event":"click","distinct_id":"u1","time":1700000000,"insert_id":"a","source":"mp","properties":{"x":"1"}}"""))
+    RecordingTransport.bodies.clear()
+    RecordingTransport.failFirstN.set(0)
+    val report = Pipeline.run(spark, Pipeline.Config(
+      Pipeline.MixpanelStaged(dir),
+      Pipeline.HttpSink("amplitude", Map("api_key" -> "k"), new RecordingTransport)))
+    assert(report.events == 1)
+    val sent = RecordingTransport.bodies.toArray(Array.empty[Array[Byte]]).map { b =>
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      new String(in.readAllBytes(), "UTF-8")
+    }.mkString
+    // P13 reverse shape: event_type + ms time, not mixpanel's event/properties
+    assert(sent.contains(""""event_type":"click""""))
+    assert(sent.contains(""""time":1700000000000"""))
+    assert(sent.contains(""""user_id":"u1""""))
+  }
+
   test("segmentation where parser filters like the pushed-down predicate") {
     val df = Seq(
       ("a", Map("$source" -> "x", "n" -> "5")),
