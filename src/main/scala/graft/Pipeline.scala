@@ -75,12 +75,20 @@ object Pipeline {
         org.apache.spark.sql.functions.lit(1)).as("n_events"))
     config.destination match {
       case LocalJson(dir) =>
+        // profiles/merges counts ride the write job via observe() too —
+        // each output DAG executes exactly once (no count() re-run)
+        val pObs = new org.apache.spark.sql.Observation()
+        val mObs = new org.apache.spark.sql.Observation()
         Sinks.writeLocalJson(observedEvents, s"$dir/events")
-        out.profiles.foreach(p => Sinks.writeLocalJson(p, s"$dir/profiles"))
-        out.mergePairs.foreach(m => Sinks.writeLocalJson(m, s"$dir/mergeTables"))
+        out.profiles.foreach(p => Sinks.writeLocalJson(
+          p.observe(pObs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")), s"$dir/profiles"))
+        out.mergePairs.foreach(m => Sinks.writeLocalJson(
+          m.observe(mObs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")), s"$dir/mergeTables"))
         Report(obs.get("n_events").asInstanceOf[Long],
-          out.profiles.map(_.count()).getOrElse(0L),
-          out.mergePairs.map(_.count()).getOrElse(0L), None)
+          out.profiles.map(_ => pObs.get("n").asInstanceOf[Long]).getOrElse(0L),
+          out.mergePairs.map(_ => mObs.get("n").asInstanceOf[Long]).getOrElse(0L), None)
       case HttpSink(vendor, opts, transport) =>
         val cfg = Sinks.forVendor(vendor, opts)
         // K8 vendor routing: reverse sinks reshape to their own wire format

@@ -130,7 +130,18 @@ object Fns {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  /** Cosine similarity of two embedding columns. */
+  /** Cosine similarity of two embedding columns — interpreted HOF form
+    * (kept as the readable reference implementation and for non-double
+    * arrays; the hot paths use [[cosineSim]]).
+    */
   def cosine(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine similarity via the native codegen'd [[CosineSim]] expression —
+    * bit-identical to [[cosine]] (same element-order fold) but stays inside
+    * whole-stage codegen; use for all-pairs / top-k scoring loops. Inputs
+    * must be `array<double>`.
+    */
+  def cosineSim(a: Column, b: Column): Column =
+    ofExpr(CosineSim(toExpr(a.cast("array<double>")), toExpr(b.cast("array<double>"))))
 }

@@ -28,7 +28,7 @@ object Ann {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Fns.cosine(col("qv"), col("cv")))
+      .withColumn("cos", Fns.cosineSim(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -135,7 +135,7 @@ object Ann {
       col(vecCol).as("cv"), col("centroid"))
     val scored = cands.join(broadcast(probes), Seq("centroid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Fns.cosine(col("qv"), col("cv")))
+      .withColumn("cos", Fns.cosineSim(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -157,7 +157,7 @@ object Ann {
       .select(col("vid").as("neighbor_id"), col("v").as("cv"), col("bucket"))
       .join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Fns.cosine(col("qv"), col("cv")))
+      .withColumn("cos", Fns.cosineSim(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -107,16 +107,20 @@ object Dedup {
     val cnt = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val freq0 = sh.groupBy("s").agg(count(lit(1)).as("f"))
     val freq = maxShingleFreq.fold(freq0)(cap => freq0.filter(col("f") <= cap))
-    // rank shingles per doc by global rarity; keep each doc's prefix
-    val ranked = sh.join(freq.hint("broadcast"), "s")
+    // rank shingles per doc by global rarity; keep each doc's prefix.
+    // NB: freq/cnt/prefix all grow linearly with the corpus — no broadcast
+    // hints here. AQE picks broadcast when a side is genuinely under
+    // autoBroadcastJoinThreshold and sort-merge otherwise, so the same plan
+    // is safe at 100 TB (an unconditional hint would be a guaranteed OOM).
+    val ranked = sh.join(freq, "s")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc").orderBy("f", "s")))
     val prefix = ranked
-      .join(cnt.hint("broadcast"), "doc")
+      .join(cnt, "doc")
       .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
       .select(col("doc"), col("s"))
     val cand = prefix.select(col("doc").as("id_a"), col("s"))
-      .join(prefix.select(col("doc").as("id_b"), col("s")).hint("broadcast"), Seq("s"))
+      .join(prefix.select(col("doc").as("id_b"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     verifyJaccard(cand, sh, cnt, threshold)
@@ -225,48 +229,56 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold over all id_a < id_b
-    * pairs. Exact variant: the corpus is broadcast once as primitive
-    * arrays and each task scores its slice in a tight JVM loop
-    * (mapPartitions — HOF-per-pair allocates an array per comparison and
-    * is ~50× slower). Fold order matches [[Fns.cosine]] exactly, so
-    * results are bit-identical to the declarative form and to the SQL
-    * oracle. The broadcast side must fit in executor memory — for corpora
-    * where it can't, block first with [[Ann.hyperplaneBuckets]].
+    * pairs — EXACT all-pairs, inherently O(n²). Expressed as a broadcast
+    * DataFrame self-join (Spark's broadcast machinery ships the corpus —
+    * no hand-rolled driver `collect()`) with the codegen'd
+    * [[graft.functions.CosineSim]] kernel, so the whole
+    * join→score→filter pipeline runs inside WholeStageCodegen without
+    * materializing the pair set.
+    *
+    * Guarded by `maxExactRows` because the broadcast side and the pair
+    * count both grow with the corpus: past the guard, use
+    * [[embeddingCosinePairsBlocked]] (LSH-blocked candidates, sub-quadratic)
+    * — that is the 100 TB path.
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val vecs = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
-    val all = vecs.collect().sortBy(_._1)
-    def norm(v: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
-    }
-    val norms = all.map { case (_, v) => norm(v) }
-    val bc = spark.sparkContext.broadcast((all, norms))
-    vecs.mapPartitions { it =>
-      val (corpus, ns) = bc.value
-      it.flatMap { case (idA, va) =>
-        val na = norm(va)
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-        var j = 0
-        while (j < corpus.length) {
-          val (idB, vb) = corpus(j)
-          if (idA < idB) {
-            var dot = 0.0; var i = 0
-            while (i < va.length) { dot += va(i) * vb(i); i += 1 }
-            val cos = dot / (na * ns(j))
-            if (cos >= threshold) // HALF_UP to match Spark/DuckDB round()
-              out += ((idA, idB, BigDecimal(cos)
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
-          }
-          j += 1
-        }
-        out
-      }
-    }.toDF("id_a", "id_b", "cos")
+      threshold: Double, maxExactRows: Long = 1000000L): DataFrame = {
+    val vecs = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val n = vecs.count()
+    require(n <= maxExactRows,
+      s"exact all-pairs cosine over $n rows exceeds maxExactRows=$maxExactRows — " +
+        "use embeddingCosinePairsBlocked (LSH-blocked) at this scale")
+    val a = vecs.select(col("id").as("id_a"), col("v").as("va"))
+    val b = vecs.select(col("id").as("id_b"), col("v").as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("c0", graft.functions.Fns.cosineSim(col("va"), col("vb")))
+      .filter(col("c0") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("c0"), 4).as("cos"))
+  }
+
+  /** Sub-quadratic embedding near-dup pairs: candidates are limited to
+    * vectors sharing a deterministic random-hyperplane sign bucket
+    * ([[Ann.hyperplaneBuckets]] — one bucket per vector), then scored
+    * exactly with the codegen'd cosine kernel. Cost is Σ(bucket²) instead
+    * of n² and every stage is a keyed shuffle — the default at corpus
+    * scale. Recall is governed by `numPlanes` (fewer planes → bigger
+    * buckets → higher recall, more work); near-identical vectors land in
+    * the same bucket with high probability. Fully deterministic, so
+    * oracle-verifiable.
+    */
+  def embeddingCosinePairsBlocked(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int): DataFrame = {
+    val buckets = Ann.hyperplaneBuckets(emb, idCol, vecCol, numPlanes)
+    val vecs = emb.select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .join(buckets, "vid")
+    val a = vecs.select(col("vid").as("id_a"), col("v").as("va"), col("bucket"))
+    val b = vecs.select(col("vid").as("id_b"), col("v").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("c0", graft.functions.Fns.cosineSim(col("va"), col("vb")))
+      .filter(col("c0") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("c0"), 4).as("cos"))
   }
 }

@@ -26,10 +26,17 @@ object IdentityResolution {
     * jumping halves chain depth every round, giving O(log n) total.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+    // Reliable checkpointing when the session has a checkpoint dir (the
+    // 100 TB posture: localCheckpoint blocks die with their executor and
+    // recovery replays the whole iteration chain); localCheckpoint is the
+    // single-JVM fast path.
+    val useReliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (useReliable) df.checkpoint() else df.localCheckpoint()
+
+    val sym = cut(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
@@ -37,26 +44,30 @@ object IdentityResolution {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // (a) candidate labels: own + min over neighbors' labels
+      // (a) candidate labels: own (tagged as `prev`) + neighbors' labels —
+      // carrying `prev` through the aggregation folds the convergence test
+      // into the propagation job: no join back against the old labels.
+      val own = labels.select(col("node"), col("component"), col("component").as("prev"))
       val nbrLabels = sym
         .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("component"))
-      val propagated = labels.select(col("node"), col("component"))
-        .union(nbrLabels)
-        .groupBy("node").agg(min("component").as("component"))
+        .select(col("src").as("node"), col("component"), lit(null).cast("long").as("prev"))
+      val propagated = own.union(nbrLabels)
+        .groupBy("node").agg(
+          min("component").as("component"),
+          min("prev").as("prev")) // exactly one non-null per node
       // (b) pointer jump: component := component's component
       val parents = propagated
         .select(col("node").as("component"), col("component").as("grand"))
-      val updated = propagated
+      val updated = cut(propagated
         .join(parents, Seq("component"), "left")
         .select(col("node"),
-          least(col("component"), coalesce(col("grand"), col("component"))).as("component"))
-        .localCheckpoint()
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), Seq("node"))
-        .filter(col("u.component") =!= col("l.component"))
-        .limit(1).count() > 0
-      labels = updated
+          least(col("component"), coalesce(col("grand"), col("component"))).as("component"),
+          col("prev")))
+      // labels only ever decrease, so changed ⇔ component < prev; the scan
+      // reads the just-materialized checkpoint blocks (no recompute) and
+      // short-circuits on the first hit.
+      val changed = updated.filter(col("component") < col("prev")).limit(1).count() > 0
+      labels = updated.select(col("node"), col("component"))
       converged = !changed
       i += 1
     }

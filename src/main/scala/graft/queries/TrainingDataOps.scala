@@ -140,6 +140,32 @@ object TrainingDataOps {
          |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
     ),
 
+    // ---- embedding cosine pairs, LSH-blocked (the 100 TB path) --------
+    "dd_embed_cosine_blocked" -> QuerySpec(
+      (s, dir) =>
+        Dedup.embeddingCosinePairsBlocked(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, numPlanes = 4)
+          .orderBy("id_a", "id_b"),
+      s"""WITH dims AS (
+         |  SELECT vec_id AS vid, unnest(range(len(embedding))) AS d,
+         |    unnest(embedding::DOUBLE[]) AS x
+         |  FROM embeddings),
+         |proj AS (
+         |  SELECT vid, p.p AS p,
+         |    sum(CASE WHEN ((p.p*1315423911 + d*2654435761) % 1000000007) % 2 = 0
+         |        THEN x ELSE -x END) AS sv
+         |  FROM dims, range(4) p(p) GROUP BY vid, p.p),
+         |buck AS (SELECT vid, string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         |  FROM proj GROUP BY vid),
+         |pr AS (
+         |  SELECT ba.vid AS id_a, bb.vid AS id_b, $duckCosine AS cos
+         |  FROM buck ba JOIN buck bb ON ba.bucket = bb.bucket AND ba.vid < bb.vid
+         |  JOIN embeddings a ON a.vec_id = ba.vid
+         |  JOIN embeddings b ON b.vec_id = bb.vid)
+         |SELECT id_a, id_b, round(cos, 4) AS cos FROM pr
+         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+    ),
+
     // ---- text metrics: token counts + quality scoring -----------------
     "tx_text_metrics" -> QuerySpec(
       (s, dir) =>

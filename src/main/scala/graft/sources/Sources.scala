@@ -29,21 +29,70 @@ object Sources {
     */
   case class JsonRead(good: DataFrame, corrupt: DataFrame)
 
+  /** NDJSON vs whole-file JSON detection by a driver-side sniff of the
+    * first line of the first file — no Spark job, no caching of the raw
+    * input (at 100 TB, caching a full scan for a format probe is a
+    * cluster-memory bill). Mirrors the reference's byte sniff
+    * (extract/googleAnalytics.js:92-109): a leading '[' or a first line
+    * that is not itself complete JSON means a (possibly pretty-printed)
+    * whole-file document.
+    */
+  private def sniffIsWholeFileJson(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files = fs.globStatus(p) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case sts => sts.flatMap(st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st))
+    }
+    files.sortBy(_.getPath.toString).headOption.exists { st =>
+      val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+        .getCodec(st.getPath)
+      val raw = fs.open(st.getPath)
+      val in = if (codec == null) raw else codec.createInputStream(raw)
+      try {
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
+        val first = Iterator.continually(reader.readLine())
+          .takeWhile(_ != null).find(_.trim.nonEmpty)
+        first.exists { line =>
+          val t = line.trim
+          t.startsWith("[") || !isCompleteJson(t)
+        }
+      } finally in.close()
+    }
+  }
+
+  /** True iff `s` parses as one complete JSON value (Jackson ships with
+    * Spark). A pretty-printed object's first line ("{") is NOT complete.
+    */
+  private def isCompleteJson(s: String): Boolean =
+    try { new com.fasterxml.jackson.databind.ObjectMapper().readTree(s); true }
+    catch { case _: Exception => false }
+
   def jsonAuto(spark: SparkSession, path: String, schema: StructType): JsonRead = {
-    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
-    val ndjson = spark.read.schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
-    // cache: corrupt-record split reads the source twice otherwise
-    val cached = ndjson.cache()
-    val corrupt = cached.filter(col("_corrupt_record").isNotNull)
-    val good = cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
-    if (cached.limit(1).count() > 0 && good.limit(1).count() == 0) {
-      // every line corrupt → probably a whole-file JSON array: re-read multiLine
+    if (sniffIsWholeFileJson(spark, path)) {
       val multi = spark.read.schema(schema).option("multiLine", "true").json(path)
       JsonRead(multi, spark.emptyDataFrame)
-    } else JsonRead(good, corrupt.select("_corrupt_record"))
+    } else {
+      // Parse over a text scan with from_json instead of the raw JSON
+      // reader: (a) Spark disallows corrupt-column-only queries on raw
+      // JSON scans (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and (b) this keeps
+      // the corrupt split cache-free — callers that only consume `good`
+      // (the common case) pay exactly one pass; consuming both branches
+      // costs a cheap second text scan, never a cluster-wide cache of the
+      // raw input.
+      val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      val parsed = spark.read.textFile(path).toDF("line")
+        .withColumn("j", from_json(col("line"), withCorrupt,
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      val good = parsed.filter(col("j._corrupt_record").isNull)
+        .select(col("j.*")).drop("_corrupt_record")
+      val corrupt = parsed.filter(col("j._corrupt_record").isNotNull)
+        .select(col("line").as("_corrupt_record"))
+      JsonRead(good, corrupt)
+    }
   }
 
   /** S11: pre-extracted local path bypass — just a path to the reader. */
