@@ -63,52 +63,56 @@ object Ann {
   }
 
   /** IVF (inverted-file) coarse quantization: k-means centroids over the
-    * corpus (deterministic — init from the k smallest vec ids, fixed Lloyd
-    * iteration count), each vector assigned to its nearest centroid's
-    * list. Search probes only the `nprobe` nearest lists — the classic
-    * recall/cost dial for billion-vector corpora (cost ≈ nprobe/k of
-    * brute force). All stages are DataFrame ops: the centroid table stays
-    * tiny and broadcasts; assignment is one narrow pass over the corpus.
+    * corpus, each vector assigned to its nearest centroid's list. Search
+    * probes only the `nprobe` nearest lists — the classic recall/cost dial
+    * for billion-vector corpora (cost ≈ nprobe/k of brute force).
+    *
+    * Fully relational AND order-independent: init is the k smallest vec
+    * ids; Lloyd distance sums and centroid means accumulate in
+    * DECIMAL(38,18) (exact, so results do not depend on partition count or
+    * summation order — double sums would drift by ~1e-13 across shuffles
+    * and break the cross-engine hash oracle). Ties in the argmin break by
+    * centroid id. The centroid table is k×dims rows — tiny, auto-broadcast
+    * by AQE; each Lloyd round is one map-side-combined aggregation over
+    * the exploded corpus. No driver-side loops over corpus data.
     */
   def ivfAssignments(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int = 2): (DataFrame, DataFrame) = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val vecs = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
-    def l2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
+    // (id, d, x) exploded corpus — reused 2*iterations+1 times, persist
+    // to avoid re-exploding (evicted when the plan is GC'd)
+    val dims = emb.select(col(idCol).cast("long").as("id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // nearest centroid per vector: exact decimal L2 sums, tie-break by c
+    def assignStep(cent: DataFrame): DataFrame = {
+      val dist = dims.join(cent, "d")
+        .groupBy("id", "c")
+        .agg(sum(((col("x") - col("cx")) * (col("x") - col("cx")))
+          .cast("decimal(38,18)")).as("dist"))
+      dist.withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("dist"), col("c"))))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("c"))
     }
-    var centroids: Array[(Int, Array[Double])] = vecs
-      .filter(_._1 < k).collect().sortBy(_._1)
-      .zipWithIndex.map { case ((_, v), c) => (c, v) }
+
+    // init: centroid c = the vector whose id is c, for the k smallest ids
+    var cent = dims.filter(col("id") < k)
+      .select(col("id").cast("int").as("c"), col("d"), col("x").as("cx"))
     for (_ <- 0 until iterations) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = vecs.map { case (id, v) =>
-        val cs = bc.value
-        var best = 0; var bestD = Double.MaxValue
-        cs.foreach { case (c, cv) =>
-          val d = l2(v, cv); if (d < bestD) { bestD = d; best = c }
-        }
-        (best, v)
-      }
-      centroids = assigned.rdd
-        .aggregateByKey((new Array[Double](centroids(0)._2.length), 0L))(
-          (acc, v) => { var i = 0; while (i < v.length) { acc._1(i) += v(i); i += 1 }; (acc._1, acc._2 + 1) },
-          (a, b) => { var i = 0; while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }; (a._1, a._2 + b._2) })
-        .map { case (c, (s, n)) => (c, s.map(_ / n)) }
-        .collect().sortBy(_._1)
+      val assign = assignStep(cent)
+      cent = dims.join(assign, "id")
+        .groupBy("c", "d")
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("cx"))
     }
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assignments = vecs.map { case (id, v) =>
-      val cs = bc.value
-      var best = 0; var bestD = Double.MaxValue
-      cs.foreach { case (c, cv) => val d = l2(v, cv); if (d < bestD) { bestD = d; best = c } }
-      (id, best)
-    }.toDF(idCol, "centroid")
-    val centroidDf = centroids.toSeq.toDF("centroid", "center")
+    val assignments = assignStep(cent)
+      .select(col("id").as(idCol), col("c").as("centroid"))
+    val centroidDf = cent
+      .groupBy("c")
+      .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("a"))
+      .select(col("c").as("centroid"),
+        transform(col("a"), s => s.getField("cx")).as("center"))
     (assignments, centroidDf)
   }
 

@@ -279,9 +279,9 @@ object TrainingDataOps {
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     ),
 
-    // ---- ANN: IVF probed-list top-k (rows-only: k-means centroid means
-    //      are double-summation-order-dependent, so no cross-engine hash
-    //      oracle; recall vs brute force is asserted in OperatorsSpec) ----
+    // ---- ANN: IVF probed-list top-k. Full hash oracle: k-means runs in
+    //      exact DECIMAL(38,18) accumulation (order-independent), so the 2
+    //      Lloyd rounds + final assignment unroll into deterministic SQL ----
     "ann_ivf_probe" -> QuerySpec(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -289,7 +289,51 @@ object TrainingDataOps {
           k = 5, nLists = 8, nprobe = 3)
           .orderBy("query_id", "rank")
       },
-      None
+      {
+        def assignCte(dist: String, cent: String, out: String): String =
+          s"""$dist AS (
+             |  SELECT dims.id, cc.c, sum(CAST((dims.x - cc.cx)*(dims.x - cc.cx) AS DECIMAL(38,18))) AS dist
+             |  FROM dims JOIN $cent cc ON dims.d = cc.d GROUP BY 1, 2),
+             |$out AS (SELECT id, c FROM (
+             |  SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist, c) AS rn FROM $dist)
+             |  WHERE rn = 1)""".stripMargin
+        def updateCte(assign: String, out: String): String =
+          s"""$out AS (
+             |  SELECT a.c, dims.d, CAST(sum(CAST(dims.x AS DECIMAL(38,18))) AS DOUBLE)/count(*) AS cx
+             |  FROM dims JOIN $assign a ON dims.id = a.id GROUP BY 1, 2)""".stripMargin
+        s"""WITH dims AS (
+           |  SELECT vec_id AS id, unnest(range(len(embedding))) AS d,
+           |    unnest(embedding::DOUBLE[]) AS x
+           |  FROM embeddings),
+           |c0 AS (SELECT CAST(id AS INTEGER) AS c, d, x AS cx FROM dims WHERE id < 8),
+           |${assignCte("d1", "c0", "a1")},
+           |${updateCte("a1", "c1")},
+           |${assignCte("d2", "c1", "a2")},
+           |${updateCte("a2", "c2")},
+           |${assignCte("d3", "c2", "a3")},
+           |cent AS (SELECT c, list(cx ORDER BY d) AS center FROM c2 GROUP BY c),
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |qd AS (
+           |  SELECT query_id, c,
+           |    list_dot_product(qv, qv) + list_dot_product(center, center)
+           |      - 2*list_dot_product(qv, center) AS dist
+           |  FROM q CROSS JOIN cent),
+           |probes AS (SELECT query_id, c FROM (
+           |  SELECT query_id, c, row_number() OVER (PARTITION BY query_id ORDER BY dist, c) AS rn
+           |  FROM qd) WHERE rn <= 3),
+           |sc AS (
+           |  SELECT p.query_id, b.vec_id AS neighbor_id, $duckCosine AS cos
+           |  FROM probes p
+           |  JOIN a3 ON a3.c = p.c
+           |  JOIN embeddings a ON a.vec_id = p.query_id
+           |  JOIN embeddings b ON b.vec_id = a3.id
+           |  WHERE a3.id <> p.query_id),
+           |r AS (SELECT *, row_number() OVER (
+           |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(cos, 4) AS cos
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }
     ),
 
     // ---- ANN: hyperplane-LSH bucketed top-k ---------------------------
