@@ -17,7 +17,8 @@ object SparkEntry {
     EtlOps.specs,
     TrainingDataOps.specs,
     ExtendedAnalytics.specs,
-    ScalarOps.specs
+    ScalarOps.specs,
+    VendorPackOps.specs
   )
 
   private lazy val allSpecs: Map[String, QuerySpec] = {

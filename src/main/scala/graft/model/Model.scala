@@ -75,21 +75,38 @@ object Model {
     * (FIXTURES.md §2). Nested structs modeled as MapType where GA exports
     * flat string objects; `hits` is the array the session explode consumes.
     */
+  /** The full flattened-or-carried hit surface: everything the reference
+    * transform splices into event properties (gaToMixpanel.js:243-262) PLUS
+    * the sub-objects its gaSchema.json declares but the transform silently
+    * drops (contentGroup, eCommerceAction, publisher_infos — carried as
+    * nested JSON so no real GA360 field is lost; gaSchema.json:308-430,
+    * 2336-2357).
+    */
   val gaHitSchema: StructType = StructType(Seq(
     StructField("hitNumber", StringType),
     StructField("time", StringType),
     StructField("type", StringType),
     StructField("isInteraction", BooleanType),
+    StructField("isEntrance", BooleanType),
+    StructField("isExit", BooleanType),
+    StructField("referer", StringType),
     StructField("eventInfo", MapType(StringType, StringType)),
     StructField("page", MapType(StringType, StringType)),
     StructField("appInfo", MapType(StringType, StringType)),
     StructField("social", MapType(StringType, StringType)),
+    StructField("transaction", MapType(StringType, StringType)),
+    StructField("item", MapType(StringType, StringType)),
+    StructField("eCommerceAction", MapType(StringType, StringType)),
+    StructField("contentGroup", MapType(StringType, StringType)),
     StructField("product", ArrayType(MapType(StringType, StringType))),
     StructField("promotion", ArrayType(MapType(StringType, StringType))),
     StructField("experiment", ArrayType(MapType(StringType, StringType))),
+    StructField("publisher_infos", ArrayType(MapType(StringType, StringType))),
     StructField("customDimensions", ArrayType(StructType(Seq(
       StructField("index", StringType), StructField("value", StringType))))),
     StructField("customMetrics", ArrayType(StructType(Seq(
+      StructField("index", StringType), StructField("value", StringType))))),
+    StructField("customVariables", ArrayType(StructType(Seq(
       StructField("index", StringType), StructField("value", StringType)))))
   ))
 

@@ -26,14 +26,24 @@ object GaTransform {
       time: String,
       `type`: String,
       isInteraction: Option[Boolean],
+      isEntrance: Option[Boolean],
+      isExit: Option[Boolean],
+      referer: Option[String],
       eventInfo: Map[String, String],
       page: Map[String, String],
       appInfo: Map[String, String],
       social: Map[String, String],
+      transaction: Map[String, String],
+      item: Map[String, String],
+      eCommerceAction: Map[String, String],
+      contentGroup: Map[String, String],
       product: Seq[Map[String, String]],
       promotion: Seq[Map[String, String]],
+      experiment: Seq[Map[String, String]],
+      publisher_infos: Seq[Map[String, String]],
       customDimensions: Seq[IndexValue],
-      customMetrics: Seq[IndexValue])
+      customMetrics: Seq[IndexValue],
+      customVariables: Seq[IndexValue])
   case class GaSession(
       visitNumber: String,
       visitId: String,
@@ -52,22 +62,28 @@ object GaTransform {
       customDimensions: Seq[IndexValue],
       hits: Seq[GaHit])
 
-  /** P5 rename tables (gaToMixpanel.js:308-345). */
+  /** P5 rename tables — exactly the reference's three pair lists, in its
+    * loop order (later pairs overwrite on alias collision, e.g.
+    * screenResolution beats browserSize for "screen size";
+    * gaToMixpanel.js:308-345).
+    */
   val devicePairs: Seq[(String, String)] = Seq(
-    "browser" -> "$browser", "browserVersion" -> "$browser_version",
-    "deviceCategory" -> "device type", "mobileDeviceBranding" -> "$brand",
-    "mobileDeviceMarketingName" -> "device", "mobileDeviceModel" -> "$model",
+    "browser" -> "$browser", "browserSize" -> "screen size",
+    "browserVersion" -> "$browser_version", "deviceCategory" -> "device type",
+    "mobileDeviceInfo" -> "$device", "mobileDeviceModel" -> "$model",
     "operatingSystem" -> "$os", "operatingSystemVersion" -> "$os_version",
-    "language" -> "language", "screenResolution" -> "screen size",
-    "flashVersion" -> "flash version")
+    "mobileDeviceBranding" -> "$brand", "language" -> "language",
+    "screenResolution" -> "screen size")
   val geoPairs: Seq[(String, String)] = Seq(
-    "continent" -> "continent", "subContinent" -> "subcontinent",
-    "country" -> "mp_country_code", "region" -> "$region", "metro" -> "metro",
-    "city" -> "$city")
+    "continent" -> "continent", "subContinent" -> "sub continent",
+    "country" -> "mp_country_code", "region" -> "$region", "metro" -> "dma",
+    "city" -> "$city", "latitude" -> "$latitude", "longitude" -> "$longitude")
   val trafficPairs: Seq[(String, String)] = Seq(
-    "campaign" -> "utm_campaign", "source" -> "utm_source",
-    "medium" -> "utm_medium", "keyword" -> "utm_keyword",
-    "referralPath" -> "referrer", "adContent" -> "utm_content")
+    "adContent" -> "utm_content", "adWordsClickInfo" -> "ad words info",
+    "campaign" -> "utm_campaign", "campaignCode" -> "utm_term",
+    "isTrueDirect" -> "is true direct?", "keyword" -> "utm_keyword",
+    "medium" -> "utm_medium", "referralPath" -> "$referrer",
+    "source" -> "utm_source")
 
   private def usable(v: String): Boolean =
     v != null && v.nonEmpty && v.toLowerCase != "na"
@@ -77,16 +93,18 @@ object GaTransform {
     Option(m).getOrElse(Map.empty)
   private def ns[A](s: Seq[A]): Seq[A] = Option(s).getOrElse(Seq.empty)
 
-  private def mapDefaults(s: GaSession): Map[String, String] = {
+  /** P5: device/geo/traffic pair renames + channel grouping. toMap keeps
+    * the last binding per alias — the reference's loop-overwrite semantics.
+    * `usable` (drops ""/"na") is the engine's GA-noise normalization
+    * (documented divergence: the reference only drops falsy values).
+    */
+  def mapDefaults(s: GaSession): Map[String, String] = {
     def pick(m: Map[String, String], pairs: Seq[(String, String)]) =
       pairs.flatMap { case (from, to) => nm(m).get(from).filter(usable).map(to -> _) }
     val base = pick(s.device, devicePairs) ++ pick(s.geoNetwork, geoPairs) ++
       pick(s.trafficSource, trafficPairs)
-    val latLong = Seq(
-      nm(s.geoNetwork).get("latitude").filter(usable).map("$latitude" -> _),
-      nm(s.geoNetwork).get("longitude").filter(usable).map("$longitude" -> _)).flatten
     val channel = s.channelGrouping.filter(usable).map("UTM Channel" -> _)
-    (base ++ latLong ++ channel).toMap
+    (base ++ channel).toMap
   }
 
   private def pivotDims(dims: Seq[IndexValue], label: String, eventName: String): Map[String, String] =
@@ -98,6 +116,11 @@ object GaTransform {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     m.writeValueAsString(v.map(_.asJava).asJava)
   }
+  private def mapToJsonString(v: Map[String, String]): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    // sorted keys → deterministic serialization (oracle-comparable)
+    m.writeValueAsString(scala.collection.immutable.SortedMap.from(v).asJava)
+  }
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -106,19 +129,20 @@ object GaTransform {
   /** One GA session → 1 begin + N hit + 1 end canonical events. */
   def explodeSession(s: GaSession): Seq[MpEvent] = {
     val startMs = (try s.visitStartTime.toLong catch { case _: Exception => 0L }) * 1000L
-    // P6 cascade: userId || fullVisitorId || visitorId || client_id || ""
-    val did = Seq(s.userId, s.fullVisitorId, s.visitorId, s.client_id)
-      .flatten.find(_.nonEmpty).getOrElse("")
-    val defaults = mapDefaults(s) ++
-      pivotDims(ns(s.customDimensions), "dimension", "session") +
-      ("$source" -> "ga360-to-mixpanel")
+    // P6 cascade: userId || fullVisitorId || visitorId || client_id ||
+    // visitId || "" (gaToMixpanel.js:135)
+    val did = (Seq(s.userId, s.fullVisitorId, s.visitorId, s.client_id)
+      .flatten :+ s.visitId).find(v => v != null && v.nonEmpty).getOrElse("")
+    val defaults = mapDefaults(s) + ("$source" -> "ga360-to-mixpanel")
     def mk(name: String, timeMs: Long, extra: Map[String, String]): MpEvent =
       MpEvent(name, did, timeMs / 1000L,
         md5hex(s"${s.visitId}|${s.fullVisitorId.getOrElse("")}|$name|$timeMs"),
         "ga360", defaults ++ extra)
 
-    val begin = mk("session begins", startMs,
-      nm(s.totals).map { case (k, v) => s"summary $k" -> v })
+    // begin/end both carry the session summary (the reference attaches the
+    // same `totals` object to both; our string bag flattens it)
+    val summary = nm(s.totals).map { case (k, v) => s"summary $k" -> v }
+    val begin = mk("session begins", startMs, summary)
 
     val sortedHits = Option(s.hits).getOrElse(Seq.empty)
       .sortBy(h => try h.hitNumber.toLong catch { case _: Exception => Long.MaxValue })
@@ -132,19 +156,42 @@ object GaTransform {
       val name = Seq(
         ei.get("eventAction"), ei.get("eventCategory"),
         Option(h.`type`)).flatten.find(usable).getOrElse("unknown")
-      val flat = nm(h.page) ++ ei ++ nm(h.appInfo) ++ nm(h.social)
-      // P10: product/promotion arrays stay NESTED under aliases (reference
-      // keeps them as sub-objects — gaToMixpanel.js:248-256); our string
-      // property bag carries them as canonical JSON
-      val nested = Seq("products" -> ns(h.product), "promotions" -> ns(h.promotion))
+      // standard scalar hit props (gaToMixpanel.js:243-246; the reference
+      // reads hit.referrer — a typo for the schema's `referer`, fixed here)
+      val simple = Seq(
+        h.referer.filter(_.nonEmpty).map("$referrer" -> _),
+        h.isEntrance.map("isEntrance" -> _.toString),
+        h.isExit.map("isExit" -> _.toString),
+        h.isInteraction.map("isInteraction" -> _.toString)).flatten.toMap
+      // P10 flat splice of string sub-objects, in the reference's spread
+      // order (last wins: transaction < social < page < item < appInfo <
+      // eventInfo — gaToMixpanel.js:248-258)
+      val flat = nm(h.transaction) ++ nm(h.social) ++ nm(h.page) ++
+        nm(h.item) ++ nm(h.appInfo) ++ ei
+      // arrays stay NESTED under aliases as canonical JSON (products/
+      // promotions per the reference; experiments likewise — the
+      // reference's object-spread of the experiment ARRAY is a bug that
+      // yields index keys). contentGroup/eCommerceAction/publisher_infos
+      // are declared by gaSchema.json but silently dropped by the
+      // reference; we carry them nested so no GA360 field is lost.
+      val nested = (Seq(
+        "products" -> ns(h.product), "promotions" -> ns(h.promotion),
+        "experiments" -> ns(h.experiment),
+        "publisher_infos" -> ns(h.publisher_infos))
         .filter(_._2.nonEmpty)
-        .map { case (k, v) => k -> toJsonString(v) }
+        .map { case (k, v) => k -> toJsonString(v) }) ++
+        (Seq("contentGroup" -> nm(h.contentGroup),
+          "eCommerceAction" -> nm(h.eCommerceAction))
+          .filter(_._2.nonEmpty)
+          .map { case (k, v) => k -> mapToJsonString(v) })
       mk(name, tMs,
-        flat.filter { case (_, v) => usable(v) } ++
+        simple ++
+          flat.filter { case (_, v) => usable(v) } ++
+          pivotDims(ns(h.customVariables), "variable", name) ++
           pivotDims(ns(h.customDimensions), "dimension", name) ++
           pivotDims(ns(h.customMetrics), "metric", name) ++ nested)
     }
-    val end = mk("session ends", endMs + 1000L, Map("summary" -> "end"))
+    val end = mk("session ends", endMs + 1000L, summary)
     (begin +: hitEvents) :+ end
   }
 
@@ -162,10 +209,13 @@ object GaTransform {
   def profiles(spark: SparkSession, sessions: DataFrame): DataFrame = {
     import spark.implicits._
     val ds = sessions.as[GaSession].flatMap { s =>
-      val did = Seq(s.userId, s.fullVisitorId, s.visitorId, s.client_id)
-        .flatten.find(_.nonEmpty)
-      did.map(id => (id, mapDefaults(s)))
-    }.toDF("distinct_id", "set")
-    Dedup.exactFirstWins(ds, Seq("distinct_id"), Seq("distinct_id"))
+      val did = (Seq(s.userId, s.fullVisitorId, s.visitorId, s.client_id)
+        .flatten :+ s.visitId).find(v => v != null && v.nonEmpty)
+      val t = try s.visitStartTime.toLong catch { case _: Exception => 0L }
+      did.map(id => (id, t, Option(s.visitId).getOrElse(""), mapDefaults(s)))
+    }.toDF("distinct_id", "t", "vid", "set")
+    // first session (by start time, then visitId) wins — deterministic
+    Dedup.exactFirstWins(ds, Seq("distinct_id"), Seq("t", "vid"))
+      .drop("t", "vid")
   }
 }
