@@ -41,6 +41,15 @@ object Model {
     StructField("properties", MapType(StringType, StringType))
   ))
 
+  /** Mixpanel /engage result element — the wire shape the reference maps
+    * over (connectors/mixpanelETL.js:119-129): `$distinct_id` + a dynamic
+    * `$properties` bag.
+    */
+  val engageSchema: StructType = StructType(Seq(
+    StructField("$distinct_id", StringType),
+    StructField("$properties", MapType(StringType, StringType))
+  ))
+
   /** Amplitude export-event schema (FIXTURES.md §1; field accesses in
     * reference transform/amplitudeToMixpanel.js:86-166). Dynamic top-level
     * keys land in `_extra` via a permissive second read when needed; the

@@ -99,6 +99,36 @@ object Sources {
   def staged(spark: SparkSession, path: String, schema: StructType): DataFrame =
     jsonAuto(spark, path, schema).good
 
+  /** S5: object-store scan (GCS-style). The reference lists a GCS bucket
+    * and downloads session files one by one (extract/googleAnalytics.js:
+    * 23-62); Spark-native, an object store is just another Hadoop
+    * FileSystem scheme — apply the connector configuration, then run the
+    * SAME distributed read path (listing, codec chain, corrupt-record
+    * split all included). On a real cluster pass [[gcsConnectorConf]];
+    * tests register a local-backed `gs://` shim the same way.
+    */
+  def objectStore(spark: SparkSession, path: String, schema: StructType,
+      hadoopConf: Map[String, String] = Map.empty): JsonRead = {
+    hadoopConf.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+    jsonAuto(spark, path, schema)
+  }
+
+  /** Hadoop configuration for the public GCS connector
+    * (gcs-connector-hadoop3; not bundled here — zero-egress sandbox).
+    * Service-account key auth mirrors the reference's keyFilename option
+    * (extract/googleAnalytics.js:23-27).
+    */
+  def gcsConnectorConf(projectId: String,
+      serviceAccountKeyFile: Option[String] = None): Map[String, String] =
+    Map(
+      "fs.gs.impl" -> "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem",
+      "fs.AbstractFileSystem.gs.impl" -> "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFS",
+      "fs.gs.project.id" -> projectId
+    ) ++ serviceAccountKeyFile.map(k =>
+      "google.cloud.auth.service.account.json.keyfile" -> k)
+
   /** S10: paginated HTTP source, generalized. Pagination is inherently
     * serial (page N's cursor comes from page N-1 — SURVEY §7.4.5), so the
     * driver walks pages to NDJSON staging, then the cluster reads the

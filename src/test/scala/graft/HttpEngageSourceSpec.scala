@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Extract.Fetcher
+import graft.sources.v2.FetcherRegistry
+
+class HttpEngageSourceSpec extends SparkSpec {
+
+  /** Fake engage API: 3 cohorts × (2 full pages + 1 short page) with the
+    * reference's cursor protocol — session_id issued on the first call,
+    * echoed page numbers, short page terminates (mixpanelETL.js:144-182).
+    */
+  private def mkFetcher(pageSize: Int): Fetcher = new Fetcher {
+    def get(url: String): Option[Array[Byte]] = {
+      EngageCalls.urls.add(url)
+      val cohort = "%22id%22%3A(\\d+)".r.findFirstMatchIn(url).map(_.group(1)).getOrElse("0")
+      val page = "&page=(\\d+)".r.findFirstMatchIn(url).map(_.group(1).toInt).getOrElse(0)
+      // cursor must be threaded after page 0
+      if (page > 0) assert(url.contains(s"session_id=sess-$cohort"), url)
+      val n = if (page < 2) pageSize else 1 // short page ends the walk
+      val results = (0 until n).map(i =>
+        s"""{"$$distinct_id":"c${cohort}_p${page}_$i","$$properties":{"plan":"x"}}""")
+      Some(
+        s"""{"page":$page,"page_size":$pageSize,"session_id":"sess-$cohort",
+           |"results":[${results.mkString(",")}]}""".stripMargin.getBytes("UTF-8"))
+    }
+  }
+
+  private def read(pageSize: Int = 2) = spark.read
+    .format("graft.sources.v2.HttpEngageSource")
+    .option("baseUrl", "https://mp.example")
+    .option("cohorts", "101, 102, 103")
+    .option("pageSize", pageSize.toString)
+    .option("fetcherKey", "engage-fetcher")
+    .load()
+
+  test("engage DSv2: one partition per cohort, executor-side cursor pagination") {
+    FetcherRegistry.put("engage-fetcher", mkFetcher(pageSize = 2))
+    EngageCalls.urls.clear()
+    val df = read()
+    // 3 cohorts × (2 + 2 + 1) profiles
+    assert(df.count() == 15)
+    assert(df.rdd.getNumPartitions == 3)
+    // each cohort walked its own 3-page cursor chain
+    assert(EngageCalls.urls.size == 9, EngageCalls.urls.toString)
+    assert(df.select("slice").distinct().count() == 3)
+  }
+
+  test("engage DSv2: slice predicate prunes cohorts before any HTTP call") {
+    FetcherRegistry.put("engage-fetcher", mkFetcher(pageSize = 2))
+    EngageCalls.urls.clear()
+    val df = read().filter(col("slice") === "cohort:102")
+    assert(df.count() == 5)
+    assert(EngageCalls.urls.size == 3, EngageCalls.urls.toString) // only cohort 102's pages
+    assert(EngageCalls.urls.toArray.mkString.contains("%22id%22%3A102"))
+  }
+
+  test("engage DSv2: profiles parse downstream and reshape via P12") {
+    FetcherRegistry.put("engage-fetcher", mkFetcher(pageSize = 2))
+    val parsed = read()
+      .select(from_json(col("value"), graft.model.Model.engageSchema).as("r"))
+      .select(col("r.`$distinct_id`").as("distinct_id"), col("r.`$properties`").as("properties"))
+    assert(parsed.filter(col("distinct_id").startsWith("c101")).count() == 5)
+    assert(parsed.select("properties").first().getMap[String, String](0)("plan") == "x")
+  }
+
+  test("engage DSv2: where-slices plan one partition per expression") {
+    FetcherRegistry.put("engage-fetcher", new Fetcher {
+      def get(url: String): Option[Array[Byte]] = {
+        EngageCalls.urls.add(url)
+        Some("""{"page":0,"page_size":1000,"session_id":"s","results":[{"$distinct_id":"u"}]}"""
+          .getBytes("UTF-8"))
+      }
+    })
+    EngageCalls.urls.clear()
+    val df = spark.read
+      .format("graft.sources.v2.HttpEngageSource")
+      .option("baseUrl", "https://mp.example")
+      .option("whereSlices",
+        """properties["$last_seen"] < "2021-06" ;; properties["$last_seen"] >= "2021-06"""")
+      .option("fetcherKey", "engage-fetcher")
+      .load()
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 2)
+    val urls = EngageCalls.urls.toArray.mkString(" ")
+    assert(urls.contains("where="))
+  }
+}
+
+object EngageCalls {
+  val urls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
