@@ -44,22 +44,20 @@ object Ann {
       lit(1.0)).otherwise(lit(-1.0))
 
   /** Bucket id per vector: `numPlanes`-bit sign pattern of projections onto
-    * the deterministic hyperplanes. Relational formulation (posexplode ×
-    * plane index) — one shuffle on (vec, plane), then one on vec.
+    * the deterministic hyperplanes. Computed per row as a left fold over
+    * the vector — a pure projection with ZERO shuffles (the previous
+    * posexplode × plane formulation shuffled |corpus|×dims×planes rows);
+    * at cluster scale bucketing is embarrassingly parallel.
     */
   def hyperplaneBuckets(emb: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int): DataFrame = {
-    val dims = emb.select(col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("d", "x")))
-    val proj = dims
-      .select(col("vid"), col("d"), col("x"), explode(sequence(lit(0), lit(numPlanes - 1))).as("p"))
-      .withColumn("contrib", col("x").cast("double") * planeSign(col("p"), col("d")))
-      .groupBy("vid", "p").agg(sum("contrib").as("s"))
-    proj.groupBy("vid")
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("p"), when(col("s") > 0, "1").otherwise("0").as("b")))),
-          x => x.getField("b")),
-        "").as("bucket"))
+    val v = col(vecCol).cast("array<double>")
+    val bits = transform(sequence(lit(0), lit(numPlanes - 1)), p =>
+      when(
+        aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1), (x, d) => x * planeSign(p, d)),
+          lit(0.0), (acc, t) => acc + t) > 0, "1").otherwise("0"))
+    emb.select(col(idCol).as("vid"), array_join(bits, "").as("bucket"))
   }
 
   /** IVF (inverted-file) coarse quantization: k-means centroids over the
@@ -67,53 +65,53 @@ object Ann {
     * probes only the `nprobe` nearest lists — the classic recall/cost dial
     * for billion-vector corpora (cost ≈ nprobe/k of brute force).
     *
-    * Fully relational AND order-independent: init is the k smallest vec
-    * ids; Lloyd distance sums and centroid means accumulate in
-    * DECIMAL(38,18) (exact, so results do not depend on partition count or
-    * summation order — double sums would drift by ~1e-13 across shuffles
-    * and break the cross-engine hash oracle). Ties in the argmin break by
-    * centroid id. The centroid table is k×dims rows — tiny, auto-broadcast
-    * by AQE; each Lloyd round is one map-side-combined aggregation over
-    * the exploded corpus. No driver-side loops over corpus data.
+    * Deterministic across engines AND partitionings: init is the k
+    * smallest vec ids; assignment distances are per-row LEFT FOLDS over
+    * the vector arrays (IEEE double addition in index order — bit-stable
+    * regardless of shuffle layout, and identical to the oracle's
+    * `list_reduce` fold); the only cross-row arithmetic — the centroid
+    * means — accumulates in DECIMAL(38,18) (exact, order-independent).
+    * Argmin ties break by centroid id via `min(struct(dist, c))` — one
+    * aggregation, no window sort.
+    *
+    * Scale shape: centroids are k arrays (broadcast); assignment is a
+    * broadcast nested loop over corpus rows — no shuffle of the corpus —
+    * followed by one keyed aggregation per Lloyd round for the means.
     */
   def ivfAssignments(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int = 2): (DataFrame, DataFrame) = {
-    // (id, d, x) exploded corpus — reused 2*iterations+1 times, persist
-    // to avoid re-exploding (evicted when the plan is GC'd)
-    val dims = emb.select(col(idCol).cast("long").as("id"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
 
-    // nearest centroid per vector: exact decimal L2 sums, tie-break by c
-    def assignStep(cent: DataFrame): DataFrame = {
-      val dist = dims.join(cent, "d")
-        .groupBy("id", "c")
-        .agg(sum(((col("x") - col("cx")) * (col("x") - col("cx")))
-          .cast("decimal(38,18)")).as("dist"))
-      dist.withColumn("rn", row_number().over(
-          Window.partitionBy("id").orderBy(col("dist"), col("c"))))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("c"))
-    }
+    // nearest centroid per vector: per-row double L2 fold, tie-break by c
+    def assignStep(cent: DataFrame): DataFrame =
+      base.crossJoin(broadcast(cent))
+        .withColumn("dist",
+          aggregate(
+            zip_with(col("v"), col("center"), (x, cx) => (x - cx) * (x - cx)),
+            lit(0.0), (acc, t) => acc + t))
+        .groupBy("id")
+        .agg(min(struct(col("dist"), col("c"))).as("m"))
+        .select(col("id"), col("m.c").as("c"))
 
     // init: centroid c = the vector whose id is c, for the k smallest ids
-    var cent = dims.filter(col("id") < k)
-      .select(col("id").cast("int").as("c"), col("d"), col("x").as("cx"))
+    var cent = base.filter(col("id") < k)
+      .select(col("id").cast("int").as("c"), col("v").as("center"))
     for (_ <- 0 until iterations) {
       val assign = assignStep(cent)
-      cent = dims.join(assign, "id")
+      // exact decimal mean per (c, d), re-assembled into centroid arrays
+      cent = base.join(assign, "id")
+        .select(col("c"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("c", "d")
         .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
           count(lit(1))).as("cx"))
+        .groupBy("c")
+        .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("a"))
+        .select(col("c"), transform(col("a"), s => s.getField("cx")).as("center"))
     }
     val assignments = assignStep(cent)
       .select(col("id").as(idCol), col("c").as("centroid"))
-    val centroidDf = cent
-      .groupBy("c")
-      .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("a"))
-      .select(col("c").as("centroid"),
-        transform(col("a"), s => s.getField("cx")).as("center"))
-    (assignments, centroidDf)
+    (assignments, cent.select(col("c").as("centroid"), col("center")))
   }
 
   /** IVF top-k search: score only vectors in the query's `nprobe` nearest

@@ -180,19 +180,16 @@ object Dedup {
       explode(array_distinct(Fns.tokens(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
       .withColumn("h", Fns.rollingHash(col("w")))
-    // vote = parity of (h*(2j+1)+j²+j+41) mod p  (permuteHash with j as a column)
-    val votes = toks
-      .select(col("doc"), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("j"))
-      .withColumn("v",
-        when(((col("h") * (col("j") * 2 + 1) + (col("j") * col("j") + col("j") + 41)) % Fns.HashMod) % 2 === 0,
-          lit(1)).otherwise(lit(-1)))
-    votes.groupBy("doc", "j").agg(sum("v").as("s"))
-      .groupBy("doc")
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("j"), when(col("s") > 0, "1").otherwise("0").as("b")))),
-          x => x.getField("b")),
-        "").as("simhash"))
+    // one vote SUM column per bit (integer, order-independent) — the
+    // minhash multi-column-aggregate pattern: a single map-side-combined
+    // shuffle of token rows instead of a ×bits explode
+    def vote(j: Int) =
+      when((Fns.permuteHash(col("h"), j) % 2) === 0, lit(1)).otherwise(lit(-1))
+    val aggs = (0 until bits).map(j => sum(vote(j)).as(s"s_$j"))
+    toks.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc"),
+        concat((0 until bits).map(j =>
+          when(col(s"s_$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, via the

@@ -112,19 +112,36 @@ object GaTransform {
       .map(iv => s"$label #${iv.index} ($eventName)" -> iv.value).toMap
 
   import scala.jdk.CollectionConverters._
-  private def toJsonString(v: Seq[Map[String, String]]): String = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    m.writeValueAsString(v.map(_.asJava).asJava)
-  }
-  private def mapToJsonString(v: Map[String, String]): String = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+  // ObjectMapper construction is milliseconds-expensive; share one
+  // serializable-safe instance per executor JVM (writeValueAsString is
+  // thread-safe)
+  @transient private lazy val jsonMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+  private def toJsonString(v: Seq[Map[String, String]]): String =
+    jsonMapper.writeValueAsString(v.map(_.asJava).asJava)
+  private def mapToJsonString(v: Map[String, String]): String =
     // sorted keys → deterministic serialization (oracle-comparable)
-    m.writeValueAsString(scala.collection.immutable.SortedMap.from(v).asJava)
-  }
+    jsonMapper.writeValueAsString(scala.collection.immutable.SortedMap.from(v).asJava)
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  // MessageDigest is not thread-safe and getInstance is allocation-heavy
+  // in a hot flatMap — one per task thread
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  private val HexChars = "0123456789abcdef".toCharArray
+  private def md5hex(s: String): String = {
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * 2) = HexChars((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** One GA session → 1 begin + N hit + 1 end canonical events. */
   def explodeSession(s: GaSession): Seq[MpEvent] = {

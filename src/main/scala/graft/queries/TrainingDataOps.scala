@@ -279,9 +279,11 @@ object TrainingDataOps {
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     ),
 
-    // ---- ANN: IVF probed-list top-k. Full hash oracle: k-means runs in
-    //      exact DECIMAL(38,18) accumulation (order-independent), so the 2
-    //      Lloyd rounds + final assignment unroll into deterministic SQL ----
+    // ---- ANN: IVF probed-list top-k. Full hash oracle: assignment
+    //      distances are per-row LEFT FOLDS in index order (bit-identical
+    //      IEEE double sums in both engines); centroid means accumulate in
+    //      exact DECIMAL(38,18) — the 2 Lloyd rounds + final assignment
+    //      unroll into deterministic SQL --------------------------------
     "ann_ivf_probe" -> QuerySpec(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -292,26 +294,30 @@ object TrainingDataOps {
       {
         def assignCte(dist: String, cent: String, out: String): String =
           s"""$dist AS (
-             |  SELECT dims.id, cc.c, sum(CAST((dims.x - cc.cx)*(dims.x - cc.cx) AS DECIMAL(38,18))) AS dist
-             |  FROM dims JOIN $cent cc ON dims.d = cc.d GROUP BY 1, 2),
+             |  SELECT b.id, cc.c,
+             |    list_reduce(list_transform(range(1, len(b.v)+1),
+             |      i -> (b.v[i]-cc.center[i])*(b.v[i]-cc.center[i])),
+             |      (a, x) -> a + x) AS dist
+             |  FROM base b CROSS JOIN $cent cc),
              |$out AS (SELECT id, c FROM (
              |  SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist, c) AS rn FROM $dist)
              |  WHERE rn = 1)""".stripMargin
         def updateCte(assign: String, out: String): String =
           s"""$out AS (
-             |  SELECT a.c, dims.d, CAST(sum(CAST(dims.x AS DECIMAL(38,18))) AS DOUBLE)/count(*) AS cx
-             |  FROM dims JOIN $assign a ON dims.id = a.id GROUP BY 1, 2)""".stripMargin
-        s"""WITH dims AS (
-           |  SELECT vec_id AS id, unnest(range(len(embedding))) AS d,
-           |    unnest(embedding::DOUBLE[]) AS x
-           |  FROM embeddings),
-           |c0 AS (SELECT CAST(id AS INTEGER) AS c, d, x AS cx FROM dims WHERE id < 8),
+             |  SELECT c, list(cx ORDER BY d) AS center FROM (
+             |    SELECT a.c, dims.d, CAST(sum(CAST(dims.x AS DECIMAL(38,18))) AS DOUBLE)/count(*) AS cx
+             |    FROM dims JOIN $assign a ON dims.id = a.id GROUP BY 1, 2)
+             |  GROUP BY c)""".stripMargin
+        s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+           |dims AS (
+           |  SELECT id, unnest(range(len(v))) AS d, unnest(v) AS x FROM base),
+           |c0 AS (SELECT CAST(id AS INTEGER) AS c, v AS center FROM base WHERE id < 8),
            |${assignCte("d1", "c0", "a1")},
            |${updateCte("a1", "c1")},
            |${assignCte("d2", "c1", "a2")},
            |${updateCte("a2", "c2")},
            |${assignCte("d3", "c2", "a3")},
-           |cent AS (SELECT c, list(cx ORDER BY d) AS center FROM c2 GROUP BY c),
+           |cent AS (SELECT c, center FROM c2),
            |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            |  FROM embeddings WHERE vec_id < 10),
            |qd AS (
