@@ -98,12 +98,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleFreq: Option[Int] = None): DataFrame = {
-    // persist: the index feeds frequency ranking, per-doc counts, candidate
-    // generation AND verification — Catalyst does not CSE across branches,
-    // so without this the tokenize+shuffle pipeline runs 4×. Evicted by
-    // the ContextCleaner once the plan is GC'd.
+    // The index feeds frequency ranking, per-doc counts, candidate
+    // generation AND verification. No persist(): the branches share the
+    // identical tokenize→window→distinct exchange subtree, which Spark's
+    // ReuseExchangeAndSubquery collapses to ONE computation inside a
+    // single execution — and unlike a persist() handle, reused exchanges
+    // are owned by the execution (nothing leaks into the session to crowd
+    // later queries' memory, and AQE sees fresh size stats).
     val sh = shingleIndex(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val freq0 = sh.groupBy("s").agg(count(lit(1)).as("f"))
     val freq = maxShingleFreq.fold(freq0)(cap => freq0.filter(col("f") <= cap))
@@ -158,14 +160,25 @@ object Dedup {
     }
     val buckets = sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = buckets.select(col("doc").as("id_a"), col("band"), col("key"))
-      .join(buckets.select(col("doc").as("id_b"), col("band"), col("key")), Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // In-bucket pairs WITHOUT a bucket self-join: group each (band, key)
+    // bucket into a sorted doc list and explode the i<j combinations. A
+    // self-join would carry the whole signature pipeline on BOTH sides
+    // (AQE's broadcast choice defeats ReuseExchange, so the expensive
+    // explode+window+k-min aggregate would run twice); this single-lineage
+    // shape computes signatures exactly once. Cost is the same Σ(bucket²)
+    // the LSH parameters control, and the bucket rows stay bounded because
+    // band width bounds bucket size in expectation.
+    val cand = buckets.groupBy("band", "key")
+      .agg(sort_array(collect_list(col("doc"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(posexplode(col("ds")).as(Seq("i", "id_a")), col("ds"))
+      .select(col("id_a"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - lit(1))).as("id_b"))
+      .distinct()
     // verify ONLY the candidates with exact jaccard (never all-pairs — at
-    // scale the candidate set is the whole point of LSH)
+    // scale the candidate set is the whole point of LSH). Shared subtrees
+    // dedupe via exchange reuse — see ngramJaccardPairs.
     val sh = shingleIndex(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     verifyJaccard(cand, sh, cnt, threshold)
   }
@@ -203,8 +216,10 @@ object Dedup {
     val blocks = maxHamming + 1
     require(bits % blocks == 0, s"bits=$bits must divide into ${blocks} blocks")
     val blockLen = bits / blocks
+    // sig is consumed by band explosion + two verify joins; the identical
+    // aggregate exchange is computed once via exchange reuse (no persist —
+    // see ngramJaccardPairs for why).
     val sig = simhash(docs, idCol, textCol, bits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sig.select(col("doc"),
       posexplode(array((0 until blocks).map(b =>
         substring(col("simhash"), b * blockLen + 1, blockLen)): _*)).as(Seq("band", "key")))

@@ -12,8 +12,12 @@ import graft.Tables.{t, epochS}
   * are free.
   *
   * Scale notes (100 TB posture):
-  *  - dimension joins (region/nation/part/customer) are `broadcast()`
-  *    hinted — no shuffle of the fact table for small dims;
+  *  - region/nation are `broadcast()` hinted: they are CONSTANT-size in
+  *    TPC-H (25/5 rows at every scale factor), so the hint is safe forever;
+  *  - customer/supplier/part grow LINEARLY with scale factor, so they get
+  *    NO hint — AQE broadcasts them while they fit under
+  *    autoBroadcastJoinThreshold and falls back to shuffle joins at scale
+  *    (an unconditional hint would be a guaranteed OOM at 100 TB);
   *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
   *    AQE re-plans skew at runtime;
   *  - aggregates are partial (map-side combine) by construction.
@@ -61,7 +65,7 @@ object CoreAnalytics {
         val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
         val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(QuerySpec.sumMoney(QuerySpec.dec4(col("l_extendedprice")) *
             (lit(1) - QuerySpec.dec4(col("l_discount")))).as("revenue"))
@@ -92,8 +96,8 @@ object CoreAnalytics {
             col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
         val li = t(s, dir, "lineitem")
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("o_custkey") === col("c_custkey") &&
             col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -115,12 +119,13 @@ object CoreAnalytics {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
     ),
 
-    // ---- broadcast dim join ------------------------------------------
+    // ---- dim join (AQE picks broadcast while part fits under the
+    // autoBroadcastJoinThreshold; part scales linearly, so no forced hint)
     "join_broadcast_dim" -> QuerySpec(
       (s, dir) => {
         val part = t(s, dir, "part")
         t(s, dir, "lineitem")
-          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(part, col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand")
           // exact decimal sum, then identical double division both engines
           .agg(round(sum(QuerySpec.dec4(col("l_extendedprice"))).cast("double") /

@@ -174,7 +174,7 @@ object ExtendedAnalytics {
       (s, dir) => {
         val cust = t(s, dir, "customer")
         t(s, dir, "orders")
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(
             round(stddev_samp("o_totalprice"), 2).as("sd_price"),

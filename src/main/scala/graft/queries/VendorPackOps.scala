@@ -468,14 +468,17 @@ object VendorPackOps {
     "f3_corrupt_gate" -> QuerySpec(
       (s, dir) => {
         val ev = t(s, dir, "events")
-        val lines = ev.orderBy("event_id").select(
+        // fixture write stays PARALLEL: file order is irrelevant (both the
+        // query and the oracle sort by event_id at the end), so no global
+        // orderBy and no coalesce(1) single-task funnel.
+        val lines = ev.select(
           when(col("event_id") % 10 === 5,
             concat(lit("{corrupt::"), col("event_id")))
             .otherwise(to_json(struct(col("event_id"), col("event_type"),
               col("user_id")))).as("line"))
         val path = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"), "graft_f3_fixture").toString
-        lines.coalesce(1).write.mode("overwrite").text(path)
+        lines.write.mode("overwrite").text(path)
         val schema = StructType(Seq(
           StructField("event_id", LongType),
           StructField("event_type", StringType),
