@@ -34,6 +34,20 @@ object Tables {
     spark
   }
 
+  /** Scale-up repartition ahead of a CPU-bound narrow transform (typed
+    * flatMap / mapPartitions): a small input collapses to one
+    * maxPartitionBytes-bound split, which would serialize the per-row work
+    * on a single core. One cheap round-robin shuffle of the (by
+    * definition small) input buys full parallelism; when the input is
+    * already at least as parallel as the cluster — the 100 TB case, where
+    * thousands of file splits exist — this is a no-op, so no extra
+    * shuffle at scale.
+    */
+  def ensureMinParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")

@@ -39,6 +39,13 @@ object Fns {
   def toExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.GraftSqlBridge.expression(c)
 
+  /** Bounded per-group top-k (score desc, id asc) with map-side partial
+    * aggregation — see [[TopKByScore]]. Returns array<struct<score,id>>
+    * best-first.
+    */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    ofExpr(TopKByScore(toExpr(score), toExpr(id), k).toAggregateExpression())
+
   def rollingHash(s: Column): Column =
     // native codegen'd expression (graft.functions.RollingHash); the
     // composable HOF fold (aggregate∘transform∘split) computes the same

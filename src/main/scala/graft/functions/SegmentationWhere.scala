@@ -12,10 +12,18 @@ import org.apache.spark.sql.functions._
   * Grammar (the commonly-used subset):
   *   expr     := term (('and'|'or') term)*
   *   term     := 'not'? atom
-  *   atom     := '(' expr ')' | 'defined(' prop ')' | prop op literal
+  *   atom     := '(' expr ')' | 'defined(' prop ')'
+  *             | 'contains(' prop ',' literal ')'
+  *             | literal 'in' prop          -- substring containment
+  *             | prop 'in' list             -- membership
+  *             | prop op literal
   *   prop     := 'properties["<key>"]'
   *   op       := '==' | '!=' | '>' | '>=' | '<' | '<='
   *   literal  := "string" | number
+  *   list     := '[' literal (',' literal)* ']'
+  *
+  * `in` follows Mixpanel's dual meaning: string-in-string is substring
+  * containment, value-in-list is membership.
   */
 object SegmentationWhere {
 
@@ -68,9 +76,53 @@ object SegmentationWhere {
           val k3 = ws(k)
           require(k3 < s.length && s(k3) == ')', s"expected ) at $k3 in: $s")
           (props.getItem(key).isNotNull, k3 + 1)
+        case None => kw(i, "contains(") match {
+          case Some(j) =>
+            // contains(prop, literal) → substring containment
+            val (key, j1) = parseProp(j)
+            val j2 = ws(j1)
+            require(j2 < s.length && s(j2) == ',', s"expected , at $j2 in: $s")
+            val (litC, j3) = parseLiteral(j2 + 1)
+            val j4 = ws(j3)
+            require(j4 < s.length && s(j4) == ')', s"expected ) at $j4 in: $s")
+            val needle = litC.fold(identity, n => fmtNum(n))
+            (props.getItem(key).contains(needle), j4 + 1)
+          case None if startsLiteral(i) =>
+            // literal in prop → substring containment (Mixpanel semantics)
+            val (litC, j) = parseLiteral(i)
+            val j2 = kw(j, "in").getOrElse(
+              throw new IllegalArgumentException(s"expected 'in' at $j in: $s"))
+            val (key, m) = parseProp(j2)
+            val needle = litC.fold(identity, n => fmtNum(n))
+            (props.getItem(key).contains(needle), m)
+          case None =>
+            parsePropComparison(i)
+        }
+      }
+    }
+
+    private def fmtNum(n: Double): String =
+      if (n == n.floor && !n.isInfinite) n.toLong.toString else n.toString
+
+    private def startsLiteral(i0: Int): Boolean = {
+      val i = ws(i0)
+      i < s.length && (s(i) == '"' || s(i).isDigit || s(i) == '-')
+    }
+
+    private def parsePropComparison(i0: Int): (Column, Int) = {
+      val i = ws(i0)
+      val (key, j) = parseProp(i)
+      val k = ws(j)
+      kw(k, "in") match {
+        case Some(j2) =>
+          // prop in [literal, ...] → membership
+          val (lits, m) = parseList(j2)
+          if (lits.forall(_.isLeft))
+            (props.getItem(key).isin(lits.collect { case Left(v) => v }: _*), m)
+          else
+            (props.getItem(key).cast("double")
+              .isin(lits.map(_.fold(_.toDouble, identity)): _*), m)
         case None =>
-          val (key, j) = parseProp(i)
-          val k = ws(j)
           val ops = Seq("==", "!=", ">=", "<=", ">", "<")
           val op = ops.find(o => s.regionMatches(false, k, o, 0, o.length))
             .getOrElse(throw new IllegalArgumentException(s"expected operator at $k in: $s"))
@@ -93,6 +145,26 @@ object SegmentationWhere {
           }
           (c, m)
       }
+    }
+
+    private def parseList(i0: Int): (Seq[Either[String, Double]], Int) = {
+      val i = ws(i0)
+      require(i < s.length && s(i) == '[', s"expected [ at $i in: $s")
+      var j = i + 1
+      val acc = scala.collection.mutable.ArrayBuffer[Either[String, Double]]()
+      var done = false
+      while (!done) {
+        val (l, j2) = parseLiteral(j)
+        acc += l
+        val j3 = ws(j2)
+        require(j3 < s.length, s"unterminated list in: $s")
+        s(j3) match {
+          case ',' => j = j3 + 1
+          case ']' => j = j3 + 1; done = true
+          case _ => throw new IllegalArgumentException(s"expected , or ] at $j3 in: $s")
+        }
+      }
+      (acc.toSeq, j)
     }
 
     private def parseProp(i0: Int): (String, Int) = {

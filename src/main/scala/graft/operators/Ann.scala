@@ -20,6 +20,20 @@ import graft.functions.Fns
   */
 object Ann {
 
+  /** Final ranker shared by all ANN tiers: per-query top-k via the bounded
+    * [[graft.functions.TopKByScore]] aggregate — identical output to
+    * `row_number().over(partitionBy(query).orderBy(cos.desc, id))` but with
+    * map-side partial aggregation, so the shuffle carries O(queries × k)
+    * pairs instead of every scored candidate row through a full sort (the
+    * window formulation is the classic 100×-scale bottleneck).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(Fns.topKByScore(col("cos"), col("neighbor_id").cast("long"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("query_id"), (col("r") + 1).cast("int").as("rank"),
+        col("t.id").as("neighbor_id"), round(col("t.score"), 4).as("cos"))
+
   /** Exact top-k neighbors by cosine for each query vector.
     * Output: (query_id, rank, neighbor_id, cos).
     */
@@ -29,10 +43,7 @@ object Ann {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Fns.cosineSim(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic ±1 hyperplane sign for (plane p, dimension d):
@@ -57,7 +68,11 @@ object Ann {
         aggregate(
           zip_with(v, sequence(lit(0), size(v) - 1), (x, d) => x * planeSign(p, d)),
           lit(0.0), (acc, t) => acc + t) > 0, "1").otherwise("0"))
-    emb.select(col(idCol).as("vid"), array_join(bits, "").as("bucket"))
+    // null/empty vectors are DROPPED (they cannot be bucketed — an
+    // all-zero sign pattern would funnel every null embedding into one
+    // bucket and emit null cosines downstream)
+    emb.filter(v.isNotNull && size(v) > 0)
+      .select(col(idCol).as("vid"), array_join(bits, "").as("bucket"))
   }
 
   /** IVF (inverted-file) coarse quantization: k-means centroids over the
@@ -121,7 +136,9 @@ object Ann {
       vecCol: String, k: Int, nLists: Int, nprobe: Int): DataFrame = {
     val (assign, centroids) = ivfAssignments(corpus, idCol, vecCol, nLists)
     val withList = corpus.select(col(idCol), col(vecCol)).join(assign, idCol)
-    // query → its nprobe nearest centroids
+    // query → its nprobe nearest centroids. This window is NOT a scale
+    // hazard: its partitions are bounded by nLists rows per query (the
+    // centroid count, a fixed parameter), unlike the candidate ranker.
     val q = withList.join(queryIds.select(col(idCol)), Seq(idCol), "left_semi")
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val qCent = q.crossJoin(broadcast(centroids))
@@ -138,10 +155,7 @@ object Ann {
     val scored = cands.join(broadcast(probes), Seq("centroid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Fns.cosineSim(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+    rankTopK(scored, k)
   }
 
   /** LSH top-k: rank only candidates sharing the query's bucket.
@@ -160,9 +174,6 @@ object Ann {
       .join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Fns.cosineSim(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+    rankTopK(scored, k)
   }
 }

@@ -217,7 +217,10 @@ object GaTransform {
     */
   def events(spark: SparkSession, sessions: DataFrame): DataFrame = {
     import spark.implicits._
-    sessions.as[GaSession].flatMap(explodeSession).toDF()
+    // the flatMap is CPU-bound (wide nested decode + md5 + jackson per
+    // hit): make sure it isn't serialized onto one core by a small input
+    graft.Tables.ensureMinParallelism(sessions).as[GaSession]
+      .flatMap(explodeSession).toDF()
   }
 
   /** GA profiles: one per session with a usable id; $set from the P5
@@ -225,7 +228,7 @@ object GaTransform {
     */
   def profiles(spark: SparkSession, sessions: DataFrame): DataFrame = {
     import spark.implicits._
-    val ds = sessions.as[GaSession].flatMap { s =>
+    val ds = graft.Tables.ensureMinParallelism(sessions).as[GaSession].flatMap { s =>
       val did = (Seq(s.userId, s.fullVisitorId, s.visitorId, s.client_id)
         .flatten :+ s.visitId).find(v => v != null && v.nonEmpty)
       val t = try s.visitStartTime.toLong catch { case _: Exception => 0L }

@@ -58,7 +58,7 @@ object Multimodal {
     */
   def decodeMeta(spark: SparkSession, binDocs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    binDocs.as[BinaryDoc].mapPartitions { it =>
+    graft.Tables.ensureMinParallelism(binDocs).as[BinaryDoc].mapPartitions { it =>
       // per-partition decoder init would go here (STUB: none needed)
       it.map(decodeStub)
     }

@@ -250,15 +250,27 @@ object CoreAnalytics {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     ),
 
-    // ---- approximate distinct (HLL; rows-only check: approximation is
-    //      engine-specific so no hash oracle) ---------------------------
+    // ---- approximate distinct (HLL). The raw HLL estimate is
+    // engine-specific, so the oracle-comparable surface is the EXACT
+    // distinct count plus a hard in-query bound check: the query emits
+    // whether the HLL estimate landed within ±2% of exact (rsd is set to
+    // 0.5%, so 2% is a >4-sigma bound), and the oracle asserts that
+    // column is literally true. A broken sketch flips the boolean and
+    // fails the hash compare — a real gate, not a rows-only check.
     "agg_approx_distinct" -> QuerySpec(
       (s, dir) =>
         t(s, dir, "events")
           .groupBy("event_type")
-          .agg(approx_count_distinct("user_id").as("approx_users"))
+          .agg(
+            countDistinct("user_id").as("exact_users"),
+            approx_count_distinct(col("user_id"), rsd = 0.005).as("approx"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx") - col("exact_users")) <=
+              col("exact_users") * lit(0.02)).as("approx_within_2pct"))
           .orderBy("event_type"),
-      None
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | true AS approx_within_2pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
     // ---- set ops -----------------------------------------------------

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.Tables.{t, epochS}
+import graft.Tables.{t, epochS, ensureMinParallelism}
 import graft.functions.{Fns, SegmentationWhere}
 import graft.model.Model
 import graft.operators.{AmplitudeTransform, GaTransform, MixpanelTransform}
@@ -64,8 +64,12 @@ object VendorPackOps {
     * `withHit` each session carries exactly one fully-populated hit
     * exercising every flattened/carried sub-object.
     */
-  private def gaFixture(s: SparkSession, dir: String, withHit: Boolean): DataFrame = {
-    val ev = t(s, dir, "events")
+  private[graft] def gaFixture(s: SparkSession, dir: String, withHit: Boolean): DataFrame = {
+    // repartition the SLIM event rows before projecting the wide nested
+    // session struct: the single-row-group test file scans as one task, and
+    // shuffling narrow rows is far cheaper than shuffling built sessions
+    // (downstream, GaTransform's flatMap then sees full parallelism)
+    val ev = ensureMinParallelism(t(s, dir, "events"))
     val e = col("event_id")
     val hit = struct(
       lit("1").as("hitNumber"),
@@ -517,6 +521,35 @@ object VendorPackOps {
         |             WHEN event_id % 3 = 1 THEN 'free' END) = 'pro'
         |       OR TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50)
         |  AND TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) <= 9.5
+        |ORDER BY event_id""".stripMargin
+    ),
+
+    // ---- F4b: segmentation-where `in`-list / contains / string-in ------
+    "f4b_segmentation_in_contains" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("properties", map(
+            lit("plan"),
+            when(col("event_id") % 3 === 0, lit("pro"))
+              .when(col("event_id") % 3 === 1, lit("free"))
+              .otherwise(lit(null).cast("string")),
+            lit("k"), get_json_object(col("props"), "$.k")))
+        val where =
+          """(properties["plan"] in ["pro", "free"] and contains(properties["k"], "3")) """ +
+            """or properties["k"] in [10, 20, 30, 40, 50] or "ree" in properties["plan"]"""
+        ev.filter(SegmentationWhere.parse(where, col("properties")))
+          .select("event_id")
+          .orderBy("event_id")
+      },
+      """SELECT event_id FROM (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN 'pro'
+        |         WHEN event_id % 3 = 1 THEN 'free' END AS plan,
+        |    json_extract_string(props, '$.k') AS k
+        |  FROM events)
+        |WHERE (plan IN ('pro','free') AND contains(k, '3'))
+        |   OR TRY_CAST(k AS DOUBLE) IN (10, 20, 30, 40, 50)
+        |   OR contains(plan, 'ree')
         |ORDER BY event_id""".stripMargin
     )
   )

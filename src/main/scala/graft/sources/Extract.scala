@@ -14,9 +14,10 @@ import java.time.{Duration, LocalDateTime}
   *
   * The HTTP client is injected (`Fetcher`) — a real implementation wraps
   * java.net.http with basic auth (extract/amplitude.js:42-51); tests and
-  * this zero-egress environment use fakes. Decompression (zip/gz sniffing,
-  * S4/S6) is not re-implemented: staged files are NDJSON or .gz, which
-  * Spark reads transparently.
+  * this zero-egress environment use fakes. ZIP bodies (S4 — the real
+  * Amplitude /export shape) are sniffed and unzipped driver-side to
+  * staging; gzipped members stage as-is because Spark's codec chain (S6)
+  * reads .gz transparently.
   */
 object Extract {
 
@@ -28,6 +29,43 @@ object Extract {
   }
 
   private val HourFmt = DateTimeFormatter.ofPattern("yyyyMMdd'T'HH")
+
+  /** ZIP magic: PK\x03\x04. */
+  private[sources] def isZip(body: Array[Byte]): Boolean =
+    body.length >= 4 && body(0) == 'P'.toByte && body(1) == 'K'.toByte &&
+      body(2) == 3.toByte && body(3) == 4.toByte
+
+  /** S4: Amplitude /export responds with a ZIP archive whose members are
+    * NDJSON (`.json`) or gzipped NDJSON (`.json.gz`) files (the reference
+    * shells `unzip` with an adm-zip fallback — extract/amplitude.js:73-134).
+    * One-time DRIVER-side unzip to staging with java.util.zip: members are
+    * streamed straight to disk; `.gz` members are staged untouched because
+    * Spark's codec chain (S6) decompresses them transparently at scan
+    * time. Returns the staged file paths.
+    */
+  def unzipToStaging(zipBytes: Array[Byte], stagingDir: String,
+      prefix: String = ""): Seq[String] = {
+    Files.createDirectories(Paths.get(stagingDir))
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(zipBytes))
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          // archive paths may be nested (e.g. "123456/file.json.gz") —
+          // flatten to the basename under staging, namespaced by `prefix`
+          val name = Paths.get(e.getName).getFileName.toString
+          val f = Paths.get(stagingDir, prefix + name)
+          Files.copy(zin, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          out += f.toString
+        }
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.toSeq
+  }
 
   /** Hourly partition bounds for a date span — the reference's
     * `YYYYMMDDTHH` slicing (ampReplicator.js:42-65, amplitude.js:24-27).
@@ -53,16 +91,21 @@ object Extract {
       val futures = hourRanges(start, end).map { case (s0, e0) =>
         scala.concurrent.Future {
           fetcher.get(s"$baseUrl/api/2/export?start=$s0&end=$e0").map { body =>
-            val f = Paths.get(stagingDir, s"export_$s0.json")
-            Files.write(f, body)
-            f.toString
+            // S4: a real /export body is a ZIP of (gzipped) NDJSON members
+            // — unzip driver-side to staging; plain NDJSON stages as-is
+            if (isZip(body)) unzipToStaging(body, stagingDir, s"export_${s0}_")
+            else {
+              val f = Paths.get(stagingDir, s"export_$s0.json")
+              Files.write(f, body)
+              Seq(f.toString)
+            }
           }
         }
       }
       scala.concurrent.Await
         .result(scala.concurrent.Future.sequence(futures),
           scala.concurrent.duration.Duration.Inf)
-        .flatten
+        .flatten.flatten
     } finally pool.shutdown()
   }
 

@@ -37,8 +37,12 @@ object Sources {
     * that is not itself complete JSON means a (possibly pretty-printed)
     * whole-file document.
     */
-  private def sniffIsWholeFileJson(spark: SparkSession, path: String): Boolean = {
-    val conf = spark.sparkContext.hadoopConfiguration
+  private def sniffIsWholeFileJson(spark: SparkSession, path: String,
+      hadoopOpts: Map[String, String] = Map.empty): Boolean = {
+    // copy-on-read: per-read overrides never mutate the session-global conf
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val files = fs.globStatus(p) match {
@@ -71,9 +75,11 @@ object Sources {
     try { new com.fasterxml.jackson.databind.ObjectMapper().readTree(s); true }
     catch { case _: Exception => false }
 
-  def jsonAuto(spark: SparkSession, path: String, schema: StructType): JsonRead = {
-    if (sniffIsWholeFileJson(spark, path)) {
-      val multi = spark.read.schema(schema).option("multiLine", "true").json(path)
+  def jsonAuto(spark: SparkSession, path: String, schema: StructType,
+      hadoopOpts: Map[String, String] = Map.empty): JsonRead = {
+    if (sniffIsWholeFileJson(spark, path, hadoopOpts)) {
+      val multi = spark.read.options(hadoopOpts).schema(schema)
+        .option("multiLine", "true").json(path)
       JsonRead(multi, spark.emptyDataFrame)
     } else {
       // Parse over a text scan with from_json instead of the raw JSON
@@ -84,7 +90,7 @@ object Sources {
       // costs a cheap second text scan, never a cluster-wide cache of the
       // raw input.
       val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
-      val parsed = spark.read.textFile(path).toDF("line")
+      val parsed = spark.read.options(hadoopOpts).textFile(path).toDF("line")
         .withColumn("j", from_json(col("line"), withCorrupt,
           Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
       val good = parsed.filter(col("j._corrupt_record").isNull)
@@ -108,12 +114,13 @@ object Sources {
     * tests register a local-backed `gs://` shim the same way.
     */
   def objectStore(spark: SparkSession, path: String, schema: StructType,
-      hadoopConf: Map[String, String] = Map.empty): JsonRead = {
-    hadoopConf.foreach { case (k, v) =>
-      spark.sparkContext.hadoopConfiguration.set(k, v)
-    }
-    jsonAuto(spark, path, schema)
-  }
+      hadoopConf: Map[String, String] = Map.empty): JsonRead =
+    // Connector settings are scoped PER READ: Spark merges datasource
+    // options into the scan's own Hadoop conf (newHadoopConfWithOptions),
+    // so two reads against different buckets/credentials in one session
+    // cannot clobber each other and nothing (e.g. a service-account
+    // keyfile) leaks into the session-global hadoopConfiguration.
+    jsonAuto(spark, path, schema, hadoopConf)
 
   /** Hadoop configuration for the public GCS connector
     * (gcs-connector-hadoop3; not bundled here — zero-egress sandbox).

@@ -143,9 +143,16 @@ private class EngageReaderFactory(baseUrl: String, pageSize: Int,
     val pages: Iterator[Seq[String]] = new Iterator[Seq[String]] {
       private var page = 0
       private var sessionId: Option[String] = None
-      private var lastCount = pageSize // proceed until a short page
+      // Termination compares against the SERVER-reported page_size
+      // (captured from the first response, like the reference's
+      // lastPageSize — mixpanelETL.js:144-182). Mixpanel caps page_size at
+      // 1000: comparing against a larger client-requested value would see
+      // every page as "short" and silently truncate each slice to one page.
+      private var serverPageSize: Option[Int] = None
+      private var lastCount = Int.MaxValue
       private var exhausted = false
-      override def hasNext: Boolean = !exhausted && lastCount >= pageSize
+      override def hasNext: Boolean =
+        !exhausted && serverPageSize.forall(lastCount >= _)
       override def next(): Seq[String] = {
         val cursor = sessionId.map(s => s"&session_id=$s&page=$page").getOrElse("")
         val url = s"$baseUrl/api/2.0/engage?page_size=$pageSize" +
@@ -157,7 +164,12 @@ private class EngageReaderFactory(baseUrl: String, pageSize: Int,
             val results = Option(root.get("results"))
               .map(r => (0 until r.size()).map(i => mapper.writeValueAsString(r.get(i))))
               .getOrElse(Seq.empty)
-            sessionId = Option(root.get("session_id")).map(_.asText())
+            // capture-once (reference protocol): a mid-walk response
+            // missing session_id must NOT reset the cursor — that would
+            // restart the stream (duplicates, potential non-termination)
+            sessionId = sessionId.orElse(Option(root.get("session_id")).map(_.asText()))
+            serverPageSize = serverPageSize.orElse(
+              Option(root.get("page_size")).map(_.asInt())).orElse(Some(pageSize))
             page = Option(root.get("page")).map(_.asInt()).getOrElse(page) + 1
             lastCount = results.size
             results

@@ -33,6 +33,37 @@ class ExtractSpec extends SparkSpec {
     assert(df.count() == 5)
   }
 
+  test("amplitude extract: ZIP body is unzipped to staging (S4), gz members read transparently") {
+    val dir = Files.createTempDirectory("amp-zip-extract").toString
+    val line =
+      s"""{"event_type":"z","user_id":"u","device_id":"d","amplitude_id":1,"event_time":"2021-09-17 12:00:00","event_properties":{},"user_properties":{}}"""
+    // build a real ZIP: one plain .json member + one nested .json.gz member
+    val bos = new java.io.ByteArrayOutputStream()
+    val zout = new java.util.zip.ZipOutputStream(bos)
+    zout.putNextEntry(new java.util.zip.ZipEntry("a.json"))
+    zout.write(line.getBytes("UTF-8")); zout.closeEntry()
+    zout.putNextEntry(new java.util.zip.ZipEntry("123456/b.json.gz"))
+    val gz = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(gz)
+    g.write((line + "\n" + line).getBytes("UTF-8")); g.close()
+    zout.write(gz.toByteArray); zout.closeEntry()
+    zout.close()
+    val zip = bos.toByteArray
+    val fetcher = new Extract.Fetcher {
+      def get(url: String): Option[Array[Byte]] = Some(zip)
+    }
+    val staged = Extract.amplitudeExport("https://amplitude.example",
+      LocalDateTime.of(2021, 9, 17, 0, 0), LocalDateTime.of(2021, 9, 17, 1, 0),
+      dir, fetcher)
+    assert(staged.size == 2) // both members staged, nested path flattened
+    assert(staged.exists(_.endsWith("export_20210917T00_a.json")))
+    assert(staged.exists(_.endsWith("export_20210917T00_b.json.gz")))
+    // staged dir reads as one scan; Spark decompresses the .gz member
+    val df = Sources.staged(spark, dir, Model.amplitudeSchema)
+    assert(df.count() == 3)
+    assert(df.select("event_type").distinct().collect().map(_.getString(0)).toSeq == Seq("z"))
+  }
+
   test("mixpanel export: where + event list pushed into the query string") {
     val dir = Files.createTempDirectory("mp-extract").toString
     var captured = ""
