@@ -23,6 +23,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT, codegen compiler, parquet reader, shuffle path.
+    // Without it the alphabetically-first query absorbs several seconds of
+    // one-time JVM cost and reads as a false per-query regression.
+    Tables.t(spark, sfDir, "region").groupBy("r_name").count().collect()
+    spark.range(100000).selectExpr("id % 7 k", "id v").groupBy("k")
+      .sum("v").orderBy("k").collect()
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries

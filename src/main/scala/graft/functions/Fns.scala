@@ -43,6 +43,10 @@ object Fns {
     * aggregation — see [[TopKByScore]]. Returns array<struct<score,id>>
     * best-first.
     */
+  /** Codegen'd squared L2 distance (element-order fold — see [[L2Dist]]). */
+  def l2Dist(a: Column, b: Column): Column =
+    ofExpr(L2Dist(toExpr(a), toExpr(b)))
+
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ofExpr(TopKByScore(toExpr(score), toExpr(id), k).toAggregateExpression())
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Fns
@@ -86,45 +86,79 @@ object Ann {
     * regardless of shuffle layout, and identical to the oracle's
     * `list_reduce` fold); the only cross-row arithmetic — the centroid
     * means — accumulates in DECIMAL(38,18) (exact, order-independent).
-    * Argmin ties break by centroid id via `min(struct(dist, c))` — one
-    * aggregation, no window sort.
+    * Argmin ties break by centroid id: the per-row fold visits centroids
+    * c-ascending with a strict-<, so the smallest c wins a distance tie —
+    * identical to `min(struct(dist, c))`.
     *
-    * Scale shape: centroids are k arrays (broadcast); assignment is a
-    * broadcast nested loop over corpus rows — no shuffle of the corpus —
-    * followed by one keyed aggregation per Lloyd round for the means.
+    * Scale shape: centroids are materialized to the driver between Lloyd
+    * rounds (k×dims doubles, BOUNDED by the nLists parameter — MLlib
+    * k-means does the same) and shipped back as a broadcast ONE-ROW
+    * centroid-array table, so assignment is a pure per-row projection:
+    * ZERO shuffle of the corpus per round (a crossJoin+groupBy argmin
+    * would shuffle every corpus row every round). The only shuffle per
+    * round is the k×dims-sized mean aggregation.
     */
   def ivfAssignments(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int = 2): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val base = emb.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
 
-    // nearest centroid per vector: per-row double L2 fold, tie-break by c
-    def assignStep(cent: DataFrame): DataFrame =
-      base.crossJoin(broadcast(cent))
-        .withColumn("dist",
-          aggregate(
-            zip_with(col("v"), col("center"), (x, cx) => (x - cx) * (x - cx)),
-            lit(0.0), (acc, t) => acc + t))
-        .groupBy("id")
-        .agg(min(struct(col("dist"), col("c"))).as("m"))
-        .select(col("id"), col("m.c").as("c"))
+    // one-row broadcastable centroid table: array<struct<c,center>>,
+    // c-ascending (fold order is the tie-break order)
+    def centArrDf(cents: Seq[(Int, Seq[Double])]): DataFrame =
+      Seq(Tuple1(cents.sortBy(_._1))).toDF("cents")
+        .select(transform(col("cents"), s =>
+          struct(s.getField("_1").as("c"), s.getField("_2").as("center"))).as("cents"))
+
+    // nearest-centroid argmin fold over the broadcast centroid array. The
+    // per-centroid distance is the codegen'd
+    // [[graft.functions.L2Dist]] kernel (same element-order fold as the
+    // oracle's list_reduce, bit-identical) — the outer fold interprets k
+    // steps per row instead of k×dims closure calls.
+    def argmin(cents: Column, v: Column): Column =
+      aggregate(cents,
+        struct(lit(Double.MaxValue).as("dist"), lit(Int.MaxValue).as("c")),
+        (acc, cc) => {
+          val d = graft.functions.Fns.l2Dist(v, cc.getField("center"))
+          when(d < acc.getField("dist"),
+            struct(d.as("dist"), cc.getField("c").as("c"))).otherwise(acc)
+        }).getField("c")
+
+    // assignment is a pure projection — zero shuffle of the corpus
+    def assignStep(centArr: DataFrame): DataFrame =
+      base.crossJoin(broadcast(centArr))
+        .select(col("id"), argmin(col("cents"), col("v")).as("c"))
 
     // init: centroid c = the vector whose id is c, for the k smallest ids
-    var cent = base.filter(col("id") < k)
-      .select(col("id").cast("int").as("c"), col("v").as("center"))
+    var cents: Seq[(Int, Seq[Double])] = base.filter(col("id") < k)
+      .select(col("id").cast("int"), col("v")).as[(Int, Seq[Double])]
+      .collect().toSeq
+    val dims = cents.headOption.map(_._2.length).getOrElse(0)
     for (_ <- 0 until iterations) {
-      val assign = assignStep(cent)
-      // exact decimal mean per (c, d), re-assembled into centroid arrays
-      cent = base.join(assign, "id")
-        .select(col("c"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("c", "d")
-        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
-          count(lit(1))).as("cx"))
+      // ONE aggregation per Lloyd round: carry v through the assignment
+      // projection (no corpus self-join) and sum each dimension as its own
+      // DECIMAL(38,18) column (map-side combined, order-independent —
+      // the minhash multi-column-aggregate pattern; no posexplode of
+      // corpus×dims rows, no second shuffle). Means are then computed
+      // driver-side with the identical arithmetic (decimal sum → double,
+      // divided by the long count as double).
+      val sumCols = (0 until dims).map(d =>
+        sum(element_at(col("v"), d + 1).cast("decimal(38,18)")).as(s"s_$d"))
+      val sums = base.crossJoin(broadcast(centArrDf(cents)))
+        .select(argmin(col("cents"), col("v")).as("c"), col("v"))
         .groupBy("c")
-        .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("a"))
-        .select(col("c"), transform(col("a"), s => s.getField("cx")).as("center"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+      cents = sums.toSeq.map { r =>
+        val n = r.getAs[Long]("n").toDouble
+        (r.getAs[Int]("c"),
+          (0 until dims).map(d => r.getDecimal(d + 2).doubleValue() / n))
+      }
     }
-    val assignments = assignStep(cent)
+    val cent = spark.createDataFrame(cents).toDF("c", "center")
+    val assignments = assignStep(centArrDf(cents))
       .select(col("id").as(idCol), col("c").as("centroid"))
     (assignments, cent.select(col("c").as("centroid"), col("center")))
   }
