@@ -23,12 +23,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JIT, codegen compiler, parquet reader, shuffle path.
-    // Without it the alphabetically-first query absorbs several seconds of
-    // one-time JVM cost and reads as a false per-query regression.
-    Tables.t(spark, sfDir, "region").groupBy("r_name").count().collect()
-    spark.range(100000).selectExpr("id % 7 k", "id v").groupBy("k")
-      .sum("v").orderBy("k").collect()
+    // Untimed warmup: JIT, codegen compiler, parquet reader, and the
+    // shuffle/window/join/decimal-agg code paths. Without it the
+    // alphabetically-first queries absorb seconds of one-time JVM cost and
+    // read as false per-query regressions.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      for (_ <- 0 until 2) {
+        Tables.t(spark, sfDir, "region").groupBy("r_name").count().collect()
+        val w = spark.range(100000).selectExpr("id % 97 k", "id v", "CAST(id AS DOUBLE) x")
+        w.groupBy("k").agg(sum(col("v")), sum(col("x").cast("decimal(18,4)")))
+          .orderBy("k").collect()
+        w.withColumn("rn", row_number().over(
+            Window.partitionBy("k").orderBy(col("v").desc)))
+          .filter(col("rn") <= 3).count()
+        w.join(w.groupBy("k").count(), "k").count()
+        w.select(split(trim(lower(concat_ws(" ", col("k"), col("v")))), "\\s+")).count()
+      }
+    }
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries
