@@ -62,4 +62,46 @@ class FnsSpec extends SparkSpec {
       .select(Fns.cosine(col("a"), col("b")).as("c"))
     assert(math.abs(df.as[Double].head - 1.0) < 1e-12)
   }
+
+  test("l2Dist matches the HOF fold bit-for-bit") {
+    val df = Seq(
+      (Seq(1.0, -2.5, 3.25), Seq(0.5, 2.0, -1.75)),
+      (Seq(0.1, 0.2, 0.3), Seq(0.1, 0.2, 0.3))
+    ).toDF("a", "b")
+    val got = df.select(
+      Fns.l2Dist(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t).as("hof"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (fast, hof) => assert(fast == hof) } // exact equality
+  }
+
+  test("topKByScore equals the row_number window formulation (ties, merges, small groups)") {
+    // deterministic pseudo-random scores WITH ties; many partitions so the
+    // partial-aggregation merge path is exercised
+    val rows = (0 until 2000).map { i =>
+      val q = i % 7
+      val score = ((i * 31 + q * 17) % 13) / 13.0 // heavy ties per group
+      (q.toLong, i.toLong, score)
+    }
+    val df = rows.toDF("query_id", "neighbor_id", "cos").repartition(16)
+    val viaAgg = df.groupBy("query_id")
+      .agg(Fns.topKByScore(col("cos"), col("neighbor_id"), 5).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("query_id"), (col("r") + 1).as("rank"),
+        col("t.id").as("neighbor_id"), col("t.score").as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+    assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty)
+    // a group smaller than k yields all its rows
+    val small = Seq((1L, 10L, 0.5), (1L, 11L, 0.9)).toDF("query_id", "neighbor_id", "cos")
+    val got = small.groupBy("query_id")
+      .agg(Fns.topKByScore(col("cos"), col("neighbor_id"), 5).as("top"))
+      .select(explode(col("top")).as("t")).select("t.id").as[Long].collect().toSeq
+    assert(got == Seq(11L, 10L)) // best-first
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+/** Locks in the 100 TB-shaped plan invariants from the round-3 performance
+  * work — these are the shapes the operators must KEEP, independent of
+  * data: a regression here is a scale bug even if results stay correct.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.count() // finalize the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("ANN rankers use the bounded top-k aggregate, not a window sort") {
+    for (q <- Seq("ann_topk_bruteforce", "ann_lsh_bucketed")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Window"), s"$q must not rank via a window sort")
+      assert(plan.contains("topk_by_score"), s"$q must rank via TopKByScore")
+    }
+    // IVF keeps exactly one window: the nprobe centroid selection, whose
+    // partitions are bounded by nLists (a parameter), never the corpus
+    val ivf = executedPlan("ann_ivf_probe")
+    assert("Window \\[row_number".r.findAllIn(ivf).length == 1)
+    assert(ivf.contains("topk_by_score"))
+  }
+
+  test("MinHash LSH computes the signature aggregate exactly once (single lineage)") {
+    val plan = executedPlan("dd_minhash_lsh")
+    // one partial + one final min-aggregate for the 32 signature columns;
+    // a bucket self-join would duplicate the whole signature pipeline
+    val partials = "partial_min\\(\\(\\(h".r.findAllIn(plan.replaceAll("#\\d+", "")).length
+    assert(partials == 1,
+      s"expected the signature partial-aggregate once, found $partials")
+  }
+
+  test("similarity operators never fall back to a cartesian product") {
+    for (q <- Seq("dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash",
+        "dd_embed_cosine_blocked")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q must stay bucketed/keyed")
+    }
+  }
+
+  test("no unconditional broadcast of linearly-scaling TPC-H tables") {
+    // q3/q5 join customer/supplier: the PLAN may broadcast at this tiny SF
+    // (AQE's choice) but the LOGICAL plan must carry no broadcast hint on
+    // those tables — hints survive into the optimized plan as
+    // ResolvedHint/JOIN strategy hints
+    for (q <- Seq("q3_top_revenue", "q5_local_supplier_volume",
+        "join_broadcast_dim", "sql_q10_returned_items")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val logical = df.queryExecution.analyzed.toString
+      val hinted = "UnresolvedHint|ResolvedHint".r.findAllIn(logical).length
+      // q5 legitimately hints constant-size region+nation (2 hints max)
+      assert(hinted <= 2, s"$q carries $hinted broadcast hints")
+    }
+  }
+
+  test("f3 fixture write is parallel (no single-task coalesce)") {
+    val df = SparkEntry.queries("f3_corrupt_gate")(spark, dir)
+    df.count()
+    // the query's own read path must not funnel through one partition
+    assert(!df.queryExecution.executedPlan.toString.contains("Coalesce 1"))
+  }
+}
