@@ -33,6 +33,16 @@ object IdentityResolution {
     val useReliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     def cut(df: DataFrame): DataFrame =
       if (useReliable) df.checkpoint() else df.localCheckpoint()
+    // localCheckpoint persists its RDD for the rest of the session; once a
+    // round's successor is materialized the predecessor's blocks are dead
+    // weight crowding every later query's memory (the same leak class the
+    // Dedup operators had). Free them explicitly — safe because the data
+    // is no longer referenced by any live plan.
+    def releaseBlocks(df: DataFrame): Unit =
+      if (!useReliable)
+        df.queryExecution.logical.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(blocking = false))
 
     val sym = cut(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -43,6 +53,7 @@ object IdentityResolution {
 
     var converged = false
     var i = 0
+    var prevRound: Option[DataFrame] = None
     while (!converged && i < maxIter) {
       // (a) candidate labels: own (tagged as `prev`) + neighbors' labels —
       // carrying `prev` through the aggregation folds the convergence test
@@ -67,10 +78,15 @@ object IdentityResolution {
       // reads the just-materialized checkpoint blocks (no recompute) and
       // short-circuits on the first hit.
       val changed = updated.filter(col("component") < col("prev")).limit(1).count() > 0
+      prevRound.foreach(releaseBlocks) // predecessor no longer referenced
+      prevRound = Some(updated)
       labels = updated.select(col("node"), col("component"))
       converged = !changed
       i += 1
     }
+    // the edge table is only consumed by the loop; the returned labels are
+    // backed by the FINAL round's (still-persisted) checkpoint blocks
+    if (prevRound.isDefined) releaseBlocks(sym)
     labels
   }
 }
