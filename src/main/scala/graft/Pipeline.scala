@@ -30,8 +30,12 @@ object Pipeline {
 
   final case class Config(source: Source, destination: Destination)
 
+  /** `release` frees any shared-scan cache backing the outputs (J2) — run()
+    * calls it once every output is written; leaving it cached would crowd
+    * executor memory for the rest of the session.
+    */
   final case class Outputs(events: DataFrame, profiles: Option[DataFrame],
-      mergePairs: Option[DataFrame])
+      mergePairs: Option[DataFrame], release: () => Unit = () => ())
 
   final case class Report(events: Long, profiles: Long, merges: Long,
       sink: Option[BatchedHttpSink.SinkReport])
@@ -44,7 +48,7 @@ object Pipeline {
     case AmplitudeStaged(path, tag) =>
       val amp = Sources.staged(spark, path, Model.amplitudeSchema)
       val out = AmplitudeTransform(amp, tag)
-      Outputs(out.events, Some(out.profiles), Some(out.mergePairs))
+      Outputs(out.events, Some(out.profiles), Some(out.mergePairs), out.release)
     case GaStaged(path) =>
       val ga = Sources.staged(spark, path, Model.gaSessionSchema)
       Outputs(GaTransform.events(spark, ga), Some(GaTransform.profiles(spark, ga)), None)
@@ -73,7 +77,7 @@ object Pipeline {
     val observedEvents = out.events.observe(obs,
       org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_events"))
-    config.destination match {
+    try config.destination match {
       case LocalJson(dir) =>
         // profiles/merges counts ride the write job via observe() too —
         // each output DAG executes exactly once (no count() re-run)
@@ -123,6 +127,6 @@ object Pipeline {
         Report(report.records,
           profileReport.map(_.records).getOrElse(0L),
           mergeReport.map(_.records).getOrElse(0L), Some(report))
-    }
+    } finally out.release() // drop any shared-scan cache (J2) once written
   }
 }

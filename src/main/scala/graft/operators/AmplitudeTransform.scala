@@ -31,7 +31,12 @@ object AmplitudeTransform {
     "city" -> "$city"
   )
 
-  case class Outputs(events: DataFrame, profiles: DataFrame, mergePairs: DataFrame)
+  /** `release()` drops the shared-scan cache (J2) once all three outputs
+    * are consumed — the cache must not outlive the fan-out in a
+    * multi-query session.
+    */
+  case class Outputs(events: DataFrame, profiles: DataFrame, mergePairs: DataFrame,
+      release: () => Unit = () => ())
 
   private def nonNullMap(c: org.apache.spark.sql.Column) =
     coalesce(c, map().cast("map<string,string>"))
@@ -121,9 +126,13 @@ object AmplitudeTransform {
     Dedup.exactFirstWins(pairs, Seq("insert_id"), Seq("time"))
   }
 
-  /** Full three-way fan-out from one cached scan. */
+  /** Full three-way fan-out from one cached scan (J2). The caller owns the
+    * cache lifetime via `Outputs.release` — call it after all three
+    * outputs are materialized.
+    */
   def apply(amp: DataFrame, importTag: Option[String] = None): Outputs = {
     val cached = amp.cache()
-    Outputs(events(cached, importTag), profiles(cached), mergePairs(cached))
+    Outputs(events(cached, importTag), profiles(cached), mergePairs(cached),
+      () => { cached.unpersist(blocking = false); () })
   }
 }
