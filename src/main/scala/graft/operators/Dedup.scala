@@ -121,6 +121,14 @@ object Dedup {
       .join(cnt, "doc")
       .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
       .select(col("doc"), col("s"))
+    // candidates: docs sharing a prefix shingle, via a prefix self-join.
+    // (Measured AGAINST the grouped-bucket pair explosion used in
+    // minhashLshPairs: there the duplicated side is the expensive k-min
+    // signature aggregate, here the duplicated prefix pipeline is cheap
+    // and the equi-join broadcasts — the self-join won 5.5 s vs 10.6 s at
+    // sf0.1. Per-shingle fan-out stays small by construction: the prefix
+    // keeps each doc's rarest shingles; `maxShingleFreq` hard-caps
+    // adversarial corpora.)
     val cand = prefix.select(col("doc").as("id_a"), col("s"))
       .join(prefix.select(col("doc").as("id_b"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
