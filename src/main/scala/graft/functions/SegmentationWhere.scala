@@ -9,21 +9,29 @@ import org.apache.spark.sql.functions._
   * into a Catalyst `Column`, so one predicate string works both locally
   * (Catalyst pushes it into the scan) and at a pushdown-capable source.
   *
-  * Grammar (the commonly-used subset):
-  *   expr     := term (('and'|'or') term)*
+  * Grammar (the commonly-used subset; `and` binds tighter than `or`):
+  *   expr     := andExpr ('or' andExpr)*
+  *   andExpr  := term ('and' term)*
   *   term     := 'not'? atom
   *   atom     := '(' expr ')' | 'defined(' prop ')'
   *             | 'contains(' prop ',' literal ')'
+  *             | 'has_prefix(' prop ',' literal ')'
   *             | literal 'in' prop          -- substring containment
-  *             | prop 'in' list             -- membership
-  *             | prop op literal
+  *             | operand 'in' list          -- membership
+  *             | operand op literal
+  *   operand  := prop | 'number(' prop ')' | 'string(' prop ')'
+  *             | 'boolean(' prop ')'
   *   prop     := 'properties["<key>"]'
   *   op       := '==' | '!=' | '>' | '>=' | '<' | '<='
-  *   literal  := "string" | number
+  *   literal  := "string" | number | 'true' | 'false'
   *   list     := '[' literal (',' literal)* ']'
   *
   * `in` follows Mixpanel's dual meaning: string-in-string is substring
-  * containment, value-in-list is membership.
+  * containment, value-in-list is membership. `number()` forces a numeric
+  * comparison regardless of literal type; `boolean()` compares the
+  * property's string form against true/false literals (property bags are
+  * map<string,string> — the typed form a Mixpanel profile would carry is
+  * stringified by the export shape).
   */
 object SegmentationWhere {
 
@@ -40,18 +48,29 @@ object SegmentationWhere {
       if (s.regionMatches(true, j, w, 0, w.length)) Some(j + w.length) else None
     }
 
+    // standard precedence: `and` binds tighter than `or`
+    // (a or b and c ⇒ a or (b and c))
     def parseExpr(i0: Int): (Column, Int) = {
+      var (acc, i) = parseAnd(i0)
+      var done = false
+      while (!done) {
+        kw(i, "or") match {
+          case Some(j) =>
+            val (rhs, k) = parseAnd(j); acc = acc || rhs; i = k
+          case None => done = true
+        }
+      }
+      (acc, i)
+    }
+
+    private def parseAnd(i0: Int): (Column, Int) = {
       var (acc, i) = parseTerm(i0)
       var done = false
       while (!done) {
         kw(i, "and") match {
           case Some(j) =>
             val (rhs, k) = parseTerm(j); acc = acc && rhs; i = k
-          case None => kw(i, "or") match {
-            case Some(j) =>
-              val (rhs, k) = parseTerm(j); acc = acc || rhs; i = k
-            case None => done = true
-          }
+          case None => done = true
         }
       }
       (acc, i)
@@ -79,26 +98,38 @@ object SegmentationWhere {
         case None => kw(i, "contains(") match {
           case Some(j) =>
             // contains(prop, literal) → substring containment
-            val (key, j1) = parseProp(j)
-            val j2 = ws(j1)
-            require(j2 < s.length && s(j2) == ',', s"expected , at $j2 in: $s")
-            val (litC, j3) = parseLiteral(j2 + 1)
-            val j4 = ws(j3)
-            require(j4 < s.length && s(j4) == ')', s"expected ) at $j4 in: $s")
-            val needle = litC.fold(identity, n => fmtNum(n))
-            (props.getItem(key).contains(needle), j4 + 1)
-          case None if startsLiteral(i) =>
-            // literal in prop → substring containment (Mixpanel semantics)
-            val (litC, j) = parseLiteral(i)
-            val j2 = kw(j, "in").getOrElse(
-              throw new IllegalArgumentException(s"expected 'in' at $j in: $s"))
-            val (key, m) = parseProp(j2)
-            val needle = litC.fold(identity, n => fmtNum(n))
-            (props.getItem(key).contains(needle), m)
-          case None =>
-            parsePropComparison(i)
+            val (c, m) = parsePropLitFn(j, (p, n) => p.contains(n))
+            (c, m)
+          case None => kw(i, "has_prefix(") match {
+            case Some(j) =>
+              val (c, m) = parsePropLitFn(j, (p, n) => p.startsWith(n))
+              (c, m)
+            case None if startsLiteral(i) =>
+              // literal in prop → substring containment (Mixpanel semantics)
+              val (litC, j) = parseLiteral(i)
+              val j2 = kw(j, "in").getOrElse(
+                throw new IllegalArgumentException(s"expected 'in' at $j in: $s"))
+              val (key, m) = parseProp(j2)
+              (props.getItem(key).contains(litC.fold(identity, fmtNum)), m)
+            case None =>
+              parsePropComparison(i)
+          }
         }
       }
+    }
+
+    /** fn(prop, literal) forms: parse "prop, literal)" after the opening
+      * paren and apply `build` to the prop column + stringified literal.
+      */
+    private def parsePropLitFn(i0: Int,
+        build: (Column, String) => Column): (Column, Int) = {
+      val (key, j1) = parseProp(i0)
+      val j2 = ws(j1)
+      require(j2 < s.length && s(j2) == ',', s"expected , at $j2 in: $s")
+      val (litC, j3) = parseLiteral(j2 + 1)
+      val j4 = ws(j3)
+      require(j4 < s.length && s(j4) == ')', s"expected ) at $j4 in: $s")
+      (build(props.getItem(key), litC.fold(identity, fmtNum)), j4 + 1)
     }
 
     private def fmtNum(n: Double): String =
@@ -109,31 +140,55 @@ object SegmentationWhere {
       i < s.length && (s(i) == '"' || s(i).isDigit || s(i) == '-')
     }
 
+    /** operand := prop | number(prop) | string(prop) | boolean(prop).
+      * Returns (prop column, forced-cast marker, next index).
+      */
+    private def parseOperand(i0: Int): (Column, Option[String], Int) = {
+      val casts = Seq("number(", "string(", "boolean(")
+      casts.flatMap(c => kw(i0, c).map(c -> _)).headOption match {
+        case Some((cast, j)) =>
+          val (key, j1) = parseProp(j)
+          val j2 = ws(j1)
+          require(j2 < s.length && s(j2) == ')', s"expected ) at $j2 in: $s")
+          (props.getItem(key), Some(cast.dropRight(1)), j2 + 1)
+        case None =>
+          val (key, j) = parseProp(i0)
+          (props.getItem(key), None, j)
+      }
+    }
+
     private def parsePropComparison(i0: Int): (Column, Int) = {
       val i = ws(i0)
-      val (key, j) = parseProp(i)
+      val (prop, cast, j) = parseOperand(i)
       val k = ws(j)
       kw(k, "in") match {
         case Some(j2) =>
-          // prop in [literal, ...] → membership
+          // operand in [literal, ...] → membership
           val (lits, m) = parseList(j2)
-          if (lits.forall(_.isLeft))
-            (props.getItem(key).isin(lits.collect { case Left(v) => v }: _*), m)
-          else
-            (props.getItem(key).cast("double")
+          if (cast.contains("number") || !lits.forall(_.isLeft))
+            (prop.cast("double")
               .isin(lits.map(_.fold(_.toDouble, identity)): _*), m)
+          else
+            (prop.isin(lits.collect { case Left(v) => v }: _*), m)
         case None =>
           val ops = Seq("==", "!=", ">=", "<=", ">", "<")
           val op = ops.find(o => s.regionMatches(false, k, o, 0, o.length))
             .getOrElse(throw new IllegalArgumentException(s"expected operator at $k in: $s"))
           val (litC, m) = parseLiteral(k + op.length)
-          val lhs = litC match {
-            case Left(_) => props.getItem(key)
-            case Right(_) => props.getItem(key).cast("double")
+          // number() forces numeric comparison; string()/boolean() force
+          // string comparison (property bags are string maps; boolean
+          // literals parse to "true"/"false" strings)
+          val numeric = cast match {
+            case Some("number") => true
+            case Some(_) => false
+            case None => litC.isRight
           }
+          val lhs = if (numeric) prop.cast("double") else prop
           val rhs: Column = litC match {
+            case Left(str) if numeric => lit(str.toDouble)
             case Left(str) => lit(str)
-            case Right(num) => lit(num)
+            case Right(num) if numeric => lit(num)
+            case Right(num) => lit(fmtNum(num))
           }
           val c = op match {
             case "==" => lhs === rhs
@@ -180,7 +235,11 @@ object SegmentationWhere {
 
     private def parseLiteral(i0: Int): (Either[String, Double], Int) = {
       val i = ws(i0)
-      if (i < s.length && s(i) == '"') {
+      // boolean literals arrive as strings — property bags are string maps
+      val boolLit = kw(i, "true").map(j => (Left("true"): Either[String, Double], j))
+        .orElse(kw(i, "false").map(j => (Left("false"): Either[String, Double], j)))
+      if (boolLit.isDefined) boolLit.get
+      else if (i < s.length && s(i) == '"') {
         val end = s.indexOf('"', i + 1)
         require(end > i, s"unterminated string literal in: $s")
         (Left(s.substring(i + 1, end)), end + 1)

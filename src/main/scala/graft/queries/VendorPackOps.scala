@@ -551,6 +551,29 @@ object VendorPackOps {
         |   OR TRY_CAST(k AS DOUBLE) IN (10, 20, 30, 40, 50)
         |   OR contains(plan, 'ree')
         |ORDER BY event_id""".stripMargin
+    ),
+
+    // ---- F4c: typecast operands, boolean literals, has_prefix, and
+    //      and-over-or precedence (a and b or c == (a and b) or c) -------
+    "f4c_segmentation_typed" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("properties", map(
+            lit("b"), when(col("event_id") % 2 === 0, lit("true")).otherwise(lit("false")),
+            lit("k"), get_json_object(col("props"), "$.k"),
+            lit("path"), concat(lit("/p/"), col("event_id") % 7, lit("/x"))))
+        val where =
+          """boolean(properties["b"]) == true and number(properties["k"]) >= 40 """ +
+            """or has_prefix(properties["path"], "/p/3")"""
+        ev.filter(SegmentationWhere.parse(where, col("properties")))
+          .select("event_id")
+          .orderBy("event_id")
+      },
+      """SELECT event_id FROM events
+        |WHERE (event_id % 2 = 0
+        |       AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 40)
+        |   OR starts_with('/p/' || (event_id % 7) || '/x', '/p/3')
+        |ORDER BY event_id""".stripMargin
     )
   )
 }
