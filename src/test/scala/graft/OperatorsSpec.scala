@@ -148,4 +148,28 @@ class OperatorsSpec extends SparkSpec {
     val got = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
     assert(got.sameElements(Array("en", "es")))
   }
+
+  test("hyperplane bucketing drops null/empty vectors (no null cosines downstream)") {
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.9, 0.1, 0.0)), (2L, Seq(0.0, 1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+      .unionByName(Seq((3L, null.asInstanceOf[Seq[Double]]), (4L, Seq.empty[Double]))
+        .toDF("vec_id", "embedding"))
+    val buckets = Ann.hyperplaneBuckets(emb, "vec_id", "embedding", 4)
+    assert(buckets.select("vid").as[Long].collect().toSet == Set(0L, 1L, 2L))
+    val topk = Ann.lshTopK(emb, emb.filter(col("vec_id") === 0), "vec_id",
+      "embedding", 2, 3)
+    assert(topk.filter(col("cos").isNull).count() == 0)
+  }
+
+  test("stop-shingle cap only ever removes candidate pairs, never adds") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+      maxShingleFreq = Some(5))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped),
+      s"cap invented pairs: ${capped.diff(uncapped)}")
+  }
 }
