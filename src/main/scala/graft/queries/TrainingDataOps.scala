@@ -27,15 +27,17 @@ object TrainingDataOps {
 
   private val duckToks = "string_split_regex(trim(lower(text)),'\\s+')"
 
-  /** DuckDB CTEs for the distinct word-3-gram shingle index + per-doc counts. */
-  private val duckShingleCtes: String =
-    s"""toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+  /** DuckDB CTEs for the distinct word-3-gram shingle index + per-doc
+    * counts, over any doc-shaped source (doc_id, text).
+    */
+  private def duckShingleCtes(src: String = "documents"): String =
+    s"""toks AS (SELECT doc_id, $duckToks AS ts FROM $src),
        |sh AS (SELECT doc_id, unnest(list_distinct(
        |  [array_to_string(ts[i:i+2],' ') for i in range(1, len(ts)-1)])) AS s FROM toks),
        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
 
-  private val duckJaccardCtes: String =
-    s"""$duckShingleCtes,
+  private def duckJaccardCtes(src: String = "documents"): String =
+    s"""${duckShingleCtes(src)},
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -48,14 +50,14 @@ object TrainingDataOps {
   private val BandSize = 4
 
   /** DuckDB CTEs computing the 32-column MinHash signature + 8 band keys. */
-  private val duckMinhashCtes: String = {
+  private def duckMinhashCtes(src: String = "documents"): String = {
     val sigCols = (0 until NumHashes)
       .map(i => s"min(${duckPermute("hv", i)}) AS sig_$i").mkString(", ")
     val bands = (0 until NumHashes / BandSize).map { b =>
       val parts = (0 until BandSize).map(i => s"sig_${b * BandSize + i}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws('|', $parts) AS key FROM sig"
     }.mkString("\nUNION ALL\n")
-    s"""$duckJaccardCtes,
+    s"""${duckJaccardCtes(src)},
        |hv AS (SELECT doc_id, ${duckHash("s")} AS hv FROM sh),
        |sig AS (SELECT doc_id, $sigCols FROM hv GROUP BY doc_id),
        |bands AS ($bands),
@@ -91,7 +93,7 @@ object TrainingDataOps {
       (s, dir) =>
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)
           .orderBy("id_a", "id_b"),
-      s"""WITH $duckJaccardCtes
+      s"""WITH ${duckJaccardCtes()}
          |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
          |FROM jac WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
     ),
@@ -102,7 +104,7 @@ object TrainingDataOps {
         Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           n = 3, numHashes = NumHashes, bandSize = BandSize, threshold = 0.8)
           .orderBy("id_a", "id_b"),
-      s"""WITH $duckMinhashCtes
+      s"""WITH ${duckMinhashCtes()}
          |SELECT j.id_a, j.id_b, round(j.jaccard, 4) AS jaccard
          |FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
          |WHERE j.jaccard >= 0.8 ORDER BY j.id_a, j.id_b""".stripMargin
@@ -370,6 +372,77 @@ object TrainingDataOps {
          |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(cos, 4) AS cos
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    ),
+
+    // ---- flagship curation pipeline: the end-to-end composition a
+    // training-data run actually executes — quality gate → language gate →
+    // exact prefix dedup → MinHash near-dup removal (keep-lowest-id) →
+    // per-language corpus stats. Every stage is the REAL operator; the
+    // oracle rebuilds the whole chain from the already-verified fragments.
+    "pipeline_corpus_curation" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val gated = docs.filter(
+          TextAnalysis.qualityScore(col("text")) >= 0.5 &&
+            TextAnalysis.langId(col("text")) === "en")
+        val exact = Dedup.exactFirstWins(
+          gated.withColumn("pkey", Dedup.prefixKey(col("text"), 10)),
+          Seq("pkey"), Seq("doc_id")).drop("pkey")
+        val nearDupIds = Dedup.minhashLshPairs(exact, "doc_id", "text",
+            n = 3, numHashes = NumHashes, bandSize = BandSize, threshold = 0.8)
+          .select(col("id_b").as("doc_id")).distinct()
+        val survivors = exact.join(nearDupIds, Seq("doc_id"), "left_anti")
+        survivors
+          .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").cast("long").as("total_tokens"),
+            round(avg("n_tokens"), 2).as("avg_tokens"))
+          .orderBy("lang")
+      },
+      {
+        val stop = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+        val scoreCols = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+          val in = ms.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(ts, t -> t IN ($in))) AS s_$lang"
+        }.mkString(", ")
+        val langs = TextAnalysis.LangMarkers.map(_._1)
+        val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+        s"""WITH metrics AS (
+           |  SELECT doc_id, lang, text, $duckToks AS ts,
+           |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+           |    length(regexp_replace(regexp_replace(text, '\\s', '', 'g'), '[a-zA-Z0-9]', '', 'g')) AS n_punct
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, lang, text, ts, $scoreCols,
+           |    round((least(len(ts)/50.0, 1.0)
+           |         + greatest(0.0, 1.0 - round(n_punct*1.0/greatest(n_nonspace,1), 4)*4)
+           |         + least(round(len(list_filter(ts, t -> t IN ($stop)))*1.0/greatest(len(ts),1), 4)*5, 1.0)) / 3.0, 4) AS quality
+           |  FROM metrics),
+           |lang_best AS (SELECT *, $best AS best FROM scored),
+           |gated AS (
+           |  SELECT doc_id, lang, text, ts FROM lang_best
+           |  WHERE quality >= 0.5 AND (CASE $cases ELSE 'und' END) = 'en'),
+           |exact AS (
+           |  SELECT doc_id, lang, text FROM (
+           |    SELECT doc_id, lang, text, row_number() OVER (
+           |      PARTITION BY array_to_string(ts[1:10], ' ') ORDER BY doc_id) AS rn
+           |    FROM gated) WHERE rn = 1),
+           |${duckMinhashCtes("exact")},
+           |near AS (
+           |  SELECT DISTINCT j.id_b AS doc_id
+           |  FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+           |  WHERE j.jaccard >= 0.8),
+           |surv AS (
+           |  SELECT e.lang, len($duckToks) AS n_tokens
+           |  FROM exact e
+           |  WHERE e.doc_id NOT IN (SELECT doc_id FROM near))
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |  round(avg(n_tokens), 2) AS avg_tokens
+           |FROM surv GROUP BY lang ORDER BY lang""".stripMargin
+      }
     )
   )
 }
