@@ -119,6 +119,26 @@ object CoreAnalytics {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
     ),
 
+    // ---- TPC-H Q6-like: pure filter+agg — every predicate reaches the
+    // parquet scan (PushedFilters), no shuffle beyond the final 1-row agg
+    "q6_forecast_revenue" -> QuerySpec(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(QuerySpec.sumMoney(QuerySpec.dec4(col("l_extendedprice")) *
+            QuerySpec.dec4(col("l_discount"))).as("revenue"))
+      },
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*CAST(l_discount AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin
+    ),
+
     // ---- dim join (AQE picks broadcast while part fits under the
     // autoBroadcastJoinThreshold; part scales linearly, so no forced hint)
     "join_broadcast_dim" -> QuerySpec(

@@ -59,6 +59,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q6: every predicate reaches the parquet scan, columns pruned, no shuffle") {
+    val plan = executedPlan("q6_forecast_revenue")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert("GreaterThanOrEqual\\(l_shipda".r.findAllIn(plan).nonEmpty)
+    // projection pruning: the scan reads only the 4 referenced columns
+    assert(plan.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:"))
+    assert(!plan.contains("Exchange hashpartitioning"))
+  }
+
   test("f3 fixture write is parallel (no single-task coalesce)") {
     val df = SparkEntry.queries("f3_corrupt_gate")(spark, dir)
     df.count()
