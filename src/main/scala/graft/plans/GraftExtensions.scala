@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{ConcatWs, Expression, Literal,
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.RollingHash
+import graft.functions.{CosineSim, L2Dist, RollingHash, TopKByScore}
 
 /** Engine SQL-surface registration (SURVEY §2.12):
   *
@@ -13,6 +13,10 @@ import graft.functions.RollingHash
   *  - `mp_insert_id(c1, ...)` — deterministic surrogate key (md5 of
   *                              '|'-joined values; SURVEY P8)
   *  - `explode_session(t, h)` — session→events Generator (SURVEY X1)
+  *  - `cosine_sim(a, b)`      — codegen'd cosine of two array<double>
+  *  - `l2_dist(a, b)`         — codegen'd squared L2 distance
+  *  - `topk_by_score(s, id, k)` — bounded per-group top-k aggregate
+  *                              (k must be a foldable integer literal)
   *
   * Two registration paths: `withExtensions(new GraftExtensions)` at
   * session build, or [[GraftExtensions.register]] on a live session
@@ -42,7 +46,27 @@ object GraftExtensions {
       (args: Seq[Expression]) => mpInsertId(args)),
     ("explode_session",
       new ExpressionInfo(classOf[ExplodeSession].getName, "explode_session"),
-      (args: Seq[Expression]) => ExplodeSession(args(0), args(1)))
+      (args: Seq[Expression]) => ExplodeSession(args(0), args(1))),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    ("l2_dist",
+      new ExpressionInfo(classOf[L2Dist].getName, "l2_dist"),
+      (args: Seq[Expression]) => L2Dist(args(0), args(1))),
+    ("topk_by_score",
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (args: Seq[Expression]) => {
+        val k = args(2) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => other.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case _ => throw new IllegalArgumentException(
+              "topk_by_score(score, id, k): k must be an integer literal")
+          }
+        }
+        TopKByScore(args(0), args(1), k).toAggregateExpression()
+      })
   )
 
   /** Idempotent runtime registration on an existing session. */

@@ -59,6 +59,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(s101 == Seq("session begins", "session ends"))
   }
 
+  test("cosine_sim / l2_dist / topk_by_score are callable from SQL") {
+    Tables.tune(spark)
+    val (cos, d2) = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |       l2_dist(array(1.0d, 2.0d), array(0.0d, 0.0d)) AS d""".stripMargin)
+      .as[(Double, Double)].head()
+    assert(math.abs(cos - 1.0) < 1e-12 && d2 == 5.0)
+    Seq((1L, 10L, 0.2), (1L, 11L, 0.9), (1L, 12L, 0.5))
+      .toDF("q", "id", "score").createOrReplaceTempView("scored")
+    val top = spark.sql(
+      "SELECT q, topk_by_score(score, id, 2) AS top FROM scored GROUP BY q")
+      .selectExpr("q", "transform(top, t -> t.id) AS ids")
+      .as[(Long, Seq[Long])].head()
+    assert(top == ((1L, Seq(11L, 12L))))
+  }
+
   test("generator result matches the relational x1 formulation on real data") {
     // explode_session over per-user event groups ≡ the begin/hit/end shape
     val ev = Tables.t(spark, sfDir, "events")
