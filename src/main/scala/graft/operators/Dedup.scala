@@ -136,6 +136,18 @@ object Dedup {
     verifyJaccard(cand, sh, cnt, threshold)
   }
 
+  /** Transitive near-dup clusters: connected components over a near-dup
+    * pair graph ((id_a, id_b) from any of the pair generators), labelling
+    * every clustered doc with the smallest doc id reachable. Pairwise
+    * keep-lowest (drop id_b of each pair) is NOT closure-correct when
+    * similarity chains A~B~C without A~C — cluster-then-keep-one is the
+    * policy a curation run needs. O(log n) keyed-shuffle rounds via
+    * [[IdentityResolution.connectedComponents]].
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame =
+    IdentityResolution.connectedComponents(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+
   /** MinHash signature columns sig_0..sig_{k-1}: per doc, min over shingles
     * of the i-th permutation of the portable rolling hash. One explode +
     * one hash-aggregate (k min() columns) — a single shuffle.

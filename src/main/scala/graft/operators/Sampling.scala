@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Deterministic sampling/splitting for training-data pipelines.
+  *
+  * All assignment is by the engine's portable rolling hash of the KEY —
+  * never an RNG: the same key lands in the same split on every run,
+  * engine, cluster size, and partitioning. That is the property a
+  * train/val/test split must have at 100 TB (re-runs and backfills must
+  * not migrate examples across splits), and it makes every operator here
+  * a pure per-row projection — zero shuffles, embarrassingly parallel —
+  * as well as DuckDB-oracle-verifiable.
+  */
+object Sampling {
+
+  /** Unit-interval hash of a key column ∈ [0, 1). The raw polynomial
+    * rolling hash of a SHORT key (e.g. "42") is a small integer, so it
+    * must be spread across the field first: h → (h·1315423911 +
+    * 2654435761) mod (1e9+7) — the engine's standard multiplicative mix
+    * (64-bit products stay under 2⁶³, so the arithmetic is exact and
+    * DuckDB-reproducible).
+    */
+  def unitHash(key: Column): Column =
+    ((Fns.rollingHash(key.cast("string")) * lit(1315423911L) + lit(2654435761L))
+      % lit(Fns.HashMod)) / lit(Fns.HashMod.toDouble)
+
+  /** Deterministic split assignment. `splits` are (name, weight) pairs;
+    * weights must sum to ~1. Each row gets the split whose cumulative
+    * weight range contains its unit hash — appended as column `split`.
+    *
+    * hashSplit(docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split weights must sum to 1, got $total")
+    require(splits.nonEmpty, "need at least one split")
+    val u = unitHash(col(keyCol))
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // last range is a catch-all so u == 0.999...9 rounding can't drop rows
+    val assigned = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), els) =>
+      when(u < hi, name).otherwise(els)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /** Per-stratum deterministic sampling: keep a row iff its key's unit
+    * hash is below the stratum's rate (`rates`, else `defaultRate`).
+    * Exactly reproducible, and the kept set is MONOTONE in the rate: a
+    * 10% sample is a subset of a 20% sample — the property that lets a
+    * pipeline scale a sample up without re-drawing it.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val u = unitHash(col(keyCol))
+    val rate = rates.foldRight(lit(defaultRate): Column) { case ((k, r), els) =>
+      when(col(strataCol) === k, r).otherwise(els)
+    }
+    df.filter(u < rate)
+  }
+}

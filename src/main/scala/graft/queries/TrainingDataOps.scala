@@ -374,6 +374,72 @@ object TrainingDataOps {
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     ),
 
+    // ---- deterministic train/val/test split (hash-of-key, no RNG) ------
+    "sp_hash_split" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Sampling.hashSplit(docs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("doc_id").cast("long").as("id_checksum"))
+          .orderBy("split")
+      },
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    (((${duckHash("CAST(doc_id AS VARCHAR)")})*1315423911 + 2654435761)
+         |      % 1000000007)*1.0/1000000007 AS u
+         |  FROM documents)
+         |SELECT CASE WHEN u < 0.8 THEN 'train'
+         |            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
+    // ---- per-stratum deterministic sampling ----------------------------
+    "sp_stratified_sample" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Sampling.stratifiedSample(docs, "doc_id", "lang",
+          Map("en" -> 0.5), defaultRate = 0.2)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("doc_id").cast("long").as("id_checksum"))
+          .orderBy("lang")
+      },
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    (((${duckHash("CAST(doc_id AS VARCHAR)")})*1315423911 + 2654435761)
+         |      % 1000000007)*1.0/1000000007 AS u
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM h WHERE u < (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    ),
+
+    // ---- transitive near-dup clusters (pairs → connected components) ---
+    "dd_dup_clusters" -> QuerySpec(
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, numHashes = NumHashes, bandSize = BandSize, threshold = 0.8)
+        Dedup.nearDupClusters(pairs)
+          .select(col("node").as("doc_id"), col("component").as("cluster"))
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE ${duckMinhashCtes()},
+         |np AS (
+         |  SELECT j.id_a AS a, j.id_b AS b
+         |  FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |  WHERE j.jaccard >= 0.8),
+         |edges AS (SELECT a, b FROM np UNION SELECT b AS a, a AS b FROM np),
+         |comp(node, label) AS (
+         |  SELECT DISTINCT a AS node, a AS label FROM edges
+         |  UNION
+         |  SELECT e.a, c.label FROM edges e JOIN comp c ON c.node = e.b)
+         |SELECT node AS doc_id, min(label) AS cluster
+         |FROM comp GROUP BY node ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- flagship curation pipeline: the end-to-end composition a
     // training-data run actually executes — quality gate → language gate →
     // exact prefix dedup → MinHash near-dup removal (keep-lowest-id) →

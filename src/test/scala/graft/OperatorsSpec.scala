@@ -162,6 +162,29 @@ class OperatorsSpec extends SparkSpec {
     assert(topk.filter(col("cos").isNull).count() == 0)
   }
 
+  test("nearDupClusters is closure-correct where pairwise keep-lowest is not") {
+    // chain 1~2, 2~3 WITHOUT 1~3: one cluster, rep 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("stratified sample is monotone in rate and split assignment is stable") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val at20 = Sampling.stratifiedSample(docs, "doc_id", "lang", Map.empty, 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val at50 = Sampling.stratifiedSample(docs, "doc_id", "lang", Map.empty, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(at20.subsetOf(at50) && at20.nonEmpty && at50.size > at20.size)
+    // split assignment: every row gets exactly one split; re-run identical
+    val s1 = Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val s2 = Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1 == s2 && s1.size == docs.count())
+  }
+
   test("stop-shingle cap only ever removes candidate pairs, never adds") {
     val docs = Tables.t(spark, sfDir, "documents")
     val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
