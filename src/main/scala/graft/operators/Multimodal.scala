@@ -63,4 +63,48 @@ object Multimodal {
       it.map(decodeStub)
     }
   }
+
+  /** REAL (non-stub) feature extraction over raw media bytes: a `bins`-bin
+    * byte-value histogram per payload — the kind of cheap content feature
+    * (entropy proxies, format fingerprints, corruption detection) a media
+    * curation pass computes before any codec is involved. Pure column
+    * expressions (posexplode over the byte array), one keyed aggregation.
+    * Output: (doc_id, bin, n) for non-empty bins.
+    */
+  def byteHistogram(binDocs: DataFrame, bins: Int): DataFrame = {
+    require(256 % bins == 0, s"bins=$bins must divide 256")
+    val width = 256 / bins
+    binDocs
+      // BINARY has no direct byte-array cast: go through the hex form —
+      // regexp_extract_all/conv are codegen'd, so this stays a narrow
+      // whole-stage pipeline into one keyed aggregation
+      .select(col("doc_id"),
+        explode(regexp_extract_all(hex(col("payload")),
+          lit("[0-9A-F]{2}"), lit(0))).as("bh"))
+      .select(col("doc_id"),
+        (conv(col("bh"), 16, 10).cast("int") / width).cast("int").as("bin"))
+      .groupBy("doc_id", "bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** Frame-sampling PLUMBING for video-like payloads: every `stride`-th
+    * frame boundary as (doc_id, frame_idx, byte_offset, frame_bytes).
+    * Deterministic arithmetic over the (stubbed) container geometry —
+    * a real demuxer would read the frame index instead; the partition
+    * shape (pure projection + generator, no shuffle) is what survives the
+    * swap. Frames are fixed-size `frameBytes` slices here.
+    */
+  def sampleFrames(binDocs: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    val nFrames = floor(length(col("payload")) / frameBytes).cast("long")
+    binDocs
+      .select(col("doc_id"), col("payload"), nFrames.as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_frames"), col("payload"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * frameBytes).as("byte_offset"),
+        // substr on BINARY yields the frame slice (1-based offset)
+        col("payload").substr((col("frame_idx") * frameBytes + 1).cast("int"),
+          lit(frameBytes)).as("frame"))
+  }
 }

@@ -250,6 +250,44 @@ object TrainingDataOps {
         |FROM documents ORDER BY doc_id""".stripMargin
     ),
 
+    // ---- REAL media feature extraction: byte histogram (no codec) ------
+    "mm_byte_histogram" -> QuerySpec(
+      (s, dir) => {
+        val bin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "doc_id", "text")
+        Multimodal.byteHistogram(bin, bins = 16)
+          .orderBy("doc_id", "bin")
+      },
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(string_split(text, ''), x -> ascii(x)//16)) AS bin
+        |  FROM documents)
+        |SELECT doc_id, CAST(bin AS INTEGER) AS bin, count(*) AS n
+        |FROM b GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin
+    ),
+
+    // ---- frame-sampling plumbing (every 3rd 64-byte "frame"). The Spark
+    // side slices BINARY at byte offsets (the real media semantics); the
+    // oracle slices VARCHAR, which is byte-exact because the synthetic
+    // corpus is pure ASCII (verified) — DuckDB has no BLOB substring. ----
+    "mm_frame_sample" -> QuerySpec(
+      (s, dir) => {
+        val bin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "doc_id", "text")
+        Multimodal.sampleFrames(bin, frameBytes = 64, stride = 3)
+          .select(col("doc_id"), col("frame_idx"), col("byte_offset"),
+            md5(col("frame")).as("frame_hash"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    octet_length(encode(text))//64 AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, text, unnest(range(0, nf, 3)) AS fi FROM f WHERE nf > 0)
+        |SELECT doc_id, fi AS frame_idx, fi*64 AS byte_offset,
+        |  md5(substring(text, CAST(fi*64 + 1 AS INTEGER), 64)) AS frame_hash
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+    ),
+
     // ---- native identity resolution (connected components) ------------
     "id_resolution_cc" -> QuerySpec(
       (s, dir) => {
