@@ -46,6 +46,43 @@ class HttpEngageSourceSpec extends SparkSpec {
     assert(df.select("slice").distinct().count() == 3)
   }
 
+  test("engage DSv2: server page_size cap below the requested size must not truncate") {
+    // Mixpanel caps page_size at 1000; here the server caps at 2 while the
+    // client asks for 1000. Termination must follow the SERVER-reported
+    // page_size (reference lastPageSize) — comparing against the request
+    // would see every page as short and silently stop after page 0.
+    FetcherRegistry.put("engage-fetcher", mkFetcher(pageSize = 2))
+    EngageCalls.urls.clear()
+    val df = read(pageSize = 1000)
+    assert(df.count() == 15, "server-capped pages were truncated")
+    assert(EngageCalls.urls.size == 9, EngageCalls.urls.toString)
+  }
+
+  test("engage DSv2: a mid-walk response without session_id keeps the cursor (capture-once)") {
+    val fetcher = new Fetcher {
+      def get(url: String): Option[Array[Byte]] = {
+        EngageCalls.urls.add(url)
+        val page = "&page=(\\d+)".r.findFirstMatchIn(url).map(_.group(1).toInt).getOrElse(0)
+        if (page > 0) assert(url.contains("session_id=sess-x"), s"cursor dropped: $url")
+        val n = if (page < 2) 2 else 1
+        val results = (0 until n).map(i => s"""{"$$distinct_id":"p${page}_$i"}""")
+        // session_id present ONLY on the first response
+        val sess = if (page == 0) """"session_id":"sess-x",""" else ""
+        Some(s"""{"page":$page,"page_size":2,$sess"results":[${results.mkString(",")}]}"""
+          .getBytes("UTF-8"))
+      }
+    }
+    FetcherRegistry.put("engage-capture-once", fetcher)
+    EngageCalls.urls.clear()
+    val df = spark.read.format("graft.sources.v2.HttpEngageSource")
+      .option("baseUrl", "https://mp.example")
+      .option("pageSize", "2")
+      .option("fetcherKey", "engage-capture-once")
+      .load()
+    assert(df.count() == 5) // 2 + 2 + 1, one slice
+    assert(EngageCalls.urls.size == 3, EngageCalls.urls.toString)
+  }
+
   test("engage DSv2: slice predicate prunes cohorts before any HTTP call") {
     FetcherRegistry.put("engage-fetcher", mkFetcher(pageSize = 2))
     EngageCalls.urls.clear()
