@@ -69,6 +69,10 @@ object IdentityResolution {
       // (b) pointer jump: component := component's component
       val parents = propagated
         .select(col("node").as("component"), col("component").as("grand"))
+      // Checkpoint EVERY round (measured: an every-other-round cadence is
+      // ~2× slower — the convergence count executes each round's plan
+      // anyway, so a skipped checkpoint means the same work runs twice,
+      // once for the count and again inside the next round's lineage).
       val updated = cut(propagated
         .join(parents, Seq("component"), "left")
         .select(col("node"),
