@@ -293,6 +293,32 @@ object CoreAnalytics {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // ---- approximate quantile (t-digest-style sketch). Same gating idea
+    // as agg_approx_distinct: the sketch value is engine-specific, so the
+    // oracle-comparable surface is the EXACT discrete median plus a hard
+    // rank-bound boolean — approx_percentile with accuracy 10000 has rank
+    // error ≤ 1e-4·n, so the estimate must lie within the exact p49..p51
+    // value band; the oracle asserts that boolean is literally true.
+    "agg_approx_quantile" -> QuerySpec(
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("median_exact"),
+            expr("percentile_disc(0.49) WITHIN GROUP (ORDER BY value)").as("p49"),
+            expr("percentile_disc(0.51) WITHIN GROUP (ORDER BY value)").as("p51"),
+            expr("approx_percentile(value, 0.5, 10000)").as("approx"))
+          .select(col("event_type"),
+            round(col("median_exact"), 4).as("median_exact"),
+            (col("approx") >= col("p49") && col("approx") <= col("p51"))
+              .as("approx_within_rank_band"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+        | round(percentile_disc(0.5) WITHIN GROUP (ORDER BY value), 4) AS median_exact,
+        | true AS approx_within_rank_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
     // ---- set ops -----------------------------------------------------
     "setop_intersect" -> QuerySpec(
       (s, dir) => {
