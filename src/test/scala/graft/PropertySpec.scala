@@ -64,4 +64,65 @@ class PropertySpec extends SparkSpec {
       assert(got(s) == ref, s"mismatch for '$s'")
     }
   }
+
+  test("SegmentationWhere: 60 random expression trees parse to the hand-built predicate") {
+    import org.apache.spark.sql.Column
+    import graft.functions.SegmentationWhere
+    // fixture: 200 rows with a mixed-type string property bag
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Map(
+        "k" -> (if (i % 7 == 0) null else (i % 40).toString),
+        "p" -> Seq("pro", "free", "trial")(i % 3),
+        "b" -> (i % 2 == 0).toString,
+        "path" -> s"/p/${i % 5}/x"))
+    }
+    val df = rows.toDF("id", "properties")
+    val props = col("properties")
+
+    // atom pool: (where-string fragment, equivalent hand-built Column)
+    def atom(): (String, Column) = rng.nextInt(8) match {
+      case 0 =>
+        val v = rng.nextInt(40)
+        (s"""properties["k"] > $v""", props.getItem("k").cast("double") > v.toDouble)
+      case 1 =>
+        val v = Seq("pro", "free", "trial")(rng.nextInt(3))
+        (s"""properties["p"] == "$v"""", props.getItem("p") === v)
+      case 2 => ("""defined(properties["k"])""", props.getItem("k").isNotNull)
+      case 3 =>
+        val s0 = rng.nextInt(10).toString
+        (s"""contains(properties["k"], "$s0")""", props.getItem("k").contains(s0))
+      case 4 =>
+        val s0 = s"/p/${rng.nextInt(5)}"
+        (s"""has_prefix(properties["path"], "$s0")""", props.getItem("path").startsWith(s0))
+      case 5 =>
+        (s"""properties["p"] in ["pro", "trial"]""",
+          props.getItem("p").isin("pro", "trial"))
+      case 6 =>
+        val s0 = Seq("ro", "ree", "ial")(rng.nextInt(3))
+        (s""""$s0" in properties["p"]""", props.getItem("p").contains(s0))
+      case _ =>
+        (s"""boolean(properties["b"]) == true""", props.getItem("b") === "true")
+    }
+    // random tree; children of and/or are parenthesized so the test
+    // exercises atoms+combinators (precedence has its own oracle query)
+    def tree(depth: Int): (String, Column) =
+      if (depth == 0) atom()
+      else rng.nextInt(4) match {
+        case 0 => val (s0, c) = tree(depth - 1); (s"not ($s0)", !c)
+        case 1 =>
+          val (sa, ca) = tree(depth - 1); val (sb, cb) = tree(depth - 1)
+          (s"($sa) and ($sb)", ca && cb)
+        case 2 =>
+          val (sa, ca) = tree(depth - 1); val (sb, cb) = tree(depth - 1)
+          (s"($sa) or ($sb)", ca || cb)
+        case _ => atom()
+      }
+    (0 until 60).foreach { i =>
+      val (s0, expected) = tree(2)
+      val got = df.filter(SegmentationWhere.parse(s0, props))
+        .select("id").as[Long].collect().toSet
+      val want = df.filter(expected).select("id").as[Long].collect().toSet
+      assert(got == want, s"expr #$i: $s0")
+    }
+  }
 }
