@@ -478,6 +478,31 @@ object TrainingDataOps {
          |FROM comp GROUP BY node ORDER BY doc_id""".stripMargin
     ),
 
+    // ---- sequence packing: docs → fixed-token-budget training sequences
+    "sp_sequence_packing" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+          .withColumn("bucket", (col("doc_id") % 8).cast("int"))
+        graft.operators.Packing.packSequences(docs, "doc_id", "n_tokens", "bucket", 2000L)
+          .groupBy("bucket", "seq")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
+          .orderBy("bucket", "seq")
+      },
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS bucket,
+         |    len($duckToks) AS nt
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, coalesce(sum(nt) OVER (
+         |    PARTITION BY bucket ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM d)
+         |SELECT bucket, cum//2000 AS seq,
+         |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS seq_tokens
+         |FROM c GROUP BY bucket, seq ORDER BY bucket, seq""".stripMargin
+    ),
+
     // ---- flagship curation pipeline: the end-to-end composition a
     // training-data run actually executes — quality gate → language gate →
     // exact prefix dedup → MinHash near-dup removal (keep-lowest-id) →
