@@ -86,6 +86,24 @@ object Multimodal {
       .groupBy("doc_id", "bin").agg(count(lit(1)).as("n"))
   }
 
+  /** Resize PLANNING: aspect-preserving fit of each decoded image into a
+    * `targetW`×`targetH` box — the real geometry every image-resize
+    * pipeline computes (the pixel resample itself would live in the
+    * stubbed codec layer). Pure column arithmetic over [[decodeMeta]]
+    * output: scale = min(targetW/w, targetH/h) capped at 1 (never
+    * upscale), output dims floored with a 1-pixel minimum.
+    */
+  def resizePlan(meta: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0)
+    val scale = least(
+      lit(targetW.toDouble) / col("width"),
+      lit(targetH.toDouble) / col("height"),
+      lit(1.0))
+    meta.select(col("doc_id"), col("width"), col("height"),
+      greatest(floor(col("width") * scale), lit(1)).cast("int").as("out_w"),
+      greatest(floor(col("height") * scale), lit(1)).cast("int").as("out_h"))
+  }
+
   /** Frame-sampling PLUMBING for video-like payloads: every `stride`-th
     * frame boundary as (doc_id, frame_idx, byte_offset, frame_bytes).
     * Deterministic arithmetic over the (stubbed) container geometry —

@@ -265,6 +265,26 @@ object TrainingDataOps {
         |FROM b GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin
     ),
 
+    // ---- resize planning: aspect-preserving fit into 224×224 -----------
+    "mm_resize_plan" -> QuerySpec(
+      (s, dir) => {
+        val bin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "doc_id", "text")
+        Multimodal.resizePlan(Multimodal.decodeMeta(s, bin).toDF(), 224, 224)
+          .orderBy("doc_id")
+      },
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+        |    CAST(64 + (ascii(text[1:1]) * 7) % 512 AS INTEGER) AS height
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, least(224.0/width, 224.0/height, 1.0) AS sc FROM m)
+        |SELECT doc_id, width, height,
+        |  CAST(greatest(floor(width*sc), 1) AS INTEGER) AS out_w,
+        |  CAST(greatest(floor(height*sc), 1) AS INTEGER) AS out_h
+        |FROM s ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- frame-sampling plumbing (every 3rd 64-byte "frame"). The Spark
     // side slices BINARY at byte offsets (the real media semantics); the
     // oracle slices VARCHAR, which is byte-exact because the synthetic
