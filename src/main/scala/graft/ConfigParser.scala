@@ -70,7 +70,11 @@ object ConfigParser {
           stagedPath.getOrElse(throw new IllegalArgumentException(
             "mixpanel source needs options.path to staged export data")),
           where = str(options, "where"),
-          events = jsonArray(options.path("event")))
+          events = jsonArray(options.path("event")),
+          // reference dual-path flags (mixpanelETL.js:70,107)
+          doEvents = options.path("doEvents").asBoolean(true),
+          doPeople = options.path("doPeople").asBoolean(false),
+          peoplePath = str(options, "people_path"))
       case other =>
         throw new IllegalArgumentException(s"unknown source name: $other")
     }

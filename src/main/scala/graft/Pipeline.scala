@@ -20,8 +20,14 @@ object Pipeline {
   final case class CsvSource(path: String, roles: CsvTransform.CsvRoles) extends Source
   final case class AmplitudeStaged(path: String, importTag: Option[String] = None) extends Source
   final case class GaStaged(path: String) extends Source
+  /** `doEvents`/`doPeople` mirror the reference's dual-path dispatch
+    * (connectors/mixpanelETL.js:70,107): events from the /export staging
+    * at `path`, profiles from the /engage staging at `peoplePath`
+    * (default `<path>-engage`).
+    */
   final case class MixpanelStaged(path: String, where: Option[String] = None,
-      events: Seq[String] = Seq.empty) extends Source
+      events: Seq[String] = Seq.empty, doEvents: Boolean = true,
+      doPeople: Boolean = false, peoplePath: Option[String] = None) extends Source
 
   sealed trait Destination
   final case class LocalJson(dir: String) extends Destination
@@ -52,7 +58,7 @@ object Pipeline {
     case GaStaged(path) =>
       val ga = Sources.staged(spark, path, Model.gaSessionSchema)
       Outputs(GaTransform.events(spark, ga), Some(GaTransform.profiles(spark, ga)), None)
-    case MixpanelStaged(path, where, eventNames) =>
+    case MixpanelStaged(path, where, eventNames, doEvents, doPeople, peoplePath) =>
       val raw = Sources.staged(spark, path, Model.mpEventSchema)
       val filtered0 = where match {
         case Some(w) => raw.filter(
@@ -63,7 +69,16 @@ object Pipeline {
         if (eventNames.nonEmpty)
           filtered0.filter(org.apache.spark.sql.functions.col("event").isin(eventNames: _*))
         else filtered0
-      Outputs(filtered, None, None)
+      // doEvents=false → an empty events frame with the right schema (the
+      // reference's people-only runs skip /export entirely)
+      val eventsOut = if (doEvents) filtered else filtered.limit(0)
+      val profiles =
+        if (doPeople)
+          Some(graft.operators.MixpanelTransform.engageToProfiles(
+            Sources.staged(spark, peoplePath.getOrElse(s"$path-engage"),
+              Model.engageSchema)))
+        else None
+      Outputs(eventsOut, profiles, None)
   }
 
   /** Full E-T-L run. Event counts are taken with `observe()` DURING the

@@ -138,6 +138,24 @@ class EtlPipelineSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getAs[String]("distinct_id") == "u1")
   }
 
+  test("mixpanel doPeople pulls staged engage into profiles; doEvents=false empties events") {
+    val dir = tmpDir("mp-dual")
+    writeLines(dir, "export.json", Seq(
+      """{"event":"click","distinct_id":"u1","time":1700000000,"insert_id":"a","source":"mp","properties":{}}"""))
+    val peopleDir = tmpDir("mp-dual-engage")
+    writeLines(peopleDir, "engage.json", Seq(
+      """{"$distinct_id":"u1","$properties":{"plan":"pro"}}""",
+      """{"$distinct_id":"u2","$properties":{"plan":"free"}}"""))
+    val out = Pipeline.transform(spark, Pipeline.MixpanelStaged(dir,
+      doEvents = false, doPeople = true, peoplePath = Some(peopleDir)))
+    assert(out.events.count() == 0) // people-only run skips /export
+    val profiles = out.profiles.get.collect()
+    assert(profiles.length == 2)
+    assert(profiles.map(_.getAs[String]("distinct_id")).toSet == Set("u1", "u2"))
+    assert(profiles.map(_.getAs[Map[String, String]]("set")("plan")).toSet ==
+      Set("pro", "free"))
+  }
+
   test("staging lifecycle: run dir cleaned unless keepLocalCopy") {
     val base = tmpDir("staging")
     val kept = graft.sources.Staging.withStaging(base, "amp", keepLocalCopy = true) { dir =>
