@@ -518,7 +518,7 @@ object TrainingDataOps {
          |    PARTITION BY bucket ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
          |  FROM d)
-         |SELECT bucket, cum//2000 AS seq,
+         |SELECT bucket, CAST(cum//2000 AS BIGINT) AS seq,
          |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS seq_tokens
          |FROM c GROUP BY bucket, seq ORDER BY bucket, seq""".stripMargin
     ),

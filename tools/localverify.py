@@ -65,6 +65,13 @@ def main():
             gv, ev = g[c], e[c]
             try:
                 if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
+                    # The driver hashes string reprs as-is, so an int column on
+                    # one side vs float on the other (e.g. DuckDB HUGEINT ->
+                    # float64) hashes "4" vs "4.0" and FAILS there even though
+                    # the values are numerically equal. Mirror that strictness.
+                    if gv.dtype.kind != ev.dtype.kind:
+                        bad = f"{c} (dtype {gv.dtype} vs {ev.dtype}: driver hash would differ)"
+                        break
                     import numpy as np
                     if not np.allclose(gv.astype(float), ev.astype(float),
                                        rtol=0, atol=0, equal_nan=True):
