@@ -68,8 +68,13 @@ def main():
                     # The driver hashes string reprs as-is, so an int column on
                     # one side vs float on the other (e.g. DuckDB HUGEINT ->
                     # float64) hashes "4" vs "4.0" and FAILS there even though
-                    # the values are numerically equal. Mirror that strictness.
-                    if gv.dtype.kind != ev.dtype.kind:
+                    # the values are numerically equal. Mirror that strictness —
+                    # but only for null-free columns: a column with nulls is
+                    # float64/object purely as a pandas artifact, and the
+                    # driver normalizes nulls (p4's all-null brand hash-matched
+                    # in round 3).
+                    if (gv.dtype.kind != ev.dtype.kind
+                            and not gv.isna().any() and not ev.isna().any()):
                         bad = f"{c} (dtype {gv.dtype} vs {ev.dtype}: driver hash would differ)"
                         break
                     import numpy as np
