@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Benchmark-contamination detection for training corpora: flag corpus
+  * documents sharing word-n-gram overlap with a held-out evaluation set.
+  *
+  * Public provenance: the n-gram-overlap decontamination procedure described
+  * in "Language Models are Few-Shot Learners" (Brown et al. 2020, Appendix C)
+  * — eval documents are shingled into n-grams and any training document
+  * containing a matching n-gram is flagged/filtered.
+  *
+  * 100 TB posture: the corpus side is shingled with the same relational
+  * window formulation as the dedup family (one shuffle keyed on doc). The
+  * benchmark side is an EVALUATION set — orders of magnitude smaller than
+  * the corpus by construction — so its distinct n-gram hashes are
+  * broadcast and the overlap check is a broadcast LEFT SEMI join: the
+  * corpus never shuffles for the membership probe. N-gram strings are
+  * collapsed to 64-bit rolling hashes before the join so the broadcast and
+  * probe work on fixed-width longs, not text.
+  */
+object Contamination {
+
+  /** Per-corpus-document overlap stats against `bench`'s n-gram set.
+    *
+    * Output: (idCol, n_grams, n_contaminated, contamination_frac,
+    * contaminated) — one row per corpus document that has at least one
+    * n-gram (documents shorter than n tokens carry no contamination
+    * evidence and are omitted).
+    */
+  def ngramOverlap(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    // (doc, shingle) distinct, then fixed-width hash for the probe join
+    def hashedGrams(df: DataFrame): DataFrame =
+      Dedup.shingleIndex(df, idCol, textCol, n)
+        .select(col("doc"), Fns.rollingHash(col("s")).as("gh"))
+
+    val corpusGrams = hashedGrams(corpus)
+    val benchGrams = hashedGrams(bench).select("gh").distinct()
+
+    val totals = corpusGrams.groupBy("doc").agg(count(lit(1)).as("n_grams"))
+    val overlap = corpusGrams
+      .join(broadcast(benchGrams), Seq("gh"), "left_semi")
+      .groupBy("doc").agg(count(lit(1)).as("n_cont"))
+
+    totals
+      .join(overlap, Seq("doc"), "left")
+      .select(
+        col("doc").as(idCol),
+        col("n_grams"),
+        coalesce(col("n_cont"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_cont"), lit(0L)) / col("n_grams").cast("double"), 4)
+          .as("contamination_frac"),
+        (coalesce(col("n_cont"), lit(0L)) > 0).as("contaminated"))
+  }
+}

@@ -49,7 +49,7 @@ object Dedup {
     * HOF lambdas are interpreted per element (never whole-stage-codegen'd)
     * and measured ~10× slower at corpus scale. One shuffle on doc.
     */
-  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  private[operators] def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy("doc").orderBy("p")
     val parts = (0 until n).map(k => if (k == 0) col("w") else lead("w", k).over(w))
     docs

@@ -78,4 +78,71 @@ object TextAnalysis {
 
   /** Portable document fingerprint (rolling hash of the full text). */
   def fingerprint(text: Column): Column = Fns.rollingHash(text)
+
+  // --- repetition filters (Gopher-style quality signals) -----------------
+  // Public provenance: "Scaling Language Models: Methods, Analysis &
+  // Insights from Training Gopher" (Rae et al. 2021) §A.1.1 uses
+  // duplicate-n-gram fractions and most-common-word fraction as document
+  // quality gates. Re-expressed as per-row column expressions — no
+  // shuffle, embarrassingly parallel at corpus scale.
+
+  /** Fraction of tokens that are the single most frequent token, 4
+    * decimals. O(distinct×tokens) per row — documents are bounded
+    * (pipeline chunking), so this stays a per-row constant.
+    * DuckDB: list_max(list_transform(list_distinct(ts),
+    *   w -> len(list_filter(ts, t -> t = w)))) / len(ts).
+    */
+  def topTokenFraction(text: Column): Column = {
+    val ts = Fns.tokens(text)
+    val topCount = array_max(transform(array_distinct(ts),
+      w => size(filter(ts, t => t === w))))
+    round(topCount / greatest(size(ts), lit(1)).cast("double"), 4)
+  }
+
+  /** Fraction of word n-grams that are repeats of an earlier n-gram in the
+    * same document (1 - distinct/total), 4 decimals; 0.0 when the document
+    * has fewer than n tokens.
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val gs = Fns.shingles(text, n)
+    when(size(gs) <= 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(gs)) / size(gs).cast("double"), 4))
+  }
+
+  /** Repetition gate: true when the document looks pathologically
+    * repetitive under the Gopher-style thresholds (most-common-word > 30%
+    * of tokens, or > 30% duplicated 2-grams).
+    */
+  def repetitive(text: Column): Column =
+    topTokenFraction(text) > 0.3 || dupNgramFraction(text, 2) > 0.3
+
+  // --- PII redaction ------------------------------------------------------
+  // Patterns deliberately restricted to syntax with identical semantics in
+  // Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+  // quantifiers, alternation, \b word boundaries — no backreferences or
+  // lookaround (RE2 has neither).
+
+  /** Email addresses (conservative: alnum local part with . + _ -). */
+  val EmailRe = "[A-Za-z0-9][A-Za-z0-9.+_-]*@[A-Za-z0-9-]+\\.[A-Za-z0-9.]+"
+  /** NANP-style phone: 555-123-4567 (word-bounded). */
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  /** Dotted-quad IPv4 (word-bounded; no range validation — redaction
+    * favors recall).
+    */
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails, then phones, then IPv4s with typed placeholder tags.
+    * Order matters only for overlapping matches; these three pattern
+    * families are mutually exclusive on any single span.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Count of matches of `re` in `text` (0 for null text). */
+  def piiCount(text: Column, re: String): Column =
+    coalesce(regexp_count(text, lit(re)), lit(0))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.Fns
-import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis, IdentityResolution}
+import graft.operators.{Ann, Contamination, Dedup, Multimodal, TextAnalysis, IdentityResolution}
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
   * text analysis) as verifiable queries over `documents`/`embeddings`.
@@ -592,6 +592,123 @@ object TrainingDataOps {
            |  round(avg(n_tokens), 2) AS avg_tokens
            |FROM surv GROUP BY lang ORDER BY lang""".stripMargin
       }
+    ),
+
+    // ---- Gopher-style repetition quality signals -----------------------
+    "tx_repetition" -> QuerySpec(
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.topTokenFraction(col("text")).as("top_word_frac"),
+          TextAnalysis.dupNgramFraction(col("text"), 2).as("dup_2gram_frac"),
+          TextAnalysis.dupNgramFraction(col("text"), 3).as("dup_3gram_frac"),
+          TextAnalysis.repetitive(col("text")).as("repetitive"))
+          .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |g AS (SELECT doc_id, ts,
+         |  [array_to_string(ts[i:i+1],' ') for i in range(1, len(ts))] AS g2,
+         |  [array_to_string(ts[i:i+2],' ') for i in range(1, len(ts)-1)] AS g3
+         |  FROM toks),
+         |m AS (SELECT doc_id,
+         |  round(list_max(list_transform(list_distinct(ts),
+         |    w -> len(list_filter(ts, t -> t = w))))*1.0/greatest(len(ts),1), 4)
+         |    AS top_word_frac,
+         |  CASE WHEN len(g2) = 0 THEN 0.0
+         |       ELSE round(1.0 - len(list_distinct(g2))*1.0/len(g2), 4) END
+         |    AS dup_2gram_frac,
+         |  CASE WHEN len(g3) = 0 THEN 0.0
+         |       ELSE round(1.0 - len(list_distinct(g3))*1.0/len(g3), 4) END
+         |    AS dup_3gram_frac
+         |  FROM g)
+         |SELECT doc_id, top_word_frac, dup_2gram_frac, dup_3gram_frac,
+         |  (top_word_frac > 0.3 OR dup_2gram_frac > 0.3) AS repetitive
+         |FROM m ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- PII redaction (emails / phones / IPv4) ------------------------
+    // PII-bearing contact strings are synthesized deterministically from
+    // customer keys (the slim TPC-H customer carries no free-text column),
+    // then pushed through the REAL redaction operators; Spark and DuckDB
+    // build byte-identical raw strings, so the oracle checks the regex
+    // machinery itself.
+    "tx_pii_redact" -> QuerySpec(
+      (s, dir) => {
+        val k = col("c_custkey")
+        val email = concat(lower(col("c_mktsegment")), k.cast("string"),
+          lit("@ex"), (k % 7).cast("string"), lit(".org"))
+        val phone = concat(lit("555-"),
+          lpad((k * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((k * 13 % 10000).cast("string"), 4, "0"))
+        val ip = concat(lit("10."), (k % 256).cast("string"), lit("."),
+          (k * 3 % 256).cast("string"), lit("."), (k * 7 % 100).cast("string"))
+        val raw = concat_ws(" ", col("c_name"), lit("contact"), email,
+          lit("call"), phone, lit("from"), ip, col("c_mktsegment"))
+        t(s, dir, "customer").select(
+          col("c_custkey"),
+          TextAnalysis.redactPii(raw).as("redacted"),
+          TextAnalysis.piiCount(raw, TextAnalysis.EmailRe).as("n_emails"),
+          TextAnalysis.piiCount(raw, TextAnalysis.PhoneRe).as("n_phones"),
+          TextAnalysis.piiCount(raw, TextAnalysis.Ipv4Re).as("n_ips"))
+          .orderBy("c_custkey")
+      },
+      s"""WITH r AS (
+         |  SELECT c_custkey, concat_ws(' ', c_name, 'contact',
+         |    lower(c_mktsegment) || CAST(c_custkey AS VARCHAR) || '@ex' ||
+         |      CAST(c_custkey % 7 AS VARCHAR) || '.org',
+         |    'call',
+         |    '555-' || lpad(CAST(c_custkey*7 % 1000 AS VARCHAR), 3, '0') ||
+         |      '-' || lpad(CAST(c_custkey*13 % 10000 AS VARCHAR), 4, '0'),
+         |    'from',
+         |    '10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+         |      CAST(c_custkey*3 % 256 AS VARCHAR) || '.' ||
+         |      CAST(c_custkey*7 % 100 AS VARCHAR),
+         |    c_mktsegment) AS raw
+         |  FROM customer)
+         |SELECT c_custkey,
+         |  regexp_replace(regexp_replace(regexp_replace(raw,
+         |    '[A-Za-z0-9][A-Za-z0-9.+_-]*@[A-Za-z0-9-]+\\.[A-Za-z0-9.]+',
+         |    '<EMAIL>', 'g'),
+         |    '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g'),
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+         |    '<IP>', 'g') AS redacted,
+         |  len(regexp_extract_all(raw,
+         |    '[A-Za-z0-9][A-Za-z0-9.+_-]*@[A-Za-z0-9-]+\\.[A-Za-z0-9.]+'))
+         |    AS n_emails,
+         |  len(regexp_extract_all(raw, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b'))
+         |    AS n_phones,
+         |  len(regexp_extract_all(raw,
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+         |    AS n_ips
+         |FROM r ORDER BY c_custkey""".stripMargin
+    ),
+
+    // ---- benchmark-contamination n-gram overlap ------------------------
+    "tx_contamination" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Contamination.ngramOverlap(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 5)
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, $duckToks AS ts FROM documents),
+         |g AS (SELECT doc_id, source, unnest(list_distinct(
+         |  [array_to_string(ts[i:i+4],' ') for i in range(1, len(ts)-3)])) AS s
+         |  FROM toks),
+         |gh AS (SELECT doc_id, source, ${duckHash("s")} AS h FROM g),
+         |bench AS (SELECT DISTINCT h FROM gh WHERE source = 'src0'),
+         |corp AS (SELECT doc_id, h FROM gh WHERE source <> 'src0'),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY 1),
+         |con AS (SELECT doc_id, count(*) AS n_cont FROM corp
+         |  WHERE h IN (SELECT h FROM bench) GROUP BY 1)
+         |SELECT t.doc_id, t.n_grams,
+         |  CAST(coalesce(c.n_cont, 0) AS BIGINT) AS n_contaminated,
+         |  round(coalesce(c.n_cont, 0)*1.0/t.n_grams, 4) AS contamination_frac,
+         |  coalesce(c.n_cont, 0) > 0 AS contaminated
+         |FROM tot t LEFT JOIN con c ON t.doc_id = c.doc_id
+         |ORDER BY t.doc_id""".stripMargin
     )
   )
 }
