@@ -50,6 +50,18 @@ object Fns {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ofExpr(TopKByScore(toExpr(score), toExpr(id), k).toAggregateExpression())
 
+  /** Bloom bitset build aggregate over a BIGINT key column (see
+    * [[BloomFilterAgg]]).
+    */
+  def bloomFilterBuild(key: Column, numBits: Int, numHashes: Int): Column =
+    ofExpr(BloomFilterAgg(toExpr(key), numBits, numHashes).toAggregateExpression())
+
+  /** Codegen'd bloom membership probe against a plan-time constant bitset
+    * (see [[BloomMightContain]]).
+    */
+  def bloomMightContain(key: Column, bloom: Array[Byte], numHashes: Int): Column =
+    ofExpr(BloomMightContain(toExpr(key), bloom, numHashes))
+
   def rollingHash(s: Column): Column =
     // native codegen'd expression (graft.functions.RollingHash); the
     // composable HOF fold (aggregate∘transform∘split) computes the same

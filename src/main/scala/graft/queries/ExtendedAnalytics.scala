@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, epochS}
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, BloomPrefilterJoin, ZOrder}
 
 /** Extended analytics surface: as-of join, range join, grouping sets,
   * statistical aggregates — rounding out the M7 query layer with the
@@ -195,6 +195,70 @@ object ExtendedAnalytics {
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)/count(*),2) AS avg_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    ),
+
+    // ---- bloom-prefiltered exact join ----------------------------------
+    // The bloom prunes big-side rows before the join exchange; the exact
+    // join removes false positives, so the oracle is the PLAIN join — the
+    // bloom must be semantically invisible.
+    "join_bloom_prefilter" -> QuerySpec(
+      (s, dir) => {
+        val small = t(s, dir, "part").filter(col("p_size") <= 5)
+        BloomPrefilterJoin.join(
+          t(s, dir, "lineitem"), small, "l_partkey", "p_partkey")
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum("l_quantity"), 2).as("sum_qty"))
+          .orderBy("p_brand")
+      },
+      """SELECT p_brand, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+    ),
+
+    // ---- z-order layout: per-curve-bucket dimension spans --------------
+    // Rank-normalize two dimensions to 8-bit space (exact ntile here — the
+    // deterministic small-data variant of approxQuantile cutpoints), take
+    // the Morton z-value, and report min/max spans of BOTH dims per
+    // z-bucket: narrow spans on both = the data-skipping win. The write-
+    // path operator (ZOrder.cluster) range-partitions on the same z-value;
+    // bucketing via ntile keeps this oracle partition-count-independent.
+    "opt_zorder_cluster" -> QuerySpec(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ranked = t(s, dir, "part").select(
+          col("p_partkey"),
+          (ntile(256).over(Window.orderBy("p_partkey")) - 1).as("nx"),
+          (ntile(256).over(Window.orderBy(col("p_size"), col("p_partkey"))) - 1)
+            .as("ny"))
+        ranked
+          .withColumn("zval", ZOrder.zValue2(col("nx"), col("ny"), 8))
+          .withColumn("bucket",
+            ntile(32).over(Window.orderBy(col("zval"), col("p_partkey"))))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("nx").as("min_x"), max("nx").as("max_x"),
+            min("ny").as("min_y"), max("ny").as("max_y"))
+          .orderBy("bucket")
+      }, {
+        val z = (0 until 8).map(i =>
+          s"((nx >> $i) & 1)*${1L << (2 * i)} + ((ny >> $i) & 1)*${1L << (2 * i + 1)}")
+          .mkString(" + ")
+        s"""WITH r AS (
+           |  SELECT p_partkey,
+           |    ntile(256) OVER (ORDER BY p_partkey) - 1 AS nx,
+           |    ntile(256) OVER (ORDER BY p_size, p_partkey) - 1 AS ny
+           |  FROM part),
+           |z AS (SELECT p_partkey, nx, ny, CAST($z AS BIGINT) AS zval FROM r),
+           |b AS (SELECT *, ntile(32) OVER (ORDER BY zval, p_partkey) AS bucket
+           |  FROM z)
+           |SELECT bucket, count(*) AS n_rows,
+           |  min(nx) AS min_x, max(nx) AS max_x,
+           |  min(ny) AS min_y, max(ny) AS max_y
+           |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+      }
     )
   )
 }
