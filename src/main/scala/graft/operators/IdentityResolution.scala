@@ -25,7 +25,19 @@ object IdentityResolution {
     * rounds — a 1000-hop identity chain would need 1000 shuffles; pointer
     * jumping halves chain depth every round, giving O(log n) total.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** Edge-count ceiling for the single-pass union-find fast path: below
+    * this, the edge list is bounded driver state (≤ ~16 MB at 1M edges —
+    * the same contract as broadcast-join key or IVF-centroid
+    * materialization) and one collect beats O(log n) shuffle rounds whose
+    * cost is all fixed job overhead. Above it, the distributed
+    * propagation loop runs. Near-dup pair graphs sit far below this even
+    * at corpus scale (pairs are the duplicate subset, not the corpus);
+    * identity graphs at 100 TB sit far above and take the loop.
+    */
+  val SmallGraphMaxEdges: Long = 1000000L
+
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
     // Reliable checkpointing when the session has a checkpoint dir (the
     // 100 TB posture: localCheckpoint blocks die with their executor and
     // recovery replays the whole iteration chain); localCheckpoint is the
@@ -47,6 +59,17 @@ object IdentityResolution {
     val sym = cut(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
+
+    // Size-adaptive fast path: the checkpoint above already materialized
+    // the deduped symmetric edge list, so counting it is a block scan, not
+    // a recompute. Small graphs finish in one collect + union-find instead
+    // of O(log n) shuffle rounds whose cost at this size is pure fixed job
+    // overhead (2 jobs/round: checkpoint + convergence scan).
+    if (sym.count() <= smallGraphMaxEdges) {
+      val result = smallGraphComponents(sym)
+      releaseBlocks(sym)
+      return result
+    }
 
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
@@ -92,5 +115,34 @@ object IdentityResolution {
     // backed by the FINAL round's (still-persisted) checkpoint blocks
     if (prevRound.isDefined) releaseBlocks(sym)
     labels
+  }
+
+  /** Driver union-find over a bounded edge list (min-root union + path
+    * compression ⇒ each root IS the component's minimum id, matching the
+    * distributed loop's min-label contract exactly).
+    */
+  private def smallGraphComponents(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val es = sym.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      // min-root union: the surviving root is the smaller label, so roots
+      // stay component minima without a second relabeling pass
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val rows = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+    spark.createDataset(rows).toDF("node", "component")
   }
 }

@@ -10,7 +10,8 @@ class OperatorsSpec extends SparkSpec {
     // chain 1-2-3-4-5 plus isolated pair 10-11: transitive closure required
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
       .toDF("src", "dst")
-    val got = IdentityResolution.connectedComponents(edges)
+    // smallGraphMaxEdges = 0 forces the distributed propagation loop
+    val got = IdentityResolution.connectedComponents(edges, smallGraphMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert((1L to 5L).forall(got(_) == 1L), s"chain not fully resolved: $got")
     assert(got(10L) == 10L && got(11L) == 10L)
@@ -20,7 +21,7 @@ class OperatorsSpec extends SparkSpec {
     // worst case for pure propagation (needs 1000 rounds); pointer jumping
     // must close it in O(log n)
     val edges = (0L until 1000L).map(i => (i, i + 1)).toDF("src", "dst")
-    val got = IdentityResolution.connectedComponents(edges)
+    val got = IdentityResolution.connectedComponents(edges, smallGraphMaxEdges = 0L)
     assert(got.count() == 1001)
     assert(got.filter(col("component") =!= 0L).isEmpty,
       "chain not fully labeled with root 0")

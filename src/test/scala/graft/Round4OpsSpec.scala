@@ -97,6 +97,20 @@ class Round4OpsSpec extends SparkSpec {
     assert(plan.contains("RepartitionByExpression"), plan.take(300))
   }
 
+  // ---- size-adaptive connected components ---------------------------------
+
+  test("small-graph union-find fast path matches the distributed loop exactly") {
+    // chains, a star, an isolated pair, and out-of-order labels
+    val edges = (Seq((7L, 3L), (3L, 9L), (9L, 1L), (20L, 21L), (22L, 21L)) ++
+      (100L until 160L).map(i => (i + 1, i))).toDF("src", "dst")
+    val fast = IdentityResolution.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val dist = IdentityResolution.connectedComponents(edges, smallGraphMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist, s"paths disagree: ${fast.toSet.diff(dist.toSet)}")
+    assert(fast(7L) == 1L && fast(22L) == 20L && fast(160L) == 100L)
+  }
+
   // ---- repetition / PII / contamination -----------------------------------
 
   test("repetition metrics flag pathological docs and pass natural ones") {
