@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
 
@@ -41,9 +41,32 @@ object Contamination {
       Dedup.shingleIndex(df, idCol, textCol, n)
         .select(col("doc"), Fns.rollingHash(col("s")).as("gh"))
 
-    val corpusGrams = hashedGrams(corpus)
-    val benchGrams = hashedGrams(bench).select("gh").distinct()
+    overlapStats(hashedGrams(corpus),
+      hashedGrams(bench).select("gh").distinct(), idCol)
+  }
 
+  /** Single-scan variant for when corpus and benchmark live in ONE table
+    * split by a flag (the common decontamination shape): shingle once,
+    * carry the flag through the index, split after. Halves the
+    * scan+shuffle work of [[ngramOverlap]] on the same input.
+    */
+  def ngramOverlapSplit(
+      docs: DataFrame,
+      isBench: Column,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val grams = Dedup
+      .shingleIndex(docs.withColumn("_is_bench", isBench), idCol, textCol, n,
+        carry = Seq("_is_bench"))
+      .select(col("doc"), col("_is_bench"), Fns.rollingHash(col("s")).as("gh"))
+    overlapStats(
+      grams.filter(!col("_is_bench")).select("doc", "gh"),
+      grams.filter(col("_is_bench")).select("gh").distinct(), idCol)
+  }
+
+  private def overlapStats(corpusGrams: DataFrame, benchGrams: DataFrame,
+      idCol: String): DataFrame = {
     val totals = corpusGrams.groupBy("doc").agg(count(lit(1)).as("n_grams"))
     val overlap = corpusGrams
       .join(broadcast(benchGrams), Seq("gh"), "left_semi")

@@ -49,14 +49,20 @@ object Dedup {
     * HOF lambdas are interpreted per element (never whole-stage-codegen'd)
     * and measured ~10× slower at corpus scale. One shuffle on doc.
     */
-  private[operators] def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  /** `carry` columns are per-doc constants to ride along (they join the
+    * distinct key, which is harmless because they are functionally
+    * dependent on doc).
+    */
+  private[operators] def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("doc").orderBy("p")
     val parts = (0 until n).map(k => if (k == 0) col("w") else lead("w", k).over(w))
     docs
-      .select(col(idCol).as("doc"), posexplode(Fns.tokens(col(textCol))).as(Seq("p", "w")))
+      .select(col(idCol).as("doc") +: carry.map(col) :+
+        posexplode(Fns.tokens(col(textCol))).as(Seq("p", "w")): _*)
       .withColumn("s", when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
       .filter(col("s").isNotNull)
-      .select(col("doc"), col("s"))
+      .select(col("doc") +: carry.map(col) :+ col("s"): _*)
       .distinct()
   }
 

@@ -684,14 +684,10 @@ object TrainingDataOps {
 
     // ---- benchmark-contamination n-gram overlap ------------------------
     "tx_contamination" -> QuerySpec(
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        Contamination.ngramOverlap(
-          docs.filter(col("source") =!= "src0"),
-          docs.filter(col("source") === "src0"),
-          "doc_id", "text", n = 5)
-          .orderBy("doc_id")
-      },
+      (s, dir) =>
+        Contamination.ngramOverlapSplit(t(s, dir, "documents"),
+          col("source") === "src0", "doc_id", "text", n = 5)
+          .orderBy("doc_id"),
       s"""WITH toks AS (
          |  SELECT doc_id, source, $duckToks AS ts FROM documents),
          |g AS (SELECT doc_id, source, unnest(list_distinct(
