@@ -192,6 +192,31 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** k-NN self-join: EVERY corpus vector gets its top-k neighbors (the
+    * all-pairs companion to [[lshTopK]]'s query-set search — the shape a
+    * similarity-graph build or kNN-classifier labeling pass needs).
+    * Candidates are restricted to same-LSH-bucket pairs, so cost is
+    * Σ(bucket²) instead of n²; the ranker is the bounded map-side-combined
+    * top-k aggregate, so the shuffle carries O(n × k) pairs. NO broadcast
+    * on either join side — both are the corpus and grow with it; the
+    * bucket equi-join shuffles on the bucket key and AQE handles skewed
+    * buckets. Vectors alone in their bucket yield no rows (no candidates
+    * — the recall/cost trade LSH always makes).
+    * Output: (query_id, rank, neighbor_id, cos).
+    */
+  def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, k: Int): DataFrame = {
+    val withB = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .join(hyperplaneBuckets(corpus, idCol, vecCol, numPlanes), "vid")
+    val scored = withB
+      .select(col("vid").as("query_id"), col("v").as("qv"), col("bucket"))
+      .join(withB.select(col("vid").as("neighbor_id"), col("v").as("cv"),
+        col("bucket")), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Fns.cosineSim(col("qv"), col("cv")))
+    rankTopK(scored, k)
+  }
+
   /** LSH top-k: rank only candidates sharing the query's bucket.
     * Output: (query_id, rank, neighbor_id, cos) — recall depends on
     * numPlanes (fewer planes → bigger buckets → higher recall, more work).

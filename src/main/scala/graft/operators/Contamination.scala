@@ -65,6 +65,26 @@ object Contamination {
       grams.filter(col("_is_bench")).select("gh").distinct(), idCol)
   }
 
+  /** Decontamination: the corpus MINUS documents whose benchmark n-gram
+    * overlap exceeds `maxFrac` (Brown et al. 2020 remove at any overlap —
+    * maxFrac = 0). Documents shorter than n tokens carry no contamination
+    * evidence and are kept. The filter is a left-anti join against the
+    * (small) flagged-id set, so the corpus passes through with one probe —
+    * no extra shuffle beyond [[ngramOverlapSplit]]'s stats.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      isBench: Column,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxFrac: Double): DataFrame = {
+    val flagged = ngramOverlapSplit(docs, isBench, idCol, textCol, n)
+      .filter(col("contamination_frac") > maxFrac)
+      .select(idCol)
+    docs.filter(!isBench).join(flagged, Seq(idCol), "left_anti")
+  }
+
   private def overlapStats(corpusGrams: DataFrame, benchGrams: DataFrame,
       idCol: String): DataFrame = {
     val totals = corpusGrams.groupBy("doc").agg(count(lit(1)).as("n_grams"))

@@ -295,6 +295,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("c0"), 4).as("cos"))
   }
 
+  /** C4-style duplicate-span removal (Raffel et al. 2020, JMLR — "we
+    * discarded all but one of any three-sentence span occurring more than
+    * once"): the document is cut into fixed-size token chunks, every chunk
+    * duplicated ANYWHERE in the corpus keeps only its globally-first
+    * occurrence (min (doc, chunk_idx)), and surviving chunks are stitched
+    * back into the cleaned document.
+    *
+    * Scale shape: chunking is a pure projection + generator (the token
+    * array is sliced per row — no shuffle); the global first-occurrence
+    * choice is ONE map-side-combined `min(struct)` aggregation keyed on
+    * chunk text plus an equi-join back (never a corpus-wide window sort);
+    * reassembly is one aggregation keyed on doc. Three keyed shuffles
+    * total, each linear in corpus size.
+    *
+    * Output: (doc, n_chunks, n_kept, cleaned) — docs whose every chunk
+    * lost dedup come back with n_kept = 0 and an empty cleaned text.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame = {
+    val ts = Fns.tokens(col(textCol))
+    val nChunks = ceil(size(ts) / lit(chunkSize.toDouble)).cast("int")
+    val chunkArr = transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+      i => concat_ws(" ", slice(ts, i * chunkSize + 1, lit(chunkSize))))
+    val chunks = docs
+      .filter(size(ts) > 0)
+      .select(col(idCol).as("doc"), posexplode(chunkArr).as(Seq("ci", "chunk")))
+    val winners = chunks.groupBy("chunk")
+      .agg(min(struct(col("doc"), col("ci"))).as("w"))
+    val kept = chunks.join(winners, "chunk")
+      .filter(struct(col("doc"), col("ci")) === col("w"))
+    val rebuilt = kept.groupBy("doc").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("ci"), col("chunk")))),
+        s => s.getField("chunk")), " ").as("cleaned"))
+    chunks.groupBy("doc").agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
+  /** Keep the best row per key WITHOUT a window sort: one map-side-combined
+    * `min(struct(rank…, payload…))` aggregation — the scale-correct form of
+    * `row_number() = 1` when only the winner is needed (the window form
+    * shuffles AND sorts every row; this shuffles one partially-aggregated
+    * struct per key per map task). Rank columns order ascending, so pass
+    * e.g. `-n_chars` for keep-largest; include a unique id to break ties
+    * deterministically. Payload columns ride along and are returned.
+    */
+  def keepBestPerKey(df: DataFrame, keyCols: Seq[String], rankCols: Seq[Column],
+      payloadCols: Seq[String]): DataFrame = {
+    val ranked = struct(
+      rankCols.zipWithIndex.map { case (c, i) => c.as(s"__r$i") } ++
+        payloadCols.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(ranked).as("__best"))
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => col(s"__best.$c").as(c)): _*)
+  }
+
   /** Sub-quadratic embedding near-dup pairs: candidates are limited to
     * vectors sharing a deterministic random-hyperplane sign bucket
     * ([[Ann.hyperplaneBuckets]] — one bucket per vector), then scored

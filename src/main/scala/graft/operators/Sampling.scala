@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.Fns
 
 /** Deterministic sampling/splitting for training-data pipelines.
@@ -46,6 +47,40 @@ object Sampling {
       when(u < hi, name).otherwise(els)
     }
     df.withColumn("split", assigned)
+  }
+
+  /** Deterministic global training-order shuffle: every row gets a dense
+    * position 0..n-1 in md5(seed‖key) order — the "shuffle the corpus
+    * before epoch N" step of a training pipeline, reproducible across
+    * runs, engines, and partitionings (same seed → same permutation;
+    * different seed → an independent permutation).
+    *
+    * Scale shape — a distributed rank, NEVER a global-window sort (a
+    * partition-less `row_number()` funnels the whole corpus through ONE
+    * task): rows are histogram-bucketed by the first byte of the hash
+    * (256 fixed buckets), positions are `bucket_offset + rank-within-
+    * bucket`; the within-bucket window partitions BY BUCKET (distributed,
+    * ~n/256 rows each), and the offset table is 256 rows — a bounded
+    * broadcast by construction, not an assumption about data size.
+    *
+    * Output: the input columns plus `pos` (long, dense, 0-based).
+    */
+  def globalShuffle(df: DataFrame, keyCol: String, seed: Long): DataFrame = {
+    val hk = md5(concat(lit(seed.toString), col(keyCol).cast("string")))
+    val bucket = conv(substring(hk, 1, 2), 16, 10).cast("int")
+    val withB = df.withColumn("__hk", hk).withColumn("__b", bucket)
+    // offsets: exclusive prefix sum over the 256-row histogram. The
+    // unpartitioned window is bounded at 256 rows — constant, not corpus-
+    // dependent — so the single task is fine at any scale.
+    val offsets = withB.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__off")
+    val wInBucket = Window.partitionBy("__b").orderBy(col("__hk"), col(keyCol))
+    withB
+      .join(broadcast(offsets), "__b")
+      .withColumn("pos", col("__off") + row_number().over(wInBucket) - 1)
+      .drop("__hk", "__b", "__off")
   }
 
   /** Per-stratum deterministic sampling: keep a row iff its key's unit

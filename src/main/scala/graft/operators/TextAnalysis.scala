@@ -116,6 +116,49 @@ object TextAnalysis {
   def repetitive(text: Column): Column =
     topTokenFraction(text) > 0.3 || dupNgramFraction(text, 2) > 0.3
 
+  // --- Gopher quality rule battery ---------------------------------------
+  // Public provenance: Rae et al. 2021 §A.1.1 filters documents by word
+  // count bounds, mean word length bounds, symbol-to-word ratio, and the
+  // fraction of words carrying at least one alphabetic character. All
+  // per-row column arithmetic — no shuffle, no UDFs.
+
+  /** Mean token length in characters, 4 decimals (0.0 for empty docs). */
+  def meanWordLength(text: Column): Column = {
+    val ts = Fns.tokens(text)
+    val totalChars = aggregate(ts, lit(0L), (acc, w) => acc + length(w))
+    round(totalChars / greatest(size(ts), lit(1)).cast("double"), 4)
+  }
+
+  /** Fraction of tokens containing at least one alphabetic character,
+    * 4 decimals. Gopher gates on ≥ 0.8.
+    */
+  def alphaWordFraction(text: Column): Column = {
+    val ts = Fns.tokens(text)
+    round(size(filter(ts, w => w.rlike("[a-z]"))) /
+      greatest(size(ts), lit(1)).cast("double"), 4)
+  }
+
+  /** Full Gopher-style gate: word count within [minWords, maxWords], mean
+    * word length within [minMeanLen, maxMeanLen], punctuation ratio under
+    * maxSymbolRatio, alpha-word fraction over minAlphaFrac, and at least
+    * minStopHits stopword occurrences (natural prose contains function
+    * words). Returns a boolean column.
+    */
+  def gopherPass(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): Column = {
+    val ts = Fns.tokens(text)
+    val nWords = size(ts)
+    val stopHits = size(filter(ts, t => t.isin(StopWords: _*)))
+    nWords.between(minWords, maxWords) &&
+      meanWordLength(text).between(minMeanLen, maxMeanLen) &&
+      punctRatio(text) < maxSymbolRatio &&
+      alphaWordFraction(text) > minAlphaFrac &&
+      stopHits >= minStopHits
+  }
+
   // --- PII redaction ------------------------------------------------------
   // Patterns deliberately restricted to syntax with identical semantics in
   // Java regex (Spark) and RE2 (DuckDB): character classes, bounded

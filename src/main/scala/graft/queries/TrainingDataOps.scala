@@ -705,6 +705,150 @@ object TrainingDataOps {
          |  coalesce(c.n_cont, 0) > 0 AS contaminated
          |FROM tot t LEFT JOIN con c ON t.doc_id = c.doc_id
          |ORDER BY t.doc_id""".stripMargin
+    ),
+
+    // ---- decontamination: corpus minus flagged docs --------------------
+    "tx_decontaminate" -> QuerySpec(
+      (s, dir) =>
+        Contamination.decontaminate(t(s, dir, "documents"),
+          col("source") === "src0", "doc_id", "text", n = 5, maxFrac = 0.05)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id"),
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, $duckToks AS ts FROM documents),
+         |g AS (SELECT doc_id, source, unnest(list_distinct(
+         |  [array_to_string(ts[i:i+4],' ') for i in range(1, len(ts)-3)])) AS s
+         |  FROM toks),
+         |gh AS (SELECT doc_id, source, ${duckHash("s")} AS h FROM g),
+         |bench AS (SELECT DISTINCT h FROM gh WHERE source = 'src0'),
+         |corp AS (SELECT doc_id, h FROM gh WHERE source <> 'src0'),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY 1),
+         |con AS (SELECT doc_id, count(*) AS n_cont FROM corp
+         |  WHERE h IN (SELECT h FROM bench) GROUP BY 1),
+         |flagged AS (
+         |  SELECT t.doc_id FROM tot t LEFT JOIN con c ON t.doc_id = c.doc_id
+         |  WHERE round(coalesce(c.n_cont, 0)*1.0/t.n_grams, 4) > 0.05)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.source <> 'src0'
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+         |ORDER BY d.doc_id""".stripMargin
+    ),
+
+    // ---- C4-style duplicate-span removal (chunk dedup + reassembly) ----
+    "dd_chunk_dedup" -> QuerySpec(
+      (s, dir) =>
+        Dedup.chunkDedup(t(s, dir, "documents"), "doc_id", "text", 10)
+          .withColumnRenamed("doc", "doc_id")
+          .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |ch AS (
+         |  SELECT doc_id, CAST(u.ci AS INTEGER) AS ci, u.chunk AS chunk FROM (
+         |    SELECT doc_id, unnest(
+         |      [{'ci': i, 'chunk': array_to_string(ts[i*10+1 : i*10+10], ' ')}
+         |       for i in range(0, CAST(ceil(len(ts)/10.0) AS BIGINT))]) AS u
+         |    FROM toks WHERE len(ts) > 0)),
+         |win AS (SELECT *, row_number() OVER (
+         |  PARTITION BY chunk ORDER BY doc_id, ci) AS rn FROM ch),
+         |kept AS (SELECT doc_id, ci, chunk FROM win WHERE rn = 1),
+         |reb AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(chunk, ' ' ORDER BY ci) AS cleaned FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_chunks,
+         |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(r.cleaned, '') AS cleaned
+         |FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    ),
+
+    // ---- keep-best-per-key dedup (longest doc per source+lang) ---------
+    "dd_keep_best_source" -> QuerySpec(
+      (s, dir) =>
+        Dedup.keepBestPerKey(t(s, dir, "documents"),
+          keyCols = Seq("source", "lang"),
+          rankCols = Seq(-col("n_chars"), col("doc_id")),
+          payloadCols = Seq("doc_id", "n_chars"))
+          .orderBy("source", "lang"),
+      s"""SELECT source, lang, doc_id, n_chars FROM (
+         |  SELECT source, lang, doc_id, n_chars, row_number() OVER (
+         |    PARTITION BY source, lang ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM documents) WHERE rn = 1 ORDER BY source, lang""".stripMargin
+    ),
+
+    // ---- Gopher quality rule battery -----------------------------------
+    "tx_gopher_quality" -> QuerySpec(
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_words"),
+          TextAnalysis.meanWordLength(col("text")).as("mean_word_len"),
+          TextAnalysis.alphaWordFraction(col("text")).as("alpha_frac"),
+          TextAnalysis.gopherPass(col("text")).as("gopher_pass"))
+          .orderBy("doc_id"),
+      {
+        val stop = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+        s"""WITH m AS (
+           |  SELECT doc_id, $duckToks AS ts,
+           |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+           |    length(regexp_replace(regexp_replace(text, '\\s', '', 'g'),
+           |      '[a-zA-Z0-9]', '', 'g')) AS n_punct
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, len(ts) AS n_words,
+           |    round(list_reduce(list_transform(ts, w -> len(w)), (a, b) -> a + b)
+           |      * 1.0 / greatest(len(ts), 1), 4) AS mean_word_len,
+           |    round(len(list_filter(ts, w -> regexp_matches(w, '[a-z]')))
+           |      * 1.0 / greatest(len(ts), 1), 4) AS alpha_frac,
+           |    round(n_punct * 1.0 / greatest(n_nonspace, 1), 4) AS punct_ratio,
+           |    len(list_filter(ts, t -> t IN ($stop))) AS stop_hits
+           |  FROM m)
+           |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_word_len,
+           |  alpha_frac,
+           |  (n_words BETWEEN 50 AND 100000
+           |    AND mean_word_len BETWEEN 3.0 AND 10.0
+           |    AND punct_ratio < 0.1 AND alpha_frac > 0.8
+           |    AND stop_hits >= 2) AS gopher_pass
+           |FROM r ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // ---- deterministic global training-order shuffle -------------------
+    "sp_global_shuffle" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Sampling.globalShuffle(
+          t(s, dir, "documents").select("doc_id"), "doc_id", seed = 42L)
+          .select("doc_id", "pos")
+          .orderBy("doc_id"),
+      s"""SELECT doc_id, CAST(row_number() OVER (
+         |  ORDER BY md5('42' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+         |FROM documents ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- k-NN self-join (similarity graph over the whole corpus) -------
+    "ann_knn_join" -> QuerySpec(
+      (s, dir) =>
+        Ann.knnJoin(t(s, dir, "embeddings"), "vec_id", "embedding",
+          numPlanes = 6, k = 2)
+          .orderBy("query_id", "rank"),
+      s"""WITH dims AS (
+         |  SELECT vec_id AS vid, unnest(range(len(embedding))) AS d,
+         |    unnest(embedding::DOUBLE[]) AS x
+         |  FROM embeddings),
+         |proj AS (
+         |  SELECT vid, p.p AS p,
+         |    sum(CASE WHEN ((p.p*1315423911 + d*2654435761) % 1000000007) % 2 = 0
+         |        THEN x ELSE -x END) AS sv
+         |  FROM dims, range(6) p(p) GROUP BY vid, p.p),
+         |buck AS (SELECT vid, string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         |  FROM proj GROUP BY vid),
+         |sc AS (
+         |  SELECT qa.vid AS query_id, cb.vid AS neighbor_id, $duckCosine AS cos
+         |  FROM buck qa JOIN buck cb ON qa.bucket = cb.bucket AND cb.vid <> qa.vid
+         |  JOIN embeddings a ON a.vec_id = qa.vid
+         |  JOIN embeddings b ON b.vec_id = cb.vid),
+         |r AS (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin
     )
   )
 }
