@@ -83,6 +83,47 @@ object Sampling {
       .drop("__hk", "__b", "__off")
   }
 
+  /** Importance sampling with a per-ROW continuous weight ∈ [0,1] (the
+    * data-mixing generalization of [[stratifiedSample]]'s per-stratum
+    * constants): keep a row iff its key's unit hash is below its weight.
+    * Same determinism + monotonicity contract — upweighting a document
+    * can only add it, never remove it — and still a pure projection,
+    * zero shuffles.
+    */
+  def importanceSample(df: DataFrame, keyCol: String, weight: Column): DataFrame =
+    df.filter(unitHash(col(keyCol)) < weight)
+
+  /** Resample a corpus toward a TARGET domain mixture (the data-mixing
+    * step of multi-source training runs: given per-domain target
+    * fractions, keep the largest subset whose composition matches them).
+    * Per-domain keep rate = targetFrac·scale / n_domain where scale =
+    * min over domains of n_domain/targetFrac — the binding domain is
+    * kept whole and every other domain is down-sampled proportionally.
+    *
+    * Scale shape: the domain histogram is ONE map-side-combined count
+    * aggregation materialized to the driver — bounded by the domain
+    * count, the same contract as IVF-centroid materialization — and the
+    * rates come back inlined in the plan as a literal CASE chain, so the
+    * corpus pass is a pure projection-filter with zero joins. Domains
+    * absent from `targets` are dropped (target fraction 0).
+    */
+  def domainMix(df: DataFrame, keyCol: String, domainCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "need at least one target domain")
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    val present = targets.filter { case (d, f) => f > 0 && counts.contains(d) }
+    require(present.nonEmpty, "no target domain present in the data")
+    val scale = present.map { case (d, f) => counts(d) / f }.min
+    val rates = present.map { case (d, f) =>
+      d -> math.min(1.0, f * scale / counts(d))
+    }
+    val rate = rates.foldRight(lit(0.0): Column) { case ((d, r), els) =>
+      when(col(domainCol) === d, lit(r)).otherwise(els)
+    }
+    df.filter(unitHash(col(keyCol)) < rate)
+  }
+
   /** Per-stratum deterministic sampling: keep a row iff its key's unit
     * hash is below the stratum's rate (`rates`, else `defaultRate`).
     * Exactly reproducible, and the kept set is MONOTONE in the rate: a

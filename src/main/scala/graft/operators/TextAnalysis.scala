@@ -159,6 +159,33 @@ object TextAnalysis {
       stopHits >= minStopHits
   }
 
+  /** Default weights for [[qualityLogit]]: (bias, length, stopword,
+    * punctuation, alpha-fraction, mean-word-length). Stand-ins for a
+    * trained classifier's coefficients — the OPERATOR contract (broadcast
+    * constant weights × per-row feature projection) is what matters at
+    * scale; swapping in learned weights changes no plan shape.
+    */
+  val QualityLogitWeights: Seq[Double] = Seq(-1.0, 1.5, 2.0, -3.0, 1.0, 0.5)
+
+  /** Linear quality-classifier score (fasttext-style curation classifiers
+    * reduce to exactly this at inference: w·features + b per document).
+    * Features are each rounded to 4 decimals BEFORE the combination so
+    * the arithmetic is engine-portable; output is the raw logit (rounded
+    * 4) — monotone in the probability, so thresholding it is equivalent
+    * to thresholding the sigmoid, without cross-engine exp() rounding.
+    */
+  def qualityLogit(text: Column, weights: Seq[Double] = QualityLogitWeights): Column = {
+    require(weights.length == 6, "need (bias, len, stop, punct, alpha, mwl)")
+    val Seq(b, wLen, wStop, wPunct, wAlpha, wMwl) = weights
+    val fLen = least(tokenCount(text) / lit(100.0), lit(1.0))
+    val logit = lit(b) + lit(wLen) * fLen +
+      lit(wStop) * stopwordRatio(text) +
+      lit(wPunct) * punctRatio(text) +
+      lit(wAlpha) * alphaWordFraction(text) +
+      lit(wMwl) * (meanWordLength(text) / lit(10.0))
+    round(logit, 4)
+  }
+
   // --- PII redaction ------------------------------------------------------
   // Patterns deliberately restricted to syntax with identical semantics in
   // Java regex (Spark) and RE2 (DuckDB): character classes, bounded

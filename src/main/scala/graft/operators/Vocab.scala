@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Vocabulary construction over a corpus — the front end of tokenizer
+  * training (BPE/WordPiece start from exactly these two tables: token
+  * frequencies and adjacent-pair frequencies).
+  *
+  * Scale shape: one explode + one map-side-combined count aggregation,
+  * then a BOUNDED top-k — `orderBy(…).limit(k)` deliberately, because
+  * Catalyst compiles sort+limit into `TakeOrderedAndProject`: each
+  * partition keeps its local top-k and the driver merges k×partitions
+  * rows. The corpus-sized count table is never globally sorted.
+  */
+object Vocab {
+
+  /** Top-k corpus tokens by frequency (ties broken token-ascending).
+    * Output: (token, cnt), frequency-descending.
+    */
+  def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(Fns.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Top-k adjacent token pairs by frequency — BPE's merge-candidate
+    * table (Sennrich et al. 2016 count symbol pairs per iteration; at
+    * corpus scale the pair count IS the expensive step, the argmax is
+    * driver-trivial). Output: (pair, cnt), frequency-descending.
+    */
+  def topPairs(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(Fns.shingles(col(textCol), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+}

@@ -849,6 +849,98 @@ object TrainingDataOps {
          |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(cos, 4) AS cos
          |FROM r WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin
+    ),
+
+    // ---- vocabulary building: top-k tokens (tokenizer-training input) --
+    "tx_vocab_topk" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Vocab.topTokens(t(s, dir, "documents"), "text", 100),
+      s"""SELECT token, count(*) AS cnt FROM (
+         |  SELECT unnest($duckToks) AS token FROM documents)
+         |WHERE token <> ''
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin
+    ),
+
+    // ---- BPE merge candidates: top-k adjacent token pairs --------------
+    "tx_bpe_pairs" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Vocab.topPairs(t(s, dir, "documents"), "text", 50),
+      s"""SELECT pair, count(*) AS cnt FROM (
+         |  SELECT unnest(
+         |    [array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]) AS pair
+         |  FROM (SELECT $duckToks AS ts FROM documents))
+         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin
+    ),
+
+    // ---- importance sampling: per-row continuous keep weight -----------
+    "sp_importance_sample" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Sampling.importanceSample(t(s, dir, "documents"),
+          "doc_id", least(col("n_chars") / lit(400.0), lit(1.0)))
+          .select("doc_id", "n_chars")
+          .orderBy("doc_id"),
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE (((${duckHash("CAST(doc_id AS VARCHAR)")})*1315423911 + 2654435761)
+         |  % 1000000007)*1.0/1000000007 < least(n_chars/400.0, 1.0)
+         |ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- domain-mixture resampling --------------------------------------
+    "sp_domain_mix" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Sampling.domainMix(t(s, dir, "documents"), "doc_id",
+          "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum("doc_id").cast("long").as("id_checksum"))
+          .orderBy("source"),
+      s"""WITH n AS (SELECT source, count(*) AS nd FROM documents GROUP BY source),
+         |t AS (SELECT source, nd, CASE source WHEN 'src0' THEN 0.5
+         |    WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2 END AS tf
+         |  FROM n WHERE source IN ('src0', 'src1', 'src2')),
+         |r AS (SELECT source, least(1.0, tf*(SELECT min(nd/tf) FROM t)/nd) AS rate
+         |  FROM t),
+         |k AS (SELECT d.source, d.doc_id FROM documents d JOIN r ON d.source = r.source
+         |  WHERE (((${duckHash("CAST(doc_id AS VARCHAR)")})*1315423911 + 2654435761)
+         |    % 1000000007)*1.0/1000000007 < r.rate)
+         |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM k GROUP BY source ORDER BY source""".stripMargin
+    ),
+
+    // ---- linear quality-classifier scoring ------------------------------
+    "tx_quality_logit" -> QuerySpec(
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.qualityLogit(col("text")).as("logit"),
+          (TextAnalysis.qualityLogit(col("text")) >= 0.5).as("keep"))
+          .orderBy("doc_id"),
+      {
+        val stop = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+        s"""WITH m AS (
+           |  SELECT doc_id, $duckToks AS ts,
+           |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+           |    length(regexp_replace(regexp_replace(text, '\\s', '', 'g'),
+           |      '[a-zA-Z0-9]', '', 'g')) AS n_punct
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id,
+           |    least(len(ts)/100.0, 1.0) AS f_len,
+           |    round(len(list_filter(ts, t -> t IN ($stop)))
+           |      * 1.0 / greatest(len(ts), 1), 4) AS stop_ratio,
+           |    round(n_punct * 1.0 / greatest(n_nonspace, 1), 4) AS punct_ratio,
+           |    round(len(list_filter(ts, w -> regexp_matches(w, '[a-z]')))
+           |      * 1.0 / greatest(len(ts), 1), 4) AS alpha_frac,
+           |    round(list_reduce(list_transform(ts, w -> len(w)), (a, b) -> a + b)
+           |      * 1.0 / greatest(len(ts), 1), 4) AS mwl
+           |  FROM m),
+           |l AS (
+           |  SELECT doc_id, round(-1.0 + 1.5*f_len + 2.0*stop_ratio
+           |    + (-3.0)*punct_ratio + 1.0*alpha_frac + 0.5*(mwl/10.0), 4) AS logit
+           |  FROM f)
+           |SELECT doc_id, logit, logit >= 0.5 AS keep
+           |FROM l ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }

@@ -96,6 +96,56 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L), s"got $kept")
   }
 
+  // ---- vocabulary / BPE front end -----------------------------------------
+
+  test("topTokens counts correctly and compiles to a bounded TakeOrdered plan") {
+    val docs = Seq((1L, "aa bb aa cc"), (2L, "aa bb")).toDF("doc_id", "text")
+    val top = Vocab.topTokens(docs, "text", 2)
+    assert(top.as[(String, Long)].collect().toSeq == Seq(("aa", 3L), ("bb", 2L)))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded per-partition take, not a global sort:\n${plan.take(400)}")
+  }
+
+  test("topPairs counts adjacent pairs across all occurrences") {
+    val docs = Seq((1L, "aa bb aa bb"), (2L, "aa bb")).toDF("doc_id", "text")
+    val got = Vocab.topPairs(docs, "text", 3).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("aa bb", 3L), ("bb aa", 1L)))
+  }
+
+  // ---- importance sampling / domain mixing --------------------------------
+
+  test("importanceSample keeps monotonically more rows at higher weights") {
+    val df = spark.range(2000).toDF("id")
+    def kept(w: Double): Set[Long] =
+      Sampling.importanceSample(df, "id", lit(w)).as[Long].collect().toSet
+    val (k2, k5, k8) = (kept(0.2), kept(0.5), kept(0.8))
+    assert(k2.subsetOf(k5) && k5.subsetOf(k8), "kept sets must be nested in weight")
+    assert(math.abs(k5.size - 1000) < 150, s"~half expected at 0.5, got ${k5.size}")
+  }
+
+  test("domainMix hits the target mixture and keeps the binding domain whole") {
+    val df = (Seq.fill(800)("a") ++ Seq.fill(100)("b") ++ Seq.fill(100)("c"))
+      .zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "dom")
+    // target 50/50 over a and b: b (100 rows vs target 0.5) binds → kept
+    // whole; a down-samples to ~100; c is dropped (no target)
+    val kept = Sampling.domainMix(df, "id", "dom", Map("a" -> 0.5, "b" -> 0.5))
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(kept("b") == 100L, s"binding domain must be kept whole: $kept")
+    assert(!kept.contains("c"), "untargeted domain must be dropped")
+    assert(math.abs(kept("a") - 100L) < 40, s"a must downsample to ~100: $kept")
+  }
+
+  test("qualityLogit rewards stopword-bearing prose and punishes punctuation") {
+    val rows = Seq(
+      (1L, "the cat is on the mat and it is warm " * 5),
+      (2L, "!!! ??? ... ;;; ::: !!! ??? ... ;;; :::")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.qualityLogit(col("text")).as("l"))
+      .as[(Long, Double)].collect().toMap
+    assert(rows(1L) > rows(2L), s"prose must outscore punctuation salad: $rows")
+  }
+
   // ---- k-NN self-join -----------------------------------------------------
 
   test("knnJoin returns per-vector bucket-local exact top-k") {
