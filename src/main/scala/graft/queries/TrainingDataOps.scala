@@ -864,7 +864,7 @@ object TrainingDataOps {
     // ---- BPE merge candidates: top-k adjacent token pairs --------------
     "tx_bpe_pairs" -> QuerySpec(
       (s, dir) =>
-        graft.operators.Vocab.topPairs(t(s, dir, "documents"), "text", 50),
+        graft.operators.Vocab.topPairs(t(s, dir, "documents"), "doc_id", "text", 50),
       s"""SELECT pair, count(*) AS cnt FROM (
          |  SELECT unnest(
          |    [array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]) AS pair

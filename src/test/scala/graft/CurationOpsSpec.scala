@@ -109,7 +109,7 @@ class CurationOpsSpec extends SparkSpec {
 
   test("topPairs counts adjacent pairs across all occurrences") {
     val docs = Seq((1L, "aa bb aa bb"), (2L, "aa bb")).toDF("doc_id", "text")
-    val got = Vocab.topPairs(docs, "text", 3).as[(String, Long)].collect().toSeq
+    val got = Vocab.topPairs(docs, "doc_id", "text", 3).as[(String, Long)].collect().toSeq
     assert(got == Seq(("aa bb", 3L), ("bb aa", 1L)))
   }
 
