@@ -96,6 +96,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0) == ((t0, 3L)) && rows(1) == ((t0 + 5000, 2L)))
   }
 
+  test("streaming curation: dedup, quality gate, PII redaction, decontamination") {
+    import graft.streaming.StreamingCuration
+    val staging = Files.createTempDirectory("stream-cur").toString
+    val t0 = 1700000000L
+    val good = "the quick brown fox jumps over a lazy dog while the bright sun " +
+      "sets behind tall green hills and children play near the quiet river " +
+      "bank for hours watching small boats drift slowly past old wooden docks"
+    val lowQ = "x" // fails quality (too short)
+    val spam = "spam spam spam spam spam spam spam spam spam spam " +
+      "spam spam spam spam spam spam spam spam the a of to and in is it for go" // repetitive
+    val pii = good + " contact bob@mail.example.com now"
+    val contaminated = good + " alpha beta gamma delta epsilon"
+    def line(id: Long, text: String, t: Long): String = {
+      val esc = text.replace("\"", "\\\"")
+      s"""{"doc_id":$id,"text":"$esc","lang":"en","source":"s1","ingest_ts":$t}"""
+    }
+    Files.write(java.nio.file.Paths.get(staging, "d1.json"),
+      Seq(line(1, good, t0), line(2, good, t0 + 5), // exact re-drop of 1
+        line(3, lowQ, t0 + 10), line(4, spam, t0 + 15),
+        line(5, pii, t0 + 20), line(6, contaminated, t0 + 25))
+        .mkString("\n").getBytes)
+
+    val bench = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+    val curated = StreamingCuration.decontaminate(
+      StreamingCuration.curate(
+        StreamingCuration.documentStream(spark, staging)),
+      bench, "text", n = 5)
+    val q = curated.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val rows = spark.table("curated").select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    q.stop()
+    assert(rows.keySet == Set(1L, 5L),
+      s"expected dedup(2), quality(3), repetition(4), contamination(6) drops: ${rows.keySet}")
+    assert(rows(5L).contains("<EMAIL>") && !rows(5L).contains("bob@"),
+      s"PII must be redacted in-stream: ${rows(5L)}")
+  }
+
   test("profile upsert state merges $set with last-write-wins across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
