@@ -79,6 +79,17 @@ object TextAnalysis {
   /** Portable document fingerprint (rolling hash of the full text). */
   def fingerprint(text: Column): Column = Fns.rollingHash(text)
 
+  /** Canonical text normalization — the cleaning step ahead of hashing /
+    * shingling in every curation pipeline: lowercase, strip
+    * non-alphanumeric-non-space characters, collapse whitespace runs to
+    * single spaces, trim. Pure per-row projection; normalizing BEFORE
+    * exact/near dedup is what makes "same text modulo case and
+    * punctuation" collide to one key.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
   // --- repetition filters (Gopher-style quality signals) -----------------
   // Public provenance: "Scaling Language Models: Methods, Analysis &
   // Insights from Training Gopher" (Rae et al. 2021) §A.1.1 uses

@@ -941,6 +941,60 @@ object TrainingDataOps {
            |SELECT doc_id, logit, logit >= 0.5 AS keep
            |FROM l ORDER BY doc_id""".stripMargin
       }
+    ),
+
+    // ---- canonical text normalization ----------------------------------
+    // documents.text is already clean, so the fixture synthesizes the
+    // messy input (case noise + punctuation + whitespace runs) from
+    // customer columns byte-identically in both engines — the oracle then
+    // checks the normalization machinery itself (the tx_pii_redact
+    // pattern).
+    "tx_normalize" -> QuerySpec(
+      (s, dir) => {
+        val raw = concat_ws("  ", upper(col("c_name")), lit("!!"),
+          col("c_mktsegment"), lit("(Extra,  Punct.)"),
+          col("c_custkey").cast("string"))
+        t(s, dir, "customer").select(
+          col("c_custkey"),
+          TextAnalysis.normalize(raw).as("normalized"),
+          Fns.rollingHash(TextAnalysis.normalize(raw)).as("norm_key"))
+          .orderBy("c_custkey")
+      },
+      s"""WITH r AS (
+         |  SELECT c_custkey, concat_ws('  ', upper(c_name), '!!',
+         |    c_mktsegment, '(Extra,  Punct.)',
+         |    CAST(c_custkey AS VARCHAR)) AS raw
+         |  FROM customer),
+         |n AS (
+         |  SELECT c_custkey, trim(regexp_replace(
+         |    regexp_replace(lower(raw), '[^a-z0-9\\s]', '', 'g'),
+         |    '\\s+', ' ', 'g')) AS normalized
+         |  FROM r)
+         |SELECT c_custkey, normalized,
+         |  ${duckHash("normalized")} AS norm_key
+         |FROM n ORDER BY c_custkey""".stripMargin
+    ),
+
+    // ---- corpus composition report --------------------------------------
+    // The per-(language, length-band) histogram a curation run publishes:
+    // doc counts, token mass, and char mass per cell — one map-side-
+    // combined aggregation over per-row projections.
+    "tx_corpus_stats" -> QuerySpec(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("lang"), col("n_chars"),
+            TextAnalysis.tokenCount(col("text")).as("nt"))
+          .groupBy(col("lang"),
+            (floor(col("nt") / 20) * 20).cast("long").as("tok_band"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nt").cast("long").as("total_tokens"),
+            sum("n_chars").cast("long").as("total_chars"))
+          .orderBy("lang", "tok_band"),
+      s"""SELECT lang, (len($duckToks)//20)*20 AS tok_band,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len($duckToks)) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, tok_band""".stripMargin
     )
   )
 }

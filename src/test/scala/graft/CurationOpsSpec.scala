@@ -35,6 +35,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1) == ((2L, 1L, 0L, "")), s"loser doc must survive with n_kept=0: ${out(1)}")
   }
 
+  test("chunkDedup is idempotent: re-running on cleaned output changes nothing") {
+    val docs = Tables.t(spark, sfDir, "documents").limit(200)
+    val once = Dedup.chunkDedup(docs, "doc_id", "text", 10)
+      .select(col("doc").as("doc_id"), col("cleaned").as("text"))
+      .filter(col("text") =!= "")
+    val twice = Dedup.chunkDedup(once, "doc_id", "text", 10)
+    // every chunk in the cleaned corpus is already globally unique, so the
+    // second pass must keep everything
+    val lost = twice.filter(col("n_kept") < col("n_chunks")).count()
+    assert(lost == 0, s"$lost docs lost chunks on the second pass")
+  }
+
+  test("normalize collapses case, punctuation, and whitespace to a canonical key") {
+    val rows = Seq(
+      "  Hello,   WORLD!!  ",
+      "hello world",
+      "HELLO ... world"
+    ).toDF("text").select(TextAnalysis.normalize(col("text")).as("n"))
+      .as[String].collect()
+    assert(rows.toSet == Set("hello world"), s"got ${rows.toSeq}")
+  }
+
   // ---- keep-best-per-key --------------------------------------------------
 
   test("keepBestPerKey keeps the highest-ranked row with deterministic ties") {
