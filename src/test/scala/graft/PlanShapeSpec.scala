@@ -75,4 +75,46 @@ class PlanShapeSpec extends SparkSpec {
     // the query's own read path must not funnel through one partition
     assert(!df.queryExecution.executedPlan.toString.contains("Coalesce 1"))
   }
+
+  test("global shuffle ranks within hash buckets — no corpus-wide window") {
+    val plan = executedPlan("sp_global_shuffle")
+    // the within-bucket rank window must partition BY the bucket; the only
+    // unpartitioned window allowed is the 256-row offset prefix sum
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.count(_.isEmpty)
+    assert(unpartitioned == 0,
+      s"found an unpartitioned corpus window: $windows")
+  }
+
+  test("chunk dedup picks winners via partial min(struct) aggregation, not a window") {
+    val plan = executedPlan("dd_chunk_dedup")
+    assert(plan.replaceAll("#\\d+", "").contains("partial_min(struct(doc"),
+      "winner choice must map-side combine")
+    assert(!plan.contains("Window"), "no corpus-wide window sort in chunk dedup")
+  }
+
+  test("keep-best-per-key is a single aggregation — no window, no join") {
+    val plan = executedPlan("dd_keep_best_source")
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("Join"))
+    assert(plan.replaceAll("#\\d+", "").contains("partial_min(struct"))
+  }
+
+  test("kNN self-join carries no broadcast hints on corpus-sized sides") {
+    val df = SparkEntry.queries("ann_knn_join")(spark, dir)
+    val logical = df.queryExecution.analyzed.toString
+    assert("UnresolvedHint|ResolvedHint".r.findAllIn(logical).isEmpty,
+      "both join sides grow with the corpus — AQE must decide")
+    df.count()
+    assert(df.queryExecution.executedPlan.toString.contains("topk_by_score"))
+  }
+
+  test("vocab top-k compiles to TakeOrderedAndProject (bounded, no global sort)") {
+    for (q <- Seq("tx_vocab_topk", "tx_bpe_pairs")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("TakeOrderedAndProject"), s"$q must bound the take")
+    }
+  }
 }
