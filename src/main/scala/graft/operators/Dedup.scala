@@ -355,6 +355,39 @@ object Dedup {
         payloadCols.map(c => col(s"__best.$c").as(c)): _*)
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * cluster embeddings with k-means, compare vectors ONLY within their
+    * cluster, and keep one representative per connected duplicate group.
+    * The k-means step is the deterministic [[Ann.ivfAssignments]] (the same
+    * coarse quantizer the IVF index uses); within-cluster pairing is a
+    * centroid-keyed equi-join (Σ cluster² — nLists dials the cost exactly
+    * like the paper's k); transitive groups collapse via
+    * [[nearDupClusters]] so chains A~B~C keep exactly one doc. The kept
+    * representative is the smallest vector id of each group (the paper
+    * keeps one arbitrary member; smallest-id is the deterministic choice).
+    *
+    * Output: surviving (vid, centroid) rows — input minus semantic dups.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, threshold: Double): DataFrame = {
+    val (assign, _) = Ann.ivfAssignments(emb, idCol, vecCol, nLists)
+    val vecs = emb
+      .select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .join(assign.select(col(idCol).cast("long").as("vid"), col("centroid")), "vid")
+    val a = vecs.select(col("vid").as("id_a"), col("v").as("va"), col("centroid"))
+    val b = vecs.select(col("vid").as("id_b"), col("v").as("vb"), col("centroid"))
+    val pairs = a.join(b, Seq("centroid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("c0", graft.functions.Fns.cosineSim(col("va"), col("vb")))
+      .filter(col("c0") >= threshold)
+      .select("id_a", "id_b")
+    val dropped = nearDupClusters(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("vid"))
+    vecs.select("vid", "centroid").join(dropped, Seq("vid"), "left_anti")
+  }
+
   /** Sub-quadratic embedding near-dup pairs: candidates are limited to
     * vectors sharing a deterministic random-hyperplane sign bucket
     * ([[Ann.hyperplaneBuckets]] — one bucket per vector), then scored

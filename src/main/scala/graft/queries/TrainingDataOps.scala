@@ -70,6 +70,38 @@ object TrainingDataOps {
       "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
       "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
 
+  /** DuckDB CTE chain replicating [[Ann.ivfAssignments]] exactly (init =
+    * k smallest vec ids, 2 Lloyd rounds of fold-order assignment +
+    * DECIMAL(38,18) means): final assignment table `a3(id, c)`.
+    */
+  private def duckIvfCtes(k: Int): String = {
+    def assignCte(dist: String, cent: String, out: String): String =
+      s"""$dist AS (
+         |  SELECT b.id, cc.c,
+         |    list_reduce(list_transform(range(1, len(b.v)+1),
+         |      i -> (b.v[i]-cc.center[i])*(b.v[i]-cc.center[i])),
+         |      (a, x) -> a + x) AS dist
+         |  FROM base b CROSS JOIN $cent cc),
+         |$out AS (SELECT id, c FROM (
+         |  SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist, c) AS rn FROM $dist)
+         |  WHERE rn = 1)""".stripMargin
+    def updateCte(assign: String, out: String): String =
+      s"""$out AS (
+         |  SELECT c, list(cx ORDER BY d) AS center FROM (
+         |    SELECT a.c, dims.d, CAST(sum(CAST(dims.x AS DECIMAL(38,18))) AS DOUBLE)/count(*) AS cx
+         |    FROM dims JOIN $assign a ON dims.id = a.id GROUP BY 1, 2)
+         |  GROUP BY c)""".stripMargin
+    s"""base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (
+       |  SELECT id, unnest(range(len(v))) AS d, unnest(v) AS x FROM base),
+       |c0 AS (SELECT CAST(id AS INTEGER) AS c, v AS center FROM base WHERE id < $k),
+       |${assignCte("d1", "c0", "a1")},
+       |${updateCte("a1", "c1")},
+       |${assignCte("d2", "c1", "a2")},
+       |${updateCte("a2", "c2")},
+       |${assignCte("d3", "c2", "a3")}""".stripMargin
+  }
+
   val specs: Map[String, QuerySpec] = Map(
 
     // ---- exact dedup on a canonical prefix key ------------------------
@@ -352,31 +384,7 @@ object TrainingDataOps {
           .orderBy("query_id", "rank")
       },
       {
-        def assignCte(dist: String, cent: String, out: String): String =
-          s"""$dist AS (
-             |  SELECT b.id, cc.c,
-             |    list_reduce(list_transform(range(1, len(b.v)+1),
-             |      i -> (b.v[i]-cc.center[i])*(b.v[i]-cc.center[i])),
-             |      (a, x) -> a + x) AS dist
-             |  FROM base b CROSS JOIN $cent cc),
-             |$out AS (SELECT id, c FROM (
-             |  SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist, c) AS rn FROM $dist)
-             |  WHERE rn = 1)""".stripMargin
-        def updateCte(assign: String, out: String): String =
-          s"""$out AS (
-             |  SELECT c, list(cx ORDER BY d) AS center FROM (
-             |    SELECT a.c, dims.d, CAST(sum(CAST(dims.x AS DECIMAL(38,18))) AS DOUBLE)/count(*) AS cx
-             |    FROM dims JOIN $assign a ON dims.id = a.id GROUP BY 1, 2)
-             |  GROUP BY c)""".stripMargin
-        s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-           |dims AS (
-           |  SELECT id, unnest(range(len(v))) AS d, unnest(v) AS x FROM base),
-           |c0 AS (SELECT CAST(id AS INTEGER) AS c, v AS center FROM base WHERE id < 8),
-           |${assignCte("d1", "c0", "a1")},
-           |${updateCte("a1", "c1")},
-           |${assignCte("d2", "c1", "a2")},
-           |${updateCte("a2", "c2")},
-           |${assignCte("d3", "c2", "a3")},
+        s"""WITH ${duckIvfCtes(8)},
            |cent AS (SELECT c, center FROM c2),
            |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            |  FROM embeddings WHERE vec_id < 10),
@@ -941,6 +949,37 @@ object TrainingDataOps {
            |SELECT doc_id, logit, logit >= 0.5 AS keep
            |FROM l ORDER BY doc_id""".stripMargin
       }
+    ),
+
+    // ---- SemDeDup: k-means-clustered semantic dedup ---------------------
+    // Second flagship composition: the IVF coarse quantizer, the cosine
+    // kernel, and connected components chained into the SemDeDup
+    // procedure; the oracle rebuilds the full chain from the verified
+    // IVF-assignment and min-label-CC fragments.
+    "dd_semantic_dedup" -> QuerySpec(
+      (s, dir) =>
+        Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nLists = 8, threshold = 0.4)
+          .select(col("vid").as("vec_id"), col("centroid"))
+          .orderBy("vec_id"),
+      s"""WITH RECURSIVE ${duckIvfCtes(8)},
+         |p AS (
+         |  SELECT x.id AS id_a, y.id AS id_b
+         |  FROM a3 x JOIN a3 y ON x.c = y.c AND x.id < y.id
+         |  JOIN embeddings a ON a.vec_id = x.id
+         |  JOIN embeddings b ON b.vec_id = y.id
+         |  WHERE $duckCosine >= 0.4),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |  UNION SELECT id_b AS a, id_a AS b FROM p),
+         |comp(node, label) AS (
+         |  SELECT DISTINCT a AS node, a AS label FROM edges
+         |  UNION
+         |  SELECT e.a, c.label FROM edges e JOIN comp c ON c.node = e.b),
+         |dropped AS (
+         |  SELECT node FROM comp GROUP BY node HAVING node <> min(label))
+         |SELECT a3.id AS vec_id, CAST(a3.c AS INTEGER) AS centroid FROM a3
+         |WHERE a3.id NOT IN (SELECT node FROM dropped)
+         |ORDER BY vec_id""".stripMargin
     ),
 
     // ---- canonical text normalization ----------------------------------
