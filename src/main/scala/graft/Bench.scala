@@ -1,15 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.charset.StandardCharsets
 
 /** Benchmark main — runs the declared queries in ONE session (the driver's
-  * harness shape) and prints a single JSON line.
+  * harness shape).
+  *
+  * Two artifacts, by design (the driver's tail capture is hard-bounded at
+  * 2,000 bytes — a 100-query JSON line is ~3 KB and can NEVER fit, which is
+  * why rounds 1-4 all recorded `parsed: null`):
+  *
+  *   1. stdout: ONE short summary line — total seconds, query count, error
+  *      map, and only the top-10 slowest per-query medians. Guaranteed well
+  *      under 2,000 bytes for any query count.
+  *   2. a full per-query JSON file (default `/root/repo/BENCH_SELF_r05.json`,
+  *      override with SPARK_GRAFT_BENCH_OUT) with the median, min, and every
+  *      rep for each query — the committed artifact judges/rounds compare.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+  * MEDIAN: single-shot timings at sf0.1 are contention-noise-dominated (the
+  * r4 driver run showed uniform ~1.7× inflation vs a clean re-run on
+  * identical code). A query that throws is not retried — it records its
+  * error class and its single elapsed time.
   *
   * Queries run in SORTED-NAME order so per-query times are comparable
   * across rounds (a Map's iteration order reshuffles whenever a key is
   * added, which makes session-position effects look like plan regressions).
-  * Failures are REPORTED per query (name → "err:<class>") and the query
-  * contributes its elapsed time — a broken query must never register as a
-  * fast success.
   *
   * Optional CLI args restrict the run to the named queries (dev loop).
   */
@@ -17,6 +33,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_SELF_r05.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,23 +63,47 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
-    }
-    // Millisecond precision keeps the one-line JSON short enough for the
-    // driver's bounded tail capture (r3's 9-decimal floats overflowed it
-    // and the driver recorded parsed:null).
+
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+    final case class QRes(name: String, runs: Seq[Double], err: Option[String]) {
+      def median: Double = { val s = runs.sorted; s(s.size / 2) }
+      def min: Double = runs.min
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var err: Option[String] = None
+      var i = 0
+      while (i < reps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => err = Some(e.getClass.getSimpleName) }
+        runs += (System.nanoTime() - t0) / 1e9
+        i += 1
+      }
+      QRes(name, runs.toSeq, err)
+    }
+    val total = results.map(_.median).sum
+    val errs = results.collect { case QRes(k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"order":"sorted","sf":"$sfDir"}""")
+
+    // Full per-query artifact — committed, compared across rounds.
+    val full = {
+      val qMed = results.map(r => s"\"${r.name}\":${fmt(r.median)}").mkString("{", ",", "}")
+      val qRuns = results
+        .map(r => s"\"${r.name}\":[${r.runs.map(fmt).mkString(",")}]")
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"reps":$reps,"sf":"$sfDir","cpus":$cpus,"queries":$qMed,"runs":$qRuns,"errors":$errs}"""
+    }
+    Files.write(Paths.get(outPath), full.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+
+    // Short stdout summary — `queries` carries only the 10 slowest medians,
+    // so the line stays far below the driver's 2,000-byte tail bound at any
+    // query count (the full map lives in the `detail` file).
+    val top10 = results.sortBy(-_.median).take(10)
+      .map(r => s"\"${r.name}\":${fmt(r.median)}").mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"reps":$reps,"errors":$errs,"queries":$top10,"detail":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
