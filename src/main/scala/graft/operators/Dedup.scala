@@ -355,6 +355,32 @@ object Dedup {
         payloadCols.map(c => col(s"__best.$c").as(c)): _*)
   }
 
+  /** Default ceiling on the within-cluster pair volume Σ(cluster²) a
+    * [[semanticDedup]] call may generate — the `maxExactRows` pattern from
+    * [[embeddingCosinePairs]]: the guard exists so an under-clustered call
+    * fails loudly with sizing guidance instead of silently attempting a
+    * near-quadratic join at corpus scale.
+    */
+  val SemanticDedupMaxPairComparisons: Long = 100000000L
+
+  /** Cluster-count sizing for [[semanticDedup]]: nLists ≈ n / target so the
+    * EXPECTED cluster size — and with it the Σ(cluster²) ≈ n·target pair
+    * volume — stays constant as the corpus grows. With no target the
+    * default is ⌈√n⌉ clusters (the SemDeDup paper's regime, §3 of
+    * arXiv:2303.09540 uses k ~ √n), making pair volume O(n^1.5). A
+    * CONSTANT nLists is the one choice that does not survive scale-up:
+    * Σ(cluster²) ≈ n²/nLists is all-pairs in disguise.
+    */
+  def semanticDedupNLists(n: Long, targetClusterSize: Option[Long] = None): Int = {
+    val raw = targetClusterSize match {
+      case Some(t) =>
+        require(t > 0, s"targetClusterSize must be positive, got $t")
+        math.ceil(n.toDouble / t.toDouble)
+      case None => math.ceil(math.sqrt(n.toDouble.max(1.0)))
+    }
+    math.max(1, math.min(raw, n.toDouble.max(1.0)).toInt)
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     * cluster embeddings with k-means, compare vectors ONLY within their
     * cluster, and keep one representative per connected duplicate group.
@@ -366,11 +392,31 @@ object Dedup {
     * representative is the smallest vector id of each group (the paper
     * keeps one arbitrary member; smallest-id is the deterministic choice).
     *
+    * Scale contract: `nLists` must GROW with the corpus — size it with
+    * [[semanticDedupNLists]] (n/target, √n default) or call
+    * [[semanticDedupAuto]]. The realized pair volume Σ(cluster²) is
+    * computed from the actual assignments (one tiny aggregation over
+    * nLists rows) and the call REFUSES to run past `maxPairComparisons` —
+    * under-clustering at 100× data is an all-pairs join in disguise, and
+    * the failure must be loud, not a hung stage.
+    *
     * Output: surviving (vid, centroid) rows — input minus semantic dups.
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, threshold: Double): DataFrame = {
+      nLists: Int, threshold: Double,
+      maxPairComparisons: Long = SemanticDedupMaxPairComparisons): DataFrame = {
     val (assign, _) = Ann.ivfAssignments(emb, idCol, vecCol, nLists)
+    // Pair-volume guard: Σ over clusters of size² from the realized
+    // assignment — an aggregation over ≤ nLists rows, negligible next to
+    // the pairing join it gates.
+    val pairVolume = Option(assign.groupBy("centroid").agg(count(lit(1)).as("cn"))
+      .agg(sum(col("cn") * col("cn")).as("pv"))
+      .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(pairVolume <= maxPairComparisons,
+      s"semanticDedup within-cluster pair volume $pairVolume exceeds " +
+        s"maxPairComparisons=$maxPairComparisons — nLists=$nLists is too " +
+        "coarse for this corpus; size it with semanticDedupNLists " +
+        "(nLists ≈ n/targetClusterSize, √n default) or raise the guard")
     val vecs = emb
       .select(col(idCol).cast("long").as("vid"),
         col(vecCol).cast("array<double>").as("v"))
@@ -386,6 +432,19 @@ object Dedup {
       .filter(col("node") =!= col("component"))
       .select(col("node").as("vid"))
     vecs.select("vid", "centroid").join(dropped, Seq("vid"), "left_anti")
+  }
+
+  /** [[semanticDedup]] with the cluster count sized from the corpus itself:
+    * nLists = ⌈n / targetClusterSize⌉ (or ⌈√n⌉ when no target is given) via
+    * [[semanticDedupNLists]]. The one extra `count()` job is the price of
+    * not hard-coding a cluster count that silently stops scaling.
+    */
+  def semanticDedupAuto(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetClusterSize: Option[Long] = None,
+      maxPairComparisons: Long = SemanticDedupMaxPairComparisons): DataFrame = {
+    val n = emb.count()
+    semanticDedup(emb, idCol, vecCol,
+      semanticDedupNLists(n, targetClusterSize), threshold, maxPairComparisons)
   }
 
   /** Sub-quadratic embedding near-dup pairs: candidates are limited to

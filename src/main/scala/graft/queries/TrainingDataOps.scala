@@ -956,6 +956,11 @@ object TrainingDataOps {
     // kernel, and connected components chained into the SemDeDup
     // procedure; the oracle rebuilds the full chain from the verified
     // IVF-assignment and min-label-CC fragments.
+    // nLists is pinned (=8) ONLY because the DuckDB oracle must rebuild the
+    // identical quantizer; a production call sizes it from the corpus via
+    // Dedup.semanticDedupNLists / semanticDedupAuto (nLists ≈ n/target, √n
+    // default), and the operator's Σ(cluster²) guard refuses a call whose
+    // within-cluster pair volume exceeds maxPairComparisons — see SCALE.md.
     "dd_semantic_dedup" -> QuerySpec(
       (s, dir) =>
         Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",

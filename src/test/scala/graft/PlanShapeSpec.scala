@@ -38,7 +38,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("similarity operators never fall back to a cartesian product") {
     for (q <- Seq("dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash",
-        "dd_embed_cosine_blocked")) {
+        "dd_embed_cosine_blocked", "dd_semantic_dedup")) {
       val plan = executedPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q must stay bucketed/keyed")
     }
