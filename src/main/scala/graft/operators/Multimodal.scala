@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media (image/audio/video) travels as opaque
-  * `binary` columns with typed metadata alongside. The Spark-side contract —
-  * schema, partition-parallel batched decode, stable output shape — is real
-  * and tested; the actual codec call is stubbed with a deterministic fake
-  * because media libraries aren't available in this environment (marked
-  * STUB below). Swapping in a real decoder changes only `decodeStub`.
+  * `binary` columns with typed metadata alongside. PNG/JPEG payloads are
+  * decoded for REAL with the JDK's ImageIO (magic-byte reader sniffing +
+  * full pixel decode); payloads no installed reader recognizes fall back to
+  * the deterministic stub (marked STUB below), which keeps the pipeline
+  * total and testable for formats whose codecs aren't in this environment
+  * (webp, audio, video). Swapping in more codecs changes only the reader
+  * layer.
   *
   * Scale posture: decode runs per-partition with no shuffle; partition
   * sizing (spark.sql.files.maxPartitionBytes) bounds peak memory per task;
@@ -27,10 +29,15 @@ object Multimodal {
 
   case class BinaryDoc(doc_id: Long, payload: Array[Byte])
 
-  /** STUB decoder: a real implementation would parse the container header
-    * (e.g. PNG IHDR / JPEG SOF0) and decode frames. The fake derives
-    * deterministic "dimensions" from payload bytes so the full pipeline is
-    * testable end-to-end with stable results.
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** STUB decoder for payloads no installed ImageIO reader recognizes: a
+    * real implementation would parse the container header and decode
+    * frames. The fake derives deterministic "dimensions" from payload
+    * bytes so the full pipeline is testable end-to-end with stable
+    * results.
     */
   private def decodeStub(d: BinaryDoc): MediaMeta = {
     val n = d.payload.length.toLong
@@ -40,9 +47,46 @@ object Multimodal {
       case 1 => "jpeg"
       case _ => "webp"
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hash = md.digest(d.payload).map("%02x".format(_)).mkString
-    MediaMeta(d.doc_id, n, fmt, 64 + (n % 512).toInt, 64 + (head * 7 % 512), hash)
+    MediaMeta(d.doc_id, n, fmt, 64 + (n % 512).toInt, 64 + (head * 7 % 512),
+      md5hex(d.payload))
+  }
+
+  /** REAL decoder: ImageIO reader sniffing (PNG/JPEG/GIF/BMP magic bytes)
+    * + a full pixel decode (`reader.read`, not just the header scan), so a
+    * truncated or corrupt container fails here rather than downstream.
+    * Returns None when no installed reader claims the payload — text and
+    * exotic containers fall through to [[decodeStub]]. Reported
+    * width/height come from the DECODED raster; format is the reader's
+    * canonical name lower-cased ("png", "jpeg").
+    */
+  private def decodeReal(d: BinaryDoc): Option[MediaMeta] = {
+    if (d.payload.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(d.payload))
+    if (iis == null) return None
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val img = reader.read(0)
+          Some(MediaMeta(d.doc_id, d.payload.length.toLong,
+            reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
+            img.getWidth, img.getHeight, md5hex(d.payload)))
+        } catch {
+          // a sniffed-but-unreadable payload (truncated PNG, garbage after
+          // magic) is a corrupt input, not an unknown format: surface it as
+          // a decode failure row via the stub's deterministic shape would
+          // MASK corruption — fail the task loudly instead
+          case e: java.io.IOException =>
+            throw new java.io.IOException(
+              s"media payload for doc_id=${d.doc_id} matched reader " +
+                s"${reader.getFormatName} but failed to decode", e)
+        } finally reader.dispose()
+      }
+    } finally iis.close()
   }
 
   /** Attach a binary payload column (here: utf-8 of text — stands in for
@@ -52,16 +96,45 @@ object Multimodal {
     docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("binary").as("payload"))
 
   /** Partition-parallel batched decode: binary column → typed metadata
-    * columns. mapPartitions (not per-row UDF) so a real decoder can
-    * amortize codec init per task — the Scala analogue of mapInPandas
-    * batch semantics.
+    * columns. mapPartitions (not per-row UDF) so the decoder amortizes
+    * per-task init — the Scala analogue of mapInPandas batch semantics.
+    * Payloads an installed ImageIO reader recognizes (PNG/JPEG magic) are
+    * decoded for real; everything else takes the deterministic stub.
     */
   def decodeMeta(spark: SparkSession, binDocs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     graft.Tables.ensureMinParallelism(binDocs).as[BinaryDoc].mapPartitions { it =>
-      // per-partition decoder init would go here (STUB: none needed)
-      it.map(decodeStub)
+      // ImageIO's disk-backed scratch cache is pure overhead for the tiny
+      // in-memory payloads a curation pass decodes — per-task init
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(d => decodeReal(d).getOrElse(decodeStub(d)))
     }
+  }
+
+  /** Image-fixture synthesis: encode a REAL `fmt` ("png"/"jpeg") image of
+    * the given dimensions per row, gray-filled with `shade` (0-255).
+    * mapPartitions like the decoder — this is the write side of the same
+    * codec layer, used by tests and the `mm_decode_real` oracle query to
+    * manufacture payloads whose decoded geometry is known arithmetic.
+    */
+  case class ImageSpec(doc_id: Long, w: Int, h: Int, fmt: String, shade: Int)
+
+  def synthesizeImages(spark: SparkSession, specs: Dataset[ImageSpec]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureMinParallelism(specs.toDF()).as[ImageSpec].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { s =>
+        // TYPE_INT_RGB: the JDK JPEG writer rejects alpha channels
+        val img = new java.awt.image.BufferedImage(
+          s.w, s.h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (s.shade & 0xff) * 0x010101
+        for (y <- 0 until s.h; x <- 0 until s.w) img.setRGB(x, y, rgb)
+        val out = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, s.fmt, out),
+          s"no ImageIO writer for format ${s.fmt}")
+        BinaryDoc(s.doc_id, out.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
   }
 
   /** REAL (non-stub) feature extraction over raw media bytes: a `bins`-bin

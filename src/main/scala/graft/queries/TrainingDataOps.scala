@@ -282,6 +282,33 @@ object TrainingDataOps {
         |FROM documents ORDER BY doc_id""".stripMargin
     ),
 
+    // ---- REAL codec round-trip: ImageIO encode → decode -----------------
+    // Payload geometry is doc_id arithmetic, so the oracle predicts what
+    // the REAL decoder must recover from genuine PNG/JPEG containers; the
+    // encoded byte stream itself is never oracled (encoder-version-
+    // dependent), only the decoded facts.
+    "mm_decode_real" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (lit(1) + col("doc_id") % 16).cast("int").as("w"),
+          (lit(1) + (col("doc_id") * 7) % 16).cast("int").as("h"),
+          when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("fmt"),
+          (col("doc_id") % 256).cast("int").as("shade")
+        ).as[Multimodal.ImageSpec]
+        val bin = Multimodal.synthesizeImages(s, specs)
+        Multimodal.decodeMeta(s, bin).toDF()
+          .select(col("doc_id"), col("format"), col("width"), col("height"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(1 + doc_id % 16 AS INTEGER) AS width,
+        |  CAST(1 + (doc_id * 7) % 16 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- REAL media feature extraction: byte histogram (no codec) ------
     "mm_byte_histogram" -> QuerySpec(
       (s, dir) => {
