@@ -498,6 +498,46 @@ object VendorPackOps {
         |FROM events WHERE event_id % 10 <> 5 ORDER BY event_id""".stripMargin
     ),
 
+    // ---- F3b: FILE-level gate (reference fidelity) ----------------------
+    // The reference abandons the ENTIRE input file on a validation error
+    // (transform/gaToMixpanel.js:51-58); f3 above is the line-level
+    // variant. The fixture routes each row to a deterministic file via
+    // repartition+partitionBy on fk = event_id/1000 (one file per fk:
+    // hash repartition puts a given fk in exactly one task, and the
+    // writer emits one file per task×fk), and corrupts event_id%2000==5
+    // lines — so which FILES are poisoned is pure event_id arithmetic the
+    // oracle replays without knowing anything about Spark's file layout.
+    "f3b_file_gate" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val lines = ev.select(
+          (col("event_id") / 1000).cast("long").as("fk"),
+          when(col("event_id") % 2000 === 5,
+            concat(lit("{corrupt::"), col("event_id")))
+            .otherwise(to_json(struct(col("event_id"), col("event_type"),
+              col("user_id")))).as("line"))
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_f3b_fixture").toString
+        lines.repartition(col("fk"))
+          .write.mode("overwrite").partitionBy("fk").text(path)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("user_id", LongType)))
+        val gated = Sources.jsonFileGate(s, path, schema)
+        val nBadFiles = gated.badFiles.count()
+        gated.good.select(col("event_id"), col("event_type"))
+          .withColumn("n_bad_files", lit(nBadFiles))
+          .orderBy("event_id")
+      },
+      """WITH f AS (
+        |  SELECT event_id, event_type, event_id // 1000 AS fk FROM events),
+        |bad AS (SELECT DISTINCT fk FROM f WHERE event_id % 2000 = 5)
+        |SELECT event_id, event_type,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM bad) AS n_bad_files
+        |FROM f WHERE fk NOT IN (SELECT fk FROM bad) ORDER BY event_id""".stripMargin
+    ),
+
     // ---- F4: segmentation-where expression → Catalyst predicate --------
     "f4_segmentation_where" -> QuerySpec(
       (s, dir) => {

@@ -101,6 +101,38 @@ object Sources {
     }
   }
 
+  case class FileGatedRead(good: DataFrame, badFiles: DataFrame)
+
+  /** F3 with the reference's FILE-level fidelity: when any line of an input
+    * file fails schema validation, the reference abandons the ENTIRE file,
+    * not just the line (transform/gaToMixpanel.js:51-58 — a thrown
+    * validation error skips the whole file's output). [[jsonAuto]] is the
+    * line-level variant; this one groups by `input_file_name()` and drops
+    * every row of any file containing a corrupt line, so a half-written
+    * file contributes nothing instead of a partial prefix.
+    *
+    * Shape: one text scan parsed with from_json; `badFiles` is a
+    * per-corrupt-file aggregate — bounded by the FILE count, not row count
+    * (at 100 TB with 128 MB files that is ~10⁶ rows), so AQE broadcasts
+    * the left-anti gate join and the corpus never reshuffles. Consuming
+    * both outputs costs a second text scan (same cache-free contract as
+    * [[jsonAuto]]).
+    */
+  def jsonFileGate(spark: SparkSession, path: String, schema: StructType,
+      hadoopOpts: Map[String, String] = Map.empty): FileGatedRead = {
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.options(hadoopOpts).text(path)
+      .select(input_file_name().as("fname"), col("value").as("line"))
+      .withColumn("j", from_json(col("line"), withCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
+    val badFiles = parsed.filter(col("j._corrupt_record").isNotNull)
+      .groupBy("fname").agg(count(lit(1)).as("n_corrupt"))
+    val good = parsed
+      .join(badFiles.select("fname"), Seq("fname"), "left_anti")
+      .select(col("j.*")).drop("_corrupt_record")
+    FileGatedRead(good, badFiles)
+  }
+
   /** S11: pre-extracted local path bypass — just a path to the reader. */
   def staged(spark: SparkSession, path: String, schema: StructType): DataFrame =
     jsonAuto(spark, path, schema).good
