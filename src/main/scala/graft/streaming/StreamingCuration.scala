@@ -55,6 +55,123 @@ object StreamingCuration {
       .filter(!TextAnalysis.repetitive(col("text")))
       .withColumn("text", TextAnalysis.redactPii(col("text")))
 
+  /** A document's band-bucket row headed into the near-dup state store. */
+  case class BandRow(bucket: String, doc_id: Long, text: String, lang: String,
+      source: String, event_time: java.sql.Timestamp)
+
+  /** Per-band freshness verdict out of the state function. */
+  case class BandVerdict(doc_id: Long, text: String, lang: String,
+      source: String, event_time: java.sql.Timestamp, fresh: Boolean)
+
+  /** Streaming NEAR-dup dedup: the incremental counterpart of the batch
+    * [[graft.operators.Dedup.minhashLshPairs]] path. A new document is
+    * dropped when ANY of its MinHash-LSH band buckets was already claimed
+    * by an earlier document inside the dedup horizon — so a lightly-edited
+    * re-drop (not byte-identical, which [[documentStream]]'s exact
+    * fingerprint would miss) is suppressed.
+    *
+    * Stream shape, stage by stage:
+    *  1. signature: per-row HOF fold over the shingle array (min of each
+    *     permuted hash) — a pure projection, NOT the batch explode+groupBy
+    *     (stream-safe, zero shuffle, same hash family so batch and stream
+    *     agree on what is a near-dup);
+    *  2. band explode: numHashes/bandSize rows per doc;
+    *  3. [[org.apache.spark.sql.streaming.GroupState]] keyed on the BAND
+    *     BUCKET with event-time timeout: first claimant of a bucket is
+    *     fresh, later claimants are not; state is one timestamp per live
+    *     bucket and the watermark retires it — bounded state, no
+    *     stream-stream join;
+    *  4. append-mode per-(doc, event_time) aggregation: keep iff EVERY
+    *     band was fresh (bool_and) — LSH's any-collision-drops rule.
+    *
+    * Docs too short to shingle get a per-doc unique bucket (no signature →
+    * nothing to collide with → kept; the quality gate is where shorties
+    * die). LSH false positives (unrelated docs sharing a band) drop a doc
+    * without a verify pass — the price of bounded state; the batch sweep
+    * with exact-Jaccard verification remains the ground truth.
+    */
+  def nearDupDocumentStream(spark: SparkSession, stagingDir: String,
+      n: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
+      watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val numBands = numHashes / bandSize
+    val horizonMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+      require(iv.months == 0, "near-dup horizon must be a fixed-length interval")
+      iv.days * 86400000L + iv.microseconds / 1000
+    }
+
+    val hs = transform(Fns.shingles(col("text"), n), s => Fns.rollingHash(s))
+    val sigs = (0 until numHashes).map(i =>
+      array_min(transform(col("hs"), h => Fns.permuteHash(h, i))))
+    val bandCols = (0 until numBands).map { b =>
+      concat_ws("|", lit(b) +: (0 until bandSize).map(i => sigs(b * bandSize + i)): _*)
+    }
+    val banded = spark.readStream
+      .schema(docSchema)
+      .json(stagingDir)
+      .withColumn("event_time", to_timestamp(from_unixtime(col("ingest_ts"))))
+      .withWatermark("event_time", watermark)
+      .withColumn("hs", hs)
+      .withColumn("bucket",
+        // short doc → unique bucket: participates in no collisions
+        explode(when(size(col("hs")) > 0, array(bandCols: _*))
+          .otherwise(array(concat(lit("short|"), col("doc_id"))))))
+      .select(col("bucket"), col("doc_id"), col("text"), col("lang"),
+        col("source"), col("event_time"))
+      .as[BandRow]
+
+    def claimBucket(bucket: String, rows: Iterator[BandRow],
+        state: GroupState[Long]): Iterator[BandVerdict] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = rows.toSeq.sortBy(r => (r.event_time.getTime, r.doc_id))
+        var claimed = state.exists
+        val out = sorted.map { r =>
+          val v = BandVerdict(r.doc_id, r.text, r.lang, r.source, r.event_time,
+            fresh = !claimed)
+          claimed = true
+          v
+        }
+        if (sorted.nonEmpty) {
+          if (!state.exists) state.update(sorted.head.event_time.getTime)
+          state.setTimeoutTimestamp(
+            sorted.map(_.event_time.getTime).max + horizonMs)
+        }
+        out.iterator
+      }
+    }
+
+    // Spark's global-watermark check flags ANY aggregation downstream of
+    // flatMapGroupsWithState because the state function COULD emit rows
+    // with arbitrary old timestamps. claimBucket cannot: every verdict is
+    // emitted in the same trigger as its input row and carries that row's
+    // own event_time unchanged, so its output is never later-than-input
+    // and the flagged hazard is structurally impossible here. Disabling
+    // the check (the documented opt-out for exactly this situation)
+    // downgrades it to a logged warning session-wide.
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val verdicts = banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(claimBucket)
+
+    verdicts.toDF()
+      .withWatermark("event_time", watermark)
+      .groupBy(col("event_time"), col("doc_id"))
+      .agg(
+        min(when(col("fresh"), 1).otherwise(0)).as("all_fresh"),
+        first(col("text")).as("text"),
+        first(col("lang")).as("lang"),
+        first(col("source")).as("source"))
+      .filter(col("all_fresh") === 1)
+      .select("doc_id", "text", "lang", "source", "event_time")
+  }
+
   /** Streaming decontamination: drop any document sharing a word-n-gram
     * with the benchmark set. The bench side is a STATIC eval suite —
     * small by construction — so its distinct n-gram hashes are collected

@@ -135,6 +135,45 @@ class StreamingSpec extends SparkSpec {
       s"PII must be redacted in-stream: ${rows(5L)}")
   }
 
+  test("streaming near-dup dedup: an edited re-drop is suppressed within the window") {
+    import graft.streaming.StreamingCuration
+    val staging = Files.createTempDirectory("stream-neardup").toString
+    val t0 = 1700000000L
+    val original = "the quick brown fox jumps over a lazy dog while the bright " +
+      "sun sets behind tall green hills and children play near the quiet " +
+      "river bank for hours watching small boats drift slowly past old docks"
+    // NOT byte-identical: two words edited — exact fingerprint dedup would
+    // keep it, MinHash-LSH band collision must drop it
+    val edited = original.replace("quick", "speedy").replace("lazy", "sleepy")
+    val unrelated = "completely different subject matter entirely about deep " +
+      "space telescopes measuring distant galaxy clusters through gravity " +
+      "lensing surveys that map invisible dark matter structure every night"
+    def line(id: Long, text: String, t: Long): String =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s1","ingest_ts":$t}"""
+    Files.write(java.nio.file.Paths.get(staging, "n1.json"),
+      Seq(line(1, original, t0), line(2, edited, t0 + 5),
+        line(3, unrelated, t0 + 10)).mkString("\n").getBytes)
+
+    val deduped = StreamingCuration.nearDupDocumentStream(spark, staging,
+      watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // advance the watermark past t0's window so the append-mode per-doc
+    // aggregation emits batch-1 verdicts
+    Files.write(java.nio.file.Paths.get(staging, "n2.json"),
+      line(4, "late watermark flusher document", t0 + 3600).getBytes)
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val kept = spark.table("neardup").select("doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+    assert(kept.contains(1L) && kept.contains(3L),
+      s"originals must survive: $kept")
+    assert(!kept.contains(2L),
+      s"edited near-duplicate must be suppressed by band collision: $kept")
+  }
+
   test("profile upsert state merges $set with last-write-wins across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
