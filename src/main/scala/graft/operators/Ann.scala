@@ -235,4 +235,22 @@ object Ann {
       .withColumn("cos", Fns.cosineSim(col("qv"), col("cv")))
     rankTopK(scored, k)
   }
+
+  /** Recall@k of an approximate ranker against exact ground truth: both
+    * inputs are (query_id, rank, neighbor_id, …) result sets (e.g.
+    * [[bruteForceTopK]] as `exact`, [[ivfTopK]]/[[lshTopK]] as `approx`).
+    * Per query: hits = |exact ∩ approx| on neighbor_id, recall = hits/k —
+    * the standard ANN quality dial (nprobe/numPlanes trade recall for
+    * cost; this measures the trade). Queries whose approximate set is
+    * empty score 0, not absent. One keyed join + one aggregation over
+    * |queries|·k rows — evaluation is negligible next to the rankers.
+    */
+  def recallEval(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits") / lit(k.toDouble), 4).as("recall"))
 }

@@ -336,6 +336,69 @@ object Dedup {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Cross-document exact-substring duplication statistics (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §3 ExactSubstr; MassiveText's duplicate-content
+    * fraction, Rae et al. 2021 §A.1.2). Every `w`-token window of every
+    * document — BY POSITION, repeats included — is matched against the
+    * corpus; a window is duplicated when the identical token sequence
+    * occurs in at least `minDocs` (default 2) DISTINCT documents. Output
+    * per doc: (doc, n_windows, n_dup_windows, dup_frac) — the gate signal
+    * for dropping or trimming mass-duplicated boilerplate. Docs shorter
+    * than `w` tokens emit no windows and are absent from the output.
+    *
+    * True suffix-array ExactSubstr does not distribute; fixed-width
+    * windows are the standard cluster-scale approximation (a duplicated
+    * run of length ≥ w is caught by construction). Plan: the same
+    * posexplode + lead-window stitching as [[shingleIndex]] but WITHOUT
+    * the per-doc distinct (positions count), then one groupBy on the
+    * window text for corpus doc-frequencies, one join back, one groupBy
+    * doc — every shuffle keyed, map-side combined, linear in corpus
+    * tokens. The window TEXT is the shuffle key here because the DuckDB
+    * oracle must replay it; at 100 TB swap the key for
+    * `xxhash64(s), xxhash64(s, lit(1))` (128-bit, collision-free in
+    * practice) to shuffle 16 bytes instead of w words.
+    */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, minDocs: Int = 2): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    val win = Window.partitionBy("doc").orderBy("p")
+    val parts = (0 until w).map(k => if (k == 0) col("tok") else lead("tok", k).over(win))
+    val wins = docs
+      .select(col(idCol).as("doc"),
+        posexplode(Fns.tokens(col(textCol))).as(Seq("p", "tok")))
+      .withColumn("s", when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
+      .filter(col("s").isNotNull)
+      .select("doc", "s")
+    val dupWins = wins.groupBy("s")
+      .agg(countDistinct(col("doc")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("s"), lit(1L).as("isdup"))
+    wins
+      .join(dupWins, Seq("s"), "left")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_windows"))
+      .select(col("doc"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows") / col("n_windows").cast("double"), 4)
+          .as("dup_frac"))
+  }
+
+  /** Dedup audit: histogram of exact-duplicate cluster sizes under
+    * `keyCols` — for each cluster size s, how many clusters have exactly s
+    * members and how many documents they hold. Two keyed aggregations (the
+    * second over ≤ |distinct sizes| ≪ n rows); the corpus shuffles once.
+    * The (1, n₁) row is the unique mass; Σ over s>1 of n_docs - n_clusters
+    * is exactly what exact dedup would remove — the audit that sizes a
+    * dedup pass BEFORE running it.
+    */
+  def dupClusterHistogram(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("cluster_size").cast("long").as("n_docs"))
+
   /** Keep the best row per key WITHOUT a window sort: one map-side-combined
     * `min(struct(rank…, payload…))` aggregation — the scale-correct form of
     * `row_number() = 1` when only the winner is needed (the window form

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.Fns
 
 /** Text-analysis operators for training-data curation: token counting,
@@ -226,4 +227,50 @@ object TextAnalysis {
   /** Count of matches of `re` in `text` (0 for null text). */
   def piiCount(text: Column, re: String): Column =
     coalesce(regexp_count(text, lit(re)), lit(0))
+
+  /** Corpus-trained add-one-smoothed bigram language-model score per
+    * document — the CCNet-style perplexity quality filter (Wenzek et al.
+    * 2020, arXiv:1911.00359 §4.3: documents are ranked by LM perplexity
+    * and the worst tail dropped; here the LM is trained on the corpus
+    * itself instead of a shipped KenLM binary, so the whole thing is one
+    * deterministic Spark plan). Per document:
+    *
+    *   avg_logprob = (1/B) · Σ ln( (c(w₁w₂)+1) / (c(w₁)+V) )
+    *
+    * over its B bigram positions, with c(·) corpus counts and V the
+    * corpus vocabulary size. Output (doc, n_bigrams, avg_logprob);
+    * single-token documents have no bigrams and are absent. Low scores ≈
+    * high perplexity ≈ drop candidates.
+    *
+    * Determinism contract: each term is rounded to 6 decimals and summed
+    * in DECIMAL(28,6) — exact, order-independent — so the result is
+    * bit-stable across partitionings AND engines (a raw double sum over a
+    * shuffled join is neither). Plan: count tables are two keyed
+    * map-side-combined aggregations over the exploded token/bigram
+    * streams; scoring joins them back keyed on the token(s); V is a 1-row
+    * broadcast. Linear in corpus tokens at 100 TB — the standard
+    * distributed n-gram-LM shape (Brants et al. 2007, EMNLP, "Large
+    * Language Models in Machine Translation" trains exactly these count
+    * tables in MapReduce).
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val win = Window.partitionBy("doc").orderBy("p")
+    val toks = docs.select(col(idCol).as("doc"),
+      posexplode(Fns.tokens(col(textCol))).as(Seq("p", "w1")))
+    val bi = toks.withColumn("w2", lead("w1", 1).over(win))
+      .filter(col("w2").isNotNull)
+    val uni = toks.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vocab = toks.agg(count_distinct(col("w1")).as("v"))
+    bi.join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        round(log((col("c12") + lit(1.0)) / (col("c1") + col("v"))), 6)
+          .cast("decimal(28,6)"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col("doc"), col("n_bigrams"),
+        round(col("slp").cast("double") / col("n_bigrams"), 4).as("avg_logprob"))
+  }
 }

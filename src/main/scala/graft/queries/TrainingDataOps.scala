@@ -1066,6 +1066,142 @@ object TrainingDataOps {
          |  CAST(sum(len($duckToks)) AS BIGINT) AS total_tokens,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY 1, 2 ORDER BY lang, tok_band""".stripMargin
+    ),
+
+    // ---- cross-doc exact-substring duplication (Lee et al. 2022) --------
+    // 5-token windows BY POSITION; a window is duplicated when the same
+    // token sequence occurs in >= 2 distinct docs. Per-doc duplicated
+    // fraction is MassiveText's "duplicate content fraction" gate signal.
+    "dd_substring_dup" -> QuerySpec(
+      (s, dir) =>
+        Dedup.substringDupStats(t(s, dir, "documents"), "doc_id", "text", 5)
+          .withColumnRenamed("doc", "doc_id")
+          .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |wins AS (SELECT doc_id, unnest(
+         |  [array_to_string(ts[i:i+4],' ') for i in range(1, len(ts)-3)]) AS s
+         |  FROM toks),
+         |dup AS (SELECT s FROM (
+         |  SELECT s, count(DISTINCT doc_id) AS nd FROM wins GROUP BY s)
+         |  WHERE nd >= 2)
+         |SELECT w.doc_id, count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_windows,
+         |  round(sum(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*)::DOUBLE, 4) AS dup_frac
+         |FROM wins w LEFT JOIN dup d ON w.s = d.s
+         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+    ),
+
+    // ---- dedup audit: cluster-size histogram ----------------------------
+    // Sizes an exact-dedup pass BEFORE running it: for each cluster size,
+    // #clusters and #docs under the 10-token prefix key (the
+    // dd_exact_dedup key).
+    "dd_cluster_histogram" -> QuerySpec(
+      (s, dir) =>
+        Dedup.dupClusterHistogram(
+          t(s, dir, "documents")
+            .withColumn("pkey", Dedup.prefixKey(col("text"), 10)),
+          Seq("pkey"))
+          .orderBy("cluster_size"),
+      s"""SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         |FROM (
+         |  SELECT count(*) AS cluster_size FROM documents
+         |  GROUP BY array_to_string(($duckToks)[1:10], ' '))
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+    ),
+
+    // ---- dedup audit: duplicate rate by source --------------------------
+    "dd_dup_rate_by_source" -> QuerySpec(
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("pkey", Dedup.prefixKey(col("text"), 10))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("pkey")).as("n_unique"))
+          .select(col("source"), col("n_docs"), col("n_unique"),
+            round(lit(1.0) - col("n_unique") / col("n_docs").cast("double"), 4)
+              .as("dup_rate"))
+          .orderBy("source"),
+      s"""SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT array_to_string(($duckToks)[1:10], ' ')) AS n_unique,
+         |  round(1.0 - count(DISTINCT array_to_string(($duckToks)[1:10], ' '))
+         |    / count(*)::DOUBLE, 4) AS dup_rate
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    ),
+
+    // ---- corpus-trained bigram-LM quality score (CCNet-style) -----------
+    "tx_lm_bigram_score" -> QuerySpec(
+      (s, dir) =>
+        TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("doc", "doc_id")
+          .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |bi AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1,
+         |  unnest(ts[2:len(ts)]) AS w2 FROM toks WHERE len(ts) >= 2),
+         |uni AS (SELECT w1, count(*) AS c1 FROM (
+         |  SELECT unnest(ts) AS w1 FROM toks) GROUP BY 1),
+         |big AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM (SELECT unnest(ts) AS w1 FROM toks))
+         |SELECT bi.doc_id, count(*) AS n_bigrams,
+         |  round(CAST(sum(CAST(round(ln((big.c12 + 1.0) / (uni.c1 + v.v)), 6)
+         |      AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_logprob
+         |FROM bi JOIN big ON bi.w1 = big.w1 AND bi.w2 = big.w2
+         |JOIN uni ON bi.w1 = uni.w1 CROSS JOIN v
+         |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
+    ),
+
+    // ---- ANN recall@k: IVF(nprobe=3) vs brute-force ground truth --------
+    "ann_recall_eval" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        Ann.recallEval(
+          Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+          Ann.ivfTopK(emb, q, "vec_id", "embedding",
+            k = 5, nLists = 8, nprobe = 3), 5)
+          .orderBy("query_id")
+      },
+      s"""WITH ${duckIvfCtes(8)},
+         |cent AS (SELECT c, center FROM c2),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |qd AS (
+         |  SELECT query_id, c,
+         |    list_dot_product(qv, qv) + list_dot_product(center, center)
+         |      - 2*list_dot_product(qv, center) AS dist
+         |  FROM q CROSS JOIN cent),
+         |probes AS (SELECT query_id, c FROM (
+         |  SELECT query_id, c, row_number() OVER (PARTITION BY query_id ORDER BY dist, c) AS rn
+         |  FROM qd) WHERE rn <= 3),
+         |isc AS (
+         |  SELECT p.query_id, b.vec_id AS neighbor_id, $duckCosine AS cos
+         |  FROM probes p
+         |  JOIN a3 ON a3.c = p.c
+         |  JOIN embeddings a ON a.vec_id = p.query_id
+         |  JOIN embeddings b ON b.vec_id = a3.id
+         |  WHERE a3.id <> p.query_id),
+         |ivf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM isc)
+         |  WHERE rank <= 5),
+         |bsc AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $duckCosine AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         |bru AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM bsc)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4)
+         |    AS recall
+         |FROM bru b LEFT JOIN ivf i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
     )
   )
 }

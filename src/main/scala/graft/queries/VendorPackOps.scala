@@ -502,17 +502,19 @@ object VendorPackOps {
     // The reference abandons the ENTIRE input file on a validation error
     // (transform/gaToMixpanel.js:51-58); f3 above is the line-level
     // variant. The fixture routes each row to a deterministic file via
-    // repartition+partitionBy on fk = event_id/1000 (one file per fk:
+    // repartition+partitionBy on fk = event_id/200 (one file per fk:
     // hash repartition puts a given fk in exactly one task, and the
-    // writer emits one file per task×fk), and corrupts event_id%2000==5
-    // lines — so which FILES are poisoned is pure event_id arithmetic the
-    // oracle replays without knowing anything about Spark's file layout.
+    // writer emits one file per task×fk), and corrupts event_id%1000==5
+    // lines — so which FILES are poisoned (every 5th fk) is pure event_id
+    // arithmetic the oracle replays without knowing anything about Spark's
+    // file layout, and good files survive at every SF (at sf0.001 ids run
+    // 0..999: fk 0 is poisoned, fks 1-4 pass).
     "f3b_file_gate" -> QuerySpec(
       (s, dir) => {
         val ev = t(s, dir, "events")
         val lines = ev.select(
-          (col("event_id") / 1000).cast("long").as("fk"),
-          when(col("event_id") % 2000 === 5,
+          (col("event_id") / 200).cast("long").as("fk"),
+          when(col("event_id") % 1000 === 5,
             concat(lit("{corrupt::"), col("event_id")))
             .otherwise(to_json(struct(col("event_id"), col("event_type"),
               col("user_id")))).as("line"))
@@ -531,8 +533,8 @@ object VendorPackOps {
           .orderBy("event_id")
       },
       """WITH f AS (
-        |  SELECT event_id, event_type, event_id // 1000 AS fk FROM events),
-        |bad AS (SELECT DISTINCT fk FROM f WHERE event_id % 2000 = 5)
+        |  SELECT event_id, event_type, event_id // 200 AS fk FROM events),
+        |bad AS (SELECT DISTINCT fk FROM f WHERE event_id % 1000 = 5)
         |SELECT event_id, event_type,
         |  (SELECT CAST(count(*) AS BIGINT) FROM bad) AS n_bad_files
         |FROM f WHERE fk NOT IN (SELECT fk FROM bad) ORDER BY event_id""".stripMargin

@@ -99,4 +99,90 @@ class Round5OpsSpec extends SparkSpec {
     val maxCentroid = survivors.agg(max(col("centroid"))).head().getInt(0)
     assert(maxCentroid < k)
   }
+
+  // ---- cross-doc exact-substring duplication ------------------------------
+
+  test("substringDupStats marks shared w-token windows, by position") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),       // windows: "a b c", "b c d", "c d e", "d e f"
+      (2L, "x y z a b c"),       // shares "a b c" with doc 1
+      (3L, "p q r s"),           // no overlap
+      (4L, "a b c a b c")        // "a b c" twice by position + "b c a", "c a b"
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupStats(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 1L, 0.25)))   // only "a b c" is cross-doc
+    assert(got(2L) == ((4L, 1L, 0.25)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    assert(got(4L) == ((4L, 2L, 0.5)))    // both positions of "a b c" count
+  }
+
+  test("substringDupStats: docs shorter than w emit no windows") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.substringDupStats(docs, "doc_id", "text", 3).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  // ---- dedup audit ---------------------------------------------------------
+
+  test("dupClusterHistogram: sizes, cluster counts, and doc mass reconcile") {
+    import spark.implicits._
+    val df = Seq("k1", "k1", "k1", "k2", "k2", "k3").toDF("k")
+    val h = Dedup.dupClusterHistogram(df, Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(h == Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+    // Σ n_docs must equal the input row count — nothing dropped or counted twice
+    assert(h.values.map(_._2).sum == 6L)
+  }
+
+  // ---- corpus-trained bigram LM ---------------------------------------------
+
+  test("bigramLmScore: hand-checked add-one-smoothed logprobs") {
+    import spark.implicits._
+    // corpus: "a b" ×2, "a c" ×1 → V=3, c(a)=3, c(ab)=2, c(ac)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList.sorted
+    val lpAb = BigDecimal(math.log(3.0 / 6.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpAc = BigDecimal(math.log(2.0 / 6.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1) == List(1L, 2L, 3L))
+    assert(got.forall(_._2 == 1L))
+    assert(math.abs(got(0)._3 - lpAb) < 1e-9 && math.abs(got(2)._3 - lpAc) < 1e-9)
+  }
+
+  test("bigramLmScore ranks a garbled doc below fluent ones") {
+    import spark.implicits._
+    val fluent = (1 to 20).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val garbled = Seq((100L, "zxq wvu tsr qpo nml kji")) // unseen-everywhere bigrams
+    val docs = (fluent ++ garbled).toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(100L) < scores(1L))
+  }
+
+  // ---- ANN recall ------------------------------------------------------------
+
+  test("recallEval: IVF nprobe=3 recall vs brute force is in (0, 1]") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    val approx = Ann.ivfTopK(emb, q, "vec_id", "embedding", 5, 8, 3)
+    val r = Ann.recallEval(exact, approx, 5).collect()
+    assert(r.length == 10) // every query scored, even at zero hits
+    assert(r.forall(x => x.getDouble(2) >= 0.0 && x.getDouble(2) <= 1.0))
+    // probing 3/8 lists must find SOMETHING across 10 queries
+    assert(r.map(_.getLong(1)).sum > 0)
+  }
+
+  test("recallEval scores an empty approximate set as 0, not absent") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+    val exact = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    val r = Ann.recallEval(exact, exact.filter(lit(false)), 5).collect()
+    assert(r.length == 3 && r.forall(_.getLong(1) == 0L))
+    assert(r.forall(_.getDouble(2) == 0.0))
+  }
 }
