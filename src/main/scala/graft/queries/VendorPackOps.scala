@@ -502,9 +502,11 @@ object VendorPackOps {
     // The reference abandons the ENTIRE input file on a validation error
     // (transform/gaToMixpanel.js:51-58); f3 above is the line-level
     // variant. The fixture routes each row to a deterministic file via
-    // repartition+partitionBy on fk = event_id/200 (one file per fk:
-    // hash repartition puts a given fk in exactly one task, and the
-    // writer emits one file per task×fk), and corrupts event_id%1000==5
+    // repartition+partitionBy on fk = (event_id/200) % 50 (one file per
+    // fk: hash repartition puts a given fk in exactly one task, and the
+    // writer emits one file per task×fk; the %50 caps the fixture at 50
+    // files at ANY SF — without it sf0.1 writes 500 tiny partition dirs
+    // and listing dominates the query), and corrupts event_id%1000==5
     // lines — so which FILES are poisoned (every 5th fk) is pure event_id
     // arithmetic the oracle replays without knowing anything about Spark's
     // file layout, and good files survive at every SF (at sf0.001 ids run
@@ -513,7 +515,7 @@ object VendorPackOps {
       (s, dir) => {
         val ev = t(s, dir, "events")
         val lines = ev.select(
-          (col("event_id") / 200).cast("long").as("fk"),
+          ((col("event_id") / 200).cast("long") % 50).as("fk"),
           when(col("event_id") % 1000 === 5,
             concat(lit("{corrupt::"), col("event_id")))
             .otherwise(to_json(struct(col("event_id"), col("event_type"),
@@ -533,7 +535,7 @@ object VendorPackOps {
           .orderBy("event_id")
       },
       """WITH f AS (
-        |  SELECT event_id, event_type, event_id // 200 AS fk FROM events),
+        |  SELECT event_id, event_type, (event_id // 200) % 50 AS fk FROM events),
         |bad AS (SELECT DISTINCT fk FROM f WHERE event_id % 1000 = 5)
         |SELECT event_id, event_type,
         |  (SELECT CAST(count(*) AS BIGINT) FROM bad) AS n_bad_files

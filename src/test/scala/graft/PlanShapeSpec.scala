@@ -117,4 +117,32 @@ class PlanShapeSpec extends SparkSpec {
       assert(plan.contains("TakeOrderedAndProject"), s"$q must bound the take")
     }
   }
+
+  test("substring-dup stats stay keyed: no cartesian, no corpus broadcast hint") {
+    val df = SparkEntry.queries("dd_substring_dup")(spark, dir)
+    assert("UnresolvedHint|ResolvedHint".r
+      .findAllIn(df.queryExecution.analyzed.toString).isEmpty,
+      "window count table grows with the corpus — AQE must decide the join")
+    df.count()
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("bigram LM broadcasts ONLY the 1-row vocabulary scalar") {
+    val df = SparkEntry.queries("tx_lm_bigram_score")(spark, dir)
+    val logical = df.queryExecution.analyzed.toString
+    // exactly one hint: the V scalar; the unigram/bigram count tables
+    // grow with the corpus and must stay AQE-decided
+    assert("UnresolvedHint|ResolvedHint".r.findAllIn(logical).length == 1,
+      "only the vocabulary-size scalar may carry a broadcast hint")
+    df.count()
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("dedup audits are pure keyed aggregations — no window, no join") {
+    for (q <- Seq("dd_cluster_histogram", "dd_dup_rate_by_source")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Window"), s"$q must not window-sort")
+      assert(!plan.contains("Join"), s"$q must not join")
+    }
+  }
 }
