@@ -138,4 +138,26 @@ object Sampling {
     }
     df.filter(u < rate)
   }
+
+  /** CCNet-style quality-band sampling (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3: corpora are cut into head/middle/tail by LM
+    * perplexity and each band kept at its own rate). `scoreCol` is any
+    * monotone quality score (higher = better, e.g.
+    * `TextAnalysis.bigramLmScore`'s avg_logprob); rows band as
+    * head (≥ headCut) / middle (≥ tailCut) / tail (below), then keep via
+    * the deterministic per-band hash rate — [[stratifiedSample]]'s
+    * contract (reproducible, monotone in rate), so re-runs never migrate
+    * documents across the kept set. Appends `band`; a pure
+    * projection-filter over the scored input, zero additional shuffles.
+    */
+  def qualityBandSample(scored: DataFrame, keyCol: String, scoreCol: String,
+      headCut: Double, tailCut: Double,
+      rates: Map[String, Double]): DataFrame = {
+    require(headCut >= tailCut, s"headCut $headCut must be >= tailCut $tailCut")
+    val band = when(col(scoreCol) >= headCut, lit("head"))
+      .when(col(scoreCol) >= tailCut, lit("middle"))
+      .otherwise(lit("tail"))
+    stratifiedSample(scored.withColumn("band", band), keyCol, "band",
+      rates, defaultRate = 0.0)
+  }
 }

@@ -1152,6 +1152,43 @@ object TrainingDataOps {
          |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
     ),
 
+    // ---- CCNet-style perplexity-band sampling ---------------------------
+    // Band docs by the corpus-trained LM score (head/middle/tail), keep
+    // head fully, sample middle at 50%, tail at 10% — deterministic hash
+    // keep, so the kept set is reproducible and monotone in rate.
+    "sp_perplexity_bands" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Sampling.qualityBandSample(
+          TextAnalysis.bigramLmScore(t(s, dir, "documents"), "doc_id", "text"),
+          "doc", "avg_logprob", headCut = -3.39, tailCut = -3.42,
+          rates = Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1))
+          .select(col("doc").as("doc_id"), col("band"), col("avg_logprob"))
+          .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |bi AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1,
+         |  unnest(ts[2:len(ts)]) AS w2 FROM toks WHERE len(ts) >= 2),
+         |uni AS (SELECT w1, count(*) AS c1 FROM (
+         |  SELECT unnest(ts) AS w1 FROM toks) GROUP BY 1),
+         |big AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM (SELECT unnest(ts) AS w1 FROM toks)),
+         |sc AS (
+         |  SELECT bi.doc_id,
+         |    round(CAST(sum(CAST(round(ln((big.c12 + 1.0) / (uni.c1 + v.v)), 6)
+         |        AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_logprob
+         |  FROM bi JOIN big ON bi.w1 = big.w1 AND bi.w2 = big.w2
+         |  JOIN uni ON bi.w1 = uni.w1 CROSS JOIN v
+         |  GROUP BY bi.doc_id),
+         |b AS (SELECT doc_id, avg_logprob,
+         |  CASE WHEN avg_logprob >= -3.39 THEN 'head'
+         |       WHEN avg_logprob >= -3.42 THEN 'middle'
+         |       ELSE 'tail' END AS band FROM sc)
+         |SELECT doc_id, band, avg_logprob FROM b
+         |WHERE (((${duckHash("CAST(doc_id AS VARCHAR)")})*1315423911 + 2654435761)
+         |  % 1000000007)*1.0/1000000007
+         |  < CASE band WHEN 'head' THEN 1.0 WHEN 'middle' THEN 0.5 ELSE 0.1 END
+         |ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- ANN recall@k: IVF(nprobe=3) vs brute-force ground truth --------
     "ann_recall_eval" -> QuerySpec(
       (s, dir) => {

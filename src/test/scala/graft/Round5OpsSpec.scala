@@ -163,6 +163,41 @@ class Round5OpsSpec extends SparkSpec {
     assert(scores(100L) < scores(1L))
   }
 
+  // ---- CCNet-style quality-band sampling -------------------------------------
+
+  test("qualityBandSample: banding boundaries and per-band rate semantics") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, -3.0),   // head (>= -3.39)
+      (2L, -3.39),  // head (boundary inclusive)
+      (3L, -3.40),  // middle
+      (4L, -3.42),  // middle (boundary inclusive)
+      (5L, -9.0)    // tail
+    ).toDF("doc", "score")
+    val all = Sampling.qualityBandSample(scored, "doc", "score",
+      headCut = -3.39, tailCut = -3.42,
+      rates = Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 1.0))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(all == Map(1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "middle", 5L -> "tail"))
+    // rate 0 on a band removes exactly that band; rate 1 bands survive whole
+    val noTail = Sampling.qualityBandSample(scored, "doc", "score",
+      -3.39, -3.42, Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 0.0))
+      .collect().map(_.getLong(0)).toSet
+    assert(noTail == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("qualityBandSample kept set is monotone in the band rate") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val scored = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+    def kept(mid: Double): Set[Long] =
+      Sampling.qualityBandSample(scored, "doc", "avg_logprob",
+        -3.39, -3.42, Map("head" -> 1.0, "middle" -> mid, "tail" -> 0.1))
+        .collect().map(_.getLong(0)).toSet
+    val k25 = kept(0.25); val k75 = kept(0.75)
+    assert(k25.subsetOf(k75), "raising a band rate must only ADD documents")
+  }
+
   // ---- ANN recall ------------------------------------------------------------
 
   test("recallEval: IVF nprobe=3 recall vs brute force is in (0, 1]") {
