@@ -384,6 +384,60 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Cross-document exact-substring REMOVAL — the transform side of
+    * [[substringDupStats]] (Lee et al. 2022, arXiv:2107.06499 §3: all but
+    * the first occurrence of a duplicated span are cut from the corpus).
+    * A window (w consecutive tokens) duplicated across ≥ `minDocs`
+    * distinct docs keeps its globally-first occurrence (smallest
+    * (doc, position) — deterministic) and every other occurrence is
+    * removed: the tokens it covers are dropped and the document is
+    * reassembled from the survivors. Output per doc:
+    * (doc, n_tokens, n_kept, cleaned); docs shorter than `w` pass
+    * through untouched, docs that lose everything survive with
+    * n_kept = 0 (accounting, like [[chunkDedup]]).
+    *
+    * Plan: winner-per-window is ONE map-side-combined `min(struct)`
+    * aggregation (the [[chunkDedup]]/[[keepBestPerKey]] shape — never a
+    * corpus-wide window sort over occurrences); covered positions explode
+    * to ≤ w rows per removed occurrence; the token drop is a keyed
+    * left-anti join; reassembly groups by doc. Everything is linear in
+    * corpus tokens with keyed shuffles only. Per-doc `collect_list`
+    * during reassembly is bounded by document length — the pipeline
+    * chunking contract.
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, minDocs: Int = 2): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    val win = Window.partitionBy("doc").orderBy("p")
+    val parts = (0 until w).map(k => if (k == 0) col("tok") else lead("tok", k).over(win))
+    val toks = docs.select(col(idCol).as("doc"),
+      posexplode(Fns.tokens(col(textCol))).as(Seq("p", "tok")))
+    val wins = toks
+      .withColumn("s", when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
+      .filter(col("s").isNotNull)
+      .select("doc", "p", "s")
+    val dupFirst = wins.groupBy("s")
+      .agg(countDistinct(col("doc")).as("nd"),
+        min(struct(col("doc"), col("p"))).as("first"))
+      .filter(col("nd") >= minDocs)
+      .select("s", "first")
+    val losers = wins.join(dupFirst, "s")
+      .filter(struct(col("doc"), col("p")) =!= col("first"))
+    val covered = losers
+      .select(col("doc"), explode(sequence(col("p"), col("p") + lit(w - 1))).as("p"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc", "p"), "left_anti")
+    val rebuilt = kept.groupBy("doc").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+        s => s.getField("tok")), " ").as("cleaned"))
+    toks.groupBy("doc").agg(count(lit(1)).as("n_tokens"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Dedup audit: histogram of exact-duplicate cluster sizes under
     * `keyCols` — for each cluster size s, how many clusters have exactly s
     * members and how many documents they hold. Two keyed aggregations (the

@@ -1093,6 +1093,42 @@ object TrainingDataOps {
          |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
     ),
 
+    // ---- cross-doc exact-substring REMOVAL (Lee et al. 2022) ------------
+    // All-but-first occurrences of every cross-doc-duplicated 5-token
+    // window are cut; docs reassemble from surviving tokens. Winner =
+    // globally-smallest (doc, position) — replayed in the oracle as a
+    // row_number over the same ordering.
+    "dd_substring_dedup" -> QuerySpec(
+      (s, dir) =>
+        Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text", 5)
+          .withColumnRenamed("doc", "doc_id")
+          .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS tok,
+         |  unnest(range(1, len(ts)+1)) AS p FROM toks),
+         |wins AS (SELECT doc_id, unnest(range(1, len(ts)-3)) AS p, unnest(
+         |  [array_to_string(ts[i:i+4],' ') for i in range(1, len(ts)-3)]) AS s
+         |  FROM toks),
+         |dupkeys AS (SELECT s FROM (
+         |  SELECT s, count(DISTINCT doc_id) AS nd FROM wins GROUP BY s)
+         |  WHERE nd >= 2),
+         |occ AS (SELECT w.doc_id, w.p, row_number() OVER (
+         |  PARTITION BY w.s ORDER BY w.doc_id, w.p) AS rn
+         |  FROM wins w JOIN dupkeys d ON w.s = d.s),
+         |cov AS (SELECT DISTINCT doc_id, cp FROM (
+         |  SELECT doc_id, unnest(range(p, p+5)) AS cp FROM occ WHERE rn > 1)),
+         |kept AS (SELECT t.doc_id, t.p, t.tok FROM tok t
+         |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.cp
+         |  WHERE c.cp IS NULL),
+         |reb AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(tok, ' ' ORDER BY p) AS cleaned FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  coalesce(reb.n_kept, 0) AS n_kept,
+         |  coalesce(reb.cleaned, '') AS cleaned
+         |FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    ),
+
     // ---- dedup audit: cluster-size histogram ----------------------------
     // Sizes an exact-dedup pass BEFORE running it: for each cluster size,
     // #clusters and #docs under the 10-token prefix key (the

@@ -138,6 +138,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("substring removal picks winners via partial min(struct), stays keyed") {
+    val plan = executedPlan("dd_substring_dedup")
+    // the ONLY windows allowed are the per-doc lead() stitches (partitioned
+    // by doc); winner-per-span must be the map-side-combined min(struct),
+    // never a corpus-wide occurrence sort
+    assert(plan.replaceAll("#\\d+", "").contains("partial_min(struct(doc"),
+      "winner choice must map-side combine")
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windows.forall(_.nonEmpty), s"unpartitioned window found: $windows")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("dedup audits are pure keyed aggregations — no window, no join") {
     for (q <- Seq("dd_cluster_histogram", "dd_dup_rate_by_source")) {
       val plan = executedPlan(q)

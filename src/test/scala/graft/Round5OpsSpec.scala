@@ -126,6 +126,31 @@ class Round5OpsSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("substringDedup cuts all-but-first occurrences and reassembles docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),   // holds the first occurrence of "a b c"
+      (2L, "x a b c y"),   // loses its "a b c" span
+      (3L, "p q r")        // untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((5L, 5L, "a b c d e")))  // winner keeps everything
+    assert(got(2L) == ((5L, 2L, "x y")))        // covered span removed
+    assert(got(3L) == ((3L, 3L, "p q r")))
+  }
+
+  test("substringDedup: a doc losing every token survives with n_kept = 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 3L, "a b c")))
+    assert(got(2L) == ((3L, 0L, "")))
+  }
+
   // ---- dedup audit ---------------------------------------------------------
 
   test("dupClusterHistogram: sizes, cluster counts, and doc mass reconcile") {
