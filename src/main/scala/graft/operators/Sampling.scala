@@ -150,6 +150,37 @@ object Sampling {
     * documents across the kept set. Appends `band`; a pure
     * projection-filter over the scored input, zero additional shuffles.
     */
+  /** Deterministic uniform shard id ∈ [0, nShards) for a key — integer
+    * arithmetic end to end: shard = ⌊k·n / M⌋ where k is the spread hash
+    * ∈ [0, M). k·n stays far under 2⁶³ and k·n/M is never within an ulp
+    * of an integer (M prime > n), so the double division + floor is
+    * EXACTLY the integer quotient on every engine.
+    */
+  def shardOf(key: Column, nShards: Int): Column = {
+    require(nShards > 0 && nShards < 1000000, s"bad shard count $nShards")
+    val k = (Fns.rollingHash(key.cast("string")) * lit(1315423911L) +
+      lit(2654435761L)) % lit(Fns.HashMod)
+    floor(k * lit(nShards.toLong) / lit(Fns.HashMod.toDouble)).cast("int")
+  }
+
+  /** Training-shard manifest: assign every row a deterministic uniform
+    * shard (same hash contract as [[hashSplit]] — reproducible,
+    * partitioning-independent) and aggregate per-shard accounting: row
+    * count, token mass, and an id checksum the writer downstream can
+    * reconcile against. ONE map-side-combined aggregation over a pure
+    * projection; the manifest is nShards rows. This is the bookkeeping
+    * half of sharded corpus writes — the files themselves go through
+    * `df.write.partitionBy("shard")` with `maxRecordsPerFile`.
+    */
+  def shardManifest(df: DataFrame, keyCol: String, tokenCount: Column,
+      nShards: Int): DataFrame =
+    df.withColumn("shard", shardOf(col(keyCol), nShards))
+      .withColumn("__nt", tokenCount)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nt").cast("long").as("total_tokens"),
+        sum(col(keyCol)).cast("long").as("id_checksum"))
+
   def qualityBandSample(scored: DataFrame, keyCol: String, scoreCol: String,
       headCut: Double, tailCut: Double,
       rates: Map[String, Double]): DataFrame = {

@@ -1188,6 +1188,25 @@ object TrainingDataOps {
          |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
     ),
 
+    // ---- training-shard manifest ----------------------------------------
+    // Deterministic uniform 16-way shard assignment + per-shard accounting
+    // (docs, token mass, id checksum) — the bookkeeping half of sharded
+    // corpus writes.
+    "sp_shard_manifest" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Sampling.shardManifest(docs, "doc_id",
+          TextAnalysis.tokenCount(col("text")), 16)
+          .orderBy("shard")
+      },
+      s"""SELECT CAST((((${duckHash("CAST(doc_id AS VARCHAR)")})*1315423911
+         |    + 2654435761) % 1000000007) * 16 // 1000000007 AS INTEGER) AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len($duckToks)) AS BIGINT) AS total_tokens,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+    ),
+
     // ---- CCNet-style perplexity-band sampling ---------------------------
     // Band docs by the corpus-trained LM score (head/middle/tail), keep
     // head fully, sample middle at 50%, tail at 10% — deterministic hash

@@ -223,6 +223,26 @@ class Round5OpsSpec extends SparkSpec {
     assert(k25.subsetOf(k75), "raising a band rate must only ADD documents")
   }
 
+  // ---- shard manifest ---------------------------------------------------------
+
+  test("shardManifest: every row lands in exactly one shard, totals reconcile") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val m = Sampling.shardManifest(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), 16).collect()
+    assert(m.map(_.getInt(0)).toSet.subsetOf((0 until 16).toSet))
+    assert(m.map(_.getLong(1)).sum == docs.count())
+    val idSum = docs.agg(sum("doc_id")).head().getLong(0)
+    assert(m.map(_.getLong(3)).sum == idSum, "id checksums must partition the corpus")
+  }
+
+  test("shardOf is stable across partitionings") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), Sampling.shardOf(col("doc_id"), 16).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assign(docs) == assign(docs.repartition(7)))
+  }
+
   // ---- ANN recall ------------------------------------------------------------
 
   test("recallEval: IVF nprobe=3 recall vs brute force is in (0, 1]") {
