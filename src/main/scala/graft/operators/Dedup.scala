@@ -58,6 +58,12 @@ object Dedup {
     val w = Window.partitionBy("doc").orderBy("p")
     val parts = (0 until n).map(k => if (k == 0) col("w") else lead("w", k).over(w))
     docs
+      // normalize the pushed filter set: downstream equi-joins add
+      // isnotnull(id) to SOME consumers of this subtree and not others,
+      // and canonically-unequal children block ReuseExchange — with the
+      // filter stated here every consumer's scan+tokenize subtree is
+      // identical and the exchange is computed once per execution
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc") +: carry.map(col) :+
         posexplode(Fns.tokens(col(textCol))).as(Seq("p", "w")): _*)
       .withColumn("s", when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
