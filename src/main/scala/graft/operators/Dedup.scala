@@ -325,7 +325,9 @@ object Dedup {
     val chunkArr = transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
       i => concat_ws(" ", slice(ts, i * chunkSize + 1, lit(chunkSize))))
     val chunks = docs
-      .filter(size(ts) > 0)
+      // isnotnull stated once so every branch's scan subtree is canonically
+      // identical and the exchange is reused, not recomputed (see shingleIndex)
+      .filter(col(idCol).isNotNull && size(ts) > 0)
       .select(col(idCol).as("doc"), posexplode(chunkArr).as(Seq("ci", "chunk")))
     val winners = chunks.groupBy("chunk")
       .agg(min(struct(col("doc"), col("ci"))).as("w"))
@@ -416,8 +418,11 @@ object Dedup {
     require(w >= 2, s"window width must be >= 2, got $w")
     val win = Window.partitionBy("doc").orderBy("p")
     val parts = (0 until w).map(k => if (k == 0) col("tok") else lead("tok", k).over(win))
-    val toks = docs.select(col(idCol).as("doc"),
-      posexplode(Fns.tokens(col(textCol))).as(Seq("p", "tok")))
+    // isnotnull stated once so every branch's scan subtree is canonically
+    // identical and the exchange is reused, not recomputed (see shingleIndex)
+    val toks = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        posexplode(Fns.tokens(col(textCol))).as(Seq("p", "tok")))
     val wins = toks
       .withColumn("s", when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
       .filter(col("s").isNotNull)
