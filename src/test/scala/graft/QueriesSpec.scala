@@ -15,6 +15,16 @@ class QueriesSpec extends SparkSpec {
       val n = df.count()
       assert(n >= 0, s"$name failed")
       if (!emptyOk(name)) assert(n > 0, s"$name returned zero rows")
+      // corpus-wide plan invariants — every query, not just the ones with
+      // targeted PlanShapeSpec locks: a cartesian product or a leaked
+      // cached relation anywhere in the surface is a scale bug even while
+      // results stay correct (1-row broadcast crossJoins compile to
+      // BroadcastNestedLoopJoin, which stays allowed)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+      assert(!plan.contains("InMemoryTableScan"),
+        s"$name reads a cached relation — persist() leaked into the operator")
     }
   }
 
