@@ -181,21 +181,31 @@ object TextAnalysis {
 
   /** Linear quality-classifier score (fasttext-style curation classifiers
     * reduce to exactly this at inference: w·features + b per document).
-    * Features are each rounded to 4 decimals BEFORE the combination so
-    * the arithmetic is engine-portable; output is the raw logit (rounded
-    * 4) — monotone in the probability, so thresholding it is equivalent
-    * to thresholding the sigmoid, without cross-engine exp() rounding.
+    * Features are each rounded to 4 decimals BEFORE the combination, and
+    * the combination itself runs in EXACT DECIMAL(18,6) arithmetic with
+    * no final double-round: a double sum rounded with `round(x, 4)`
+    * diverges across engines when the sum lands an ulp below a
+    * half-boundary (Spark rounds the 17-digit shortest representation,
+    * DuckDB a 15-digit one — observed live: 1.8045499999999999 → 1.8045
+    * vs 1.8046 on 13/5000 docs at sf0.1). The exact-decimal combination
+    * of exactly-representable terms has ONE value on every engine; the
+    * output is that value cast to double. The logit is monotone in the
+    * probability, so thresholding it is equivalent to thresholding the
+    * sigmoid, without cross-engine exp() rounding either.
     */
   def qualityLogit(text: Column, weights: Seq[Double] = QualityLogitWeights): Column = {
     require(weights.length == 6, "need (bias, len, stop, punct, alpha, mwl)")
     val Seq(b, wLen, wStop, wPunct, wAlpha, wMwl) = weights
-    val fLen = least(tokenCount(text) / lit(100.0), lit(1.0))
-    val logit = lit(b) + lit(wLen) * fLen +
-      lit(wStop) * stopwordRatio(text) +
-      lit(wPunct) * punctRatio(text) +
-      lit(wAlpha) * alphaWordFraction(text) +
-      lit(wMwl) * (meanWordLength(text) / lit(10.0))
-    round(logit, 4)
+    def dec(c: Column) = c.cast("decimal(18,6)")
+    val fLen = dec(least(tokenCount(text) / lit(100.0), lit(1.0)))
+    // 0.5·(mwl/10) folded to 0.05·mwl: decimal division scale rules differ
+    // across engines, multiplication is exact everywhere
+    val logit = dec(lit(b)) + dec(lit(wLen)) * fLen +
+      dec(lit(wStop)) * dec(stopwordRatio(text)) +
+      dec(lit(wPunct)) * dec(punctRatio(text)) +
+      dec(lit(wAlpha)) * dec(alphaWordFraction(text)) +
+      dec(lit(wMwl / 10.0)) * dec(meanWordLength(text))
+    logit.cast("double")
   }
 
   // --- PII redaction ------------------------------------------------------

@@ -970,8 +970,14 @@ object TrainingDataOps {
            |      * 1.0 / greatest(len(ts), 1), 4) AS mwl
            |  FROM m),
            |l AS (
-           |  SELECT doc_id, round(-1.0 + 1.5*f_len + 2.0*stop_ratio
-           |    + (-3.0)*punct_ratio + 1.0*alpha_frac + 0.5*(mwl/10.0), 4) AS logit
+           |  SELECT doc_id, CAST(
+           |    CAST(-1.0 AS DECIMAL(18,6))
+           |    + CAST(1.5 AS DECIMAL(18,6)) * CAST(f_len AS DECIMAL(18,6))
+           |    + CAST(2.0 AS DECIMAL(18,6)) * CAST(stop_ratio AS DECIMAL(18,6))
+           |    + CAST(-3.0 AS DECIMAL(18,6)) * CAST(punct_ratio AS DECIMAL(18,6))
+           |    + CAST(1.0 AS DECIMAL(18,6)) * CAST(alpha_frac AS DECIMAL(18,6))
+           |    + CAST(0.05 AS DECIMAL(18,6)) * CAST(mwl AS DECIMAL(18,6))
+           |  AS DOUBLE) AS logit
            |  FROM f)
            |SELECT doc_id, logit, logit >= 0.5 AS keep
            |FROM l ORDER BY doc_id""".stripMargin
