@@ -217,6 +217,30 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** Plane-count sizing for [[knnJoin]]/[[lshTopK]]: candidate volume is
+    * Σ(bucket²) ≈ n²/2^numPlanes, so a CONSTANT plane count grows
+    * quadratically with the corpus — measured live: a pinned numPlanes=6
+    * scaled 28× on a 10× corpus. numPlanes = ⌈log₂(n / targetBucket)⌉
+    * keeps expected occupancy — and with it the per-vector candidate
+    * count — constant as the corpus grows (the [[graft.operators.Dedup.semanticDedupNLists]]
+    * contract, same reasoning).
+    */
+  def lshNumPlanes(n: Long, targetBucketSize: Long = 64L): Int = {
+    require(targetBucketSize > 0, s"targetBucketSize must be positive")
+    val raw = math.ceil(math.log(n.toDouble.max(1.0) / targetBucketSize) /
+      math.log(2.0)).toInt
+    math.min(30, math.max(1, raw))
+  }
+
+  /** [[knnJoin]] with the plane count sized from the corpus itself via
+    * [[lshNumPlanes]] — one extra `count()` job, the price of a candidate
+    * volume that stays ≈ n·targetBucket (linear) at any corpus size.
+    */
+  def knnJoinAuto(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      targetBucketSize: Long = 64L): DataFrame =
+    knnJoin(corpus, idCol, vecCol,
+      lshNumPlanes(corpus.count(), targetBucketSize), k)
+
   /** LSH top-k: rank only candidates sharing the query's bucket.
     * Output: (query_id, rank, neighbor_id, cos) — recall depends on
     * numPlanes (fewer planes → bigger buckets → higher recall, more work).

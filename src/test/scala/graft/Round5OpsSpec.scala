@@ -257,6 +257,25 @@ class Round5OpsSpec extends SparkSpec {
     assert(r.map(_.getLong(1)).sum > 0)
   }
 
+  test("lshNumPlanes keeps expected bucket occupancy constant as n grows") {
+    // occupancy = n / 2^planes stays within [target/2, target] for any n
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L)) {
+      val p = Ann.lshNumPlanes(n, 64L)
+      val occupancy = n.toDouble / math.pow(2, p)
+      assert(occupancy <= 64.0 && occupancy > 16.0, s"n=$n planes=$p occ=$occupancy")
+    }
+    assert(Ann.lshNumPlanes(1L) == 1)   // degenerate corpora stay sane
+    assert(Ann.lshNumPlanes(Long.MaxValue) == 30)
+  }
+
+  test("knnJoinAuto runs with corpus-sized planes and bounded output") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val out = Ann.knnJoinAuto(emb, "vec_id", "embedding", k = 3)
+    assert(out.count() <= n * 3)
+    assert(out.groupBy("query_id").count().agg(max("count")).head().getLong(0) <= 3)
+  }
+
   test("recallEval scores an empty approximate set as 0, not absent") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") < 3)
