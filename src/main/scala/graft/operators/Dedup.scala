@@ -414,7 +414,7 @@ object Dedup {
     * chunking contract.
     */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
-      w: Int, minDocs: Int = 2): DataFrame = {
+      w: Int, minDocs: Int = 2, crossDocOnly: Boolean = true): DataFrame = {
     require(w >= 2, s"window width must be >= 2, got $w")
     val win = Window.partitionBy("doc").orderBy("p")
     val parts = (0 until w).map(k => if (k == 0) col("tok") else lead("tok", k).over(win))
@@ -427,10 +427,17 @@ object Dedup {
       .withColumn("s", when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
       .filter(col("s").isNotNull)
       .select("doc", "p", "s")
+    // crossDocOnly=true: a span is duplicated when >= minDocs DISTINCT
+    // docs carry it (the stats-side contract). crossDocOnly=false is the
+    // full Lee et al. semantics: ANY repeat — including within one doc —
+    // counts, so the gate is total occurrences >= 2.
+    val dupCount =
+      if (crossDocOnly) countDistinct(col("doc")) else count(lit(1))
+    val minCount = if (crossDocOnly) minDocs else 2
     val dupFirst = wins.groupBy("s")
-      .agg(countDistinct(col("doc")).as("nd"),
+      .agg(dupCount.as("nd"),
         min(struct(col("doc"), col("p"))).as("first"))
-      .filter(col("nd") >= minDocs)
+      .filter(col("nd") >= minCount)
       .select("s", "first")
     val losers = wins.join(dupFirst, "s")
       .filter(struct(col("doc"), col("p")) =!= col("first"))

@@ -139,6 +139,26 @@ object Sampling {
     df.filter(u < rate)
   }
 
+  /** Class-balanced downsampling for classifier training data: every
+    * class is down-sampled to the SMALLEST class's size in expectation
+    * (per-class keep rate = min_count / class_count, deterministic hash
+    * keep — [[stratifiedSample]]'s contract). The class histogram is one
+    * map-side-combined aggregation materialized to the driver (bounded by
+    * the class count — the IVF-centroid/domainMix contract) and rates
+    * inline as plan literals, so the corpus pass is a zero-join
+    * projection-filter.
+    */
+  def balanceClasses(df: DataFrame, keyCol: String, classCol: String): DataFrame = {
+    val counts = df.groupBy(classCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getAs[Long]("n")).toMap
+    require(counts.nonEmpty, "no classes present")
+    val minN = counts.values.min
+    val rate = counts.foldRight(lit(0.0): Column) { case ((cls, n), els) =>
+      when(col(classCol) === lit(cls), lit(minN.toDouble / n)).otherwise(els)
+    }
+    df.filter(unitHash(col(keyCol)) < rate)
+  }
+
   /** CCNet-style quality-band sampling (Wenzek et al. 2020,
     * arXiv:1911.00359 §4.3: corpora are cut into head/middle/tail by LM
     * perplexity and each band kept at its own rate). `scoreCol` is any

@@ -238,6 +238,32 @@ object TextAnalysis {
   def piiCount(text: Column, re: String): Column =
     coalesce(regexp_count(text, lit(re)), lit(0))
 
+  /** Sliding-window token chunking — the RAG/embedding-prep shape: each
+    * document becomes overlapping chunks of `window` tokens advancing by
+    * `stride` (stride < window ⇒ overlap preserves context across chunk
+    * boundaries; stride = window ⇒ disjoint chunks). The final partial
+    * chunk is kept when at least one token remains past the last full
+    * stride (no content is silently dropped). Output: (doc, chunk_idx,
+    * chunk_text, n_tokens). Pure projection + generator — zero shuffles,
+    * embarrassingly parallel at corpus scale; chunk count per doc is
+    * ⌈max(n - window, 0) / stride⌉ + 1.
+    */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val ts = Fns.tokens(col(textCol))
+    val nChunks = (ceil(greatest(size(ts) - window, lit(0)) /
+      lit(stride.toDouble)) + 1).cast("int")
+    val chunkArr = transform(sequence(lit(0), nChunks - 1),
+      i => slice(ts, i * stride + 1, lit(window)))
+    docs.filter(size(ts) > 0)
+      .select(col(idCol).as("doc"), posexplode(chunkArr).as(Seq("chunk_idx", "c")))
+      .select(col("doc"), col("chunk_idx"),
+        concat_ws(" ", col("c")).as("chunk_text"),
+        size(col("c")).as("n_tokens"))
+  }
+
   /** Corpus-trained add-one-smoothed bigram language-model score per
     * document — the CCNet-style perplexity quality filter (Wenzek et al.
     * 2020, arXiv:1911.00359 §4.3: documents are ranked by LM perplexity

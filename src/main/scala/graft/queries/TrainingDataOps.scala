@@ -1135,6 +1135,79 @@ object TrainingDataOps {
          |ORDER BY t.doc_id""".stripMargin
     ),
 
+    // ---- exact-substring removal, ANY-repeat scope ----------------------
+    // crossDocOnly=false: within-doc repeats count too (full Lee et al.
+    // semantics) — gate is total occurrences >= 2 instead of >= 2 docs.
+    "dd_substring_dedup_all" -> QuerySpec(
+      (s, dir) =>
+        Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text", 5,
+          crossDocOnly = false)
+          .withColumnRenamed("doc", "doc_id")
+          .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS tok,
+         |  unnest(range(1, len(ts)+1)) AS p FROM toks),
+         |wins AS (SELECT doc_id, unnest(range(1, len(ts)-3)) AS p, unnest(
+         |  [array_to_string(ts[i:i+4],' ') for i in range(1, len(ts)-3)]) AS s
+         |  FROM toks),
+         |dupkeys AS (SELECT s FROM (
+         |  SELECT s, count(*) AS nd FROM wins GROUP BY s)
+         |  WHERE nd >= 2),
+         |occ AS (SELECT w.doc_id, w.p, row_number() OVER (
+         |  PARTITION BY w.s ORDER BY w.doc_id, w.p) AS rn
+         |  FROM wins w JOIN dupkeys d ON w.s = d.s),
+         |cov AS (SELECT DISTINCT doc_id, cp FROM (
+         |  SELECT doc_id, unnest(range(p, p+5)) AS cp FROM occ WHERE rn > 1)),
+         |kept AS (SELECT t.doc_id, t.p, t.tok FROM tok t
+         |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.cp
+         |  WHERE c.cp IS NULL),
+         |reb AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(tok, ' ' ORDER BY p) AS cleaned FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  coalesce(reb.n_kept, 0) AS n_kept,
+         |  coalesce(reb.cleaned, '') AS cleaned
+         |FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    ),
+
+    // ---- RAG-style sliding-window token chunking ------------------------
+    // 64-token chunks, stride 48 (16-token overlap); trailing partial
+    // chunk kept. Pure projection + generator, zero shuffles.
+    "tx_chunk_split" -> QuerySpec(
+      (s, dir) =>
+        TextAnalysis.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+          window = 64, stride = 48)
+          .withColumnRenamed("doc", "doc_id")
+          .orderBy("doc_id", "chunk_idx"),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |n AS (SELECT doc_id, ts,
+         |  CAST(ceil(greatest(len(ts) - 64, 0) / 48.0) AS INTEGER) + 1 AS nc
+         |  FROM toks WHERE len(ts) > 0)
+         |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |  array_to_string(ts[i*48+1:i*48+64], ' ') AS chunk_text,
+         |  CAST(len(ts[i*48+1:i*48+64]) AS INTEGER) AS n_tokens
+         |FROM n, unnest(range(0, nc)) r(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    ),
+
+    // ---- class-balanced downsampling ------------------------------------
+    // Every label down-sampled to the smallest label's size in
+    // expectation, deterministic hash keep.
+    "sp_class_balance" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Sampling.balanceClasses(
+          t(s, dir, "embeddings"), "vec_id", "label")
+          .select("vec_id", "label")
+          .orderBy("vec_id"),
+      s"""WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+         |m AS (SELECT min(n) AS mn FROM c)
+         |SELECT vec_id, label FROM embeddings e
+         |JOIN c USING (label) CROSS JOIN m
+         |WHERE (((${duckHash("CAST(vec_id AS VARCHAR)")})*1315423911 + 2654435761)
+         |  % 1000000007)*1.0/1000000007 < mn*1.0/n
+         |ORDER BY vec_id""".stripMargin
+    ),
+
     // ---- dedup audit: cluster-size histogram ----------------------------
     // Sizes an exact-dedup pass BEFORE running it: for each cluster size,
     // #clusters and #docs under the 10-token prefix key (the

@@ -151,6 +151,61 @@ class Round5OpsSpec extends SparkSpec {
     assert(got(2L) == ((3L, 0L, "")))
   }
 
+  test("substringDedup crossDocOnly=false also cuts within-doc repeats") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c x a b c")).toDF("doc_id", "text")
+    // cross-doc scope: the repeat lives in ONE doc, nothing is cut
+    val cross = Dedup.substringDedup(docs, "doc_id", "text", 3)
+      .head()
+    assert(cross.getLong(2) == 7L && cross.getString(3) == "a b c x a b c")
+    // any-repeat scope: the second "a b c" occurrence (positions 5-7) goes
+    val any = Dedup.substringDedup(docs, "doc_id", "text", 3, crossDocOnly = false)
+      .head()
+    assert(any.getLong(2) == 4L && any.getString(3) == "a b c x")
+  }
+
+  // ---- RAG-style token chunking ---------------------------------------------
+
+  test("chunkByTokens: stride overlap, trailing partial kept, nothing dropped") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(docs, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3))).sortBy(_._1)
+    // chunks at offsets 0,3,6,9: ceil((11-4)/3)+1 = 3+1 = 4 chunks
+    assert(got.length == 4)
+    assert(got(0) == ((0, "t1 t2 t3 t4", 4)))
+    assert(got(1) == ((1, "t4 t5 t6 t7", 4)))
+    assert(got(2) == ((2, "t7 t8 t9 t10", 4)))
+    assert(got(3) == ((3, "t10 t11", 2)))  // trailing partial survives
+  }
+
+  test("chunkByTokens: doc shorter than a window is one whole chunk") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(docs, "doc_id", "text", 64, 48).collect()
+    assert(got.length == 1 && got(0).getString(2) == "a b" && got(0).getInt(3) == 2)
+  }
+
+  // ---- class balancing --------------------------------------------------------
+
+  test("balanceClasses: expected per-class sizes converge to the minority class") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val before = emb.groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val minN = before.values.min
+    val after = Sampling.balanceClasses(emb, "vec_id", "label")
+      .groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the minority class is kept whole (rate 1.0 exactly)
+    val minority = before.minBy(_._2)._1
+    assert(after(minority) == minN)
+    // every class lands within ±50% of the target in expectation — loose
+    // bound, deterministic because the hash is
+    after.foreach { case (l, n) =>
+      assert(n <= minN * 3 / 2 && n >= minN / 2, s"label $l: $n vs target $minN")
+    }
+  }
+
   // ---- dedup audit ---------------------------------------------------------
 
   test("dupClusterHistogram: sizes, cluster counts, and doc mass reconcile") {
