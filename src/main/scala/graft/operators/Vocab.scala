@@ -47,4 +47,24 @@ object Vocab {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
   }
+
+  /** Vocabulary coverage / OOV rate for a candidate top-`k` vocabulary —
+    * the metric that sizes a tokenizer vocab: what fraction of corpus
+    * token OCCURRENCES (not types) the vocab covers, overall token mass,
+    * and the OOV residual. The vocab is [[topTokens]]'s own output
+    * (driver-bounded by k, broadcast into the probe join); the corpus
+    * pass is one explode + broadcast-semi probe + one aggregation.
+    * Output: 1 row (vocab_size, total_tokens, covered_tokens, oov_rate).
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val vocab = topTokens(docs, textCol, k).select(col("token"), lit(1L).as("in_v"))
+    docs.select(explode(Fns.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(vocab), Seq("token"), "left")
+      .agg(count(lit(1)).as("total_tokens"),
+        sum(coalesce(col("in_v"), lit(0L))).as("covered_tokens"))
+      .select(lit(k).as("vocab_size"), col("total_tokens"), col("covered_tokens"),
+        round(lit(1.0) - col("covered_tokens") / col("total_tokens").cast("double"), 4)
+          .as("oov_rate"))
+  }
 }

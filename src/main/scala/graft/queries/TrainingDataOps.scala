@@ -907,6 +907,27 @@ object TrainingDataOps {
          |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin
     ),
 
+    // ---- vocabulary coverage / OOV rate ---------------------------------
+    // What fraction of corpus token occurrences a top-100 vocab covers —
+    // the metric that sizes a tokenizer vocabulary.
+    "tx_oov_rate" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Vocab.vocabCoverage(t(s, dir, "documents"), "text", 100),
+      s"""WITH tok AS (
+         |  SELECT token FROM (SELECT unnest($duckToks) AS token FROM documents)
+         |  WHERE token <> ''),
+         |v AS (SELECT token FROM (
+         |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+         |  ORDER BY cnt DESC, token LIMIT 100))
+         |SELECT CAST(100 AS INTEGER) AS vocab_size,
+         |  count(*) AS total_tokens,
+         |  CAST(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS covered_tokens,
+         |  round(1.0 - sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*)::DOUBLE, 4) AS oov_rate
+         |FROM tok LEFT JOIN v ON tok.token = v.token""".stripMargin
+    ),
+
     // ---- importance sampling: per-row continuous keep weight -----------
     "sp_importance_sample" -> QuerySpec(
       (s, dir) =>

@@ -186,6 +186,19 @@ class Round5OpsSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getString(2) == "a b" && got(0).getInt(3) == 2)
   }
 
+  // ---- vocabulary coverage ----------------------------------------------------
+
+  test("vocabCoverage: a vocab holding every type covers everything; counts reconcile") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "a d")).toDF("doc_id", "text")
+    // 4 types, k=10 >= all types -> full coverage, oov 0
+    val full = graft.operators.Vocab.vocabCoverage(docs, "text", 10).head()
+    assert(full.getLong(1) == 6L && full.getLong(2) == 6L && full.getDouble(3) == 0.0)
+    // k=1 keeps only "a" (freq 3): covered 3 of 6 occurrences
+    val top1 = graft.operators.Vocab.vocabCoverage(docs, "text", 1).head()
+    assert(top1.getLong(2) == 3L && top1.getDouble(3) == 0.5)
+  }
+
   // ---- class balancing --------------------------------------------------------
 
   test("balanceClasses: expected per-class sizes converge to the minority class") {
