@@ -56,6 +56,55 @@ object Vocab {
     * pass is one explode + broadcast-semi probe + one aggregation.
     * Output: 1 row (vocab_size, total_tokens, covered_tokens, oov_rate).
     */
+  /** Greedy longest-match-first wordpiece encoding (Wu et al. 2016,
+    * arXiv:1609.08144 §4.1 — the WordPiece inference algorithm; same
+    * shape as HuggingFace's `WordPiece.tokenize`): each whitespace token
+    * is segmented left-to-right, at every position taking the LONGEST
+    * vocab entry that prefixes the remainder (continuation pieces carry
+    * the `##` prefix); a position with no match emits `[UNK]` for the
+    * whole token. The vocab set is broadcast (driver-bounded — a
+    * tokenizer vocab is ≤ ~100k entries); the corpus pass is a typed
+    * mapPartitions, the documented last-resort tier for genuinely
+    * imperative per-row logic (SURVEY §7.3) — a greedy while-loop has no
+    * declarative form. Output: (doc, token_idx, token, pieces).
+    */
+  def wordpieceEncode(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark = docs.sparkSession
+    val bv = spark.sparkContext.broadcast(vocab.toSet)
+    val maxLen = if (vocab.isEmpty) 0 else vocab.map(_.stripPrefix("##").length).max
+    implicit val enc = Encoders.product[(Long, Int, String, Seq[String])]
+    docs.select(col(idCol).cast("long"), Fns.tokens(col(textCol)))
+      .as[(Long, Seq[String])](Encoders.product[(Long, Seq[String])])
+      .mapPartitions { rows =>
+        val v = bv.value
+        def encode(tok: String): Seq[String] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < tok.length) {
+            val prefix = if (i == 0) "" else "##"
+            var j = math.min(tok.length, i + maxLen)
+            var found: String = null
+            while (j > i && found == null) {
+              val cand = prefix + tok.substring(i, j)
+              if (v(cand)) found = cand else j -= 1
+            }
+            if (found == null) return Seq("[UNK]")
+            out += found
+            i = j
+          }
+          out.toSeq
+        }
+        rows.flatMap { case (doc, toks) =>
+          toks.iterator.zipWithIndex.collect {
+            case (t, idx) if t.nonEmpty => (doc, idx, t, encode(t))
+          }
+        }
+      }
+      .toDF("doc", "token_idx", "token", "pieces")
+  }
+
   def vocabCoverage(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val vocab = topTokens(docs, textCol, k).select(col("token"), lit(1L).as("in_v"))
     docs.select(explode(Fns.tokens(col(textCol))).as("token"))

@@ -199,6 +199,37 @@ class Round5OpsSpec extends SparkSpec {
     assert(top1.getLong(2) == 3L && top1.getDouble(3) == 0.5)
   }
 
+  test("wordpieceEncode: greedy longest match, ## continuations, [UNK] fallback") {
+    import spark.implicits._
+    val vocab = Seq("un", "##aff", "##able", "##ed", "aff", "hello", "##o", "hell")
+    val docs = Seq((1L, "unaffable hello unz")).toDF("doc_id", "text")
+    val got = graft.operators.Vocab
+      .wordpieceEncode(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getString(2) -> r.getSeq[String](3).toList).toMap
+    assert(got("unaffable") == List("un", "##aff", "##able"))
+    assert(got("hello") == List("hello"))          // longest match beats hell+##o
+    assert(got("unz") == List("[UNK]"))            // no piece for 'z' → whole-token UNK
+  }
+
+  test("wordpieceEncode round-trips: concatenated pieces rebuild every known token") {
+    val docs = Tables.t(spark, sfDir, "documents").limit(50)
+    val vocab = graft.operators.Vocab.topTokens(docs, "text", 40)
+      .collect().map(_.getString(0)).toSeq ++
+      Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+        "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z")
+        .flatMap(c => Seq(c, s"##$c"))
+    val out = graft.operators.Vocab.wordpieceEncode(docs, "doc_id", "text", vocab)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val pieces = r.getSeq[String](3)
+      if (pieces != Seq("[UNK]")) {
+        val rebuilt = pieces.map(_.stripPrefix("##")).mkString
+        assert(rebuilt == r.getString(2), s"${r.getString(2)} -> $pieces")
+      }
+    }
+  }
+
   // ---- class balancing --------------------------------------------------------
 
   test("balanceClasses: expected per-class sizes converge to the minority class") {
