@@ -158,4 +158,32 @@ class PlanShapeSpec extends SparkSpec {
       assert(!plan.contains("Join"), s"$q must not join")
     }
   }
+
+  test("token chunking is a pure projection + generator — zero shuffles") {
+    val df = SparkEntry.queries("tx_chunk_split")(spark, dir)
+    // inspect the pre-sort plan: the query's trailing orderBy exists only
+    // for the oracle's deterministic dump; chunking itself must not
+    // exchange (drop the Sort's range partitioning from consideration)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "chunking must stay partition-local")
+    assert(!plan.contains("Window") && !plan.contains("Join"))
+  }
+
+  test("class balance is a zero-join projection-filter over the corpus") {
+    val df = SparkEntry.queries("sp_class_balance")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      "per-class rates must inline as literals, not join back")
+    assert(!plan.contains("Window"))
+  }
+
+  test("OOV rate probes with a broadcast vocab — never a shuffled join") {
+    val plan = executedPlan("tx_oov_rate")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "vocab probe must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the corpus token stream must not shuffle for the probe")
+  }
 }
