@@ -360,12 +360,15 @@ object Dedup {
     * run of length ≥ w is caught by construction). Plan: the same
     * posexplode + lead-window stitching as [[shingleIndex]] but WITHOUT
     * the per-doc distinct (positions count), then one groupBy on the
-    * window text for corpus doc-frequencies, one join back, one groupBy
+    * window hash for corpus doc-frequencies, one join back, one groupBy
     * doc — every shuffle keyed, map-side combined, linear in corpus
-    * tokens. The window TEXT is the shuffle key here because the DuckDB
-    * oracle must replay it; at 100 TB swap the key for
-    * `xxhash64(s), xxhash64(s, lit(1))` (128-bit, collision-free in
-    * practice) to shuffle 16 bytes instead of w words.
+    * tokens. The shuffle key is a 128-BIT HASH of the window text —
+    * `(xxhash64(s), xxhash64(1, s))`, 16 bytes instead of w words
+    * (50-500 bytes at w=5..50): the dominant cost of this operator at
+    * corpus scale is exactly these shuffles' bytes. Collision odds at
+    * 128 bits are ~n²/2¹²⁹ — ~10⁻²⁰ even at 10¹⁰ windows — and a
+    * collision only conflates two window texts' doc-frequencies, the
+    * standard hashed-shingle trade every MinHash pipeline already makes.
     */
   def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
       w: Int, minDocs: Int = 2): DataFrame = {
@@ -377,13 +380,14 @@ object Dedup {
         posexplode(Fns.tokens(col(textCol))).as(Seq("p", "tok")))
       .withColumn("s", when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
       .filter(col("s").isNotNull)
-      .select("doc", "s")
-    val dupWins = wins.groupBy("s")
+      .select(col("doc"),
+        struct(xxhash64(col("s")).as("h1"), xxhash64(lit(1L), col("s")).as("h2")).as("sh"))
+    val dupWins = wins.groupBy("sh")
       .agg(countDistinct(col("doc")).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select(col("s"), lit(1L).as("isdup"))
+      .select(col("sh"), lit(1L).as("isdup"))
     wins
-      .join(dupWins, Seq("s"), "left")
+      .join(dupWins, Seq("sh"), "left")
       .groupBy("doc")
       .agg(count(lit(1)).as("n_windows"),
         sum(coalesce(col("isdup"), lit(0L))).as("n_dup_windows"))
@@ -396,7 +400,9 @@ object Dedup {
     * [[substringDupStats]] (Lee et al. 2022, arXiv:2107.06499 §3: all but
     * the first occurrence of a duplicated span are cut from the corpus).
     * A window (w consecutive tokens) duplicated across ≥ `minDocs`
-    * distinct docs keeps its globally-first occurrence (smallest
+    * distinct docs (with `crossDocOnly=false`: ≥ `minDocs` total
+    * occurrences, within-doc repeats included) keeps its globally-first
+    * occurrence (smallest
     * (doc, position) — deterministic) and every other occurrence is
     * removed: the tokens it covers are dropped and the document is
     * reassembled from the survivors. Output per doc:
@@ -423,23 +429,26 @@ object Dedup {
     val toks = docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc"),
         posexplode(Fns.tokens(col(textCol))).as(Seq("p", "tok")))
+    // 128-bit window hash as the shuffle/join key (16 bytes, not w words)
+    // — same collision contract as [[substringDupStats]]
     val wins = toks
       .withColumn("s", when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
       .filter(col("s").isNotNull)
-      .select("doc", "p", "s")
+      .select(col("doc"), col("p"),
+        struct(xxhash64(col("s")).as("h1"), xxhash64(lit(1L), col("s")).as("h2")).as("sh"))
     // crossDocOnly=true: a span is duplicated when >= minDocs DISTINCT
     // docs carry it (the stats-side contract). crossDocOnly=false is the
     // full Lee et al. semantics: ANY repeat — including within one doc —
-    // counts, so the gate is total occurrences >= 2.
+    // counts, so minDocs gates total OCCURRENCES (default 2 = any repeat).
     val dupCount =
       if (crossDocOnly) countDistinct(col("doc")) else count(lit(1))
-    val minCount = if (crossDocOnly) minDocs else 2
-    val dupFirst = wins.groupBy("s")
+    val minCount = minDocs
+    val dupFirst = wins.groupBy("sh")
       .agg(dupCount.as("nd"),
         min(struct(col("doc"), col("p"))).as("first"))
       .filter(col("nd") >= minCount)
-      .select("s", "first")
-    val losers = wins.join(dupFirst, "s")
+      .select("sh", "first")
+    val losers = wins.join(dupFirst, "sh")
       .filter(struct(col("doc"), col("p")) =!= col("first"))
     val covered = losers
       .select(col("doc"), explode(sequence(col("p"), col("p") + lit(w - 1))).as("p"))

@@ -149,8 +149,12 @@ object Sampling {
     * projection-filter.
     */
   def balanceClasses(df: DataFrame, keyCol: String, classCol: String): DataFrame = {
+    // null classes are excluded from the histogram: the when-chain below can
+    // never match them (=== null is never true), so they are always dropped —
+    // letting a null group's count become minN would silently down-sample
+    // every REAL class below the true minority size
     val counts = df.groupBy(classCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.get(0) -> r.getAs[Long]("n")).toMap
+      .collect().flatMap(r => Option(r.get(0)).map(_ -> r.getAs[Long]("n"))).toMap
     require(counts.nonEmpty, "no classes present")
     val minN = counts.values.min
     val rate = counts.foldRight(lit(0.0): Column) { case ((cls, n), els) =>
@@ -159,17 +163,6 @@ object Sampling {
     df.filter(unitHash(col(keyCol)) < rate)
   }
 
-  /** CCNet-style quality-band sampling (Wenzek et al. 2020,
-    * arXiv:1911.00359 §4.3: corpora are cut into head/middle/tail by LM
-    * perplexity and each band kept at its own rate). `scoreCol` is any
-    * monotone quality score (higher = better, e.g.
-    * `TextAnalysis.bigramLmScore`'s avg_logprob); rows band as
-    * head (≥ headCut) / middle (≥ tailCut) / tail (below), then keep via
-    * the deterministic per-band hash rate — [[stratifiedSample]]'s
-    * contract (reproducible, monotone in rate), so re-runs never migrate
-    * documents across the kept set. Appends `band`; a pure
-    * projection-filter over the scored input, zero additional shuffles.
-    */
   /** Deterministic uniform shard id ∈ [0, nShards) for a key — integer
     * arithmetic end to end: shard = ⌊k·n / M⌋ where k is the spread hash
     * ∈ [0, M). k·n stays far under 2⁶³ and k·n/M is never within an ulp
@@ -201,6 +194,17 @@ object Sampling {
         sum("__nt").cast("long").as("total_tokens"),
         sum(col(keyCol)).cast("long").as("id_checksum"))
 
+  /** CCNet-style quality-band sampling (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3: corpora are cut into head/middle/tail by LM
+    * perplexity and each band kept at its own rate). `scoreCol` is any
+    * monotone quality score (higher = better, e.g.
+    * `TextAnalysis.bigramLmScore`'s avg_logprob); rows band as
+    * head (≥ headCut) / middle (≥ tailCut) / tail (below), then keep via
+    * the deterministic per-band hash rate — [[stratifiedSample]]'s
+    * contract (reproducible, monotone in rate), so re-runs never migrate
+    * documents across the kept set. Appends `band`; a pure
+    * projection-filter over the scored input, zero additional shuffles.
+    */
   def qualityBandSample(scored: DataFrame, keyCol: String, scoreCol: String,
       headCut: Double, tailCut: Double,
       rates: Map[String, Double]): DataFrame = {

@@ -281,7 +281,14 @@ object TextAnalysis {
     * Determinism contract: each term is rounded to 6 decimals and summed
     * in DECIMAL(28,6) — exact, order-independent — so the result is
     * bit-stable across partitionings AND engines (a raw double sum over a
-    * shuffled join is neither). Plan: count tables are two keyed
+    * shuffled join is neither). The final 4-decimal average is computed in
+    * INTEGER arithmetic — micro-unit sum islp = slp·10⁶ (exact long),
+    * avg·10⁴ = round-half-away(islp / (100·B)) via the positive-operand
+    * identity (2m+b) div (2b) — never `round(double, 4)`, whose half-
+    * boundary behavior differs between engines when the quotient lands an
+    * ulp from x.xxxx5 (the qualityLogit DECIMAL lesson; a divergent round
+    * here would also migrate documents across perplexity bands
+    * downstream). Plan: count tables are two keyed
     * map-side-combined aggregations over the exploded token/bigram
     * streams; scoring joins them back keyed on the token(s); V is a 1-row
     * broadcast. Linear in corpus tokens at 100 TB — the standard
@@ -306,7 +313,16 @@ object TextAnalysis {
           .cast("decimal(28,6)"))
       .groupBy("doc")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      // islp = slp·10⁶: DECIMAL(38,6)×10⁶ has zero fractional part, so the
+      // long cast is exact (|slp| ≲ 20·doc_len keeps it far under 2⁶³);
+      // sign·((2|islp|+100B) div (200B)) is half-away-from-zero rounding of
+      // islp/(100B) with POSITIVE integer division only — floor == trunc,
+      // so Spark `div` and DuckDB `//` agree; /10⁴ of a small int in double
+      // is correctly rounded IEEE on both engines
+      .withColumn("islp", (col("slp") * lit(1000000L)).cast("long"))
       .select(col("doc"), col("n_bigrams"),
-        round(col("slp").cast("double") / col("n_bigrams"), 4).as("avg_logprob"))
+        (when(col("islp") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(2*abs(islp) + 100*n_bigrams) div (200*n_bigrams)"))
+          .cast("double")./(lit(10000.0)).as("avg_logprob"))
   }
 }

@@ -48,14 +48,6 @@ object Vocab {
       .limit(k)
   }
 
-  /** Vocabulary coverage / OOV rate for a candidate top-`k` vocabulary —
-    * the metric that sizes a tokenizer vocab: what fraction of corpus
-    * token OCCURRENCES (not types) the vocab covers, overall token mass,
-    * and the OOV residual. The vocab is [[topTokens]]'s own output
-    * (driver-bounded by k, broadcast into the probe join); the corpus
-    * pass is one explode + broadcast-semi probe + one aggregation.
-    * Output: 1 row (vocab_size, total_tokens, covered_tokens, oov_rate).
-    */
   /** Greedy longest-match-first wordpiece encoding (Wu et al. 2016,
     * arXiv:1609.08144 §4.1 — the WordPiece inference algorithm; same
     * shape as HuggingFace's `WordPiece.tokenize`): each whitespace token
@@ -105,6 +97,14 @@ object Vocab {
       .toDF("doc", "token_idx", "token", "pieces")
   }
 
+  /** Vocabulary coverage / OOV rate for a candidate top-`k` vocabulary —
+    * the metric that sizes a tokenizer vocab: what fraction of corpus
+    * token OCCURRENCES (not types) the vocab covers, overall token mass,
+    * and the OOV residual. The vocab is [[topTokens]]'s own output
+    * (driver-bounded by k, broadcast into the probe join); the corpus
+    * pass is one explode + broadcast-semi probe + one aggregation.
+    * Output: 1 row (vocab_size, total_tokens, covered_tokens, oov_rate).
+    */
   def vocabCoverage(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val vocab = topTokens(docs, textCol, k).select(col("token"), lit(1L).as("in_v"))
     docs.select(explode(Fns.tokens(col(textCol))).as("token"))

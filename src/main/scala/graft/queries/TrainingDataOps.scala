@@ -1279,13 +1279,19 @@ object TrainingDataOps {
          |uni AS (SELECT w1, count(*) AS c1 FROM (
          |  SELECT unnest(ts) AS w1 FROM toks) GROUP BY 1),
          |big AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
-         |v AS (SELECT count(DISTINCT w1) AS v FROM (SELECT unnest(ts) AS w1 FROM toks))
-         |SELECT bi.doc_id, count(*) AS n_bigrams,
-         |  round(CAST(sum(CAST(round(ln((big.c12 + 1.0) / (uni.c1 + v.v)), 6)
-         |      AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_logprob
-         |FROM bi JOIN big ON bi.w1 = big.w1 AND bi.w2 = big.w2
-         |JOIN uni ON bi.w1 = uni.w1 CROSS JOIN v
-         |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
+         |v AS (SELECT count(DISTINCT w1) AS v FROM (SELECT unnest(ts) AS w1 FROM toks)),
+         |g AS (
+         |  SELECT bi.doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(CAST(round(ln((big.c12 + 1.0) / (uni.c1 + v.v)), 6)
+         |        AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS islp
+         |  FROM bi JOIN big ON bi.w1 = big.w1 AND bi.w2 = big.w2
+         |  JOIN uni ON bi.w1 = uni.w1 CROSS JOIN v
+         |  GROUP BY bi.doc_id)
+         |SELECT doc_id, n_bigrams,
+         |  (CASE WHEN islp < 0 THEN -1 ELSE 1 END
+         |    * ((2*abs(islp) + 100*n_bigrams) // (200*n_bigrams))) / 10000.0
+         |    AS avg_logprob
+         |FROM g ORDER BY doc_id""".stripMargin
     ),
 
     // ---- training-shard manifest ----------------------------------------
@@ -1326,13 +1332,19 @@ object TrainingDataOps {
          |  SELECT unnest(ts) AS w1 FROM toks) GROUP BY 1),
          |big AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
          |v AS (SELECT count(DISTINCT w1) AS v FROM (SELECT unnest(ts) AS w1 FROM toks)),
-         |sc AS (
-         |  SELECT bi.doc_id,
-         |    round(CAST(sum(CAST(round(ln((big.c12 + 1.0) / (uni.c1 + v.v)), 6)
-         |        AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_logprob
+         |g AS (
+         |  SELECT bi.doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(CAST(round(ln((big.c12 + 1.0) / (uni.c1 + v.v)), 6)
+         |        AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS islp
          |  FROM bi JOIN big ON bi.w1 = big.w1 AND bi.w2 = big.w2
          |  JOIN uni ON bi.w1 = uni.w1 CROSS JOIN v
          |  GROUP BY bi.doc_id),
+         |sc AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN islp < 0 THEN -1 ELSE 1 END
+         |      * ((2*abs(islp) + 100*n_bigrams) // (200*n_bigrams))) / 10000.0
+         |      AS avg_logprob
+         |  FROM g),
          |b AS (SELECT doc_id, avg_logprob,
          |  CASE WHEN avg_logprob >= -3.39 THEN 'head'
          |       WHEN avg_logprob >= -3.42 THEN 'middle'
