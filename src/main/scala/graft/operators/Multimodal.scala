@@ -18,14 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Decoded-media metadata produced by the (stubbed) decoder. */
+  /** Decoded-media metadata. `status` is the per-row decode outcome —
+    * "ok" (real codec decode), "stub" (no installed reader claims the
+    * payload; deterministic fallback), or "corrupt" (a reader claimed the
+    * payload but the pixel decode failed: truncated/garbled container).
+    * Corrupt rows are QUARANTINE rows: width/height are 0, `err` carries
+    * the failure class, and n_bytes/content_hash still describe the raw
+    * payload so the quarantine is fully accountable downstream. One bad
+    * JPEG must never abort a multi-hour curation run — the reference's
+    * own skip-and-account contract (connectors/csvETL.js:41-63, O4).
+    */
   case class MediaMeta(
       doc_id: Long,
       n_bytes: Long,
       format: String,
       width: Int,
       height: Int,
-      content_hash: String)
+      content_hash: String,
+      status: String,
+      err: Option[String])
 
   case class BinaryDoc(doc_id: Long, payload: Array[Byte])
 
@@ -48,16 +59,23 @@ object Multimodal {
       case _ => "webp"
     }
     MediaMeta(d.doc_id, n, fmt, 64 + (n % 512).toInt, 64 + (head * 7 % 512),
-      md5hex(d.payload))
+      md5hex(d.payload), "stub", None)
   }
 
   /** REAL decoder: ImageIO reader sniffing (PNG/JPEG/GIF/BMP magic bytes)
     * + a full pixel decode (`reader.read`, not just the header scan), so a
-    * truncated or corrupt container fails here rather than downstream.
+    * truncated or corrupt container surfaces here rather than downstream.
     * Returns None when no installed reader claims the payload — text and
-    * exotic containers fall through to [[decodeStub]]. Reported
-    * width/height come from the DECODED raster; format is the reader's
-    * canonical name lower-cased ("png", "jpeg").
+    * exotic containers fall through to [[decodeStub]]. A payload a reader
+    * DOES claim but cannot decode (truncated PNG, garbage after magic) is
+    * a corrupt input, not an unknown format: it becomes a QUARANTINE row
+    * (status "corrupt", zero geometry, failure class in `err`) — routing
+    * it through the stub's deterministic shape would mask corruption, and
+    * throwing would let one bad image in 100 TB of crawled media abort a
+    * multi-hour job (the wrong failure mode; skip-and-account is the
+    * reference's own contract). Reported width/height come from the
+    * DECODED raster; format is the reader's canonical name lower-cased
+    * ("png", "jpeg").
     */
   private def decodeReal(d: BinaryDoc): Option[MediaMeta] = {
     if (d.payload.isEmpty) return None
@@ -74,16 +92,17 @@ object Multimodal {
           val img = reader.read(0)
           Some(MediaMeta(d.doc_id, d.payload.length.toLong,
             reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
-            img.getWidth, img.getHeight, md5hex(d.payload)))
+            img.getWidth, img.getHeight, md5hex(d.payload), "ok", None))
         } catch {
-          // a sniffed-but-unreadable payload (truncated PNG, garbage after
-          // magic) is a corrupt input, not an unknown format: surface it as
-          // a decode failure row via the stub's deterministic shape would
-          // MASK corruption — fail the task loudly instead
-          case e: java.io.IOException =>
-            throw new java.io.IOException(
-              s"media payload for doc_id=${d.doc_id} matched reader " +
-                s"${reader.getFormatName} but failed to decode", e)
+          // NonFatal, not just IOException: ImageIO readers throw
+          // IIOException, EOF, IndexOutOfBounds, NegativeArraySize… on
+          // adversarial bytes — all of them are data problems, none of
+          // them may kill the task
+          case scala.util.control.NonFatal(e) =>
+            Some(MediaMeta(d.doc_id, d.payload.length.toLong,
+              reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
+              0, 0, md5hex(d.payload), "corrupt",
+              Some(e.getClass.getSimpleName)))
         } finally reader.dispose()
       }
     } finally iis.close()
@@ -110,6 +129,18 @@ object Multimodal {
       it.map(d => decodeReal(d).getOrElse(decodeStub(d)))
     }
   }
+
+  /** Decode accounting over [[decodeMeta]] output: per (status, format),
+    * row count and quarantined byte mass (bytes of corrupt payloads only —
+    * the number an operator pages on when a crawl's corruption rate
+    * jumps). ONE map-side-combined aggregation over ≤ |statuses×formats|
+    * groups; the audit that sizes a quarantine BEFORE anyone greps logs.
+    */
+  def decodeAudit(meta: DataFrame): DataFrame =
+    meta.groupBy("status", "format")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("status") === "corrupt", col("n_bytes")).otherwise(0L))
+          .cast("long").as("q_bytes"))
 
   /** Image-fixture synthesis: encode a REAL `fmt` ("png"/"jpeg") image of
     * the given dimensions per row, gray-filled with `shade` (0-255).

@@ -278,8 +278,40 @@ object TrainingDataOps {
         |  CASE ascii(text[1:1]) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
         |  CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
         |  CAST(64 + (ascii(text[1:1]) * 7) % 512 AS INTEGER) AS height,
-        |  md5(text) AS content_hash
+        |  md5(text) AS content_hash,
+        |  'stub' AS status, CAST(NULL AS VARCHAR) AS err
         |FROM documents ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- corrupt-media quarantine accounting ----------------------------
+    // Synthesize real images, truncate every 5th payload to its 8-byte
+    // magic (reader sniff still claims it; the pixel decode fails), and
+    // audit the decode: the batch COMPLETES, corrupt rows land in the
+    // 'corrupt' status with their byte mass — one bad image never aborts
+    // the job. Encoded 'ok' byte sizes are encoder-version-dependent, so
+    // the oracle pins counts + corrupt-only bytes (8·n), never ok bytes.
+    "mm_decode_audit" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (lit(1) + col("doc_id") % 16).cast("int").as("w"),
+          (lit(1) + (col("doc_id") * 7) % 16).cast("int").as("h"),
+          when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("fmt"),
+          (col("doc_id") % 256).cast("int").as("shade")
+        ).as[Multimodal.ImageSpec]
+        val bin = Multimodal.synthesizeImages(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, col("payload").substr(1, 8))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.decodeAudit(Multimodal.decodeMeta(s, bin).toDF())
+          .orderBy("status", "format")
+      },
+      """SELECT CASE WHEN doc_id % 5 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 0 END) AS BIGINT) AS q_bytes
+        |FROM documents GROUP BY 1, 2 ORDER BY status, format""".stripMargin
     ),
 
     // ---- REAL codec round-trip: ImageIO encode → decode -----------------

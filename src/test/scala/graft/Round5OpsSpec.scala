@@ -46,6 +46,7 @@ class Round5OpsSpec extends SparkSpec {
     val metas = Multimodal.decodeMeta(spark, bin).collect().sortBy(_.doc_id)
     assert(metas.map(m => (m.doc_id, m.format, m.width, m.height)).toSeq ==
       Seq((1L, "png", 5, 9), (2L, "jpeg", 12, 3), (3L, "png", 1, 1)))
+    assert(metas.forall(m => m.status == "ok" && m.err.isEmpty))
     // the real path hashed the actual container bytes
     val payload1 = bin.filter(col("doc_id") === 1)
       .head().getAs[Array[Byte]]("payload")
@@ -64,9 +65,10 @@ class Round5OpsSpec extends SparkSpec {
     val m = Multimodal.decodeMeta(spark, bin).head()
     // stub shape: dims derived from byte arithmetic, not a decoded raster
     assert(m.n_bytes == 30 && m.width == 64 + 30 && m.height == 64 + ('j' * 7 % 512))
+    assert(m.status == "stub" && m.err.isEmpty)
   }
 
-  test("a sniffed-but-corrupt image fails the decode loudly, not silently") {
+  test("a sniffed-but-corrupt image quarantines; the batch still completes") {
     import spark.implicits._
     val whole = {
       val img = new java.awt.image.BufferedImage(8, 8,
@@ -76,15 +78,23 @@ class Round5OpsSpec extends SparkSpec {
       out.toByteArray
     }
     val truncated = whole.take(24) // PNG magic + partial IHDR
-    val bin = Seq(Tuple1(9L)).toDF("doc_id")
-      .select(col("doc_id"), lit(truncated).as("payload"))
-    val e = intercept[Exception] {
-      Multimodal.decodeMeta(spark, bin).collect()
-    }
-    def chain(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: chain(t.getCause)
-    assert(chain(e).exists(c =>
-      Option(c.getMessage).exists(_.contains("failed to decode"))))
+    val specs = Seq(Multimodal.ImageSpec(8L, 4, 4, "png", 10)).toDS()
+    val good = Multimodal.synthesizeImages(spark, specs)
+    val bin = good.union(Seq(Tuple1(9L)).toDF("doc_id")
+      .select(col("doc_id"), lit(truncated).as("payload")))
+    // one corrupt payload in the batch must NOT abort the job — it becomes
+    // an accountable quarantine row alongside the good row's real decode
+    val metas = Multimodal.decodeMeta(spark, bin).collect().sortBy(_.doc_id)
+    assert(metas.map(_.status).toSeq == Seq("ok", "corrupt"))
+    val bad = metas.last
+    assert(bad.doc_id == 9L && bad.format == "png" &&
+      bad.width == 0 && bad.height == 0 &&
+      bad.n_bytes == 24 && bad.err.nonEmpty)
+    // and the audit aggregates the quarantine per (status, format)
+    val audit = Multimodal.decodeAudit(Multimodal.decodeMeta(spark, bin).toDF())
+      .orderBy("status").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(audit.toSeq == Seq(("corrupt", "png", 1L, 24L), ("ok", "png", 1L, 0L)))
   }
 
   test("semanticDedupAuto sizes the quantizer from the corpus and runs") {
