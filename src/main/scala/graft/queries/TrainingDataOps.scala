@@ -27,6 +27,24 @@ object TrainingDataOps {
 
   private val duckToks = "string_split_regex(trim(lower(text)),'\\s+')"
 
+  /** Fixed WordPiece vocab for `tx_wordpiece`: word starts, `##`
+    * continuations, and the full lowercase alphabet as fallback starts —
+    * chosen so the corpus words segment into REAL multi-piece encodings
+    * ("customer" → cus ##tom ##er) rather than degenerate whole-token
+    * hits, exercising greedy longest-match on both engines.
+    */
+  private val wpVocab: Seq[String] = Seq(
+    "the", "fast", "key", "ord", "##er", "sort", "tab", "##le", "scan",
+    "mer", "##ge", "part", "win", "##dow", "small", "hash", "join", "bat",
+    "##ch", "spark", "gro", "##up", "query", "row", "data", "slow", "fil",
+    "##ter", "cus", "##tom", "line", "val", "##ue", "big", "stre", "##am",
+    "agg", "col", "##umn", "vec", "##tor",
+    "##a", "##b", "##c", "##d", "##e", "##f", "##g", "##h", "##i", "##j",
+    "##k", "##l", "##m", "##n", "##o", "##p", "##q", "##r", "##s", "##t",
+    "##u", "##v", "##w", "##x", "##y", "##z",
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+    "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z")
+
   /** DuckDB CTEs for the distinct word-3-gram shingle index + per-doc
     * counts, over any doc-shaped source (doc_id, text).
     */
@@ -958,6 +976,51 @@ object TrainingDataOps {
          |  round(1.0 - sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)
          |    / count(*)::DOUBLE, 4) AS oov_rate
          |FROM tok LEFT JOIN v ON tok.token = v.token""".stripMargin
+    ),
+
+    // ---- WordPiece inference: greedy longest-match segmentation ---------
+    // The fixed subword vocab (starts + ##continuations + single chars)
+    // forces real multi-piece segmentations of the corpus words; the
+    // oracle replays greedy longest-match-first as a recursive CTE over
+    // token positions with a LATERAL longest-prefix probe (at most one
+    // vocab raw of each length can match a given position, so the
+    // ORDER BY len DESC LIMIT 1 is deterministic). Docs subsetted %20 to
+    // bound the oracle's recursion fan-out.
+    "tx_wordpiece" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Vocab.wordpieceEncode(
+          t(s, dir, "documents").filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", wpVocab)
+          .select(col("doc").as("doc_id"), col("token_idx"), col("token"),
+            array_join(col("pieces"), " ").as("pieces"))
+          .orderBy("doc_id", "token_idx"),
+      s"""WITH RECURSIVE
+         |vraw AS (SELECT unnest([${wpVocab.map(p => s"'$p'").mkString(",")}]) AS piece),
+         |v AS (SELECT piece,
+         |    CASE WHEN piece LIKE '##%' THEN substr(piece,3) ELSE piece END AS raw,
+         |    (piece LIKE '##%') AS cont FROM vraw),
+         |toks AS (SELECT doc_id, $duckToks AS ts FROM documents WHERE doc_id % 20 = 0),
+         |tok AS (SELECT doc_id, unnest(range(len(ts))) AS token_idx, unnest(ts) AS token
+         |  FROM toks),
+         |enc AS (
+         |  SELECT doc_id, token_idx, token, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces
+         |  FROM tok WHERE len(token) > 0
+         |  UNION ALL
+         |  SELECT e.doc_id, e.token_idx, e.token,
+         |    CASE WHEN b.piece IS NULL THEN len(e.token) ELSE e.pos + len(b.raw) END AS pos,
+         |    CASE WHEN b.piece IS NULL THEN ['[UNK]']
+         |         ELSE list_append(e.pieces, b.piece) END AS pieces
+         |  FROM enc e
+         |  LEFT JOIN LATERAL (
+         |    SELECT piece, raw FROM v
+         |    WHERE cont = (e.pos > 0)
+         |      AND substr(e.token, e.pos + 1, len(raw)) = raw
+         |    ORDER BY len(raw) DESC, piece LIMIT 1
+         |  ) b ON true
+         |  WHERE e.pos < len(e.token))
+         |SELECT doc_id, CAST(token_idx AS INTEGER) AS token_idx, token,
+         |  array_to_string(pieces, ' ') AS pieces
+         |FROM enc WHERE pos >= len(token) ORDER BY doc_id, token_idx""".stripMargin
     ),
 
     // ---- importance sampling: per-row continuous keep weight -----------
