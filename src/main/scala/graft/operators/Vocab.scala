@@ -97,6 +97,75 @@ object Vocab {
       .toDF("doc", "token_idx", "token", "pieces")
   }
 
+  /** BPE merge TRAINING (Sennrich et al. 2016, arXiv:1508.07909 §3.2):
+    * `nMerges` rounds of (count adjacent symbol pairs over the corpus,
+    * weighted by word frequency; merge the most frequent pair everywhere;
+    * recount). Starts from characters; returns the learned merge table
+    * (merge_rank, lhs, rhs, merged, freq) — the artifact a BPE tokenizer
+    * ships. Ties break (freq desc, lhs asc, rhs asc) — deterministic.
+    * Stops early when no pair remains (every word fused to one symbol).
+    *
+    * Scale shape: the CORPUS is touched exactly once — one explode + one
+    * map-side-combined count into the word-TYPE table (vocabulary-sized,
+    * ≪ corpus). Every merge round then runs over word types only: pair
+    * counts are one keyed aggregation, the argmax is a bounded
+    * `TakeOrderedAndProject` + 1-row collect (the IVF-centroid
+    * driver-bounded contract — nMerges rows total), and the merge
+    * APPLICATION is a pure projection. Greedy left-to-right non-
+    * overlapping merge semantics (Sennrich's `re.sub`) are encoded
+    * declaratively: each word is a DOUBLE-SPACE-delimited symbol string
+    * (`"  a  b  c  "`) and the merge is the literal replace
+    * `" l  r " → " lr "` — consuming one delimiter space on each side so
+    * adjacent matches can't share one ("a a a a" merges to "aa aa", as a
+    * sequential fold would), while replace's continue-after-replacement
+    * scan gives exactly the left-to-right greedy pass. Each round's word
+    * table is cached and the predecessor unpersisted, so lineage stays
+    * one round deep.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 10000, s"bad nMerges $nMerges")
+    val spark = docs.sparkSession
+    var words = docs.select(explode(Fns.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("  "), regexp_replace(col("token"), "(.)", "$1  ")).as("w"),
+        col("cnt"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val syms = split(trim(col("w")), "  ")
+      val top = words
+        .select(syms.as("syms"), col("cnt"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("l"), y.as("r")))).as("pr"), col("cnt"))
+        .select(col("pr.l"), col("pr.r"), col("cnt"))
+        .groupBy("l", "r").agg(sum("cnt").as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, freq) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rr, l + rr, freq))
+        val next = words.select(
+          replace(col("w"), lit(" " + l + "  " + rr + " "), lit(" " + l + rr + " ")).as("w"),
+          col("cnt")).cache()
+        next.count() // materialize before dropping the predecessor's blocks
+        words.unpersist(blocking = false)
+        words = next
+      }
+      r += 1
+    }
+    words.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "freq")
+  }
+
   /** Vocabulary coverage / OOV rate for a candidate top-`k` vocabulary —
     * the metric that sizes a tokenizer vocab: what fraction of corpus
     * token OCCURRENCES (not types) the vocab covers, overall token mass,

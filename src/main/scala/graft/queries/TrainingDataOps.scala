@@ -27,6 +27,36 @@ object TrainingDataOps {
 
   private val duckToks = "string_split_regex(trim(lower(text)),'\\s+')"
 
+  /** DuckDB SQL for [[graft.operators.Vocab.bpeTrain]] with `n` merge
+    * rounds unrolled into chained CTEs (the duckIvfCtes trick): round r
+    * recounts adjacent pairs from w{r-1}, argmaxes deterministically, and
+    * applies the merge with the SAME delimited literal replace as Spark.
+    */
+  private def duckBpeSql(n: Int): String = {
+    val rounds = (1 to n).map { r =>
+      s"""s$r AS (SELECT string_split(trim(w), '  ') AS syms, cnt FROM w${r - 1}),
+         |p$r AS (SELECT l, r2, sum(cnt) AS freq FROM (
+         |  SELECT unnest(syms[1:len(syms)-1]) AS l, unnest(syms[2:len(syms)]) AS r2, cnt
+         |  FROM s$r WHERE len(syms) >= 2) GROUP BY 1, 2),
+         |b$r AS (SELECT l, r2, CAST(freq AS BIGINT) AS freq FROM p$r
+         |  ORDER BY freq DESC, l, r2 LIMIT 1),
+         |w$r AS (SELECT replace(w.w, ' '||b.l||'  '||b.r2||' ', ' '||b.l||b.r2||' ') AS w, w.cnt
+         |  FROM w${r - 1} w CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to n).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS merge_rank, l AS lhs, r2 AS rhs, l||r2 AS merged, freq FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS w, cnt FROM (
+       |    SELECT token, count(*) AS cnt FROM (
+       |      SELECT unnest($duckToks) AS token FROM documents)
+       |    WHERE token <> '' GROUP BY token)),
+       |$rounds
+       |SELECT * FROM (
+       |$out
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
   /** Fixed WordPiece vocab for `tx_wordpiece`: word starts, `##`
     * continuations, and the full lowercase alphabet as fallback starts —
     * chosen so the corpus words segment into REAL multi-piece encodings
@@ -429,6 +459,39 @@ object TrainingDataOps {
       """SELECT DISTINCT user_id AS node, user_id % 50 AS component FROM events
         |UNION
         |SELECT DISTINCT 100000 + user_id % 50, user_id % 50 FROM events
+        |ORDER BY node""".stripMargin
+    ),
+
+    // ---- STRING-keyed identity resolution ------------------------------
+    // J1-shaped string ids (u<user>, d<group>, x<class>) in a two-hop
+    // star graph: users → device groups → class hubs, so components only
+    // resolve TRANSITIVELY; canonical id = lexicographic min string.
+    "id_resolution_string" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+        val g = col("user_id") % 50
+        val e1 = ev.select(
+          concat(lit("u"), col("user_id").cast("string")).as("src"),
+          concat(lit("d"), g.cast("string")).as("dst")).distinct()
+        val e2 = ev.select(
+          concat(lit("d"), g.cast("string")).as("src"),
+          concat(lit("x"), (g % 7).cast("string")).as("dst")).distinct()
+        IdentityResolution.connectedComponentsString(e1.union(e2))
+          .orderBy("node")
+      },
+      """WITH m AS (SELECT DISTINCT user_id, user_id % 50 AS g FROM events
+        |  WHERE user_id IS NOT NULL),
+        |gs AS (SELECT DISTINCT g FROM m),
+        |canon AS (SELECT g % 7 AS k, min('d' || CAST(g AS VARCHAR)) AS c
+        |  FROM gs GROUP BY 1),
+        |nodes AS (
+        |  SELECT 'u' || CAST(user_id AS VARCHAR) AS node, g % 7 AS k FROM m
+        |  UNION
+        |  SELECT 'd' || CAST(g AS VARCHAR), g % 7 FROM gs
+        |  UNION
+        |  SELECT 'x' || CAST(k AS VARCHAR), k
+        |  FROM (SELECT DISTINCT g % 7 AS k FROM gs))
+        |SELECT node, c AS component FROM nodes JOIN canon USING (k)
         |ORDER BY node""".stripMargin
     ),
 
@@ -955,6 +1018,18 @@ object TrainingDataOps {
          |    [array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]) AS pair
          |  FROM (SELECT $duckToks AS ts FROM documents))
          |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin
+    ),
+
+    // ---- BPE merge training: 8 rounds of top-pair merge -----------------
+    // The oracle unrolls each (count pairs → argmax → apply merge) round
+    // into chained CTEs; merge application is the same literal
+    // double-space-delimited replace the Spark operator uses, so greedy
+    // left-to-right semantics match by construction.
+    "tx_bpe_train" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Vocab.bpeTrain(t(s, dir, "documents"), "text", 8)
+          .orderBy("merge_rank"),
+      duckBpeSql(8)
     ),
 
     // ---- vocabulary coverage / OOV rate ---------------------------------

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Round-6 operators: BPE merge training, string-keyed identity
+  * resolution, corrupt-media quarantine (quarantine tests live in
+  * Round5OpsSpec next to the codec tests).
+  */
+class Round6OpsSpec extends SparkSpec {
+
+  // ---- BPE merge training ------------------------------------------------
+
+  test("bpeTrain learns the classic merge sequence with overlap semantics") {
+    import spark.implicits._
+    // "aaa"×2: pairs (a,a) counted WITH overlap (freq 4); greedy
+    // left-to-right application merges "a a a" → "aa a", never "a aa"
+    val docs = Seq("aaa aaa", "ab").toDF("text")
+    val got = Vocab.bpeTrain(docs, "text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1, "a", "a", "aa", 4L),   // 2 per "aaa" occurrence × 2 occurrences
+      (2, "aa", "a", "aaa", 2L), // greedy left-to-right: [aa, a], not [a, aa]
+      (3, "a", "b", "ab", 1L)))
+  }
+
+  test("bpeTrain stops early when every word is a single symbol") {
+    import spark.implicits._
+    val docs = Seq("aa aa aa").toDF("text")
+    val got = Vocab.bpeTrain(docs, "text", 5).collect()
+    assert(got.length == 1) // after merging (a,a) no pair remains
+    assert(got(0).getString(3) == "aa" && got(0).getLong(4) == 3L)
+  }
+
+  test("bpeTrain frequency ties break lexicographically") {
+    import spark.implicits._
+    // (b,c) and (x,y) both freq 2 in round 1 → (b,c) wins (lhs asc)
+    val docs = Seq("bc bc xy xy").toDF("text")
+    val got = Vocab.bpeTrain(docs, "text", 1).collect()
+    assert(got(0).getString(1) == "b" && got(0).getString(2) == "c")
+  }
+
+  // ---- string-keyed identity resolution ----------------------------------
+
+  test("connectedComponentsString resolves string ids to min-string canon") {
+    import spark.implicits._
+    // two components: {u1,d9,u2} (via shared device) and {u3,d2}
+    val edges = Seq(("u1", "d9"), ("u2", "d9"), ("u3", "d2"))
+      .toDF("src", "dst")
+    val got = IdentityResolution.connectedComponentsString(edges)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      ("d2", "d2"), ("d9", "d9"), ("u1", "d9"), ("u2", "d9"), ("u3", "d2")))
+  }
+
+  test("connectedComponentsString canon is the LEXICOGRAPHIC min, chains resolve") {
+    import spark.implicits._
+    // chain a-b-c-d collapses to one component canonized at "a10";
+    // note "a10" < "a9" lexicographically — string order, not numeric
+    val edges = Seq(("a9", "b"), ("b", "c"), ("c", "a10")).toDF("src", "dst")
+    val got = IdentityResolution.connectedComponentsString(edges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got.values.toSet == Set("a10"))
+    assert(got.keySet == Set("a9", "a10", "b", "c"))
+  }
+}
