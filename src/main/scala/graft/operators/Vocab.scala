@@ -166,6 +166,33 @@ object Vocab {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "freq")
   }
 
+  /** BPE ENCODING with a learned merge table — the inference half of
+    * [[bpeTrain]]: every whitespace token is split to characters and the
+    * merge list is applied in rank order (same greedy left-to-right
+    * delimited-replace semantics as training, so train→encode round-trips
+    * exactly).
+    *
+    * Scale shape: tokenization compiles to ONE pure projection — the
+    * merge table is bounded (a tokenizer ships ~10k-50k merges), so the
+    * whole merge sequence folds into a single composed expression chain
+    * over the exploded token stream: zero shuffles, zero joins, no UDF,
+    * embarrassingly parallel over 100 TB. Output:
+    * (doc, token_idx, token, pieces).
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc"),
+        posexplode(Fns.tokens(col(textCol))).as(Seq("token_idx", "token")))
+      .filter(col("token") =!= "")
+    val delim = concat(lit("  "), regexp_replace(col("token"), "(.)", "$1  "))
+    val encoded = merges.foldLeft(delim) { case (e, (l, r)) =>
+      replace(e, lit(" " + l + "  " + r + " "), lit(" " + l + r + " "))
+    }
+    toks.select(col("doc"), col("token_idx"), col("token"),
+      split(trim(encoded), "  ").as("pieces"))
+  }
+
   /** Vocabulary coverage / OOV rate for a candidate top-`k` vocabulary —
     * the metric that sizes a tokenizer vocab: what fraction of corpus
     * token OCCURRENCES (not types) the vocab covers, overall token mass,

@@ -32,7 +32,7 @@ object TrainingDataOps {
     * recounts adjacent pairs from w{r-1}, argmaxes deterministically, and
     * applies the merge with the SAME delimited literal replace as Spark.
     */
-  private def duckBpeSql(n: Int): String = {
+  private def duckBpeCtes(n: Int): String = {
     val rounds = (1 to n).map { r =>
       s"""s$r AS (SELECT string_split(trim(w), '  ') AS syms, cnt FROM w${r - 1}),
          |p$r AS (SELECT l, r2, sum(cnt) AS freq FROM (
@@ -43,18 +43,46 @@ object TrainingDataOps {
          |w$r AS (SELECT replace(w.w, ' '||b.l||'  '||b.r2||' ', ' '||b.l||b.r2||' ') AS w, w.cnt
          |  FROM w${r - 1} w CROSS JOIN b$r b)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to n).map(r =>
-      s"SELECT CAST($r AS INTEGER) AS merge_rank, l AS lhs, r2 AS rhs, l||r2 AS merged, freq FROM b$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS w, cnt FROM (
        |    SELECT token, count(*) AS cnt FROM (
        |      SELECT unnest($duckToks) AS token FROM documents)
        |    WHERE token <> '' GROUP BY token)),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def duckBpeSql(n: Int): String = {
+    val out = (1 to n).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS merge_rank, l AS lhs, r2 AS rhs, l||r2 AS merged, freq FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${duckBpeCtes(n)}
        |SELECT * FROM (
        |$out
        |) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** DuckDB SQL for [[graft.operators.Vocab.bpeEncode]] over merges
+    * learned by the same `n`-round training chain: each round's winning
+    * pair is applied to every corpus token with the identical delimited
+    * literal replace.
+    */
+  private def duckBpeEncodeSql(n: Int): String = {
+    val applies = (1 to n).map { r =>
+      s"""t$r AS (SELECT doc_id, token_idx, token,
+         |  replace(t.t, ' '||b.l||'  '||b.r2||' ', ' '||b.l||b.r2||' ') AS t
+         |  FROM t${r - 1} t CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${duckBpeCtes(n)},
+       |tok AS (SELECT doc_id, unnest(range(len(ts))) AS token_idx, unnest(ts) AS token
+       |  FROM (SELECT doc_id, $duckToks AS ts FROM documents)),
+       |t0 AS (SELECT doc_id, token_idx, token,
+       |  '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS t
+       |  FROM tok WHERE len(token) > 0),
+       |$applies
+       |SELECT doc_id, CAST(token_idx AS INTEGER) AS token_idx, token,
+       |  array_to_string(string_split(trim(t), '  '), ' ') AS pieces,
+       |  CAST(len(string_split(trim(t), '  ')) AS INTEGER) AS n_pieces
+       |FROM t$n ORDER BY doc_id, token_idx""".stripMargin
   }
 
   /** Fixed WordPiece vocab for `tx_wordpiece`: word starts, `##`
@@ -1030,6 +1058,25 @@ object TrainingDataOps {
         graft.operators.Vocab.bpeTrain(t(s, dir, "documents"), "text", 8)
           .orderBy("merge_rank"),
       duckBpeSql(8)
+    ),
+
+    // ---- BPE encode: apply the learned merges to the corpus -------------
+    // Train (driver-bounded merge table) then tokenize: the encode side
+    // folds all 8 merges into ONE composed projection over the exploded
+    // token stream — zero shuffles/joins; the plan-shape lock pins it.
+    "tx_bpe_encode" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.Vocab.bpeTrain(docs, "text", 8)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.Vocab.bpeEncode(docs, "doc_id", "text", merges)
+          .select(col("doc").as("doc_id"), col("token_idx"), col("token"),
+            array_join(col("pieces"), " ").as("pieces"),
+            size(col("pieces")).as("n_pieces"))
+          .orderBy("doc_id", "token_idx")
+      },
+      duckBpeEncodeSql(8)
     ),
 
     // ---- vocabulary coverage / OOV rate ---------------------------------

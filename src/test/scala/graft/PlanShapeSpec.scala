@@ -170,6 +170,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("Join"))
   }
 
+  test("BPE encode folds the merge table into one projection — no join/window") {
+    // constructing the query runs training (driver-bounded collect); the
+    // RETURNED plan is the encode side and must be a pure generator +
+    // projection chain — the whole merge sequence lives in one expression
+    val df = SparkEntry.queries("tx_bpe_encode")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "encode must not join the merge table")
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "encode must stay partition-local (trailing sort is dump-only)")
+  }
+
   test("class balance is a zero-join projection-filter over the corpus") {
     val df = SparkEntry.queries("sp_class_balance")(spark, dir)
     df.count()

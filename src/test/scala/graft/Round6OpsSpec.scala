@@ -41,6 +41,24 @@ class Round6OpsSpec extends SparkSpec {
     assert(got(0).getString(1) == "b" && got(0).getString(2) == "c")
   }
 
+  test("bpeEncode round-trips bpeTrain's merges and reconstructs tokens") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa aaa ab"), (2L, "ba aaa")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(docs, "text", 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Vocab.bpeEncode(docs, "doc_id", "text", merges)
+    // after (a,a)→aa, (aa,a)→aaa, (a,b)→ab: "aaa" and "ab" are single
+    // pieces; "ba" never merged and stays charwise
+    val got = enc.orderBy("doc", "token_idx").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getSeq[String](3).toList)).toList
+    assert(got == List(
+      (1L, "aaa", List("aaa")), (1L, "aaa", List("aaa")), (1L, "ab", List("ab")),
+      (2L, "ba", List("b", "a")), (2L, "aaa", List("aaa"))))
+    // pieces always concatenate back to the token (lossless segmentation)
+    assert(enc.filter(concat_ws("", col("pieces")) =!= col("token")).count() == 0)
+  }
+
   // ---- string-keyed identity resolution ----------------------------------
 
   test("connectedComponentsString resolves string ids to min-string canon") {
