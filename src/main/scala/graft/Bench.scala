@@ -13,7 +13,7 @@ import java.nio.charset.StandardCharsets
   *   1. stdout: ONE short summary line — total seconds, query count, error
   *      map, and only the top-10 slowest per-query medians. Guaranteed well
   *      under 2,000 bytes for any query count.
-  *   2. a full per-query JSON file (default `/root/repo/BENCH_SELF_r05.json`,
+  *   2. a full per-query JSON file (default `/root/repo/BENCH_SELF_r06.json`,
   *      override with SPARK_GRAFT_BENCH_OUT) with the median, min, and every
   *      rep for each query — the committed artifact judges/rounds compare.
   *
@@ -34,7 +34,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_SELF_r05.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_SELF_r06.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
