@@ -163,6 +163,50 @@ object Sampling {
     df.filter(unitHash(col(keyCol)) < rate)
   }
 
+  /** EXACTLY min(k, |stratum|) rows per stratum, selected by the
+    * deterministic unit hash (smallest k hash values win) — the
+    * exact-size eval-set / per-class sample primitive that
+    * [[stratifiedSample]]'s rate form cannot give. Deterministic across
+    * runs/engines/partitionings, and MONOTONE IN k: the k=10 set is a
+    * subset of the k=20 set, so growing an eval set never redraws it.
+    * Null strata are dropped (the [[balanceClasses]] contract).
+    *
+    * Scale shape: the naive form window-sorts every row of the corpus.
+    * Here large strata are PREFILTERED first — keep rate 4k/n from the
+    * per-stratum histogram (driver-bounded, the domainMix contract) —
+    * so the rank window sorts O(strata · k) rows, not the corpus. The
+    * prefilter is VERIFIED, not trusted: a per-stratum count check
+    * catches a stratum that survived with fewer than min(k, n) rows
+    * (Chernoff puts that below e^{-1.1k}; at k ≥ 16 that is ~1e-8 —
+    * but exactness must not rest on a tail bound) and re-ranks just
+    * that stratum without the prefilter.
+    */
+  def exactKPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = unitHash(col(keyCol))
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
+      .collect().flatMap(r => Option(r.get(0)).map(_ -> r.getAs[Long]("n"))).toMap
+    require(counts.nonEmpty, "no strata present")
+    val rate = counts.foldRight(lit(0.0): Column) { case ((s0, n), els) =>
+      when(col(strataCol) === lit(s0),
+        lit(if (n <= 4L * k) 1.0 else 4.0 * k / n)).otherwise(els)
+    }
+    val w = Window.partitionBy(strataCol).orderBy(u, col(keyCol))
+    def rank(base: DataFrame): DataFrame =
+      base.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+    val pre = rank(df.filter(u < rate))
+    val got = pre.groupBy(strataCol).agg(count(lit(1)).as("g")).collect()
+      .flatMap(r => Option(r.get(0)).map(_ -> r.getAs[Long]("g"))).toMap
+    val short = counts.collect {
+      case (s0, n) if got.getOrElse(s0, 0L) < math.min(k.toLong, n) => s0
+    }.toSeq
+    if (short.isEmpty) pre
+    else pre.filter(!col(strataCol).isin(short: _*))
+      .unionByName(rank(df.filter(col(strataCol).isin(short: _*))))
+  }
+
   /** Deterministic uniform shard id ∈ [0, nShards) for a key — integer
     * arithmetic end to end: shard = ⌊k·n / M⌋ where k is the spread hash
     * ∈ [0, M). k·n stays far under 2⁶³ and k·n/M is never within an ulp

@@ -674,6 +674,54 @@ object TrainingDataOps {
          |FROM comp GROUP BY node ORDER BY doc_id""".stripMargin
     ),
 
+    // ---- near-dup canonical selection: keep best per cluster ------------
+    // The "so what" of near-dup detection: for every MinHash cluster keep
+    // ONE canonical document (longest text, ties doc_id-ascending) via the
+    // map-side-combined min(struct) winner shape — never a window sort
+    // over members. Output also carries member count for removal
+    // accounting.
+    "dd_neardup_keep_best" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, numHashes = NumHashes, bandSize = BandSize, threshold = 0.8)
+        val members = Dedup.nearDupClusters(pairs)
+          .join(docs.select(col("doc_id"), col("n_chars")),
+            col("node") === col("doc_id"))
+          .select(col("component").as("cluster"), col("doc_id"), col("n_chars"))
+        val winners = Dedup.keepBestPerKey(members, Seq("cluster"),
+          Seq(-col("n_chars"), col("doc_id")), Seq("doc_id", "n_chars"))
+          .withColumnRenamed("doc_id", "keep_id")
+        winners
+          .join(members.groupBy("cluster").agg(count(lit(1)).as("n_members")),
+            "cluster")
+          .select("cluster", "keep_id", "n_chars", "n_members")
+          .orderBy("cluster")
+      },
+      s"""WITH RECURSIVE ${duckMinhashCtes()},
+         |np AS (
+         |  SELECT j.id_a AS a, j.id_b AS b
+         |  FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |  WHERE j.jaccard >= 0.8),
+         |edges AS (SELECT a, b FROM np UNION SELECT b AS a, a AS b FROM np),
+         |comp(node, label) AS (
+         |  SELECT DISTINCT a AS node, a AS label FROM edges
+         |  UNION
+         |  SELECT e.a, c.label FROM edges e JOIN comp c ON c.node = e.b),
+         |mem AS (
+         |  SELECT cl.cluster, cl.node, d.n_chars FROM (
+         |    SELECT node, min(label) AS cluster FROM comp GROUP BY node) cl
+         |  JOIN documents d ON d.doc_id = cl.node),
+         |sel AS (
+         |  SELECT cluster, node AS keep_id, n_chars,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY n_chars DESC, node) AS rn,
+         |    count(*) OVER (PARTITION BY cluster) AS n_members
+         |  FROM mem)
+         |SELECT cluster, keep_id, n_chars, CAST(n_members AS BIGINT) AS n_members
+         |FROM sel WHERE rn = 1 ORDER BY cluster""".stripMargin
+    ),
+
     // ---- sequence packing: docs → fixed-token-budget training sequences
     "sp_sequence_packing" -> QuerySpec(
       (s, dir) => {
@@ -1156,6 +1204,23 @@ object TrainingDataOps {
          |WHERE (((${duckHash("CAST(doc_id AS VARCHAR)")})*1315423911 + 2654435761)
          |  % 1000000007)*1.0/1000000007 < least(n_chars/400.0, 1.0)
          |ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- exact-k per-class sampling -------------------------------------
+    // Exactly 10 docs per source (smallest-hash selection): the
+    // exact-size eval-set primitive — deterministic AND monotone in k.
+    "sp_exact_k_per_class" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Sampling.exactKPerStratum(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source", 10)
+          .orderBy("source", "doc_id"),
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY (((${duckHash("CAST(doc_id AS VARCHAR)")})*1315423911
+         |      + 2654435761) % 1000000007)*1.0/1000000007, doc_id) AS rn
+         |  FROM documents) WHERE rn <= 10
+         |ORDER BY source, doc_id""".stripMargin
     ),
 
     // ---- domain-mixture resampling --------------------------------------

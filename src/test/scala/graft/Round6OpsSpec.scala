@@ -59,6 +59,42 @@ class Round6OpsSpec extends SparkSpec {
     assert(enc.filter(concat_ws("", col("pieces")) =!= col("token")).count() == 0)
   }
 
+  // ---- exact-k per-stratum sampling --------------------------------------
+
+  test("exactKPerStratum: exact sizes, monotone in k, small strata whole") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, if (i < 480) "big" else "small"))
+      .toDF("id", "cls")
+    val k20 = Sampling.exactKPerStratum(df, "id", "cls", 20)
+    val sizes = k20.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("big" -> 20L, "small" -> 20L))
+    // a stratum smaller than k comes back whole
+    val k50 = Sampling.exactKPerStratum(df, "id", "cls", 50)
+    val sizes50 = k50.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes50 == Map("big" -> 50L, "small" -> 20L))
+    // monotone: the k=20 selection is a subset of the k=50 selection
+    val ids20 = k20.select("id").collect().map(_.getLong(0)).toSet
+    val ids50 = k50.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids20.subsetOf(ids50))
+    // deterministic: re-run selects the identical set
+    val again = Sampling.exactKPerStratum(df, "id", "cls", 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == ids20)
+  }
+
+  test("exactKPerStratum shortfall fallback still yields exact k") {
+    import spark.implicits._
+    // k=1 gives the prefilter its weakest margin (rate 4/n, expected 4
+    // survivors) — exercise it across many tiny-expectation strata; the
+    // count-verify + re-rank fallback guarantees exactness regardless
+    val df = (0 until 2000).map(i => (i.toLong, s"c${i % 5}")).toDF("id", "cls")
+    val got = Sampling.exactKPerStratum(df, "id", "cls", 1)
+      .groupBy("cls").count().collect().map(r => r.getLong(1))
+    assert(got.length == 5 && got.forall(_ == 1L))
+  }
+
   // ---- string-keyed identity resolution ----------------------------------
 
   test("connectedComponentsString resolves string ids to min-string canon") {
