@@ -32,7 +32,7 @@ object TrainingDataOps {
     * recounts adjacent pairs from w{r-1}, argmaxes deterministically, and
     * applies the merge with the SAME delimited literal replace as Spark.
     */
-  private def duckBpeCtes(n: Int): String = {
+  private def duckBpeCtes(n: Int, src: String = "documents"): String = {
     val rounds = (1 to n).map { r =>
       s"""s$r AS (SELECT string_split(trim(w), '  ') AS syms, cnt FROM w${r - 1}),
          |p$r AS (SELECT l, r2, sum(cnt) AS freq FROM (
@@ -46,9 +46,26 @@ object TrainingDataOps {
     s"""w0 AS (
        |  SELECT '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS w, cnt FROM (
        |    SELECT token, count(*) AS cnt FROM (
-       |      SELECT unnest($duckToks) AS token FROM documents)
+       |      SELECT unnest($duckToks) AS token FROM $src)
        |    WHERE token <> '' GROUP BY token)),
        |$rounds""".stripMargin
+  }
+
+  /** CTE chain applying the `n` learned merges to every token of `src`:
+    * token stream t0 → t{n}, one replace per round.
+    */
+  private def duckBpeApplyCtes(n: Int, src: String = "documents"): String = {
+    val applies = (1 to n).map { r =>
+      s"""t$r AS (SELECT doc_id, token_idx, token,
+         |  replace(t.t, ' '||b.l||'  '||b.r2||' ', ' '||b.l||b.r2||' ') AS t
+         |  FROM t${r - 1} t CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""tok AS (SELECT doc_id, unnest(range(len(ts))) AS token_idx, unnest(ts) AS token
+       |  FROM (SELECT doc_id, $duckToks AS ts FROM $src)),
+       |t0 AS (SELECT doc_id, token_idx, token,
+       |  '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS t
+       |  FROM tok WHERE len(token) > 0),
+       |$applies""".stripMargin
   }
 
   private def duckBpeSql(n: Int): String = {
@@ -66,24 +83,13 @@ object TrainingDataOps {
     * pair is applied to every corpus token with the identical delimited
     * literal replace.
     */
-  private def duckBpeEncodeSql(n: Int): String = {
-    val applies = (1 to n).map { r =>
-      s"""t$r AS (SELECT doc_id, token_idx, token,
-         |  replace(t.t, ' '||b.l||'  '||b.r2||' ', ' '||b.l||b.r2||' ') AS t
-         |  FROM t${r - 1} t CROSS JOIN b$r b)""".stripMargin
-    }.mkString(",\n")
+  private def duckBpeEncodeSql(n: Int): String =
     s"""WITH ${duckBpeCtes(n)},
-       |tok AS (SELECT doc_id, unnest(range(len(ts))) AS token_idx, unnest(ts) AS token
-       |  FROM (SELECT doc_id, $duckToks AS ts FROM documents)),
-       |t0 AS (SELECT doc_id, token_idx, token,
-       |  '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS t
-       |  FROM tok WHERE len(token) > 0),
-       |$applies
+       |${duckBpeApplyCtes(n)}
        |SELECT doc_id, CAST(token_idx AS INTEGER) AS token_idx, token,
        |  array_to_string(string_split(trim(t), '  '), ' ') AS pieces,
        |  CAST(len(string_split(trim(t), '  ')) AS INTEGER) AS n_pieces
        |FROM t$n ORDER BY doc_id, token_idx""".stripMargin
-  }
 
   /** Fixed WordPiece vocab for `tx_wordpiece`: word starts, `##`
     * continuations, and the full lowercase alphabet as fallback starts —
@@ -1125,6 +1131,37 @@ object TrainingDataOps {
           .orderBy("doc_id", "token_idx")
       },
       duckBpeEncodeSql(8)
+    ),
+
+    // ---- flagship: tokenizer-training pipeline --------------------------
+    // Quality gate → BPE train on the gated corpus → encode the gated
+    // corpus with the learned merges → per-source token/piece accounting.
+    // The full arc a tokenizer team runs, chained through the real
+    // operators; counts only (no ratio column — a cross-engine
+    // round(double) of a rational is the one hazard this table avoids).
+    "pipeline_tokenizer_training" -> QuerySpec(
+      (s, dir) => {
+        val gated = t(s, dir, "documents").filter(col("n_chars") >= 200)
+        val merges = graft.operators.Vocab.bpeTrain(gated, "text", 8)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.Vocab.bpeEncode(gated, "doc_id", "text", merges)
+          .join(gated.select(col("doc_id"), col("source")),
+            col("doc") === col("doc_id"))
+          .groupBy("source")
+          .agg(countDistinct(col("doc")).as("n_docs"),
+            count(lit(1)).as("n_tokens"),
+            sum(size(col("pieces"))).cast("long").as("total_pieces"))
+          .orderBy("source")
+      },
+      s"""WITH gated AS (SELECT * FROM documents WHERE n_chars >= 200),
+         |${duckBpeCtes(8, "gated")},
+         |${duckBpeApplyCtes(8, "gated")}
+         |SELECT g.source, count(DISTINCT e.doc_id) AS n_docs,
+         |  count(*) AS n_tokens,
+         |  CAST(sum(len(string_split(trim(e.t), '  '))) AS BIGINT) AS total_pieces
+         |FROM t8 e JOIN gated g ON g.doc_id = e.doc_id
+         |GROUP BY g.source ORDER BY g.source""".stripMargin
     ),
 
     // ---- vocabulary coverage / OOV rate ---------------------------------
