@@ -182,6 +182,34 @@ class PlanShapeSpec extends SparkSpec {
       "encode must stay partition-local (trailing sort is dump-only)")
   }
 
+  test("near-dup keep-best picks winners via partial min(struct), no window") {
+    val df = SparkEntry.queries("dd_neardup_keep_best")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.replaceAll("#\\d+", "").contains("partial_min"),
+      "canonical selection must map-side combine, not window-sort members")
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("exact-k sampling prefilters before the rank window") {
+    val df = SparkEntry.queries("sp_exact_k_per_class")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the rank window exists but must consume the HASH-PREFILTERED stream:
+    // the unit-hash keep-rate filter appears below the window, bounding the
+    // sorted volume to O(strata·k) instead of the corpus
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, "rank window expected")
+    assert(plan.indexOf("1315423911", winIdx) >= 0,
+      "the unit-hash prefilter must sit below the rank window")
+    // per-stratum windows only — never an unpartitioned (global) sort
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windows.nonEmpty && windows.forall(_.nonEmpty),
+      s"unpartitioned window found: $windows")
+  }
+
   test("class balance is a zero-join projection-filter over the corpus") {
     val df = SparkEntry.queries("sp_class_balance")(spark, dir)
     df.count()
