@@ -1133,6 +1133,29 @@ object TrainingDataOps {
       duckBpeEncodeSql(8)
     ),
 
+    // ---- BPE vocab artifact: subword frequencies after encoding ---------
+    // The second half of what a BPE tokenizer ships (merges + vocab):
+    // encode the corpus with the learned merges, count piece occurrences,
+    // bounded top-k (TakeOrderedAndProject — the topTokens contract).
+    "tx_bpe_vocab" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.Vocab.bpeTrain(docs, "text", 8)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.Vocab.bpeEncode(docs, "doc_id", "text", merges)
+          .select(explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("piece"))
+          .limit(100)
+      },
+      s"""WITH ${duckBpeCtes(8)},
+         |${duckBpeApplyCtes(8)}
+         |SELECT piece, count(*) AS cnt FROM (
+         |  SELECT unnest(string_split(trim(t), '  ')) AS piece FROM t8)
+         |GROUP BY piece ORDER BY cnt DESC, piece LIMIT 100""".stripMargin
+    ),
+
     // ---- flagship: tokenizer-training pipeline --------------------------
     // Quality gate → BPE train on the gated corpus → encode the gated
     // corpus with the learned merges → per-source token/piece accounting.

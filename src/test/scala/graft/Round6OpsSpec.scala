@@ -119,4 +119,55 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.values.toSet == Set("a10"))
     assert(got.keySet == Set("a9", "a10", "b", "c"))
   }
+
+  // ---- BPE property test vs an independent in-memory reference -----------
+
+  /** Straight-line Sennrich 2016: pair counts with overlap, argmax by
+    * (freq desc, lhs asc, rhs asc), greedy left-to-right non-overlapping
+    * application — written independently of the operator (sequential
+    * fold, no delimited-replace trick) so the two implementations can
+    * only agree if the SEMANTICS agree.
+    */
+  private def refBpe(words: Seq[String], nMerges: Int): Seq[(String, String, String, Long)] = {
+    var tbl = words.filter(_.nonEmpty).groupBy(identity).toVector
+      .map { case (w, ws) => (w.map(_.toString).toVector, ws.size.toLong) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long)]
+    var done = false
+    for (_ <- 1 to nMerges if !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- tbl; i <- 0 until syms.length - 1)
+        counts(syms(i) -> syms(i + 1)) = counts.getOrElse(syms(i) -> syms(i + 1), 0L) + c
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), f) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((l, r, l + r, f))
+        tbl = tbl.map { case (syms, c) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              acc += l + r; i += 2
+            } else { acc += syms(i); i += 1 }
+          }
+          (acc.toVector, c)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain matches the independent reference on 30 random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 30) {
+      val words = Seq.fill(3 + rng.nextInt(25))(
+        (0 until 1 + rng.nextInt(6)).map(_ => ('a' + rng.nextInt(2)).toChar).mkString)
+      val n = 1 + rng.nextInt(4)
+      val expected = refBpe(words, n)
+      val got = Vocab.bpeTrain(words.mkString(" ") :: Nil map Tuple1.apply toDF "text", "text", n)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+      assert(got == expected, s"trial $trial corpus=${words.mkString(" ")} n=$n")
+    }
+  }
 }
