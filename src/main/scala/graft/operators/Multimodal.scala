@@ -122,7 +122,14 @@ object Multimodal {
     */
   def decodeMeta(spark: SparkSession, binDocs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    graft.Tables.ensureMinParallelism(binDocs).as[BinaryDoc].mapPartitions { it =>
+    // streaming inputs: partitioning belongs to the source/trigger, and
+    // .rdd (inside ensureMinParallelism) is illegal on a streaming plan —
+    // the decode itself is per-row and works identically in both modes,
+    // quarantine rows included (skip-and-account must hold incrementally)
+    val base =
+      if (binDocs.isStreaming) binDocs
+      else graft.Tables.ensureMinParallelism(binDocs)
+    base.as[BinaryDoc].mapPartitions { it =>
       // ImageIO's disk-backed scratch cache is pure overhead for the tiny
       // in-memory payloads a curation pass decodes — per-task init
       javax.imageio.ImageIO.setUseCache(false)

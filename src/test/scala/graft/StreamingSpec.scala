@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.streaming.IncrementalPipeline
+import graft.operators.Multimodal
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -189,6 +190,33 @@ class StreamingSpec extends SparkSpec {
       .orderBy(col("time").desc).limit(1)
       .select("set").as[Map[String, String]].head()
     assert(rows == Map("a" -> "1", "b" -> "2", "c" -> "3"))
+    q.stop()
+  }
+
+  test("streaming decode quarantines corrupt media without failing the query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val good = {
+      val img = new java.awt.image.BufferedImage(3, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val mem = MemoryStream[Multimodal.BinaryDoc]
+    val out = Multimodal.decodeMeta(spark, mem.toDF())
+    val q = out.writeStream.format("memory").queryName("media_meta")
+      .outputMode("append").start()
+    // batch 1: a real PNG; batch 2: its 8-byte magic prefix (corrupt) —
+    // the query must keep running and emit an accountable quarantine row
+    mem.addData(Multimodal.BinaryDoc(1L, good))
+    q.processAllAvailable()
+    mem.addData(Multimodal.BinaryDoc(2L, good.take(8)))
+    q.processAllAvailable()
+    val rows = spark.table("media_meta").orderBy("doc_id")
+      .select("doc_id", "status", "width", "height").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(rows == Seq((1L, "ok", 3, 2), (2L, "corrupt", 0, 0)))
     q.stop()
   }
 }
