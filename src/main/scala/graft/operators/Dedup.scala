@@ -489,14 +489,19 @@ object Dedup {
     * deterministically. Payload columns ride along and are returned.
     */
   def keepBestPerKey(df: DataFrame, keyCols: Seq[String], rankCols: Seq[Column],
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String], countAs: Option[String] = None): DataFrame = {
     val ranked = struct(
       rankCols.zipWithIndex.map { case (c, i) => c.as(s"__r$i") } ++
         payloadCols.map(col): _*)
+    // group-size accounting rides the SAME aggregation when requested
+    // (countAs = output column name) — never a second pass over the input
+    val aggs = min(ranked).as("__best") +:
+      countAs.map(n => count(lit(1)).as(n)).toSeq
     df.groupBy(keyCols.map(col): _*)
-      .agg(min(ranked).as("__best"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(keyCols.map(col) ++
-        payloadCols.map(c => col(s"__best.$c").as(c)): _*)
+        payloadCols.map(c => col(s"__best.$c").as(c)) ++
+        countAs.map(col).toSeq: _*)
   }
 
   /** Default ceiling on the within-cluster pair volume Σ(cluster²) a

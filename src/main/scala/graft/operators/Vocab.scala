@@ -132,10 +132,15 @@ object Vocab {
         col("cnt"))
       .cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var prev: Option[DataFrame] = None
     var r = 1
     var done = false
     while (r <= nMerges && !done) {
       val syms = split(trim(col("w")), "  ")
+      // this argmax job is ALSO the materialization of `words`' cache —
+      // one job per round, not a separate count(); the predecessor's
+      // blocks are only dropped after it completes (words no longer
+      // re-reads them once its own cache is populated)
       val top = words
         .select(syms.as("syms"), col("cnt"))
         .filter(size(col("syms")) >= 2)
@@ -147,21 +152,21 @@ object Vocab {
         .groupBy("l", "r").agg(sum("cnt").as("freq"))
         .orderBy(col("freq").desc, col("l"), col("r"))
         .limit(1).collect()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(words)
       if (top.isEmpty) done = true
       else {
         val (l, rr, freq) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, l, rr, l + rr, freq))
-        val next = words.select(
+        words = words.select(
           replace(col("w"), lit(" " + l + "  " + rr + " "), lit(" " + l + rr + " ")).as("w"),
           col("cnt")).cache()
-        next.count() // materialize before dropping the predecessor's blocks
-        words.unpersist(blocking = false)
-        words = next
       }
       r += 1
     }
     words.unpersist(blocking = false)
+    prev.foreach(_.unpersist(blocking = false))
     import spark.implicits._
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "freq")
   }

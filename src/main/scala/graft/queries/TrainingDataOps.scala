@@ -695,12 +695,10 @@ object TrainingDataOps {
           .join(docs.select(col("doc_id"), col("n_chars")),
             col("node") === col("doc_id"))
           .select(col("component").as("cluster"), col("doc_id"), col("n_chars"))
-        val winners = Dedup.keepBestPerKey(members, Seq("cluster"),
-          Seq(-col("n_chars"), col("doc_id")), Seq("doc_id", "n_chars"))
+        Dedup.keepBestPerKey(members, Seq("cluster"),
+          Seq(-col("n_chars"), col("doc_id")), Seq("doc_id", "n_chars"),
+          countAs = Some("n_members"))
           .withColumnRenamed("doc_id", "keep_id")
-        winners
-          .join(members.groupBy("cluster").agg(count(lit(1)).as("n_members")),
-            "cluster")
           .select("cluster", "keep_id", "n_chars", "n_members")
           .orderBy("cluster")
       },
