@@ -219,4 +219,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((1L, "ok", 3, 2), (2L, "corrupt", 0, 0)))
     q.stop()
   }
+
+  test("bpeEncode runs unchanged on a stream (tokenization as projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // merges learned OFFLINE (batch) are applied to a LIVE stream — the
+    // encode side is a pure projection, so the same operator serves both
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.Vocab.bpeEncode(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      Seq(("a", "a"), ("aa", "a"), ("a", "b")))
+      .select(col("doc"), col("token"), concat_ws(" ", col("pieces")).as("p"))
+    val q = out.writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "aaa ab ba"))
+    q.processAllAvailable()
+    val rows = spark.table("bpe_stream").orderBy("token")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(("aaa", "aaa"), ("ab", "ab"), ("ba", "b a")))
+    q.stop()
+  }
 }
