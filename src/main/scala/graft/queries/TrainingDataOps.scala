@@ -1154,6 +1154,57 @@ object TrainingDataOps {
          |GROUP BY piece ORDER BY cnt DESC, piece LIMIT 100""".stripMargin
     ),
 
+    // ---- flagship: full training-data prep ------------------------------
+    // The END-TO-END chain a pretraining run executes: quality gate →
+    // exact dedup → BPE tokenization (train on the deduped corpus, then
+    // encode it) → fixed-budget sequence packing → per-bucket accounting.
+    // Every stage is the real, individually-verified operator; the oracle
+    // replays the entire chain.
+    "pipeline_training_prep" -> QuerySpec(
+      (s, dir) => {
+        val gated = t(s, dir, "documents").filter(col("n_chars") >= 200)
+        val deduped = Dedup.exactFirstWins(
+          gated.withColumn("pkey", Dedup.prefixKey(col("text"), 10)),
+          Seq("pkey"), Seq("doc_id")).drop("pkey")
+        val merges = graft.operators.Vocab.bpeTrain(deduped, "text", 8)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val tokenized = graft.operators.Vocab
+          .bpeEncode(deduped, "doc_id", "text", merges)
+          .groupBy("doc")
+          .agg(sum(size(col("pieces"))).cast("long").as("n_tokens"))
+          .select(col("doc").as("doc_id"), col("n_tokens"),
+            (col("doc") % 8).cast("int").as("bucket"))
+        graft.operators.Packing
+          .packSequences(tokenized, "doc_id", "n_tokens", "bucket", 4000L)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("seq")).as("n_seqs"),
+            sum("n_tokens").cast("long").as("total_tokens"))
+          .orderBy("bucket")
+      },
+      s"""WITH gated AS (SELECT * FROM documents WHERE n_chars >= 200),
+         |ded AS (SELECT * FROM gated WHERE doc_id IN (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY array_to_string(($duckToks)[1:10], ' ')
+         |      ORDER BY doc_id) AS rn
+         |    FROM gated) WHERE rn = 1)),
+         |${duckBpeCtes(8, "ded")},
+         |${duckBpeApplyCtes(8, "ded")},
+         |nt AS (SELECT doc_id,
+         |  CAST(sum(len(string_split(trim(t), '  '))) AS BIGINT) AS nt
+         |  FROM t8 GROUP BY doc_id),
+         |d AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS bucket, nt FROM nt),
+         |c AS (SELECT *, coalesce(sum(nt) OVER (
+         |  PARTITION BY bucket ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM d)
+         |SELECT bucket, count(*) AS n_docs,
+         |  CAST(count(DISTINCT cum//4000) AS BIGINT) AS n_seqs,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens
+         |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin
+    ),
+
     // ---- flagship: tokenizer-training pipeline --------------------------
     // Quality gate → BPE train on the gated corpus → encode the gated
     // corpus with the learned merges → per-source token/piece accounting.
