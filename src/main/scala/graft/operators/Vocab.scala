@@ -198,6 +198,25 @@ object Vocab {
       split(trim(encoded), "  ").as("pieces"))
   }
 
+  /** Map encoded pieces to integer vocabulary ids — the tensor-ready
+    * output a training pipeline writes. `vocab` is the rank-ordered piece
+    * list (id = position); pieces outside it map to `unkId`. The mapping
+    * inlines as a LITERAL map expression (driver-bounded by the tokenizer
+    * contract, like the merge table), so this stays a pure projection —
+    * no join, no shuffle, stream-safe like [[bpeEncode]].
+    * Input: [[bpeEncode]] output; output: (doc, token_idx, token, ids).
+    */
+  def piecesToIds(encoded: DataFrame, vocab: Seq[String],
+      unkId: Int = -1): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    val m = map(vocab.zipWithIndex.flatMap {
+      case (p, i) => Seq(lit(p), lit(i))
+    }: _*)
+    encoded.select(col("doc"), col("token_idx"), col("token"),
+      transform(col("pieces"),
+        p => coalesce(element_at(m, p), lit(unkId))).as("ids"))
+  }
+
   /** Vocabulary coverage / OOV rate for a candidate top-`k` vocabulary —
     * the metric that sizes a tokenizer vocab: what fraction of corpus
     * token OCCURRENCES (not types) the vocab covers, overall token mass,

@@ -1154,6 +1154,45 @@ object TrainingDataOps {
          |GROUP BY piece ORDER BY cnt DESC, piece LIMIT 100""".stripMargin
     ),
 
+    // ---- BPE ids: the tensor-ready token-id stream ----------------------
+    // Train → derive the rank-ordered vocab (full distinct piece set,
+    // frequency-descending — driver-bounded by |chars|+nMerges) → encode →
+    // map pieces to integer ids as a literal-map projection.
+    "tx_bpe_encode_ids" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.Vocab.bpeTrain(docs, "text", 8)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val encoded = graft.operators.Vocab.bpeEncode(docs, "doc_id", "text", merges)
+        val vocab = encoded.select(explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("piece"))
+          .collect().map(_.getString(0)).toSeq
+        graft.operators.Vocab.piecesToIds(encoded, vocab)
+          .filter(col("doc") % 10 === 0)
+          .select(col("doc").as("doc_id"), col("token_idx"), col("token"),
+            array_join(col("ids"), " ").as("ids"))
+          .orderBy("doc_id", "token_idx")
+      },
+      s"""WITH ${duckBpeCtes(8)},
+         |${duckBpeApplyCtes(8)},
+         |pc AS (SELECT piece, count(*) AS cnt FROM (
+         |  SELECT unnest(string_split(trim(t), '  ')) AS piece FROM t8)
+         |  GROUP BY piece),
+         |v AS (SELECT piece,
+         |  row_number() OVER (ORDER BY cnt DESC, piece) - 1 AS id FROM pc),
+         |pp AS (SELECT doc_id, token_idx, token,
+         |  unnest(string_split(trim(t), '  ')) AS piece,
+         |  unnest(range(len(string_split(trim(t), '  ')))) AS pidx
+         |  FROM t8 WHERE doc_id % 10 = 0)
+         |SELECT doc_id, CAST(token_idx AS INTEGER) AS token_idx, token,
+         |  string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY pidx) AS ids
+         |FROM pp JOIN v ON pp.piece = v.piece
+         |GROUP BY doc_id, token_idx, token
+         |ORDER BY doc_id, token_idx""".stripMargin
+    ),
+
     // ---- flagship: full training-data prep ------------------------------
     // The END-TO-END chain a pretraining run executes: quality gate →
     // exact dedup → BPE tokenization (train on the deduped corpus, then

@@ -170,4 +170,18 @@ class Round6OpsSpec extends SparkSpec {
       assert(got == expected, s"trial $trial corpus=${words.mkString(" ")} n=$n")
     }
   }
+
+  test("piecesToIds maps via the literal vocab, unknown pieces to unkId") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab zq")).toDF("doc_id", "text")
+    val enc = Vocab.bpeEncode(docs, "doc_id", "text", Seq(("a", "b")))
+    val ids = Vocab.piecesToIds(enc, Seq("ab", "z", "q"), unkId = -1)
+      .orderBy("token_idx").collect()
+      .map(r => (r.getString(2), r.getSeq[Int](3).toList)).toList
+    assert(ids == List(("ab", List(0)), ("zq", List(1, 2))))
+    // a piece outside the vocab maps to unkId, not an error
+    val ids2 = Vocab.piecesToIds(enc, Seq("ab"), unkId = -1)
+      .orderBy("token_idx").collect().map(_.getSeq[Int](3).toList).toList
+    assert(ids2 == List(List(0), List(-1, -1)))
+  }
 }
