@@ -209,6 +209,10 @@ object Vocab {
   def piecesToIds(encoded: DataFrame, vocab: Seq[String],
       unkId: Int = -1): DataFrame = {
     require(vocab.nonEmpty, "empty vocabulary")
+    // a duplicate entry would surface as Spark's opaque duplicate-map-key
+    // runtime error deep in the projection — fail at the API instead
+    require(vocab.distinct.size == vocab.size,
+      "vocabulary contains duplicate pieces")
     val m = map(vocab.zipWithIndex.flatMap {
       case (p, i) => Seq(lit(p), lit(i))
     }: _*)
