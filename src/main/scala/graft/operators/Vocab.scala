@@ -171,31 +171,108 @@ object Vocab {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "freq")
   }
 
+  /** Merge-table size up to which [[bpeEncode]] compiles the whole merge
+    * sequence into one composed expression chain (codegen-friendly; the
+    * tree depth equals the merge count, so past this the analyzer and
+    * codegen costs grow with the table, not the data). Beyond it the
+    * ranked-loop tier runs — per-token cost independent of table size.
+    */
+  val MaxInlineMerges: Int = 64
+
   /** BPE ENCODING with a learned merge table — the inference half of
     * [[bpeTrain]]: every whitespace token is split to characters and the
     * merge list is applied in rank order (same greedy left-to-right
-    * delimited-replace semantics as training, so train→encode round-trips
-    * exactly).
+    * semantics as training, so train→encode round-trips exactly).
     *
-    * Scale shape: tokenization compiles to ONE pure projection — the
-    * merge table is bounded (a tokenizer ships ~10k-50k merges), so the
-    * whole merge sequence folds into a single composed expression chain
-    * over the exploded token stream: zero shuffles, zero joins, no UDF,
-    * embarrassingly parallel over 100 TB. Output:
-    * (doc, token_idx, token, pieces).
+    * Scale shape — TWO tiers, same semantics (equivalence property-
+    * tested), both zero-shuffle/zero-join and stream-safe:
+    *  - ≤ [[MaxInlineMerges]]: ONE pure projection — the merge sequence
+    *    folds into a composed literal-replace expression chain over the
+    *    exploded token stream, fully inside whole-stage codegen.
+    *  - larger tables (a production tokenizer ships 30k-50k merges — a
+    *    50k-deep expression tree would break codegen and make ANALYSIS
+    *    cost scale with the table): broadcast (pair → rank) map + a
+    *    per-token lowest-rank-first merge loop in typed mapPartitions
+    *    (the standard BPE-apply algorithm; per-token cost depends on
+    *    token length only). Applying merges as complete passes in rank
+    *    order is equivalent: a pair of rank r is built only from
+    *    products of ranks < r, so later merges can never create an
+    *    earlier pair.
+    * Output: (doc, token_idx, token, pieces).
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    if (merges.size <= MaxInlineMerges) {
+      val toks = docs
+        .select(col(idCol).as("doc"),
+          posexplode(Fns.tokens(col(textCol))).as(Seq("token_idx", "token")))
+        .filter(col("token") =!= "")
+      val delim = concat(lit("  "), regexp_replace(col("token"), "(.)", "$1  "))
+      val encoded = merges.foldLeft(delim) { case (e, (l, r)) =>
+        replace(e, lit(" " + l + "  " + r + " "), lit(" " + l + r + " "))
+      }
+      toks.select(col("doc"), col("token_idx"), col("token"),
+        split(trim(encoded), "  ").as("pieces"))
+    } else bpeEncodeRanked(docs, idCol, textCol, merges)
+
+  private def bpeEncodeRanked(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("doc"),
-        posexplode(Fns.tokens(col(textCol))).as(Seq("token_idx", "token")))
-      .filter(col("token") =!= "")
-    val delim = concat(lit("  "), regexp_replace(col("token"), "(.)", "$1  "))
-    val encoded = merges.foldLeft(delim) { case (e, (l, r)) =>
-      replace(e, lit(" " + l + "  " + r + " "), lit(" " + l + r + " "))
-    }
-    toks.select(col("doc"), col("token_idx"), col("token"),
-      split(trim(encoded), "  ").as("pieces"))
+    import org.apache.spark.sql.Encoders
+    val spark = docs.sparkSession
+    val table = merges.toIndexedSeq
+    val bRank = spark.sparkContext.broadcast(
+      table.zipWithIndex.toMap: Map[(String, String), Int])
+    val bTable = spark.sparkContext.broadcast(table)
+    implicit val enc = Encoders.product[(Long, Int, String, Seq[String])]
+    docs.select(col(idCol).cast("long"), Fns.tokens(col(textCol)))
+      .as[(Long, Seq[String])](Encoders.product[(Long, Seq[String])])
+      .mapPartitions { rows =>
+        val rank = bRank.value
+        val tbl = bTable.value
+        def encode(tok: String): Seq[String] = {
+          var syms: Array[String] = {
+            // split to code points (what `.` matches in both regex engines)
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < tok.length) {
+              val n = Character.charCount(tok.codePointAt(i))
+              out += tok.substring(i, i + n)
+              i += n
+            }
+            out.toArray
+          }
+          var continue = true
+          while (continue && syms.length > 1) {
+            var best = Int.MaxValue
+            var i = 0
+            while (i < syms.length - 1) {
+              val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+              if (r < best) best = r
+              i += 1
+            }
+            if (best == Int.MaxValue) continue = false
+            else {
+              val (l, r) = tbl(best)
+              // complete greedy left-to-right pass for this rank
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                  out += l + r; j += 2
+                } else { out += syms(j); j += 1 }
+              }
+              syms = out.toArray
+            }
+          }
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(syms)
+        }
+        rows.flatMap { case (doc, toks) =>
+          toks.iterator.zipWithIndex.collect {
+            case (t, idx) if t.nonEmpty => (doc, idx, t, encode(t))
+          }
+        }
+      }
+      .toDF("doc", "token_idx", "token", "pieces")
   }
 
   /** Map encoded pieces to integer vocabulary ids — the tensor-ready

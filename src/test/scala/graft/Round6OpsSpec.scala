@@ -184,4 +184,28 @@ class Round6OpsSpec extends SparkSpec {
       .orderBy("token_idx").collect().map(_.getSeq[Int](3).toList).toList
     assert(ids2 == List(List(0), List(-1, -1)))
   }
+
+  test("bpeEncode tiers agree: inline replace chain == ranked merge loop") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    for (trial <- 0 until 15) {
+      val corpus = Seq.fill(5 + rng.nextInt(20))(
+        (0 until 1 + rng.nextInt(7)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+        .mkString(" ")
+      val docs = Seq((1L, corpus)).toDF("doc_id", "text")
+      val merges = Vocab.bpeTrain(docs, "text", 1 + rng.nextInt(6))
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      def run(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy("token_idx").collect()
+        .map(r => (r.getInt(1), r.getString(2), r.getSeq[String](3).toList)).toList
+      // force BOTH tiers on the same merges: inline via the public entry
+      // (small table), ranked by padding the table past the threshold with
+      // never-matching pairs (rank order preserved; inert pairs are no-ops)
+      val inline = run(Vocab.bpeEncode(docs, "doc_id", "text", merges))
+      val padded = merges ++ (0 until Vocab.MaxInlineMerges + 1).map(i => (s"#$i", "#"))
+      val ranked = run(Vocab.bpeEncode(docs, "doc_id", "text", padded))
+      assert(ranked == inline, s"trial $trial corpus=$corpus merges=$merges")
+    }
+  }
 }
