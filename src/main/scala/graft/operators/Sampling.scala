@@ -17,6 +17,24 @@ import graft.functions.Fns
   */
 object Sampling {
 
+  /** Per-stratum rate lookup as a FLAT literal-map expression —
+    * `coalesce(element_at(map, key), default)`. Semantically identical to
+    * a when-chain (null keys miss the map and take the default) but
+    * depth-1 regardless of stratum count: a foldRight when-chain nests
+    * one level per stratum, so a high-cardinality histogram (10k domains)
+    * would make ANALYSIS recursion depth — and eventually the stack —
+    * scale with the data's key cardinality. Keys/values are plan
+    * literals, so the corpus pass stays a zero-join codegen'd projection
+    * either way.
+    */
+  private def literalRate(key: Column, rates: Seq[(Any, Double)],
+      default: Column): Column =
+    if (rates.isEmpty) default // every stratum at the default rate
+    else {
+      val m = map(rates.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      coalesce(element_at(m, key), default)
+    }
+
   /** Unit-interval hash of a key column ∈ [0, 1). The raw polynomial
     * rolling hash of a SHORT key (e.g. "42") is a small integer, so it
     * must be spread across the field first: h → (h·1315423911 +
@@ -118,10 +136,8 @@ object Sampling {
     val rates = present.map { case (d, f) =>
       d -> math.min(1.0, f * scale / counts(d))
     }
-    val rate = rates.foldRight(lit(0.0): Column) { case ((d, r), els) =>
-      when(col(domainCol) === d, lit(r)).otherwise(els)
-    }
-    df.filter(unitHash(col(keyCol)) < rate)
+    df.filter(unitHash(col(keyCol)) <
+      literalRate(col(domainCol), rates.toSeq, lit(0.0)))
   }
 
   /** Per-stratum deterministic sampling: keep a row iff its key's unit
@@ -131,13 +147,9 @@ object Sampling {
     * pipeline scale a sample up without re-drawing it.
     */
   def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
-      rates: Map[String, Double], defaultRate: Double): DataFrame = {
-    val u = unitHash(col(keyCol))
-    val rate = rates.foldRight(lit(defaultRate): Column) { case ((k, r), els) =>
-      when(col(strataCol) === k, r).otherwise(els)
-    }
-    df.filter(u < rate)
-  }
+      rates: Map[String, Double], defaultRate: Double): DataFrame =
+    df.filter(unitHash(col(keyCol)) <
+      literalRate(col(strataCol), rates.toSeq, lit(defaultRate)))
 
   /** Class-balanced downsampling for classifier training data: every
     * class is down-sampled to the SMALLEST class's size in expectation
@@ -157,10 +169,8 @@ object Sampling {
       .collect().flatMap(r => Option(r.get(0)).map(_ -> r.getAs[Long]("n"))).toMap
     require(counts.nonEmpty, "no classes present")
     val minN = counts.values.min
-    val rate = counts.foldRight(lit(0.0): Column) { case ((cls, n), els) =>
-      when(col(classCol) === lit(cls), lit(minN.toDouble / n)).otherwise(els)
-    }
-    df.filter(unitHash(col(keyCol)) < rate)
+    df.filter(unitHash(col(keyCol)) < literalRate(col(classCol),
+      counts.toSeq.map { case (cls, n) => cls -> minN.toDouble / n }, lit(0.0)))
   }
 
   /** EXACTLY min(k, |stratum|) rows per stratum, selected by the
@@ -188,10 +198,10 @@ object Sampling {
     val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
       .collect().flatMap(r => Option(r.get(0)).map(_ -> r.getAs[Long]("n"))).toMap
     require(counts.nonEmpty, "no strata present")
-    val rate = counts.foldRight(lit(0.0): Column) { case ((s0, n), els) =>
-      when(col(strataCol) === lit(s0),
-        lit(if (n <= 4L * k) 1.0 else 4.0 * k / n)).otherwise(els)
-    }
+    val rate = literalRate(col(strataCol),
+      counts.toSeq.map { case (s0, n) =>
+        s0 -> (if (n <= 4L * k) 1.0 else 4.0 * k / n) },
+      lit(0.0))
     val w = Window.partitionBy(strataCol).orderBy(u, col(keyCol))
     def rank(base: DataFrame): DataFrame =
       base.withColumn("__rn", row_number().over(w))

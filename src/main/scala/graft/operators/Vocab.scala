@@ -275,12 +275,22 @@ object Vocab {
       .toDF("doc", "token_idx", "token", "pieces")
   }
 
+  /** Vocab size up to which [[piecesToIds]] inlines the piece→id mapping
+    * as a literal map expression (a flat CreateMap — depth 1 — but its
+    * child count, analysis cost, and codegen constant pool all scale
+    * with the vocab). Past it, the broadcast-map tier runs.
+    */
+  val MaxInlineVocab: Int = 1024
+
   /** Map encoded pieces to integer vocabulary ids — the tensor-ready
     * output a training pipeline writes. `vocab` is the rank-ordered piece
-    * list (id = position); pieces outside it map to `unkId`. The mapping
-    * inlines as a LITERAL map expression (driver-bounded by the tokenizer
-    * contract, like the merge table), so this stays a pure projection —
-    * no join, no shuffle, stream-safe like [[bpeEncode]].
+    * list (id = position); pieces outside it map to `unkId`.
+    *
+    * Two tiers, identical semantics (like [[bpeEncode]]): vocabs ≤
+    * [[MaxInlineVocab]] inline as a LITERAL map expression (pure
+    * codegen'd projection); production vocabs (~50k pieces) broadcast a
+    * HashMap into a typed mapPartitions — per-row cost independent of
+    * vocab size. Both tiers: no join, no shuffle, stream-safe.
     * Input: [[bpeEncode]] output; output: (doc, token_idx, token, ids).
     */
   def piecesToIds(encoded: DataFrame, vocab: Seq[String],
@@ -290,12 +300,30 @@ object Vocab {
     // runtime error deep in the projection — fail at the API instead
     require(vocab.distinct.size == vocab.size,
       "vocabulary contains duplicate pieces")
-    val m = map(vocab.zipWithIndex.flatMap {
-      case (p, i) => Seq(lit(p), lit(i))
-    }: _*)
-    encoded.select(col("doc"), col("token_idx"), col("token"),
-      transform(col("pieces"),
-        p => coalesce(element_at(m, p), lit(unkId))).as("ids"))
+    if (vocab.size <= MaxInlineVocab) {
+      val m = map(vocab.zipWithIndex.flatMap {
+        case (p, i) => Seq(lit(p), lit(i))
+      }: _*)
+      encoded.select(col("doc"), col("token_idx"), col("token"),
+        transform(col("pieces"),
+          p => coalesce(element_at(m, p), lit(unkId))).as("ids"))
+    } else {
+      import org.apache.spark.sql.Encoders
+      val spark = encoded.sparkSession
+      val bm = spark.sparkContext.broadcast(vocab.zipWithIndex.toMap)
+      implicit val enc = Encoders.product[(Long, Int, String, Seq[Int])]
+      encoded.select(col("doc").cast("long"), col("token_idx").cast("int"),
+          col("token"), col("pieces"))
+        .as[(Long, Int, String, Seq[String])](
+          Encoders.product[(Long, Int, String, Seq[String])])
+        .mapPartitions { rows =>
+          val m = bm.value
+          rows.map { case (doc, idx, tok, pieces) =>
+            (doc, idx, tok, pieces.map(m.getOrElse(_, unkId)))
+          }
+        }
+        .toDF("doc", "token_idx", "token", "ids")
+    }
   }
 
   /** Vocabulary coverage / OOV rate for a candidate top-`k` vocabulary —
