@@ -208,4 +208,66 @@ class Round6OpsSpec extends SparkSpec {
       assert(ranked == inline, s"trial $trial corpus=$corpus merges=$merges")
     }
   }
+
+  test("connectedComponentsString matches naive union-find on 10 random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(21)
+    for (trial <- 0 until 10) {
+      val ids = (0 until 4 + rng.nextInt(20)).map(i => s"n${rng.nextInt(30)}").distinct
+      val edges = Seq.fill(2 + rng.nextInt(25))(
+        (ids(rng.nextInt(ids.size)), ids(rng.nextInt(ids.size))))
+      // naive reference: union-find over strings, canon = lexicographic min
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val expected = parent.keys.map(n => n -> find(n)).toMap
+      val got = IdentityResolution.connectedComponentsString(edges.toDF("src", "dst"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == expected, s"trial $trial edges=$edges")
+    }
+  }
+
+  test("substringDedup matches a naive reference on 12 random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(33)
+    val words = Array("x", "y", "z")
+    for (trial <- 0 until 12) {
+      val docs = (0 until 4 + rng.nextInt(5)).map(i =>
+        (i.toLong, Seq.fill(3 + rng.nextInt(6))(words(rng.nextInt(3))).mkString(" ")))
+      val w = 3
+      val crossOnly = rng.nextBoolean()
+      val minDocs = 2 + rng.nextInt(2)
+      // naive reference, written from the Lee et al. semantics directly
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+", -1).toSeq }.toMap
+      val occs = toks.toSeq.flatMap { case (id, ts) =>
+        (0 to ts.length - w).map(p => (ts.slice(p, p + w).mkString(" "), id, p)) }
+      val losers = occs.groupBy(_._1).values.flatMap { os =>
+        val metric = if (crossOnly) os.map(_._2).distinct.size else os.size
+        if (metric >= minDocs) {
+          val sorted = os.map(o => (o._2, o._3)).sorted
+          sorted.tail // all but the globally-first occurrence
+        } else Nil
+      }
+      val covered = losers.toSeq.flatMap { case (id, p) =>
+        (p until p + w).map(id -> _) }.toSet
+      val expected = toks.map { case (id, ts) =>
+        val kept = ts.zipWithIndex.filterNot { case (_, p) => covered(id -> p) }
+        (id, ts.length.toLong, kept.length.toLong, kept.map(_._1).mkString(" "))
+      }.toSet
+      val got = Dedup.substringDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+          w, minDocs, crossDocOnly = crossOnly)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == expected,
+        s"trial $trial crossOnly=$crossOnly minDocs=$minDocs docs=$docs")
+    }
+  }
 }
