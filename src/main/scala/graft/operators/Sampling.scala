@@ -185,11 +185,19 @@ object Sampling {
     * Here large strata are PREFILTERED first — keep rate 4k/n from the
     * per-stratum histogram (driver-bounded, the domainMix contract) —
     * so the rank window sorts O(strata · k) rows, not the corpus. The
-    * prefilter is VERIFIED, not trusted: a per-stratum count check
-    * catches a stratum that survived with fewer than min(k, n) rows
-    * (Chernoff puts that below e^{-1.1k}; at k ≥ 16 that is ~1e-8 —
-    * but exactness must not rest on a tail bound) and re-ranks just
-    * that stratum without the prefilter.
+    * prefilter is VERIFIED, not trusted: a per-stratum count of the
+    * prefilter SURVIVORS (an aggregation only — the window never runs in
+    * the verification pass, so the verify job and the returned plan
+    * duplicate just the cheap filter scan) catches a stratum that
+    * survived with fewer than min(k, n) rows (Chernoff puts that below
+    * e^{-1.1k}; at k ≥ 16 that is ~1e-8 — but exactness must not rest on
+    * a tail bound) and re-ranks just that stratum without the prefilter.
+    *
+    * Precondition: `keyCol` must be UNIQUE within a stratum (it is the
+    * sampling-unit identifier). Rows sharing a key value produce
+    * identical (hash, key) sort tuples, so WHICH of them fills the last
+    * rank is partitioning-dependent — the membership determinism
+    * contract then holds for keys, not rows.
     */
   def exactKPerStratum(df: DataFrame, keyCol: String, strataCol: String,
       k: Int): DataFrame = {
@@ -206,12 +214,15 @@ object Sampling {
     def rank(base: DataFrame): DataFrame =
       base.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= k).drop("__rn")
-    val pre = rank(df.filter(u < rate))
-    val got = pre.groupBy(strataCol).agg(count(lit(1)).as("g")).collect()
+    // rank keeps min(k, survivors) per stratum, so counting SURVIVORS
+    // verifies the output size without running the window twice
+    val survived = df.filter(u < rate)
+      .groupBy(strataCol).agg(count(lit(1)).as("g")).collect()
       .flatMap(r => Option(r.get(0)).map(_ -> r.getAs[Long]("g"))).toMap
     val short = counts.collect {
-      case (s0, n) if got.getOrElse(s0, 0L) < math.min(k.toLong, n) => s0
+      case (s0, n) if survived.getOrElse(s0, 0L) < math.min(k.toLong, n) => s0
     }.toSeq
+    val pre = rank(df.filter(u < rate))
     if (short.isEmpty) pre
     else pre.filter(!col(strataCol).isin(short: _*))
       .unionByName(rank(df.filter(col(strataCol).isin(short: _*))))

@@ -51,6 +51,73 @@ object TrainingDataOps {
        |$rounds""".stripMargin
   }
 
+  /** Fingerprint stress corpus for the LARGE BPE training tier: one
+    * synthetic "word" per hash of a bounded document slice (md5 of text +
+    * sha256 of metadata — both engines produce identical lowercase hex).
+    * `documents.text` at test SFs has ~31 word types, far too few to
+    * sustain thousands of merges; 250 docs × two hex digests give ~500
+    * word types / ~24k symbols, supporting >10k merges. The doc_id bound
+    * keeps corpus and oracle cost SF-invariant.
+    */
+  private val bpeLargeDuckSrc: String =
+    """(SELECT concat(md5(text), ' ',
+      |   sha256(concat(lang, '|', source, '|', doc_id))) AS text
+      | FROM documents WHERE doc_id < 250)""".stripMargin
+
+  private def bpeLargeSparkSrc(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(col("doc_id") < 250)
+      .select(concat_ws(" ", md5(col("text")),
+        sha2(concat_ws("|", col("lang"), col("source"), col("doc_id")), 256))
+        .as("text"))
+
+  /** DuckDB SQL for the INCREMENTAL BPE training tier: `n` merge rounds
+    * as ONE recursive CTE (the unrolled-CTE trick of [[duckBpeCtes]] caps
+    * out around tens of rounds; recursion expresses thousands). The
+    * recursive step carries the word-type table as 'w' rows, recounts
+    * adjacent pairs, argmaxes with the same (freq desc, l, r) binary-
+    * collation tie-break, applies the merge with the identical delimited
+    * literal replace, and emits one 'm' row per round; recursion stops at
+    * `n` rounds or when no pair remains — exactly [[graft.operators
+    * .Vocab.bpeTrainIncremental]]'s loop, evaluated sequentially.
+    */
+  private def duckBpeTrainRecursiveSql(n: Int, src: String): String =
+    s"""WITH RECURSIVE w0 AS (
+       |  SELECT '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS w, cnt FROM (
+       |    SELECT token, count(*)::BIGINT AS cnt FROM (
+       |      SELECT unnest($duckToks) AS token FROM $src)
+       |    WHERE token <> '' GROUP BY token)),
+       |st AS (
+       |  SELECT 0 AS it, 'w' AS kind, w, cnt,
+       |    NULL::VARCHAR AS l, NULL::VARCHAR AS r, NULL::BIGINT AS freq FROM w0
+       |  UNION ALL
+       |  (
+       |    WITH prev AS (SELECT * FROM st),
+       |    pw AS (SELECT it, w, cnt FROM prev WHERE kind = 'w'),
+       |    pairs AS (
+       |      SELECT s[i] AS l, s[i+1] AS r, sum(cnt)::BIGINT AS freq
+       |      FROM (SELECT string_split(trim(w), '  ') AS s, cnt FROM pw),
+       |           LATERAL (SELECT unnest(range(1, len(s))) AS i)
+       |      GROUP BY 1, 2),
+       |    best AS (SELECT l, r, freq FROM pairs ORDER BY freq DESC, l, r LIMIT 1),
+       |    nw AS (
+       |      SELECT pw.it + 1 AS it, 'w' AS kind,
+       |        replace(w, ' ' || b.l || '  ' || b.r || ' ',
+       |                   ' ' || b.l || b.r || ' ') AS w,
+       |        cnt, NULL::VARCHAR AS l, NULL::VARCHAR AS r, NULL::BIGINT AS freq
+       |      FROM pw, best b),
+       |    m AS (
+       |      SELECT (SELECT max(it) FROM pw) + 1 AS it, 'm' AS kind,
+       |        NULL::VARCHAR AS w, NULL::BIGINT AS cnt, b.l, b.r, b.freq
+       |      FROM best b)
+       |    SELECT * FROM nw WHERE (SELECT max(it) FROM pw) < $n
+       |    UNION ALL
+       |    SELECT * FROM m WHERE (SELECT max(it) FROM pw) < $n
+       |  )
+       |)
+       |SELECT CAST(it AS INTEGER) AS merge_rank, l AS lhs, r AS rhs,
+       |  l || r AS merged, freq
+       |FROM st WHERE kind = 'm' ORDER BY merge_rank""".stripMargin
+
   /** CTE chain applying the `n` learned merges to every token of `src`:
     * token stream t0 → t{n}, one replace per round.
     */

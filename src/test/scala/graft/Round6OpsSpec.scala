@@ -209,6 +209,43 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeEncode ranked tier preserves STRING doc ids (no cast-to-null)") {
+    import spark.implicits._
+    // crawled-corpus ids are often URLs/hashes; crossing the tier
+    // threshold must not change the id column's type or values
+    val docs = Seq(("https://x.example/a", "abab ab"), ("sha:9f", "ba"))
+      .toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    val padded = merges ++ (0 until Vocab.MaxInlineMerges + 1).map(i => (s"#$i", "#"))
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("doc", "token_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getSeq[String](3).toList)).toList
+    val inline = run(Vocab.bpeEncode(docs, "doc_id", "text", merges))
+    val ranked = run(Vocab.bpeEncode(docs, "doc_id", "text", padded))
+    assert(ranked == inline)
+    assert(inline.map(_._1).distinct.sorted ==
+      List("https://x.example/a", "sha:9f"))
+  }
+
+  test("piecesToIds tiers agree, incl. string doc ids past MaxInlineVocab") {
+    import spark.implicits._
+    val docs = Seq(("u:1", "abab ab q"), ("u:2", "ba ab")).toDF("doc_id", "text")
+    val enc = Vocab.bpeEncode(docs, "doc_id", "text", Seq(("a", "b"), ("ab", "ab")))
+    val vocab = Seq("abab", "ab", "b", "a")
+    // pad past the inline threshold with never-occurring pieces — rank
+    // order of the real entries is preserved, so ids must be identical
+    val padded = vocab ++ (0 until Vocab.MaxInlineVocab + 1).map(i => s"#pad$i")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("doc", "token_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getSeq[Int](3).toList)).toList
+    val inline = run(Vocab.piecesToIds(enc, vocab))
+    val broad = run(Vocab.piecesToIds(enc, padded))
+    assert(broad == inline)
+    assert(inline.exists(_._4.contains(-1))) // "q" is OOV in both tiers
+  }
+
   test("connectedComponentsString matches naive union-find on 10 random graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(21)
