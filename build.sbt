@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output inherits stdout directly instead of passing through
+// sbt's logger — without this every line gets an "[info] " prefix, which
+// breaks any harness that expects a raw machine-parseable JSON line from
+// Bench/Verify mains.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

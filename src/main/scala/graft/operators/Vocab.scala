@@ -165,6 +165,13 @@ object Vocab {
     */
   val MaxDriverWordTypes: Long = 10000000L
 
+  /** Hard merge-count ceiling for [[bpeTrainIncremental]] — a loud guard
+    * against a mistyped merge count driving an unbounded driver loop.
+    * Production tokenizers ship 30k-50k merges (GPT-2: 50k, Sennrich's
+    * experiments: 60k); 200k is comfortably past anything real.
+    */
+  val MaxIncrementalMerges: Int = 200000
+
   /** Job-per-merge BPE training loop — one distributed (count pairs →
     * argmax → apply) round per merge. Exact at any scale but
     * scheduler-bound past ~[[MaxJobPerMergeRounds]] rounds; [[bpeTrain]]
@@ -260,6 +267,10 @@ object Vocab {
     */
   private[graft] def bpeTrainIncremental(docs: DataFrame, textCol: String,
       nMerges: Int, maxWordTypes: Long = MaxDriverWordTypes): DataFrame = {
+    require(nMerges <= MaxIncrementalMerges,
+      s"bpeTrain: $nMerges merges exceeds the $MaxIncrementalMerges ceiling " +
+        "(production tokenizers ship 30k-50k) — raise MaxIncrementalMerges " +
+        "only deliberately")
     val spark = docs.sparkSession
     val hist = docs.select(explode(Fns.tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")

@@ -69,11 +69,17 @@ object GraftExtensions {
       })
   )
 
-  /** Idempotent runtime registration on an existing session. */
+  /** Idempotent runtime registration on an existing session. Skips names
+    * already present: an unconditional `createOrReplaceTempFunction` logs
+    * a `SimpleFunctionRegistry` replacement WARN on every call, and this
+    * is invoked per table load — thousands of WARN lines per bench run
+    * flooding the harness's bounded output capture.
+    */
   def register(spark: SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     functions.foreach { case (name, _, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 }

@@ -60,8 +60,8 @@ object TrainingDataOps {
     * keeps corpus and oracle cost SF-invariant.
     */
   private val bpeLargeDuckSrc: String =
-    """(SELECT concat(md5(text), ' ',
-      |   sha256(concat(lang, '|', source, '|', doc_id))) AS text
+    """(SELECT concat_ws(' ', md5(text),
+      |   sha256(concat_ws('|', lang, source, doc_id))) AS text
       | FROM documents WHERE doc_id < 250)""".stripMargin
 
   private def bpeLargeSparkSrc(docs: org.apache.spark.sql.DataFrame) =
@@ -1177,6 +1177,19 @@ object TrainingDataOps {
         graft.operators.Vocab.bpeTrain(t(s, dir, "documents"), "text", 8)
           .orderBy("merge_rank"),
       duckBpeSql(8)
+    ),
+
+    // ---- BPE training, INCREMENTAL driver tier (nMerges > 64) -----------
+    // 500 merges provably cross the MaxJobPerMergeRounds dispatch into
+    // bpeTrainIncremental (pair-delta driver loop). The oracle evaluates
+    // the identical loop sequentially as ONE recursive CTE; the hash
+    // fingerprint source keeps both engines' cost SF-invariant.
+    "tx_bpe_train_large" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Vocab.bpeTrain(
+            bpeLargeSparkSrc(t(s, dir, "documents")), "text", 500)
+          .orderBy("merge_rank"),
+      duckBpeTrainRecursiveSql(500, bpeLargeDuckSrc)
     ),
 
     // ---- BPE encode: apply the learned merges to the corpus -------------

@@ -164,10 +164,46 @@ class Round6OpsSpec extends SparkSpec {
         (0 until 1 + rng.nextInt(6)).map(_ => ('a' + rng.nextInt(2)).toChar).mkString)
       val n = 1 + rng.nextInt(4)
       val expected = refBpe(words, n)
-      val got = Vocab.bpeTrain(words.mkString(" ") :: Nil map Tuple1.apply toDF "text", "text", n)
+      val docs = words.mkString(" ") :: Nil map Tuple1.apply toDF "text"
+      def collected(df: org.apache.spark.sql.DataFrame) = df
         .orderBy("merge_rank").collect()
         .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+      val got = collected(Vocab.bpeTrain(docs, "text", n))
       assert(got == expected, s"trial $trial corpus=${words.mkString(" ")} n=$n")
+      // the INCREMENTAL tier on the same corpus and merge count — the
+      // tier-equivalence claim in its scaladoc — plus n=40, which on these
+      // small corpora runs many rounds and usually exhausts every pair
+      // (exercising the delta maintenance AND the early-stop path)
+      val gotInc = collected(Vocab.bpeTrainIncremental(docs, "text", n))
+      assert(gotInc == expected,
+        s"incremental trial $trial corpus=${words.mkString(" ")} n=$n")
+      val gotInc40 = collected(Vocab.bpeTrainIncremental(docs, "text", 40))
+      assert(gotInc40 == refBpe(words, 40),
+        s"incremental trial $trial corpus=${words.mkString(" ")} n=40")
+    }
+  }
+
+  test("bpeTrain dispatches to the incremental tier past 64 merges, same result") {
+    import spark.implicits._
+    // enough distinct structure to sustain >64 merges: 40 words over a
+    // 4-letter alphabet, lengths up to 12
+    val rng = new scala.util.Random(21)
+    val words = Seq.fill(40)(
+      (0 until 4 + rng.nextInt(9)).map(_ => ('a' + rng.nextInt(4)).toChar).mkString)
+    val docs = words.mkString(" ") :: Nil map Tuple1.apply toDF "text"
+    val got = Vocab.bpeTrain(docs, "text", 80) // > MaxJobPerMergeRounds
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(got == refBpe(words, 80))
+    assert(got.size > Vocab.MaxJobPerMergeRounds,
+      "corpus must actually sustain >64 merges for the dispatch to matter")
+  }
+
+  test("bpeTrainIncremental rejects merge counts past the hard ceiling") {
+    import spark.implicits._
+    val docs = Seq("ab").toDF("text")
+    intercept[IllegalArgumentException] {
+      Vocab.bpeTrainIncremental(docs, "text", Vocab.MaxIncrementalMerges + 1)
     }
   }
 
