@@ -175,6 +175,268 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  // ---- audio/video container headers: REAL byte-arithmetic decode ------
+
+  /** Decoded audio/video container metadata. Audio fields are zero for
+    * video payloads and vice versa; `status`/`err` follow the same
+    * skip-and-account quarantine contract as [[MediaMeta]] — `err` values
+    * are STABLE reason strings ("truncated", "no_fmt_chunk", …), never
+    * exception classes, so quarantine accounting is deterministic.
+    */
+  case class AvMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      format: String,
+      duration_ms: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      width: Int,
+      height: Int,
+      status: String,
+      err: Option[String])
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def tag4(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** WAV (RIFF/WAVE) header decode — pure byte arithmetic over the public
+    * container layout (Microsoft/IBM RIFF spec, 1991; the `fmt ` chunk:
+    * audio format, channels, sample rate, byte rate, block align, bits per
+    * sample, all little-endian; duration = data-chunk bytes / byte rate).
+    * Caller guarantees the RIFF/WAVE magic. Returns (sampleRate, channels,
+    * bitsPerSample, durationMs) or a stable failure reason.
+    */
+  private def parseWav(b: Array[Byte]): Either[String, (Int, Int, Int, Long)] = {
+    var sr = -1; var ch = -1; var bits = -1; var byteRate = -1L
+    var dataSize = -1L
+    var partial = false // walk hit a chunk whose declared size overruns the bytes
+    var o = 12L // Long cursor: a hostile 4 GiB chunk size must not overflow
+    while (!partial && o + 8 <= b.length) {
+      val oi = o.toInt
+      val id = tag4(b, oi)
+      val size = le32(b, oi + 4)
+      if (o + 8 + size > b.length) {
+        // a truncated fmt/data chunk is fatal to the decode; an overrun
+        // trailing metadata chunk just ends the walk
+        if (id == "fmt " || id == "data") return Left("truncated")
+        partial = true
+      } else {
+        if (id == "fmt ") {
+          if (size < 16) return Left("truncated")
+          ch = le16(b, oi + 10)
+          sr = le32(b, oi + 12).toInt
+          byteRate = le32(b, oi + 16)
+          bits = le16(b, oi + 22)
+        } else if (id == "data") dataSize = size
+        o += 8 + size + (size & 1) // chunks pad to even length
+      }
+    }
+    if (sr < 0) Left(if (partial || o < b.length) "truncated" else "no_fmt_chunk")
+    else if (dataSize < 0)
+      Left(if (partial || o < b.length) "truncated" else "no_data_chunk")
+    else if (byteRate <= 0) Left("bad_byte_rate")
+    else Right((sr, ch, bits, dataSize * 1000L / byteRate))
+  }
+
+  /** MP4/ISO-BMFF header decode — pure byte arithmetic over the public box
+    * layout (ISO/IEC 14496-12): big-endian [size, type] box walk; `moov/
+    * mvhd` carries (timescale, duration), `moov/trak/tkhd` carries track
+    * width/height as 16.16 fixed point. Versions 0 and 1 of both boxes are
+    * handled. Caller guarantees the `ftyp` magic. Returns (durationMs,
+    * width, height) or a stable failure reason.
+    */
+  private def parseMp4(b: Array[Byte]): Either[String, (Long, Int, Int)] = {
+    var timescale = -1L; var duration = -1L; var w = -1; var h = -1
+    def walk(from: Int, to: Int, depth: Int): Option[String] = {
+      var o = from
+      while (o + 8 <= to) {
+        val size = be32(b, o)
+        if (size < 8) return Some("bad_box")
+        if (o + size > to) return Some("truncated")
+        val tpe = tag4(b, o + 4)
+        val end = (o + size).toInt
+        tpe match {
+          case "moov" if depth == 0 =>
+            val e = walk(o + 8, end, 1); if (e.isDefined) return e
+          case "trak" if depth == 1 =>
+            val e = walk(o + 8, end, 2); if (e.isDefined) return e
+          case "mvhd" if depth == 1 =>
+            if (o + 12 > to) return Some("truncated")
+            val v = b(o + 8) & 0xff
+            if (v == 0) {
+              if (o + 28 > to) return Some("truncated")
+              timescale = be32(b, o + 20); duration = be32(b, o + 24)
+            } else {
+              if (o + 40 > to) return Some("truncated")
+              timescale = be32(b, o + 28); duration = be64(b, o + 32)
+            }
+          case "tkhd" if depth == 2 =>
+            if (o + 12 > to) return Some("truncated")
+            val v = b(o + 8) & 0xff
+            val wOff = if (v == 0) o + 84 else o + 96
+            if (wOff + 8 > to) return Some("truncated")
+            if (w < 0) { // first video track wins
+              w = (be32(b, wOff) >> 16).toInt
+              h = (be32(b, wOff + 4) >> 16).toInt
+            }
+          case _ => ()
+        }
+        o = end
+      }
+      if (o != to && depth == 0) Some("truncated") else None
+    }
+    walk(0, b.length, 0) match {
+      case Some(reason) => Left(reason)
+      case None =>
+        if (timescale < 0) Left("no_mvhd")
+        else if (timescale == 0) Left("bad_timescale")
+        else if (w < 0) Left("no_tkhd")
+        else Right((duration * 1000L / timescale, w, h))
+    }
+  }
+
+  private def wavClaims(b: Array[Byte]): Boolean =
+    b.length >= 12 && tag4(b, 0) == "RIFF" && tag4(b, 8) == "WAVE"
+  private def mp4Claims(b: Array[Byte]): Boolean =
+    b.length >= 12 && tag4(b, 4) == "ftyp"
+
+  /** Decode one payload's audio/video container header, or None when
+    * neither magic matches (caller falls through to its stub). A payload
+    * that CLAIMS wav/mp4 but fails the parse is a quarantine row, never a
+    * task failure — same contract as [[decodeReal]].
+    */
+  private def decodeAv(d: BinaryDoc): Option[AvMeta] = {
+    val b = d.payload
+    val n = b.length.toLong
+    if (wavClaims(b)) Some(parseWav(b) match {
+      case Right((sr, ch, bits, durMs)) =>
+        AvMeta(d.doc_id, n, "wav", durMs, sr, ch, bits, 0, 0, "ok", None)
+      case Left(reason) =>
+        AvMeta(d.doc_id, n, "wav", 0, 0, 0, 0, 0, 0, "corrupt", Some(reason))
+    })
+    else if (mp4Claims(b)) Some(parseMp4(b) match {
+      case Right((durMs, w, h)) =>
+        AvMeta(d.doc_id, n, "mp4", durMs, 0, 0, 0, w, h, "ok", None)
+      case Left(reason) =>
+        AvMeta(d.doc_id, n, "mp4", 0, 0, 0, 0, 0, 0, "corrupt", Some(reason))
+    })
+    else None
+  }
+
+  /** Partition-parallel audio/video header decode: binary column → typed
+    * [[AvMeta]]. Same shape and streaming posture as [[decodeMeta]]; a
+    * payload neither container claims gets a loud "stub"/"unknown" row
+    * (total function — one alien payload never aborts the batch).
+    */
+  def decodeAvMeta(spark: SparkSession, binDocs: DataFrame): Dataset[AvMeta] = {
+    import spark.implicits._
+    val base =
+      if (binDocs.isStreaming) binDocs
+      else graft.Tables.ensureMinParallelism(binDocs)
+    base.as[BinaryDoc].mapPartitions { it =>
+      it.map { d =>
+        decodeAv(d).getOrElse(
+          AvMeta(d.doc_id, d.payload.length.toLong, "unknown",
+            0, 0, 0, 0, 0, 0, "stub", None))
+      }
+    }
+  }
+
+  /** WAV fixture synthesis: a REAL RIFF/WAVE container (44-byte canonical
+    * header + silent PCM data) per spec row — the write side of
+    * [[decodeAvMeta]]'s WAV parser, used by tests and the
+    * `mm_decode_audio` oracle so decoded geometry is known arithmetic.
+    */
+  case class WavSpec(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_samples: Int)
+
+  def synthesizeWav(spark: SparkSession, specs: Dataset[WavSpec]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureMinParallelism(specs.toDF()).as[WavSpec].mapPartitions { it =>
+      it.map { s =>
+        val blockAlign = s.channels * s.bits / 8
+        val dataSize = s.n_samples * blockAlign
+        val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+        bb.put("fmt ".getBytes).putInt(16)
+          .putShort(1) // PCM
+          .putShort(s.channels.toShort)
+          .putInt(s.sample_rate)
+          .putInt(s.sample_rate * blockAlign) // byte rate
+          .putShort(blockAlign.toShort)
+          .putShort(s.bits.toShort)
+        bb.put("data".getBytes).putInt(dataSize)
+        // silence payload (zeros) — content is irrelevant to header decode
+        BinaryDoc(s.doc_id, bb.array())
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** MP4 fixture synthesis: a minimal REAL ISO-BMFF file — `ftyp` +
+    * `moov(mvhd v0, trak(tkhd v0))` — with the given movie timescale/
+    * duration and track geometry. 232 bytes total, fixed layout.
+    */
+  case class Mp4Spec(doc_id: Long, timescale: Int, duration_units: Long,
+      w: Int, h: Int)
+
+  def synthesizeMp4(spark: SparkSession, specs: Dataset[Mp4Spec]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureMinParallelism(specs.toDF()).as[Mp4Spec].mapPartitions { it =>
+      it.map { s =>
+        val bb = java.nio.ByteBuffer.allocate(232) // big-endian by default
+        bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+        bb.putInt(216).put("moov".getBytes)
+        // mvhd v0: 108 bytes
+        bb.putInt(108).put("mvhd".getBytes)
+          .putInt(0)                   // version+flags
+          .putInt(0).putInt(0)         // creation, modification
+          .putInt(s.timescale)
+          .putInt(s.duration_units.toInt)
+          .putInt(0x00010000)          // rate 1.0
+          .putShort(0x0100.toShort)    // volume 1.0
+          .put(new Array[Byte](10))    // reserved
+          .put(identityMatrix)
+          .put(new Array[Byte](24))    // pre_defined
+          .putInt(2)                   // next_track_ID
+        // trak: 100 bytes = 8 + tkhd(92)
+        bb.putInt(100).put("trak".getBytes)
+        bb.putInt(92).put("tkhd".getBytes)
+          .putInt(0)                   // version+flags
+          .putInt(0).putInt(0)         // creation, modification
+          .putInt(1)                   // track_ID
+          .putInt(0)                   // reserved
+          .putInt(s.duration_units.toInt)
+          .put(new Array[Byte](8))     // reserved
+          .putShort(0).putShort(0)     // layer, alternate_group
+          .putShort(0)                 // volume (video track: 0)
+          .putShort(0)                 // reserved
+          .put(identityMatrix)
+          .putInt(s.w << 16)           // 16.16 fixed
+          .putInt(s.h << 16)
+        BinaryDoc(s.doc_id, bb.array())
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  private def identityMatrix: Array[Byte] = {
+    val m = java.nio.ByteBuffer.allocate(36)
+    m.putInt(0x00010000).putInt(0).putInt(0)
+    m.putInt(0).putInt(0x00010000).putInt(0)
+    m.putInt(0).putInt(0).putInt(0x40000000)
+    m.array()
+  }
+
   /** REAL (non-stub) feature extraction over raw media bytes: a `bins`-bin
     * byte-value histogram per payload — the kind of cheap content feature
     * (entropy proxies, format fingerprints, corruption detection) a media

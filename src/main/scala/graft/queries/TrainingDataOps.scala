@@ -490,6 +490,100 @@ object TrainingDataOps {
         |FROM documents ORDER BY doc_id""".stripMargin
     ),
 
+    // ---- REAL audio header decode: RIFF/WAVE fmt-chunk arithmetic ------
+    // Synthesize genuine WAV containers whose geometry is doc_id
+    // arithmetic, truncate every 7th payload mid-fmt-chunk, and decode:
+    // duration/rate/channels/bits must be recovered from the real bytes;
+    // truncated payloads land in quarantine with the stable 'truncated'
+    // reason. The oracle predicts every decoded fact arithmetically
+    // (duration_ms = n_samples*1000 // sample_rate — block align cancels).
+    "mm_decode_audio" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          when(col("doc_id") % 4 === 0, 8000).when(col("doc_id") % 4 === 1, 16000)
+            .when(col("doc_id") % 4 === 2, 22050).otherwise(44100)
+            .cast("int").as("sample_rate"),
+          (lit(1) + col("doc_id") % 2).cast("int").as("channels"),
+          when(col("doc_id") % 3 === 0, 8).otherwise(16).cast("int").as("bits"),
+          (lit(100) + col("doc_id") % 400).cast("int").as("n_samples")
+        ).as[Multimodal.WavSpec]
+        val bin = Multimodal.synthesizeWav(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 3, col("payload").substr(1, 20))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.decodeAvMeta(s, bin).toDF()
+          .select(col("doc_id"), col("n_bytes"), col("format"),
+            col("duration_ms"), col("sample_rate"), col("channels"),
+            col("bits_per_sample"), col("status"), col("err"))
+          .orderBy("doc_id")
+      },
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+        |    1 + doc_id % 2 AS ch,
+        |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+        |    100 + doc_id % 400 AS ns,
+        |    doc_id % 7 = 3 AS trunc
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN trunc THEN 20 ELSE 44 + ns*ch*bits//8 END AS BIGINT) AS n_bytes,
+        |  'wav' AS format,
+        |  CAST(CASE WHEN trunc THEN 0 ELSE ns*1000//sr END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN trunc THEN 0 ELSE sr END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN trunc THEN 0 ELSE ch END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN trunc THEN 0 ELSE bits END AS INTEGER) AS bits_per_sample,
+        |  CASE WHEN trunc THEN 'corrupt' ELSE 'ok' END AS status,
+        |  CASE WHEN trunc THEN 'truncated' ELSE NULL END AS err
+        |FROM p ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- REAL video header decode: ISO-BMFF moov/mvhd/tkhd boxes -------
+    // Same pattern for mp4: genuine minimal containers (ftyp+moov), track
+    // geometry as 16.16 fixed point, movie duration in mvhd timescale
+    // units; every 11th payload cut mid-moov -> quarantine 'truncated'.
+    "mm_decode_video" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          when(col("doc_id") % 3 === 0, 600).when(col("doc_id") % 3 === 1, 1000)
+            .otherwise(90000).cast("int").as("timescale"),
+          (lit(1000) + (col("doc_id") * 37) % 50000).cast("long").as("duration_units"),
+          (lit(16) * (lit(1) + col("doc_id") % 40)).cast("int").as("w"),
+          (lit(16) * (lit(1) + col("doc_id") % 30)).cast("int").as("h")
+        ).as[Multimodal.Mp4Spec]
+        val bin = Multimodal.synthesizeMp4(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 5, col("payload").substr(1, 40))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.decodeAvMeta(s, bin).toDF()
+          .select(col("doc_id"), col("n_bytes"), col("format"),
+            col("duration_ms"), col("width"), col("height"),
+            col("status"), col("err"))
+          .orderBy("doc_id")
+      },
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS ts,
+        |    1000 + (doc_id * 37) % 50000 AS du,
+        |    16 * (1 + doc_id % 40) AS w,
+        |    16 * (1 + doc_id % 30) AS h,
+        |    doc_id % 11 = 5 AS trunc
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN trunc THEN 40 ELSE 232 END AS BIGINT) AS n_bytes,
+        |  'mp4' AS format,
+        |  CAST(CASE WHEN trunc THEN 0 ELSE du*1000//ts END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN trunc THEN 0 ELSE w END AS INTEGER) AS width,
+        |  CAST(CASE WHEN trunc THEN 0 ELSE h END AS INTEGER) AS height,
+        |  CASE WHEN trunc THEN 'corrupt' ELSE 'ok' END AS status,
+        |  CASE WHEN trunc THEN 'truncated' ELSE NULL END AS err
+        |FROM p ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- REAL media feature extraction: byte histogram (no codec) ------
     "mm_byte_histogram" -> QuerySpec(
       (s, dir) => {
