@@ -375,6 +375,198 @@ object Vocab {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "freq")
   }
 
+  /** WordPiece vocab TRAINING (Schuster & Nakajima 2012; the likelihood
+    * criterion as described in Wu et al. 2016 §4.1 and implemented by the
+    * public HuggingFace WordPiece trainer): identical loop shape to
+    * [[bpeTrain]], but each round merges the adjacent pair maximizing the
+    * LIKELIHOOD RATIO score freq(l,r) / (freq(l)·freq(r)) instead of raw
+    * pair frequency — merging favors pairs whose parts rarely occur apart.
+    * Symbols carry the `##` continuation prefix from initialization
+    * ("abc" → a ##b ##c), so the learned pieces feed [[wordpieceEncode]]
+    * directly; a merge of (l, ##r) produces l+r with l's prefix status.
+    * Ties break (score desc, lhs asc, rhs asc); score is an IEEE-754
+    * double of exact integer counts, so the comparison is deterministic
+    * and engine-portable (DuckDB computes the identical double).
+    * Returns (merge_rank, lhs, rhs, merged, freq) like [[bpeTrain]].
+    *
+    * Scale shape mirrors [[bpeTrain]]: the corpus is reduced once to the
+    * word-TYPE table; ≤ [[MaxJobPerMergeRounds]] merges run one
+    * distributed round per merge (pair agg + symbol agg + two broadcast
+    * joins + bounded argmax); past it the driver tier runs under the
+    * [[MaxDriverWordTypes]] budget. Unlike BPE, a merge changes the
+    * GLOBAL unigram frequencies and therefore every pair's score, so the
+    * driver tier recounts per round — O(total symbols) a round, no
+    * pair-delta shortcut exists for this objective.
+    */
+  def wordpieceTrain(docs: DataFrame, textCol: String, nMerges: Int,
+      maxWordTypes: Long = MaxDriverWordTypes): DataFrame = {
+    require(nMerges >= 1, s"bad nMerges $nMerges")
+    if (nMerges <= MaxJobPerMergeRounds) wordpieceTrainDistributed(docs, textCol, nMerges)
+    else wordpieceTrainIncremental(docs, textCol, nMerges, maxWordTypes)
+  }
+
+  /** WordPiece-delimited word-type table: first symbol bare, continuations
+    * `##`-prefixed, double-space delimited ("abc" → "  a  ##b  ##c  ").
+    */
+  private def wpWordTable(docs: DataFrame, textCol: String) =
+    docs.select(explode(Fns.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("  "), substring(col("token"), 1, 1), lit("  "),
+        regexp_replace(substring(col("token"), 2, Int.MaxValue),
+          "(.)", "##$1  ")).as("w"), col("cnt"))
+
+  private[graft] def wordpieceTrainDistributed(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    var words = wpWordTable(docs, textCol).cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var prev: Option[DataFrame] = None
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val syms = split(trim(col("w")), "  ")
+      // symbol (unigram) frequencies — vocabulary-sized, broadcast into
+      // the score join; recomputed per round because every merge shifts
+      // the global denominator
+      val symTable = words
+        .select(explode(syms).as("s"), col("cnt"))
+        .groupBy("s").agg(sum("cnt").as("f"))
+      val top = words
+        .select(syms.as("syms"), col("cnt"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("l"), y.as("r")))).as("pr"), col("cnt"))
+        .select(col("pr.l"), col("pr.r"), col("cnt"))
+        .groupBy("l", "r").agg(sum("cnt").as("fp"))
+        .join(broadcast(symTable.select(col("s").as("l"), col("f").as("fl"))), Seq("l"))
+        .join(broadcast(symTable.select(col("s").as("r"), col("f").as("fr"))), Seq("r"))
+        .select(col("l"), col("r"), col("fp"),
+          (col("fp").cast("double") /
+            (col("fl").cast("double") * col("fr").cast("double"))).as("score"))
+        .orderBy(col("score").desc, col("l"), col("r"))
+        .limit(1).collect()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(words)
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, fp) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val merged = l + rr.stripPrefix("##")
+        merges += ((r, l, rr, merged, fp))
+        words = words.select(
+          replace(col("w"), lit(" " + l + "  " + rr + " "), lit(" " + merged + " ")).as("w"),
+          col("cnt")).cache()
+      }
+      r += 1
+    }
+    words.unpersist(blocking = false)
+    prev.foreach(_.unpersist(blocking = false))
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "freq")
+  }
+
+  /** Driver-tier WordPiece training: word-TYPE histogram collected under
+    * the loud budget, then a full recount per round (see
+    * [[wordpieceTrain]] — the likelihood score has no delta shortcut).
+    * Semantics are exactly the distributed tier's (property-tested).
+    */
+  private[graft] def wordpieceTrainIncremental(docs: DataFrame, textCol: String,
+      nMerges: Int, maxWordTypes: Long = MaxDriverWordTypes): DataFrame = {
+    require(nMerges <= MaxIncrementalMerges,
+      s"wordpieceTrain: $nMerges merges exceeds the $MaxIncrementalMerges ceiling")
+    val spark = docs.sparkSession
+    val hist = docs.select(explode(Fns.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val nTypes = hist.count()
+    require(nTypes <= maxWordTypes,
+      s"wordpieceTrain driver tier: $nTypes word types over the $maxWordTypes " +
+        "budget — pre-tokenize or raise maxWordTypes")
+    val collected = hist.collect()
+    val words = new Array[Array[String]](collected.length)
+    val freq = new Array[Long](collected.length)
+    var wi = 0
+    while (wi < collected.length) {
+      val tok = collected(wi).getString(0)
+      val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < tok.length) {
+        val n = Character.charCount(tok.codePointAt(i))
+        val cp = tok.substring(i, i + n)
+        syms += (if (i == 0) cp else "##" + cp)
+        i += n
+      }
+      words(wi) = syms.toArray
+      freq(wi) = collected(wi).getLong(1)
+      wi += 1
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val symCnt = scala.collection.mutable.HashMap.empty[String, Long]
+      wi = 0
+      while (wi < words.length) {
+        val s = words(wi); val c = freq(wi)
+        var i = 0
+        while (i < s.length) {
+          symCnt(s(i)) = symCnt.getOrElse(s(i), 0L) + c
+          if (i < s.length - 1) {
+            val p = (s(i), s(i + 1))
+            pairCnt(p) = pairCnt.getOrElse(p, 0L) + c
+          }
+          i += 1
+        }
+        wi += 1
+      }
+      if (pairCnt.isEmpty) done = true
+      else {
+        var bl: String = null; var br: String = null
+        var bScore = -1.0; var bFp = 0L
+        pairCnt.foreach { case ((l, rr), fp) =>
+          val score = fp.toDouble / (symCnt(l).toDouble * symCnt(rr).toDouble)
+          val better =
+            if (score != bScore) score > bScore
+            else {
+              val c1 = cpCompare(l, bl)
+              if (c1 != 0) c1 < 0 else cpCompare(rr, br) < 0
+            }
+          if (bl == null || better) { bl = l; br = rr; bScore = score; bFp = fp }
+        }
+        val merged = bl + br.stripPrefix("##")
+        merges += ((r, bl, br, merged, bFp))
+        wi = 0
+        while (wi < words.length) {
+          val s = words(wi)
+          var contains = false
+          var i = 0
+          while (!contains && i < s.length - 1) {
+            if (s(i) == bl && s(i + 1) == br) contains = true
+            i += 1
+          }
+          if (contains) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == bl && s(j + 1) == br) {
+                out += merged; j += 2
+              } else { out += s(j); j += 1 }
+            }
+            words(wi) = out.toArray
+          }
+          wi += 1
+        }
+      }
+      r += 1
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "freq")
+  }
+
   /** Merge-table size up to which [[bpeEncode]] compiles the whole merge
     * sequence into one composed expression chain (codegen-friendly; the
     * tree depth equals the merge count, so past this the analyzer and

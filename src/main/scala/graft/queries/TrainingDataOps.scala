@@ -118,6 +118,41 @@ object TrainingDataOps {
        |  l || r AS merged, freq
        |FROM st WHERE kind = 'm' ORDER BY merge_rank""".stripMargin
 
+  /** DuckDB SQL for [[graft.operators.Vocab.wordpieceTrain]] with `n`
+    * rounds unrolled into chained CTEs (the duckBpeCtes shape): round r
+    * recounts symbol and pair frequencies from w{r-1}, argmaxes the
+    * likelihood-ratio score fp/(fl·fr) — an IEEE double of exact BIGINTs,
+    * computed identically by both engines — and applies the merge with
+    * the same delimited literal replace. Continuations carry `##`.
+    */
+  private def duckWpCtes(n: Int, src: String = "documents"): String = {
+    // s$r MUST be MATERIALIZED: DuckDB inlines plain CTEs, and each round
+    // references its predecessor ~3× (u$r, p$r, w$r) — inlined, the w0
+    // parquet scan multiplies 3^n-fold and exhausts file descriptors
+    val rounds = (1 to n).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT string_split(trim(w), '  ') AS syms, cnt FROM w${r - 1}),
+         |u$r AS (SELECT sym, sum(cnt)::BIGINT AS f FROM (
+         |  SELECT unnest(syms) AS sym, cnt FROM s$r) GROUP BY 1),
+         |p$r AS (SELECT l, r2, sum(cnt)::BIGINT AS fp FROM (
+         |  SELECT unnest(syms[1:len(syms)-1]) AS l, unnest(syms[2:len(syms)]) AS r2, cnt
+         |  FROM s$r WHERE len(syms) >= 2) GROUP BY 1, 2),
+         |b$r AS (SELECT p.l, p.r2, p.fp,
+         |    p.l || substr(p.r2, 3) AS merged
+         |  FROM p$r p JOIN u$r ul ON ul.sym = p.l JOIN u$r ur ON ur.sym = p.r2
+         |  ORDER BY CAST(p.fp AS DOUBLE)/(CAST(ul.f AS DOUBLE)*CAST(ur.f AS DOUBLE)) DESC,
+         |    p.l, p.r2 LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT replace(w.w, ' '||b.l||'  '||b.r2||' ', ' '||b.merged||' ') AS w, w.cnt
+         |  FROM w${r - 1} w CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT '  ' || token[1:1] || '  ' ||
+       |    regexp_replace(token[2:], '(.)', '##\\1  ', 'g') AS w, cnt FROM (
+       |    SELECT token, count(*)::BIGINT AS cnt FROM (
+       |      SELECT unnest($duckToks) AS token FROM $src)
+       |    WHERE token <> '' GROUP BY token)),
+       |$rounds""".stripMargin
+  }
+
   /** CTE chain applying the `n` learned merges to every token of `src`:
     * token stream t0 → t{n}, one replace per round.
     */
@@ -1284,6 +1319,26 @@ object TrainingDataOps {
             bpeLargeSparkSrc(t(s, dir, "documents")), "text", 500)
           .orderBy("merge_rank"),
       duckBpeTrainRecursiveSql(500, bpeLargeDuckSrc)
+    ),
+
+    // ---- WordPiece vocab TRAINING: likelihood-ratio merges --------------
+    // Same loop shape as tx_bpe_train but the argmax criterion is
+    // fp/(fl*fr) — the WordPiece objective. The score is a double of
+    // exact integer counts, IEEE-identical across engines, so the full
+    // 8-round merge table hash-matches.
+    "tx_wordpiece_train" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Vocab.wordpieceTrain(t(s, dir, "documents"), "text", 8)
+          .orderBy("merge_rank"),
+      {
+        val out = (1 to 8).map(r =>
+          s"SELECT CAST($r AS INTEGER) AS merge_rank, l AS lhs, r2 AS rhs, merged, fp AS freq FROM b$r")
+          .mkString("\nUNION ALL\n")
+        s"""WITH ${duckWpCtes(8)}
+           |SELECT * FROM (
+           |$out
+           |) ORDER BY merge_rank""".stripMargin
+      }
     ),
 
     // ---- BPE encode: apply the learned merges to the corpus -------------

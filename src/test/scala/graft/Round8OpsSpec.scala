@@ -119,4 +119,109 @@ class Round8OpsSpec extends SparkSpec {
     val got = decodeOne("plain text, no container".getBytes)
     assert(got.format == "unknown" && got.status == "stub" && got.err.isEmpty)
   }
+
+  // ---- WordPiece vocab training ----------------------------------------
+
+  /** Independent sequential WordPiece trainer (Schuster & Nakajima 2012
+    * likelihood criterion): written map-over-vector style, no delimited-
+    * replace trick, so agreement with the operator proves the SEMANTICS.
+    */
+  private def refWordpiece(words: Seq[String], nMerges: Int): Seq[(String, String, String, Long)] = {
+    var tbl = words.filter(_.nonEmpty).groupBy(identity).toVector
+      .map { case (w, ws) =>
+        (w.zipWithIndex.map { case (c, i) =>
+          if (i == 0) c.toString else "##" + c }.toVector, ws.size.toLong)
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long)]
+    var done = false
+    for (_ <- 1 to nMerges if !done) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val syms = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((s, c) <- tbl) {
+        for (x <- s) syms(x) = syms.getOrElse(x, 0L) + c
+        for (i <- 0 until s.length - 1)
+          pairs(s(i) -> s(i + 1)) = pairs.getOrElse(s(i) -> s(i + 1), 0L) + c
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), fp) = pairs.toSeq.minBy { case ((a, b), n) =>
+          (-(n.toDouble / (syms(a).toDouble * syms(b).toDouble)), a, b)
+        }
+        out += ((l, r, l + r.stripPrefix("##"), fp))
+        val merged = l + r.stripPrefix("##")
+        tbl = tbl.map { case (s, c) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+              acc += merged; i += 2
+            } else { acc += s(i); i += 1 }
+          }
+          (acc.toVector, c)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("wordpieceTrain matches the independent reference on 25 random corpora, both tiers") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    for (trial <- 0 until 25) {
+      val words = Seq.fill(3 + rng.nextInt(20))(
+        (0 until 1 + rng.nextInt(6)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+      val n = 1 + rng.nextInt(5)
+      val expected = refWordpiece(words, n)
+      val docs = words.mkString(" ") :: Nil map Tuple1.apply toDF "text"
+      def collected(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+      assert(collected(Vocab.wordpieceTrainDistributed(docs, "text", n)) == expected,
+        s"distributed trial $trial corpus=${words.mkString(" ")} n=$n")
+      assert(collected(Vocab.wordpieceTrainIncremental(docs, "text", n)) == expected,
+        s"incremental trial $trial corpus=${words.mkString(" ")} n=$n")
+      // deep run: most corpora exhaust every pair, exercising early stop
+      assert(collected(Vocab.wordpieceTrainIncremental(docs, "text", 40)) ==
+        refWordpiece(words, 40), s"incremental trial $trial n=40")
+    }
+  }
+
+  test("wordpieceTrain merges favor exclusive pairs over frequent ones") {
+    import spark.implicits._
+    // "ab" appears 4x but a also occurs apart (az); "xy" appears 2x and
+    // x,y occur ONLY together — likelihood ratio must pick (x,##y) first
+    // (score 2/(2*2)=0.5 beats 4/(5*4)=0.2), where raw-frequency BPE
+    // picks (a,b)
+    val docs = Seq("ab ab ab ab xy xy az").toDF("text")
+    val wp = Vocab.wordpieceTrain(docs, "text", 1).collect()
+    assert(wp.head.getString(1) == "x" && wp.head.getString(2) == "##y")
+    val bpe = Vocab.bpeTrain(docs, "text", 1).collect()
+    assert(bpe.head.getString(1) == "a" && bpe.head.getString(2) == "b")
+  }
+
+  test("wordpieceTrain round-trips through wordpieceEncode with no [UNK]") {
+    import spark.implicits._
+    val corpus = Seq("the merge table the table scan scan the merge")
+    val docs = corpus.map(Tuple1.apply).toDF("text")
+    val merges = Vocab.wordpieceTrain(docs, "text", 8)
+      .orderBy("merge_rank").collect().map(_.getString(3)).toSeq
+    // vocab = every single character (bare + continuation) + the learned
+    // pieces — the artifact a WordPiece tokenizer ships
+    val chars = corpus.flatMap(_.split("\\s+")).flatMap(_.toSeq).distinct
+      .flatMap(c => Seq(c.toString, "##" + c))
+    val vocab = (chars ++ merges).distinct
+    val idDocs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val enc = Vocab.wordpieceEncode(idDocs, "doc_id", "text", vocab).collect()
+    assert(enc.nonEmpty)
+    for (row <- enc) {
+      val tok = row.getString(2)
+      val pieces = row.getSeq[String](3)
+      assert(!pieces.contains("[UNK]"), s"token $tok hit [UNK]")
+      assert(pieces.head + pieces.tail.map(_.stripPrefix("##")).mkString == tok,
+        s"pieces $pieces do not reconstruct $tok")
+    }
+    // the trained merges are actually USED: at least one multi-char piece
+    assert(enc.exists(_.getSeq[String](3).exists(p => p.stripPrefix("##").length > 1)))
+  }
 }
