@@ -28,6 +28,34 @@ object Extract {
     def get(url: String): Option[Array[Byte]]
   }
 
+  /** Bounded-retry decorator for transient HTTP failures — 5xx and
+    * timeouts surface as exceptions from the underlying client. Retries
+    * the SAME URL with linear backoff; every paginated GET in this
+    * library is a pure cursor read, so the retried request is
+    * byte-identical and idempotent (no duplicate or skipped pages — the
+    * cursor advances only after a page is successfully returned). A
+    * `None` body ("no data", e.g. a 404 export hour) is a terminal
+    * answer, never retried; after `maxAttempts` failures the last
+    * exception propagates so Spark's task retry (the outer, whole-slice
+    * level of the retry story) can take over.
+    */
+  final class RetryingFetcher(inner: Fetcher, maxAttempts: Int = 3,
+      backoffMs: Long = 0L) extends Fetcher {
+    require(maxAttempts >= 1, s"bad maxAttempts $maxAttempts")
+    def get(url: String): Option[Array[Byte]] = {
+      var attempt = 1
+      while (attempt < maxAttempts) {
+        try return inner.get(url)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
+            attempt += 1
+        }
+      }
+      inner.get(url) // final attempt: let the failure propagate
+    }
+  }
+
   private val HourFmt = DateTimeFormatter.ofPattern("yyyyMMdd'T'HH")
 
   /** ZIP magic: PK\x03\x04. */

@@ -101,6 +101,84 @@ class HttpEngageSourceSpec extends SparkSpec {
     assert(parsed.select("properties").first().getMap[String, String](0)("plan") == "x")
   }
 
+  test("engage DSv2: mid-pagination 5xx retries the SAME cursor URL, no dup/skip") {
+    // page 1 of the walk fails once with a transient 503 before
+    // succeeding — the retry must re-GET the identical URL (same
+    // session_id + page, cursor not reset), so the stream has no
+    // duplicated and no skipped profiles
+    val failedOnce = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    val flaky = new Fetcher {
+      def get(url: String): Option[Array[Byte]] = {
+        EngageCalls.urls.add(url)
+        val page = "&page=(\\d+)".r.findFirstMatchIn(url).map(_.group(1).toInt).getOrElse(0)
+        if (page == 1 && failedOnce.putIfAbsent(url, true) == null)
+          throw new java.io.IOException("HTTP 503 Service Unavailable")
+        val n = if (page < 2) 2 else 1
+        val results = (0 until n).map(i => s"""{"$$distinct_id":"p${page}_$i"}""")
+        Some(s"""{"page":$page,"page_size":2,"session_id":"sess-r",
+             |"results":[${results.mkString(",")}]}""".stripMargin.getBytes("UTF-8"))
+      }
+    }
+    FetcherRegistry.put("engage-flaky", new graft.sources.Extract.RetryingFetcher(flaky, 3))
+    EngageCalls.urls.clear()
+    val df = spark.read.format("graft.sources.v2.HttpEngageSource")
+      .option("baseUrl", "https://mp.example")
+      .option("pageSize", "2")
+      .option("fetcherKey", "engage-flaky")
+      .load()
+    val ids = df.collect().map(_.getString(1)).toSeq
+    assert(ids.size == 5, s"dup or skip after retry: $ids")
+    assert(ids.distinct.size == 5, s"duplicated profiles after retry: $ids")
+    // exactly one extra call (the failed attempt), and the retried URL is
+    // byte-identical to the failed one
+    val urls = EngageCalls.urls.toArray.map(_.toString).toSeq
+    assert(urls.size == 4, urls.toString)
+    val p1 = urls.filter(_.contains("&page=1"))
+    assert(p1.size == 2 && p1.distinct.size == 1, s"retry URL differs: $p1")
+  }
+
+  test("engage DSv2: retry budget exhausts loudly, does not loop or swallow") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dead = new Fetcher {
+      def get(url: String): Option[Array[Byte]] = {
+        val page = "&page=(\\d+)".r.findFirstMatchIn(url).map(_.group(1).toInt).getOrElse(0)
+        if (page == 1) { attempts.incrementAndGet(); throw new java.io.IOException("HTTP 503") }
+        Some("""{"page":0,"page_size":2,"session_id":"s",
+             |"results":[{"$distinct_id":"a"},{"$distinct_id":"b"}]}""".stripMargin
+          .getBytes("UTF-8"))
+      }
+    }
+    FetcherRegistry.put("engage-dead", new graft.sources.Extract.RetryingFetcher(dead, 3))
+    val df = spark.read.format("graft.sources.v2.HttpEngageSource")
+      .option("baseUrl", "https://mp.example")
+      .option("pageSize", "2")
+      .option("fetcherKey", "engage-dead")
+      .load()
+    val e = intercept[Exception] { df.count() }
+    // the transport failure reaches the task (Spark wraps it), with the
+    // retry budget spent exactly — the outer layer is Spark task retry
+    assert(attempts.get() == 3, s"expected 3 attempts, got ${attempts.get()}")
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => String.valueOf(c.getMessage).contains("503")), e.toString)
+  }
+
+  test("engage DSv2: re-running a slice restarts a fresh idempotent cursor walk") {
+    // a Spark task retry re-creates the reader; the walk must restart at
+    // page 0 with no session_id and reproduce the identical row set
+    FetcherRegistry.put("engage-fetcher", mkFetcher(pageSize = 2))
+    val df = read()
+    val first = df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    EngageCalls.urls.clear()
+    val second = df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(first == second, "re-walk is not idempotent")
+    val urls = EngageCalls.urls.toArray.map(_.toString).toSeq
+    // the re-run's first call per cohort carries no stale cursor state
+    assert(urls.count(!_.contains("session_id=")) == 3, urls.toString)
+    assert(urls.size == 9, urls.toString)
+  }
+
   test("engage DSv2: where-slices plan one partition per expression") {
     FetcherRegistry.put("engage-fetcher", new Fetcher {
       def get(url: String): Option[Array[Byte]] = {

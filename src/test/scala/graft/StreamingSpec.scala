@@ -220,6 +220,39 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("piecesToIds broadcast tier streams: ids identical to batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // a production-size vocab (> MaxInlineVocab forces the broadcast
+    // HashMap tier) mapping a live encoded stream to tensor-ready ids —
+    // must produce byte-identical ids to the batch path
+    val vocab = Seq("aa", "a", "b") ++
+      (0 until graft.operators.Vocab.MaxInlineVocab + 1).map(i => s"#pad$i")
+    val merges = Seq(("a", "a"))
+    def encThenIds(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Vocab.piecesToIds(
+        graft.operators.Vocab.bpeEncode(df, "doc_id", "text", merges), vocab)
+        .select(col("doc"), col("token"), concat_ws(" ", col("ids")).as("i"))
+    val mem = MemoryStream[(Long, String)]
+    val out = encThenIds(mem.toDF().toDF("doc_id", "text"))
+    assert(out.isStreaming, "ids tier must not break the streaming plan")
+    val q = out.writeStream.format("memory").queryName("ids_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "aaa ab zb"))
+    q.processAllAvailable()
+    val streamed = spark.table("ids_stream").orderBy("token")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    import spark.implicits._
+    val batch = encThenIds(Seq((1L, "aaa ab zb")).toDF("doc_id", "text"))
+      .orderBy("token")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(streamed == batch)
+    // aaa -> [aa, a] = "0 1"; ab -> [a, b] = "1 2"; zb -> [z, b] with
+    // z out-of-vocab -> "-1 2"
+    assert(streamed == Seq(("aaa", "0 1"), ("ab", "1 2"), ("zb", "-1 2")))
+    q.stop()
+  }
+
   test("bpeEncode runs unchanged on a stream (tokenization as projection)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
