@@ -1,0 +1,85 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Dedup, Vocab}
+
+/** Headline-operator scale sweep — the committed, re-runnable form of the
+  * SCALE.md stress protocol (the sf1ish/sf10ish amplified corpora: every
+  * sf0.1 document/embedding duplicated into N near-identical copies, the
+  * adversarial shape for similarity operators).
+  *
+  * Unlike Bench (which runs the ORACLE-pinned query parameterizations,
+  * e.g. numPlanes=6 / nLists=8 so DuckDB can rebuild identical state),
+  * this runs the SCALE-CONTRACT parameterizations the operators document
+  * for growing corpora: auto-sized LSH planes, auto-sized IVF cluster
+  * counts, the ngram stop-shingle cap. Single run per op (these are
+  * multi-minute measurements, contention noise is secondary to the
+  * orders-of-magnitude question), rows + seconds printed per op and as a
+  * final JSON line.
+  *
+  * Usage: runMain graft.ScaleBench [corpusDir] [op ...]
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf10ish")
+    val only = args.drop(1).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def docs = Tables.t(spark, dir, "documents")
+    def emb = Tables.t(spark, dir, "embeddings")
+
+    val ops: Seq[(String, () => Long)] = Seq(
+      // stop-shingle cap = the documented dial for duplication-adversarial
+      // corpora (shingles in more docs than the cap are dropped from
+      // candidate generation; uncapped, candidate volume grows with the
+      // SQUARE of the duplication rate)
+      "ngram_jaccard_cap300" -> (() =>
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+          maxShingleFreq = Some(300)).count()),
+      "substring_dedup_w5" -> (() =>
+        Dedup.substringDedup(docs, "doc_id", "text", 5).count()),
+      "semantic_dedup_auto" -> (() =>
+        Dedup.semanticDedupAuto(emb, "vec_id", "embedding", 0.4,
+          targetClusterSize = Some(200L)).count()),
+      "knn_join_auto_k2" -> (() =>
+        Ann.knnJoinAuto(emb, "vec_id", "embedding", k = 2).count()),
+      "bpe_train_job8" -> (() =>
+        Vocab.bpeTrainDistributed(docs, "text", 8).count()),
+      "bpe_train_incr500" -> (() =>
+        Vocab.bpeTrainIncremental(docs, "text", 500).count()),
+      "wordpiece_train8" -> (() =>
+        Vocab.wordpieceTrainDistributed(docs, "text", 8).count()),
+      "bpe_encode8" -> (() => {
+        val m = Vocab.bpeTrain(docs, "text", 8).orderBy("merge_rank")
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        Vocab.bpeEncode(docs, "doc_id", "text", m).count()
+      })
+    )
+    val results = ops
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val out = try Right(fn()) catch {
+          case e: Throwable => Left(e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).take(200))
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        out match {
+          case Right(rows) => println(f"$name%-24s $sec%8.1f s  rows=$rows")
+          case Left(err) => println(f"$name%-24s $sec%8.1f s  ERROR $err")
+        }
+        (name, sec, out)
+      }
+    val js = results.map {
+      case (n, s, Right(r)) => s""""$n":{"sec":${f"$s%.1f"},"rows":$r}"""
+      case (n, s, Left(e)) => s""""$n":{"sec":${f"$s%.1f"},"error":"${e.replace("\"", "'")}"}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"scalebench":"$dir","cpus":$cpus,"ops":$js}""")
+    spark.stop()
+  }
+}

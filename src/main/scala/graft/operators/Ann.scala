@@ -235,6 +235,14 @@ object Ann {
   /** [[knnJoin]] with the plane count sized from the corpus itself via
     * [[lshNumPlanes]] — one extra `count()` job, the price of a candidate
     * volume that stays ≈ n·targetBucket (linear) at any corpus size.
+    *
+    * Pipeline-order contract (measured on the 100× duplication corpus,
+    * SCALE.md round-8): NO plane count can split IDENTICAL vectors —
+    * every copy shares every hyperplane sign, so bucket occupancy has a
+    * floor of the duplication depth and candidate volume gains a ×dup²
+    * term. Run exact/near dedup BEFORE similarity search (the
+    * `pipeline_training_prep` order); plane sizing then does its job on
+    * the distinct vectors.
     */
   def knnJoinAuto(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       targetBucketSize: Long = 64L): DataFrame =
