@@ -724,6 +724,236 @@ object Vocab {
     }
   }
 
+  /** Split a token into code-point symbols — the unit every trainer tier
+    * and both engines' regex/substr agree on (UTF-16 `charAt` slicing
+    * would split surrogate pairs that DuckDB's char-based substr keeps
+    * whole).
+    */
+  private def cpSplit(tok: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < tok.length) {
+      val n = Character.charCount(tok.codePointAt(i))
+      out += tok.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Viterbi segmentation of one token under a unigram piece model
+    * (Kudo 2018, arXiv:1804.10959 §3.2 — the decoding step): dp over
+    * code-point positions, `dp(i) = max over pieces ending at i of
+    * dp(j) · p(piece)`, ties broken by code-point-ascending piece (the
+    * order both engines' binary string collation produces, so the DuckDB
+    * oracle's `max(v) → min(piece)` argmax picks the identical path).
+    * Probabilities are IEEE doubles of exact integer counts and every
+    * dp value is built by the same left-to-right multiplication order in
+    * both engines, so scores — and therefore paths — are bit-identical.
+    * Returns null when some position has no covering piece (cannot
+    * happen while training, where all single code points stay in vocab).
+    */
+  private[graft] def viterbiPath(cps: Array[String], prob: scala.collection.Map[String, Double],
+      maxPieceLen: Int): Array[String] = {
+    val n = cps.length
+    val dp = new Array[Double](n + 1)
+    val back = new Array[String](n + 1) // piece chosen at position i; null = unreachable
+    dp(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var bestV = 0.0
+      var bestP: String = null
+      var len = 1
+      val maxL = math.min(maxPieceLen, i)
+      while (len <= maxL) {
+        val j = i - len
+        if (j == 0 || back(j) != null) {
+          val piece = cps.slice(j, i).mkString
+          prob.get(piece) match {
+            case Some(p) =>
+              val v = dp(j) * p
+              if (bestP == null || v > bestV ||
+                  (v == bestV && cpCompare(piece, bestP) < 0)) {
+                bestV = v; bestP = piece
+              }
+            case None =>
+          }
+        }
+        len += 1
+      }
+      dp(i) = bestV
+      back(i) = bestP
+      i += 1
+    }
+    if (n > 0 && back(n) == null) return null
+    val path = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = n
+    while (pos > 0) {
+      val p = back(pos)
+      path += p
+      pos -= cpCodePoints(p)
+    }
+    path.reverseIterator.toArray
+  }
+
+  private def cpCodePoints(s: String): Int = s.codePointCount(0, s.length)
+
+  /** Driver-side seed-vocabulary budget for [[unigramTrain]] — the same
+    * loud bounded-collect contract as the IVF centroid table: the seed is
+    * the largest table the driver ever holds (SentencePiece defaults to
+    * ~1M seed pieces for a 32k target vocab).
+    */
+  val MaxUnigramSeed: Int = 2000000
+
+  /** Unigram-LM vocabulary TRAINING (Kudo 2018, arXiv:1804.10959 §3 —
+    * the SentencePiece unigram trainer), in the VITERBI HARD-EM variant:
+    * the E-step assigns each word type its single best segmentation
+    * (Kudo's §3.2 decoding) instead of expected counts from
+    * forward–backward, and pruning keeps the `vocabSize` highest-count
+    * pieces instead of Kudo's likelihood-loss ranking. The
+    * simplification is deliberate and load-bearing: every quantity the
+    * loop carries is an EXACT INTEGER count (Viterbi paths contribute
+    * whole occurrences; forward–backward would contribute
+    * order-dependent floating sums), so the entire training run is
+    * deterministic and engine-portable — the DuckDB oracle replays it
+    * bit-for-bit, the same contract as [[wordpieceTrain]]'s
+    * likelihood-ratio score. Probabilities appear only transiently as
+    * `cnt/total` IEEE doubles inside the per-word Viterbi comparison.
+    *
+    * Loop: (1) seed = the `seedSize` most frequent substrings of word
+    * types up to `maxPieceLen` code points (occurrence-counted, weighted
+    * by word frequency — Kudo seeds from frequent substrings) plus ALL
+    * single code points; (2) `emIters` EM rounds: Viterbi-segment every
+    * word type under `p(piece) = cnt/total`, recount pieces from the
+    * best paths, drop multi-char pieces that won zero occurrences but
+    * ALWAYS retain single code points (Kudo's character-coverage
+    * invariant — it guarantees every word stays segmentable); (3) prune
+    * to the top `vocabSize` by (cnt desc, piece asc) plus single code
+    * points; (4) one final E-step over the pruned vocab produces the
+    * shipped counts. Output: (piece, cnt), count-descending.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-TYPE histogram —
+    * the identical contract as [[bpeTrain]]); each EM round is one
+    * distributed flatMap over word TYPES with the vocab broadcast
+    * (driver-bounded by `seedSize` + alphabet, guarded by
+    * [[MaxUnigramSeed]]) plus one map-side-combined count aggregation
+    * whose result is vocab-sized. Unlike BPE's one-job-PER-MERGE loop
+    * (which forced the incremental driver tier), unigram training runs a
+    * FIXED number of rounds — `emIters + 2` jobs total regardless of
+    * vocab size — so the distributed form needs no second tier: the
+    * word-type table is never collected and per-round cost is
+    * duplication-invariant.
+    */
+  def unigramTrain(docs: DataFrame, textCol: String, vocabSize: Int,
+      seedSize: Int = 1000, maxPieceLen: Int = 8, emIters: Int = 2): DataFrame = {
+    require(vocabSize >= 1, s"bad vocabSize $vocabSize")
+    require(seedSize >= vocabSize, s"seedSize $seedSize below vocabSize $vocabSize")
+    require(seedSize <= MaxUnigramSeed,
+      s"unigramTrain: seedSize $seedSize exceeds the $MaxUnigramSeed driver " +
+        "budget (SentencePiece-scale trainers seed ~1M pieces)")
+    require(maxPieceLen >= 1 && emIters >= 1, "bad maxPieceLen/emIters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = docs.select(explode(Fns.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .cache()
+
+    // seed: all ≤maxPieceLen-cp substrings, occurrence-counted (overlaps
+    // included — each start position is one occurrence), weighted by word
+    // frequency; one distributed pass over word types
+    val subCounts = hist.flatMap { case (w, c) =>
+      val cps = cpSplit(w)
+      for {
+        start <- cps.indices
+        len <- 1 to math.min(maxPieceLen, cps.length - start)
+      } yield (cps.slice(start, start + len).mkString, c)
+    }.toDF("piece", "cnt").groupBy("piece").agg(sum("cnt").as("cnt")).cache()
+    val singles: Map[String, Long] = subCounts
+      .filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect().toMap
+    val seedTop = subCounts.orderBy(col("cnt").desc, col("piece"))
+      .limit(seedSize).as[(String, Long)].collect()
+    subCounts.unpersist(blocking = false)
+    var vocab: Map[String, Long] = seedTop.toMap ++ singles
+
+    // one E-step: Viterbi-recount the vocab over all word types
+    def estep(v: Map[String, Long]): Map[String, Long] = {
+      val total = v.values.sum
+      val probs = v.map { case (p, c) => (p, c.toDouble / total.toDouble) }
+      val bp = spark.sparkContext.broadcast(probs)
+      val counts = hist.flatMap { case (w, c) =>
+        val path = viterbiPath(cpSplit(w), bp.value, maxPieceLen)
+        path.iterator.map(piece => (piece, c))
+      }.toDF("piece", "cnt").groupBy("piece").agg(sum("cnt").as("cnt"))
+        .as[(String, Long)].collect().toMap
+      bp.destroy()
+      counts
+    }
+
+    var it = 0
+    while (it < emIters) {
+      val counts = estep(vocab)
+      // zero-count multi-char pieces drop out; single code points stay
+      // (character coverage) with their — possibly zero — count
+      vocab = counts ++ singles.keysIterator.filterNot(counts.contains)
+        .map(s => (s, 0L)).toMap
+      it += 1
+    }
+    // prune: top vocabSize by (cnt desc, piece asc) + all single cps
+    val kept = vocab.toSeq.sortWith { case ((p1, c1), (p2, c2)) =>
+      if (c1 != c2) c1 > c2 else cpCompare(p1, p2) < 0
+    }.take(vocabSize)
+    val pruned = kept.toMap ++
+      singles.keysIterator.map(s => (s, vocab.getOrElse(s, 0L))).toMap
+    val finalCounts = estep(pruned)
+    hist.unpersist(blocking = false)
+    pruned.keysIterator.map(p => (p, finalCounts.getOrElse(p, 0L))).toSeq
+      .sortWith { case ((p1, c1), (p2, c2)) =>
+        if (c1 != c2) c1 > c2 else cpCompare(p1, p2) < 0
+      }.toDF("piece", "cnt")
+  }
+
+  /** Unigram-LM ENCODING — the inference half of [[unigramTrain]] (Kudo
+    * 2018 §3.2 Viterbi decoding): each whitespace token is segmented into
+    * the maximum-probability piece sequence under `p(piece) =
+    * cnt/total` from the trained `(piece, cnt)` vocab. A token containing
+    * a code point no vocab piece covers emits `[UNK]` whole (cannot
+    * happen with [[unigramTrain]]'s own output — character coverage).
+    * Same tie-breaks and arithmetic as training, so
+    * train→encode round-trips exactly: encoding the training corpus
+    * reproduces the trained counts.
+    *
+    * Scale shape: broadcast vocab (driver-bounded — a tokenizer vocab),
+    * one typed mapPartitions over the corpus (the documented last-resort
+    * tier for genuinely imperative per-row DP, same as
+    * [[wordpieceEncode]]); zero shuffles/joins, stream-safe.
+    * Output: (doc, token_idx, token, pieces).
+    */
+  def unigramEncode(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Long)], maxPieceLen: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val total = vocab.iterator.map(_._2).sum
+    val probs = vocab.iterator
+      .map { case (p, c) => (p, c.toDouble / total.toDouble) }.toMap
+    val bp = spark.sparkContext.broadcast(probs)
+    val in = docs.select(col(idCol).as("doc"), Fns.tokens(col(textCol)).as("__toks"))
+    implicit val enc = encodeOutEncoder(in, "pieces")
+    in.mapPartitions { rows =>
+        val p = bp.value
+        rows.flatMap { row =>
+          val doc = row.get(0)
+          row.getSeq[String](1).iterator.zipWithIndex.collect {
+            case (t, idx) if t.nonEmpty =>
+              val path = viterbiPath(cpSplit(t), p, maxPieceLen)
+              Row(doc, idx, t,
+                if (path == null) Seq("[UNK]")
+                else scala.collection.immutable.ArraySeq.unsafeWrapArray(path))
+          }
+        }
+      }
+  }
+
   /** Vocabulary coverage / OOV rate for a candidate top-`k` vocabulary —
     * the metric that sizes a tokenizer vocab: what fraction of corpus
     * token OCCURRENCES (not types) the vocab covers, overall token mass,

@@ -153,6 +153,153 @@ object TrainingDataOps {
        |$rounds""".stripMargin
   }
 
+  /** One unigram Viterbi E-step over the word-TYPE table `wt` as a
+    * recursive CTE, mirroring [[graft.operators.Vocab.viterbiPath]]
+    * position by position: the recursion advances one code-point position
+    * per iteration, the working set carries the dp rows still inside the
+    * `maxPieceLen` lookback window (plus each word's completed row), and
+    * the per-position argmax is `max(v)` then `min(piece)` — the same
+    * (score desc, piece asc-by-binary-collation) tie-break the Scala dp
+    * applies, over the same `dp(j) · (cnt/total)` IEEE doubles of exact
+    * BIGINT counts, so paths match bit-for-bit. Emits t{k} (vocab total),
+    * e{k} (dp states), f{k} (final row per word), c{k} (piece recount).
+    */
+  private def duckUnigramViterbi(k: Int, vocab: String, maxPieceLen: Int): String =
+    s"""t$k AS (SELECT sum(cnt)::BIGINT AS t FROM $vocab),
+       |e$k AS (
+       |  SELECT word, cnt, 0 AS j, CAST(1.0 AS DOUBLE) AS v, '' AS path, 0 AS it FROM wt
+       |  UNION ALL
+       |  (WITH prev AS (SELECT * FROM e$k),
+       |   cur AS (SELECT max(it) AS it FROM prev),
+       |   cand AS (
+       |     SELECT p.word, p.cnt, p.j, vk.piece,
+       |       p.v * (CAST(vk.cnt AS DOUBLE) / (SELECT CAST(t AS DOUBLE) FROM t$k)) AS nv,
+       |       p.path
+       |     FROM prev p JOIN $vocab vk
+       |       ON vk.piece = substr(p.word, p.j + 1, (SELECT it + 1 FROM cur) - p.j)
+       |     WHERE (SELECT it + 1 FROM cur) - p.j BETWEEN 1 AND $maxPieceLen
+       |       AND (SELECT it + 1 FROM cur) <= length(p.word)),
+       |   bv AS (SELECT word, max(nv) AS bnv FROM cand GROUP BY word),
+       |   bp AS (SELECT c.word, min(c.piece) AS piece FROM cand c JOIN bv
+       |     ON bv.word = c.word AND c.nv = bv.bnv GROUP BY c.word),
+       |   nxt AS (
+       |     SELECT c.word, c.cnt, (SELECT it + 1 FROM cur) AS j, c.nv AS v,
+       |       c.path || ' ' || c.piece AS path, (SELECT it + 1 FROM cur) AS it
+       |     FROM cand c JOIN bp ON bp.word = c.word AND bp.piece = c.piece),
+       |   keep AS (
+       |     SELECT word, cnt, j, v, path, (SELECT it + 1 FROM cur) AS it FROM prev
+       |     WHERE j > (SELECT it + 1 FROM cur) - $maxPieceLen OR j = length(word))
+       |   SELECT * FROM keep WHERE (SELECT it FROM cur) < (SELECT m FROM mx)
+       |   UNION ALL
+       |   SELECT * FROM nxt WHERE (SELECT it FROM cur) < (SELECT m FROM mx))
+       |),
+       |f$k AS (SELECT word, cnt, path FROM e$k
+       |  WHERE it = (SELECT m FROM mx) AND j = length(word)),
+       |c$k AS (SELECT piece, sum(cnt)::BIGINT AS cnt FROM (
+       |  SELECT unnest(string_split(trim(path), ' ')) AS piece, cnt FROM f$k)
+       |  GROUP BY piece)""".stripMargin
+
+  /** Unigram M-step: recounted pieces plus ALL single code points (the
+    * character-coverage invariant — zero-count singles survive with 0).
+    */
+  private def duckUnigramMstep(k: Int): String =
+    s"""v$k AS MATERIALIZED (
+       |  SELECT piece, max(cnt) AS cnt FROM (
+       |    SELECT piece, cnt FROM c$k
+       |    UNION ALL
+       |    SELECT ch.piece, coalesce(c.cnt, 0)::BIGINT AS cnt
+       |    FROM chars ch LEFT JOIN c$k c USING (piece))
+       |  GROUP BY piece)""".stripMargin
+
+  /** DuckDB SQL replaying [[graft.operators.Vocab.unigramTrain]] exactly:
+    * substring seed → `emIters` Viterbi hard-EM rounds → count prune →
+    * final recount. All engine state is exact BIGINT counts; the only
+    * floats are the per-word dp scores, built by the identical operation
+    * sequence in both engines (see [[duckUnigramViterbi]]).
+    */
+  private def duckUnigramTrainSql(vocabSize: Int, seedSize: Int,
+      maxPieceLen: Int, emIters: Int, src: String): String = {
+    val rounds = (1 to emIters).map(k =>
+      duckUnigramViterbi(k, s"v${k - 1}", maxPieceLen) + ",\n" +
+        duckUnigramMstep(k)).mkString(",\n")
+    val fk = emIters + 1
+    s"""WITH RECURSIVE
+       |wt AS MATERIALIZED (
+       |  SELECT token AS word, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest($duckToks) AS token FROM $src)
+       |  WHERE token <> '' GROUP BY token),
+       |mx AS (SELECT max(length(word))::INTEGER AS m FROM wt),
+       |sub AS MATERIALIZED (
+       |  SELECT piece, sum(cnt)::BIGINT AS cnt FROM (
+       |    SELECT substr(word, i, l) AS piece, cnt
+       |    FROM wt,
+       |         LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i),
+       |         LATERAL (SELECT unnest(range(1, $maxPieceLen + 1)) AS l)
+       |    WHERE i + l <= length(word) + 1)
+       |  GROUP BY piece),
+       |chars AS (SELECT piece, cnt FROM sub WHERE length(piece) = 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, max(cnt) AS cnt FROM (
+       |    SELECT piece, cnt FROM (
+       |      SELECT piece, cnt FROM sub ORDER BY cnt DESC, piece LIMIT $seedSize)
+       |    UNION ALL
+       |    SELECT piece, cnt FROM chars)
+       |  GROUP BY piece),
+       |$rounds,
+       |vp AS MATERIALIZED (
+       |  SELECT piece, max(cnt) AS cnt FROM (
+       |    SELECT piece, cnt FROM (
+       |      SELECT piece, cnt FROM v$emIters ORDER BY cnt DESC, piece LIMIT $vocabSize)
+       |    UNION ALL
+       |    SELECT piece, cnt FROM v$emIters WHERE length(piece) = 1)
+       |  GROUP BY piece),
+       |${duckUnigramViterbi(fk, "vp", maxPieceLen)}
+       |SELECT p.piece, coalesce(c.cnt, 0)::BIGINT AS cnt
+       |FROM vp p LEFT JOIN c$fk c USING (piece)
+       |ORDER BY cnt DESC, piece""".stripMargin
+  }
+
+  /** Fixed unigram vocab for `tx_unigram_encode` (piece, count): the full
+    * lowercase alphabet as coverage fallback plus multi-char pieces whose
+    * RELATIVE counts make segmentation choices non-trivial (the corpus
+    * words split into real multi-piece paths, and competing splits like
+    * ta/ble vs t/a/b/l/e are decided by the probability products).
+    */
+  private val unigramFixedVocab: Seq[(String, Long)] =
+    ('a' to 'z').map(c => (c.toString, 5L)) ++ Seq(
+      "scan" -> 50L, "ta" -> 40L, "or" -> 30L, "der" -> 25L, "col" -> 20L,
+      "umn" -> 20L, "win" -> 15L, "dow" -> 15L, "part" -> 12L, "agg" -> 10L,
+      "sort" -> 10L, "er" -> 8L, "in" -> 8L, "on" -> 6L, "ble" -> 6L,
+      "str" -> 6L, "eam" -> 6L, "que" -> 5L, "ry" -> 5L)
+
+  /** DuckDB SQL for [[graft.operators.Vocab.unigramEncode]] with the
+    * fixed vocab: ONE Viterbi pass over the DISTINCT token table (the
+    * token-TYPE trick — segmentation depends only on the token, so the dp
+    * runs once per type and joins back to the positional token stream),
+    * then a LEFT JOIN that turns uncovered tokens into `[UNK]` exactly
+    * like the operator.
+    */
+  private def duckUnigramEncodeSql(maxPieceLen: Int): String = {
+    val values = unigramFixedVocab
+      .map { case (p, c) => s"('$p', $c)" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |wt AS MATERIALIZED (
+       |  SELECT DISTINCT token AS word, 1::BIGINT AS cnt FROM (
+       |    SELECT unnest($duckToks) AS token FROM documents)
+       |  WHERE token <> ''),
+       |mx AS (SELECT max(length(word))::INTEGER AS m FROM wt),
+       |vfix AS (SELECT * FROM (VALUES $values) AS t(piece, cnt)),
+       |${duckUnigramViterbi(1, "vfix", maxPieceLen)},
+       |seg AS (SELECT word, trim(path) AS pieces FROM f1),
+       |tok AS (SELECT doc_id, unnest(range(len(ts))) AS token_idx, unnest(ts) AS token
+       |  FROM (SELECT doc_id, $duckToks AS ts FROM documents))
+       |SELECT tok.doc_id, CAST(tok.token_idx AS INTEGER) AS token_idx, tok.token,
+       |  coalesce(s.pieces, '[UNK]') AS pieces
+       |FROM tok LEFT JOIN seg s ON s.word = tok.token
+       |WHERE length(tok.token) > 0
+       |ORDER BY doc_id, token_idx""".stripMargin
+  }
+
   /** CTE chain applying the `n` learned merges to every token of `src`:
     * token stream t0 → t{n}, one replace per round.
     */
@@ -1339,6 +1486,32 @@ object TrainingDataOps {
            |$out
            |) ORDER BY merge_rank""".stripMargin
       }
+    ),
+
+    // ---- Unigram-LM vocab TRAINING (Kudo 2018, Viterbi hard-EM) ---------
+    // Completes the tokenizer-training matrix (BPE frequency, WordPiece
+    // likelihood-ratio, unigram-LM probabilistic). The oracle replays the
+    // full loop — substring seed, two Viterbi EM rounds, count prune,
+    // final recount — with per-word dp as a recursive CTE; every carried
+    // quantity is an exact BIGINT, so the 60-piece vocab hash-matches.
+    "tx_unigram_train" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Vocab.unigramTrain(t(s, dir, "documents"), "text",
+          vocabSize = 60, seedSize = 200, maxPieceLen = 5, emIters = 2),
+      duckUnigramTrainSql(60, 200, 5, 2, "documents")
+    ),
+
+    // ---- Unigram-LM ENCODE: Viterbi decoding under a fixed vocab --------
+    // The inference half: max-probability segmentation per token. Oracle
+    // segments token TYPES once and joins back to the positional stream.
+    "tx_unigram_encode" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Vocab.unigramEncode(t(s, dir, "documents"),
+            "doc_id", "text", unigramFixedVocab, maxPieceLen = 4)
+          .select(col("doc").as("doc_id"), col("token_idx"), col("token"),
+            array_join(col("pieces"), " ").as("pieces"))
+          .orderBy("doc_id", "token_idx"),
+      duckUnigramEncodeSql(4)
     ),
 
     // ---- BPE encode: apply the learned merges to the corpus -------------

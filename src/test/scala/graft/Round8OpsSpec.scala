@@ -224,4 +224,121 @@ class Round8OpsSpec extends SparkSpec {
     // the trained merges are actually USED: at least one multi-char piece
     assert(enc.exists(_.getSeq[String](3).exists(p => p.stripPrefix("##").length > 1)))
   }
+
+  // ---- independent sequential unigram-LM reference (fresh code written
+  // from the Vocab.unigramTrain spec: substring seed, Viterbi hard-EM
+  // rounds, count prune, final recount) ----
+  private def refUnigramTrain(words: Seq[String], vocabSize: Int, seedSize: Int,
+      maxPieceLen: Int, emIters: Int): Seq[(String, Long)] = {
+    val hist: Map[String, Long] =
+      words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sub = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, c) <- hist; i <- w.indices; l <- 1 to math.min(maxPieceLen, w.length - i)) {
+      val p = w.substring(i, i + l)
+      sub(p) = sub.getOrElse(p, 0L) + c
+    }
+    val singles = sub.iterator.filter(_._1.length == 1).toMap
+    var vocab: Map[String, Long] = sub.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(seedSize).toMap ++ singles
+    def seg(w: String, probs: Map[String, Double]): List[String] = {
+      val n = w.length
+      val best = new Array[(Double, String)](n + 1)
+      best(0) = (1.0, "")
+      for (i <- 1 to n) {
+        var cands = List.empty[(Double, String)]
+        for (l <- 1 to math.min(maxPieceLen, i); j = i - l; if best(j) != null) {
+          val p = w.substring(j, i)
+          probs.get(p).foreach(pr => cands ::= ((best(j)._1 * pr, p)))
+        }
+        if (cands.nonEmpty)
+          best(i) = cands.sortBy { case (v, p) => (-v, p) }.head
+      }
+      var pos = n
+      var out = List.empty[String]
+      while (pos > 0) { val p = best(pos)._2; out ::= p; pos -= p.length }
+      out
+    }
+    def estep(v: Map[String, Long]): Map[String, Long] = {
+      val t = v.values.sum
+      val probs = v.map { case (p, c) => (p, c.toDouble / t.toDouble) }
+      val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, c) <- hist; p <- seg(w, probs)) cnt(p) = cnt.getOrElse(p, 0L) + c
+      cnt.toMap
+    }
+    for (_ <- 0 until emIters) {
+      val c = estep(vocab)
+      vocab = c ++ singles.keysIterator.filterNot(c.contains).map(_ -> 0L)
+    }
+    val kept = vocab.toSeq.sortBy { case (p, c) => (-c, p) }.take(vocabSize).toMap ++
+      singles.keysIterator.map(s => s -> vocab(s)).toMap
+    val fc = estep(kept)
+    kept.keysIterator.map(p => (p, fc.getOrElse(p, 0L))).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+  }
+
+  test("unigramTrain matches the independent sequential reference on 25 random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(8)
+    for (trial <- 0 until 25) {
+      val words = Seq.fill(3 + rng.nextInt(20))(
+        (0 until 1 + rng.nextInt(6)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+      val vs = 4 + rng.nextInt(10)
+      val expected = refUnigramTrain(words, vs, seedSize = vs + 30,
+        maxPieceLen = 3, emIters = 2)
+      val docs = Seq(words.mkString(" ")).toDF("text")
+      val got = Vocab.unigramTrain(docs, "text", vs, seedSize = vs + 30,
+          maxPieceLen = 3, emIters = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == expected,
+        s"trial $trial corpus=${words.mkString(" ")} vocabSize=$vs")
+    }
+  }
+
+  test("unigram Viterbi path is maximum-probability (brute-force over all segmentations)") {
+    val rng = new scala.util.Random(21)
+    for (_ <- 0 until 200) {
+      val w = (0 until 1 + rng.nextInt(7)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+      val pieces = (for (i <- w.indices; l <- 1 to math.min(4, w.length - i))
+        yield w.substring(i, i + l)).distinct
+      val withC = pieces.filter(p => p.length == 1 || rng.nextBoolean())
+        .map(p => (p, 1L + rng.nextInt(9))).toMap
+      val t = withC.values.sum
+      val probs = withC.map { case (p, c) => (p, c.toDouble / t.toDouble) }
+      val path = Vocab.viterbiPath(w.map(_.toString).toArray, probs, 4)
+      assert(path != null && path.mkString == w)
+      def segs(s: String): Seq[List[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else (1 to math.min(4, s.length)).flatMap { l =>
+          val h = s.substring(0, l)
+          if (probs.contains(h)) segs(s.substring(l)).map(h :: _) else Nil
+        }
+      // left-to-right fold — the exact multiplication order the dp uses,
+      // so max-equality is bit-exact, not approximate
+      val all = segs(w).map(_.foldLeft(1.0)((acc, x) => acc * probs(x)))
+      val mine = path.foldLeft(1.0)((acc, x) => acc * probs(x))
+      assert(all.nonEmpty && mine == all.max, s"word $w")
+    }
+  }
+
+  test("unigramTrain round-trips: encoding the training corpus reproduces trained counts") {
+    import spark.implicits._
+    val corpus = Seq(
+      "the merge table the table scan scan the merge unigram model",
+      "merge the scan table model unigram the")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val trained = Vocab.unigramTrain(docs, "text", vocabSize = 30, seedSize = 200,
+        maxPieceLen = 5, emIters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // character-coverage invariant: every corpus code point survives prune
+    val chars = corpus.flatMap(_.split("\\s+")).flatten.map(_.toString).distinct
+    assert(chars.forall(c => trained.exists(_._1 == c)))
+    val enc = Vocab.unigramEncode(docs, "doc_id", "text", trained, maxPieceLen = 5)
+    val encCounts = enc.select(explode(col("pieces")).as("p")).groupBy("p")
+      .count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(!encCounts.contains("[UNK]"))
+    for ((p, c) <- trained)
+      assert(encCounts.getOrElse(p, 0L) == c, s"piece $p trained=$c")
+    assert(trained.exists { case (p, c) => p.length > 1 && c > 0 })
+  }
 }
