@@ -54,6 +54,9 @@ object ScaleBench {
         Vocab.bpeTrainIncremental(docs, "text", 500).count()),
       "wordpiece_train8" -> (() =>
         Vocab.wordpieceTrainDistributed(docs, "text", 8).count()),
+      "unigram_train300" -> (() =>
+        Vocab.unigramTrain(docs, "text", 300, seedSize = 3000,
+          maxPieceLen = 6, emIters = 2).count()),
       "bpe_encode8" -> (() => {
         val m = Vocab.bpeTrain(docs, "text", 8).orderBy("merge_rank")
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq

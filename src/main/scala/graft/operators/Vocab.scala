@@ -954,6 +954,191 @@ object Vocab {
       }
   }
 
+  /** Expected piece counts for ONE word under the unigram model — the
+    * forward–backward E-step of Kudo 2018 §3 (the lattice is the
+    * segmentation DAG over code-point positions): `α(i)` sums path
+    * probabilities covering the prefix, `β(j)` the suffix, and a piece
+    * occurrence spanning (j, i) contributes `α(j)·p·β(i)/α(n)` expected
+    * occurrences. Returns nothing when the word has zero total
+    * probability (some required code point has prob 0 — such a word
+    * carries no gradient signal).
+    */
+  private[graft] def forwardBackwardCounts(cps: Array[String],
+      prob: scala.collection.Map[String, Double], maxPieceLen: Int):
+      Iterator[(String, Double)] = {
+    val n = cps.length
+    val alpha = new Array[Double](n + 1)
+    val beta = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var s = 0.0
+      var len = 1
+      val maxL = math.min(maxPieceLen, i)
+      while (len <= maxL) {
+        val j = i - len
+        if (alpha(j) > 0.0) prob.get(cps.slice(j, i).mkString) match {
+          case Some(p) => s += alpha(j) * p
+          case None =>
+        }
+        len += 1
+      }
+      alpha(i) = s
+      i += 1
+    }
+    if (alpha(n) == 0.0) return Iterator.empty
+    beta(n) = 1.0
+    var j = n - 1
+    while (j >= 0) {
+      var s = 0.0
+      var len = 1
+      val maxL = math.min(maxPieceLen, n - j)
+      while (len <= maxL) {
+        val i2 = j + len
+        if (beta(i2) > 0.0) prob.get(cps.slice(j, i2).mkString) match {
+          case Some(p) => s += p * beta(i2)
+          case None =>
+        }
+        len += 1
+      }
+      beta(j) = s
+      j -= 1
+    }
+    val z = alpha(n)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    j = 0
+    while (j < n) {
+      if (alpha(j) > 0.0) {
+        var len = 1
+        val maxL = math.min(maxPieceLen, n - j)
+        while (len <= maxL) {
+          val i2 = j + len
+          val piece = cps.slice(j, i2).mkString
+          prob.get(piece) match {
+            case Some(p) if beta(i2) > 0.0 =>
+              out += ((piece, alpha(j) * p * beta(i2) / z))
+            case _ =>
+          }
+          len += 1
+        }
+      }
+      j += 1
+    }
+    out.iterator
+  }
+
+  /** Unigram-LM vocabulary training, FULL-FIDELITY tier — Kudo 2018 §3
+    * as published: soft EM with forward–backward expected counts over
+    * the segmentation lattice, and iterative pruning with a shrink
+    * factor (SentencePiece's `shrinking_factor=0.75`) instead of
+    * [[unigramTrain]]'s single count-based cut. Each pruning round runs
+    * `emItersPerRound` EM iterations, then keeps the
+    * `ceil(|V|·shrinkFactor)` highest-expected-count pieces (plus ALL
+    * single code points — character coverage) until the vocab reaches
+    * `vocabSize`. Output: (piece, log_prob) — the artifact a
+    * SentencePiece model ships, log of the piece's final normalized
+    * probability, probability-descending.
+    *
+    * This tier is deliberately NOT oracle-gated: expected counts are
+    * order-dependent floating sums (both Spark's partial aggregation and
+    * any SQL engine's `sum()` reorder them), so cross-engine
+    * hash-equality is not defined for it — verification is the
+    * property-test battery: the lattice E-step is checked against
+    * brute-force enumeration over ALL segmentations, EM likelihood
+    * monotonicity holds per iteration, the output is a normalized
+    * distribution with full character coverage, and both tiers surface
+    * the same dominant pieces on structured corpora. [[unigramTrain]] is
+    * the integer-exact variant the DuckDB oracle replays end-to-end.
+    *
+    * Scale shape: identical to [[unigramTrain]] — the corpus is reduced
+    * once to the word-TYPE histogram; each EM iteration is one
+    * distributed flatMap over word types (broadcast vocab, bounded by
+    * [[MaxUnigramSeed]]) plus one vocab-sized aggregation; the round
+    * count is O(log(seedSize/vocabSize)/log(1/shrinkFactor)), fixed and
+    * small, so no driver tier is needed.
+    */
+  def unigramTrainEm(docs: DataFrame, textCol: String, vocabSize: Int,
+      seedSize: Int = 1000, maxPieceLen: Int = 8, emItersPerRound: Int = 2,
+      shrinkFactor: Double = 0.75): DataFrame = {
+    require(vocabSize >= 1, s"bad vocabSize $vocabSize")
+    require(seedSize >= vocabSize, s"seedSize $seedSize below vocabSize $vocabSize")
+    require(seedSize <= MaxUnigramSeed,
+      s"unigramTrainEm: seedSize $seedSize exceeds the $MaxUnigramSeed driver budget")
+    require(maxPieceLen >= 1 && emItersPerRound >= 1, "bad maxPieceLen/emItersPerRound")
+    require(shrinkFactor > 0.0 && shrinkFactor < 1.0, s"bad shrinkFactor $shrinkFactor")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = docs.select(explode(Fns.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .cache()
+    val subCounts = hist.flatMap { case (w, c) =>
+      val cps = cpSplit(w)
+      for {
+        start <- cps.indices
+        len <- 1 to math.min(maxPieceLen, cps.length - start)
+      } yield (cps.slice(start, start + len).mkString, c)
+    }.toDF("piece", "cnt").groupBy("piece").agg(sum("cnt").as("cnt")).cache()
+    val singles: Map[String, Long] = subCounts
+      .filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect().toMap
+    val seedTop = subCounts.orderBy(col("cnt").desc, col("piece"))
+      .limit(seedSize).as[(String, Long)].collect()
+    subCounts.unpersist(blocking = false)
+
+    def estepEm(c: Map[String, Double]): Map[String, Double] = {
+      val total = c.values.sum
+      val probs = c.map { case (p, v) => (p, v / total) }
+      val bp = spark.sparkContext.broadcast(probs)
+      val next = hist.flatMap { case (w, f) =>
+        forwardBackwardCounts(cpSplit(w), bp.value, maxPieceLen)
+          .map { case (piece, e) => (piece, e * f) }
+      }.toDF("piece", "e").groupBy("piece").agg(sum("e").as("e"))
+        .as[(String, Double)].collect().toMap
+      bp.destroy()
+      next
+    }
+    // zero-credit multi-char pieces drop out of `c`; singles never do
+    def withSingles(c: Map[String, Double]): Map[String, Double] =
+      c ++ singles.keysIterator.filterNot(c.contains).map(s => (s, 0.0))
+    def topByCount(c: Map[String, Double], k: Int): Map[String, Double] =
+      c.toSeq.sortWith { case ((p1, c1), (p2, c2)) =>
+        if (c1 != c2) c1 > c2 else cpCompare(p1, p2) < 0
+      }.take(k).toMap
+
+    // seed expected counts = raw substring counts (Kudo seeds the EM
+    // from frequent-substring statistics)
+    var vocabNow: Map[String, Double] = withSingles(
+      (seedTop.toMap ++ singles).map { case (p, c) => (p, c.toDouble) })
+    var shrinking = vocabNow.size > vocabSize
+    while (shrinking) {
+      var k = 0
+      while (k < emItersPerRound) {
+        vocabNow = withSingles(estepEm(vocabNow))
+        k += 1
+      }
+      val target = math.max(vocabSize,
+        math.ceil(vocabNow.size * shrinkFactor).toInt)
+      val kept = withSingles(topByCount(vocabNow, target))
+      // stop at target, or when forced character coverage is the floor
+      shrinking = kept.size > vocabSize && kept.size < vocabNow.size
+      vocabNow = kept
+    }
+    // final EM polish on the pruned vocab, then normalize to log probs
+    var k = 0
+    while (k < emItersPerRound) {
+      vocabNow = withSingles(estepEm(vocabNow))
+      k += 1
+    }
+    hist.unpersist(blocking = false)
+    val total = vocabNow.values.sum
+    vocabNow.toSeq.map { case (p, c) => (p, math.log(c / total)) }
+      .sortWith { case ((p1, l1), (p2, l2)) =>
+        if (l1 != l2) l1 > l2 else cpCompare(p1, p2) < 0
+      }.toDF("piece", "log_prob")
+  }
+
   /** Vocabulary coverage / OOV rate for a candidate top-`k` vocabulary —
     * the metric that sizes a tokenizer vocab: what fraction of corpus
     * token OCCURRENCES (not types) the vocab covers, overall token mass,

@@ -341,4 +341,111 @@ class Round8OpsSpec extends SparkSpec {
       assert(encCounts.getOrElse(p, 0L) == c, s"piece $p trained=$c")
     assert(trained.exists { case (p, c) => p.length > 1 && c > 0 })
   }
+
+  test("forward-backward expected counts match brute-force enumeration over all segmentations") {
+    val rng = new scala.util.Random(33)
+    for (_ <- 0 until 200) {
+      val w = (0 until 1 + rng.nextInt(7)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+      val pieces = (for (i <- w.indices; l <- 1 to math.min(3, w.length - i))
+        yield w.substring(i, i + l)).distinct
+      val withC = pieces.filter(p => p.length == 1 || rng.nextBoolean())
+        .map(p => (p, 1L + rng.nextInt(9))).toMap
+      val t = withC.values.sum
+      val probs = withC.map { case (p, c) => (p, c.toDouble / t.toDouble) }
+      def segs(s: String): Seq[List[String]] =
+        if (s.isEmpty) Seq(Nil)
+        else (1 to math.min(3, s.length)).flatMap { l =>
+          val h = s.substring(0, l)
+          if (probs.contains(h)) segs(s.substring(l)).map(h :: _) else Nil
+        }
+      val all = segs(w)
+      val z = all.map(_.map(probs).product).sum
+      val expected = all.flatMap(seg => seg.map(p => (p, seg.map(probs).product / z)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val got = Vocab.forwardBackwardCounts(w.map(_.toString).toArray, probs, 3)
+        .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(got.keySet == expected.keySet, s"word $w")
+      for ((p, e) <- expected)
+        assert(math.abs(got(p) - e) <= 1e-9 * math.max(1.0, e), s"word $w piece $p")
+      // expectation of covered length = word length (paths tile the word)
+      val covered = got.iterator.map { case (p, e) => p.length * e }.sum
+      assert(math.abs(covered - w.length) <= 1e-9 * w.length)
+    }
+  }
+
+  test("soft-EM iterations never decrease corpus likelihood") {
+    val rng = new scala.util.Random(5)
+    for (_ <- 0 until 30) {
+      val words = Seq.fill(4 + rng.nextInt(12))(
+        (0 until 1 + rng.nextInt(6)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+      val hist = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sub = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, c) <- hist; i <- w.indices; l <- 1 to math.min(3, w.length - i)) {
+        val p = w.substring(i, i + l)
+        sub(p) = sub.getOrElse(p, 0L) + c
+      }
+      var counts: Map[String, Double] =
+        sub.toMap.map { case (p, c) => (p, c.toDouble) }
+      def alphaN(w: String, probs: Map[String, Double]): Double = {
+        val n = w.length
+        val a = new Array[Double](n + 1); a(0) = 1.0
+        for (i <- 1 to n; l <- 1 to math.min(3, i))
+          probs.get(w.substring(i - l, i)).foreach(p => a(i) += a(i - l) * p)
+        a(n)
+      }
+      def likelihood(probs: Map[String, Double]): Double =
+        hist.iterator.map { case (w, c) => c * math.log(alphaN(w, probs)) }.sum
+      var prev = Double.NegativeInfinity
+      for (iter <- 0 until 4) {
+        val total = counts.values.sum
+        val probs = counts.map { case (p, v) => (p, v / total) }
+        val ll = likelihood(probs)
+        assert(ll >= prev - 1e-9 * math.abs(prev), s"iter $iter: $ll < $prev")
+        prev = ll
+        counts = hist.iterator.flatMap { case (w, c) =>
+          Vocab.forwardBackwardCounts(w.map(_.toString).toArray, probs, 3)
+            .map { case (p, e) => (p, e * c) }
+        }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+    }
+  }
+
+  test("unigramTrainEm ships a normalized log-prob distribution with character coverage") {
+    import spark.implicits._
+    val corpus = Seq("abc abc abc abc xyz xyz xyz q abc xyz")
+    val docs = corpus.map(Tuple1.apply).toDF("text")
+    val out = Vocab.unigramTrainEm(docs, "text", vocabSize = 9, seedSize = 60,
+        maxPieceLen = 3, emItersPerRound = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // normalized: sum of probabilities = 1
+    val mass = out.iterator.map { case (_, lp) => math.exp(lp) }.sum
+    assert(math.abs(mass - 1.0) <= 1e-9, s"mass $mass")
+    // character coverage survives pruning
+    for (c <- "abcxyzq")
+      assert(out.exists(_._1 == c.toString), s"single $c pruned")
+    // the structured pieces dominate: abc and xyz carry the most mass
+    val top2 = out.sortBy { case (_, lp) => -lp }.take(2).map(_._1).toSet
+    assert(top2 == Set("abc", "xyz"), s"top2 $top2")
+    // both tiers surface the same dominant pieces
+    val hard = Vocab.unigramTrain(docs, "text", vocabSize = 9, seedSize = 60,
+        maxPieceLen = 3, emIters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val hardTop2 = hard.sortBy { case (p, c) => (-c, p) }.take(2).map(_._1).toSet
+    assert(hardTop2 == Set("abc", "xyz"), s"hard tier top2 $hardTop2")
+  }
+
+  test("unigramTrainEm shrink loop reaches the target vocab and stops at coverage floor") {
+    import spark.implicits._
+    val docs = Seq("aa ab ba bb aab abb bab").map(Tuple1.apply).toDF("text")
+    // target below the character count: coverage floor (2 singles) wins
+    val floor = Vocab.unigramTrainEm(docs, "text", vocabSize = 1, seedSize = 30,
+        maxPieceLen = 3, emItersPerRound = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(floor.toSet.intersect(Set("a", "b")) == Set("a", "b"))
+    // normal target reached exactly
+    val sized = Vocab.unigramTrainEm(docs, "text", vocabSize = 5, seedSize = 30,
+        maxPieceLen = 3, emItersPerRound = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(sized.size >= 2 && sized.size <= 5, s"got ${sized.size} pieces")
+  }
 }

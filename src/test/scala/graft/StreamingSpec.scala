@@ -272,4 +272,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(("aaa", "aaa"), ("ab", "ab"), ("ba", "b a")))
     q.stop()
   }
+
+  test("unigramEncode streams: Viterbi segmentation identical to batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // a vocab trained OFFLINE segments a LIVE stream — broadcast map +
+    // mapPartitions keeps the plan streaming-capable; paths must be
+    // byte-identical to the batch Viterbi ("ab" piece outweighs a·b)
+    val vocab = Seq(("a", 2L), ("b", 1L), ("ab", 6L), ("ba", 3L))
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Vocab.unigramEncode(df, "doc_id", "text", vocab, maxPieceLen = 2)
+        .select(col("doc"), col("token"), concat_ws(" ", col("pieces")).as("p"))
+    val mem = MemoryStream[(Long, String)]
+    val out = enc(mem.toDF().toDF("doc_id", "text"))
+    assert(out.isStreaming, "unigramEncode must not break the streaming plan")
+    val q = out.writeStream.format("memory").queryName("unigram_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "abab aab zb"))
+    q.processAllAvailable()
+    val streamed = spark.table("unigram_stream").orderBy("token")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    import spark.implicits._
+    val batch = enc(Seq((1L, "abab aab zb")).toDF("doc_id", "text"))
+      .orderBy("token").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(streamed == batch)
+    // abab -> ab·ab (p=.25 beats any split using a/b); aab -> a·ab;
+    // zb -> [UNK] (z uncovered)
+    assert(streamed == Seq(("aab", "a ab"), ("abab", "ab ab"), ("zb", "[UNK]")))
+    q.stop()
+  }
 }
