@@ -279,11 +279,10 @@ object TrainingDataOps {
     * then a LEFT JOIN that turns uncovered tokens into `[UNK]` exactly
     * like the operator.
     */
-  private def duckUnigramEncodeSql(maxPieceLen: Int): String = {
+  private def duckUnigramEncodeCtes(maxPieceLen: Int): String = {
     val values = unigramFixedVocab
       .map { case (p, c) => s"('$p', $c)" }.mkString(", ")
-    s"""WITH RECURSIVE
-       |wt AS MATERIALIZED (
+    s"""wt AS MATERIALIZED (
        |  SELECT DISTINCT token AS word, 1::BIGINT AS cnt FROM (
        |    SELECT unnest($duckToks) AS token FROM documents)
        |  WHERE token <> ''),
@@ -292,13 +291,38 @@ object TrainingDataOps {
        |${duckUnigramViterbi(1, "vfix", maxPieceLen)},
        |seg AS (SELECT word, trim(path) AS pieces FROM f1),
        |tok AS (SELECT doc_id, unnest(range(len(ts))) AS token_idx, unnest(ts) AS token
-       |  FROM (SELECT doc_id, $duckToks AS ts FROM documents))
+       |  FROM (SELECT doc_id, $duckToks AS ts FROM documents))""".stripMargin
+  }
+
+  private def duckUnigramEncodeSql(maxPieceLen: Int): String =
+    s"""WITH RECURSIVE
+       |${duckUnigramEncodeCtes(maxPieceLen)}
        |SELECT tok.doc_id, CAST(tok.token_idx AS INTEGER) AS token_idx, tok.token,
        |  coalesce(s.pieces, '[UNK]') AS pieces
        |FROM tok LEFT JOIN seg s ON s.word = tok.token
        |WHERE length(tok.token) > 0
        |ORDER BY doc_id, token_idx""".stripMargin
-  }
+
+  /** Ids variant: piece ids = rank order (cnt desc, piece asc) over the
+    * FIXED vocab — the same deterministic id assignment
+    * [[graft.operators.Vocab.piecesToIds]] receives on the Spark side;
+    * uncovered tokens map to the single unk id -1.
+    */
+  private def duckUnigramEncodeIdsSql(maxPieceLen: Int): String =
+    s"""WITH RECURSIVE
+       |${duckUnigramEncodeCtes(maxPieceLen)},
+       |vid AS (SELECT piece,
+       |  row_number() OVER (ORDER BY cnt DESC, piece) - 1 AS id FROM vfix),
+       |pp AS (SELECT word, unnest(string_split(trim(path), ' ')) AS piece,
+       |  unnest(range(len(string_split(trim(path), ' ')))) AS pidx FROM f1),
+       |wid AS (SELECT pp.word,
+       |  string_agg(CAST(vid.id AS VARCHAR), ' ' ORDER BY pidx) AS ids
+       |  FROM pp JOIN vid USING (piece) GROUP BY pp.word)
+       |SELECT tok.doc_id, CAST(tok.token_idx AS INTEGER) AS token_idx, tok.token,
+       |  coalesce(w.ids, '-1') AS ids
+       |FROM tok LEFT JOIN wid w ON w.word = tok.token
+       |WHERE length(tok.token) > 0
+       |ORDER BY doc_id, token_idx""".stripMargin
 
   /** CTE chain applying the `n` learned merges to every token of `src`:
     * token stream t0 → t{n}, one replace per round.
@@ -1512,6 +1536,25 @@ object TrainingDataOps {
             array_join(col("pieces"), " ").as("pieces"))
           .orderBy("doc_id", "token_idx"),
       duckUnigramEncodeSql(4)
+    ),
+
+    // ---- Unigram ids: Viterbi pieces → tensor-ready id stream -----------
+    // unigramEncode output feeds the SAME piecesToIds projection the BPE
+    // path uses (ids from rank order over the fixed vocab; [UNK] → -1).
+    "tx_unigram_encode_ids" -> QuerySpec(
+      (s, dir) => {
+        val ordered = unigramFixedVocab.sortWith {
+          case ((p1, c1), (p2, c2)) => if (c1 != c2) c1 > c2 else p1 < p2
+        }.map(_._1)
+        graft.operators.Vocab.piecesToIds(
+            graft.operators.Vocab.unigramEncode(t(s, dir, "documents"),
+              "doc_id", "text", unigramFixedVocab, maxPieceLen = 4),
+            ordered)
+          .select(col("doc").as("doc_id"), col("token_idx"), col("token"),
+            array_join(col("ids"), " ").as("ids"))
+          .orderBy("doc_id", "token_idx")
+      },
+      duckUnigramEncodeIdsSql(4)
     ),
 
     // ---- BPE encode: apply the learned merges to the corpus -------------
