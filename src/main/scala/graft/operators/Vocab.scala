@@ -724,6 +724,64 @@ object Vocab {
     }
   }
 
+  /** Invert [[piecesToIds]]: map a tensor-ready id stream back to its
+    * pieces and the decoded surface string — the detokenization half the
+    * tokenizer matrix needs for train → encode → ids → DECODE round
+    * trips. `vocab` is the same rank-ordered piece list the ids were
+    * minted from (id = position); any id outside `[0, vocab.size)` —
+    * including the `unkId` sentinel [[piecesToIds]] emits — decodes to
+    * `unkPiece`, so an [UNK] stays a visible sentinel instead of
+    * fabricating text. `decoded` concatenates the pieces: for the BPE and
+    * unigram trainers in this library pieces concatenate back to the
+    * exact token, so `decoded = token` is the invariant a pipeline
+    * asserts before shipping tensors (WordPiece callers strip the `##`
+    * continuation marker downstream — the marker is part of the piece).
+    *
+    * Two tiers, identical semantics, same threshold as [[piecesToIds]]:
+    * vocabs ≤ [[MaxInlineVocab]] inline the id→piece map as a literal
+    * map expression (pure codegen'd projection); production vocabs index
+    * a broadcast Array directly (ids are positions — no hash lookup).
+    * Both tiers: no join, no shuffle, stream-safe.
+    * Input: [[piecesToIds]] output; output (doc, token_idx, token,
+    * pieces, decoded).
+    */
+  def decodeIds(encoded: DataFrame, vocab: Seq[String],
+      unkPiece: String = "[UNK]"): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    require(vocab.distinct.size == vocab.size,
+      "vocabulary contains duplicate pieces")
+    if (vocab.size <= MaxInlineVocab) {
+      val m = map(vocab.zipWithIndex.flatMap {
+        case (p, i) => Seq(lit(i), lit(p))
+      }: _*)
+      encoded.select(col("doc"), col("token_idx"), col("token"),
+          transform(col("ids"),
+            i => coalesce(element_at(m, i), lit(unkPiece))).as("pieces"))
+        .withColumn("decoded", array_join(col("pieces"), ""))
+    } else {
+      import org.apache.spark.sql.types._
+      val spark = encoded.sparkSession
+      val bv = spark.sparkContext.broadcast(vocab.toArray)
+      val in = encoded.select(col("doc"), col("token_idx"), col("token"),
+        col("ids"))
+      // doc and token_idx pass through with their INPUT types — same
+      // contract as the piecesToIds broadcast tier
+      implicit val enc = Encoders.row(StructType(Seq(
+        in.schema("doc"), in.schema("token_idx"), in.schema("token"),
+        StructField("pieces", ArrayType(StringType, containsNull = true),
+          nullable = true),
+        StructField("decoded", StringType, nullable = true))))
+      in.mapPartitions { rows =>
+          val v = bv.value
+          rows.map { row =>
+            val pieces = row.getSeq[Int](3).map(i =>
+              if (i >= 0 && i < v.length) v(i) else unkPiece)
+            Row(row.get(0), row.get(1), row.get(2), pieces, pieces.mkString)
+          }
+        }
+    }
+  }
+
   /** Split a token into code-point symbols — the unit every trainer tier
     * and both engines' regex/substr agree on (UTF-16 `charAt` slicing
     * would split surrogate pairs that DuckDB's char-based substr keeps

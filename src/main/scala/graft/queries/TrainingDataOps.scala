@@ -324,6 +324,32 @@ object TrainingDataOps {
        |WHERE length(tok.token) > 0
        |ORDER BY doc_id, token_idx""".stripMargin
 
+  /** Round-trip oracle: ids minted from the vid rank table are mapped
+    * BACK through it (piece → id → piece, a self-join on id), then
+    * re-concatenated — so a wrong id assignment surfaces as a decode
+    * mismatch instead of cancelling out. Uncovered tokens stay `[UNK]`
+    * and fail the `roundtrip` flag exactly like the Spark side.
+    */
+  private def duckIdsDecodeSql(maxPieceLen: Int): String =
+    s"""WITH RECURSIVE
+       |${duckUnigramEncodeCtes(maxPieceLen)},
+       |vid AS (SELECT piece,
+       |  row_number() OVER (ORDER BY cnt DESC, piece) - 1 AS id FROM vfix),
+       |pp AS (SELECT word, unnest(string_split(trim(path), ' ')) AS piece,
+       |  unnest(range(len(string_split(trim(path), ' ')))) AS pidx FROM f1),
+       |wdec AS (SELECT pp.word,
+       |  string_agg(r.piece, ' ' ORDER BY pidx) AS pieces,
+       |  string_agg(r.piece, '' ORDER BY pidx) AS decoded
+       |  FROM pp JOIN vid v ON v.piece = pp.piece JOIN vid r ON r.id = v.id
+       |  GROUP BY pp.word)
+       |SELECT tok.doc_id, CAST(tok.token_idx AS INTEGER) AS token_idx, tok.token,
+       |  coalesce(w.pieces, '[UNK]') AS pieces,
+       |  coalesce(w.decoded, '[UNK]') AS decoded,
+       |  coalesce(w.decoded, '[UNK]') = tok.token AS roundtrip
+       |FROM tok LEFT JOIN wdec w ON w.word = tok.token
+       |WHERE length(tok.token) > 0
+       |ORDER BY doc_id, token_idx""".stripMargin
+
   /** CTE chain applying the `n` learned merges to every token of `src`:
     * token stream t0 → t{n}, one replace per round.
     */
@@ -1555,6 +1581,30 @@ object TrainingDataOps {
           .orderBy("doc_id", "token_idx")
       },
       duckUnigramEncodeIdsSql(4)
+    ),
+
+    // ---- Decode: ids → pieces → surface text, the round-trip gate -------
+    // The full tensor path encode → piecesToIds → decodeIds; `roundtrip`
+    // asserts decoded = token for every covered token ([UNK] stays a
+    // sentinel). The oracle maps ids back through the SAME vid rank table
+    // (piece → id → piece), so an id-assignment bug cannot cancel out.
+    "tx_ids_decode_roundtrip" -> QuerySpec(
+      (s, dir) => {
+        val ordered = unigramFixedVocab.sortWith {
+          case ((p1, c1), (p2, c2)) => if (c1 != c2) c1 > c2 else p1 < p2
+        }.map(_._1)
+        graft.operators.Vocab.decodeIds(
+            graft.operators.Vocab.piecesToIds(
+              graft.operators.Vocab.unigramEncode(t(s, dir, "documents"),
+                "doc_id", "text", unigramFixedVocab, maxPieceLen = 4),
+              ordered),
+            ordered)
+          .select(col("doc").as("doc_id"), col("token_idx"), col("token"),
+            array_join(col("pieces"), " ").as("pieces"), col("decoded"),
+            (col("decoded") === col("token")).as("roundtrip"))
+          .orderBy("doc_id", "token_idx")
+      },
+      duckIdsDecodeSql(4)
     ),
 
     // ---- BPE encode: apply the learned merges to the corpus -------------

@@ -448,4 +448,34 @@ class Round8OpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(sized.size >= 2 && sized.size <= 5, s"got ${sized.size} pieces")
   }
+
+  test("decodeIds round-trips encode→ids→decode and tiers agree past MaxInlineVocab") {
+    import spark.implicits._
+    val docs = Seq(("u:1", "abab ab q ba"), ("u:2", "ba ab abab")).toDF("doc_id", "text")
+    val enc = Vocab.bpeEncode(docs, "doc_id", "text", Seq(("a", "b"), ("ab", "ab")))
+    val vocab = Seq("abab", "ab", "b", "a")
+    val padded = vocab ++ (0 until Vocab.MaxInlineVocab + 1).map(i => s"#pad$i")
+    def run(ids: org.apache.spark.sql.DataFrame, v: Seq[String]) =
+      Vocab.decodeIds(ids, v)
+        .orderBy("doc", "token_idx").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getSeq[String](3).toList, r.getString(4))).toList
+    val inline = run(Vocab.piecesToIds(enc, vocab), vocab)
+    val broad = run(Vocab.piecesToIds(enc, padded), padded)
+    assert(broad == inline)
+    // every in-vocab token decodes to itself; OOV "q" decodes to the sentinel
+    inline.foreach { case (_, _, token, _, decoded) =>
+      if (token == "q") assert(decoded == "[UNK]")
+      else assert(decoded == token, s"round-trip broke for $token")
+    }
+  }
+
+  test("decodeIds maps out-of-range ids (including unkId) to the sentinel") {
+    import spark.implicits._
+    val ids = Seq(("d1", 0, "tok", Seq(0, -1, 7, 1)))
+      .toDF("doc", "token_idx", "token", "ids")
+    val out = Vocab.decodeIds(ids, Seq("x", "y")).collect().head
+    assert(out.getSeq[String](3).toList == List("x", "[UNK]", "[UNK]", "y"))
+    assert(out.getString(4) == "x[UNK][UNK]y")
+  }
 }
