@@ -91,6 +91,28 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
 
+  /** Strip HTML/XML markup down to text — the extraction step ahead of
+    * every web-corpus gate (C4/CCNet run on extracted text, not raw
+    * HTML): drop tags (`<...>`, including comments and doctype), decode
+    * the frequent entities, collapse whitespace runs, trim. Entity
+    * decode order matters: `&amp;` is decoded LAST so `&amp;lt;` yields
+    * the literal `&lt;` instead of double-decoding — the standard
+    * single-pass convention. Pure per-row codegen'd projection — no
+    * shuffle, embarrassingly parallel; script-heavy extraction (JS
+    * boilerplate removal) belongs in a quality gate downstream, not
+    * here.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) {
+      case (c, (e, r)) => replace(c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // --- repetition filters (Gopher-style quality signals) -----------------
   // Public provenance: "Scaling Language Models: Methods, Analysis &
   // Insights from Training Gopher" (Rae et al. 2021) §A.1.1 uses

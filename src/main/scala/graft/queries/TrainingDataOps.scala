@@ -1972,6 +1972,41 @@ object TrainingDataOps {
     // customer columns byte-identically in both engines — the oracle then
     // checks the normalization machinery itself (the tx_pii_redact
     // pattern).
+    // ---- Markup stripping: HTML → text extraction gate ------------------
+    // The markup is synthesized deterministically from document fields on
+    // BOTH engines (tags, a comment, entities incl. the &amp;lt; double-
+    // decode trap), so the oracle checks the strip chain, not the data.
+    "tx_strip_markup" -> QuerySpec(
+      (s, dir) => {
+        val html = concat(
+          lit("<!DOCTYPE html><html><body class=\"d"),
+          (col("doc_id") % 7).cast("string"),
+          lit("\"><!-- c --><h1>"), col("lang"),
+          lit("</h1><p>"), substring(col("text"), 1, 120),
+          lit(" &amp;lt; tied &quot;"), col("source"),
+          lit("&quot; &#39;q&#39;&nbsp;&gt;</p><br/></body></html>"))
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.stripMarkup(html).as("text_clean"))
+          .orderBy("doc_id")
+      },
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<!DOCTYPE html><html><body class="d' || CAST(doc_id % 7 AS VARCHAR) ||
+         |    '"><!-- c --><h1>' || lang || '</h1><p>' || substr(text, 1, 120) ||
+         |    ' &amp;lt; tied &quot;' || source ||
+         |    '&quot; &#39;q&#39;&nbsp;&gt;</p><br/></body></html>' AS html
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(html, '<[^>]*>', ' ', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |    '&nbsp;', ' '), '&amp;', '&') AS dec
+         |  FROM h)
+         |SELECT doc_id, trim(regexp_replace(dec, '\\s+', ' ', 'g')) AS text_clean
+         |FROM s ORDER BY doc_id""".stripMargin
+    ),
+
     "tx_normalize" -> QuerySpec(
       (s, dir) => {
         val raw = concat_ws("  ", upper(col("c_name")), lit("!!"),

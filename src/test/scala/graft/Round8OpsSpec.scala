@@ -470,6 +470,17 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("stripMarkup drops tags, single-decodes entities, collapses whitespace") {
+    import spark.implicits._
+    val out = Seq(
+      "<p>a  <b>b</b></p>",
+      "&amp;lt; stays &lt; becomes",
+      "<!-- x --><div class='k'>c&nbsp;d</div>",
+      "no markup at all").toDF("t")
+      .select(TextAnalysis.stripMarkup(col("t"))).as[String].collect().toList
+    assert(out == List("a b", "&lt; stays < becomes", "c d", "no markup at all"))
+  }
+
   test("decodeIds maps out-of-range ids (including unkId) to the sentinel") {
     import spark.implicits._
     val ids = Seq(("d1", 0, "tok", Seq(0, -1, 7, 1)))
