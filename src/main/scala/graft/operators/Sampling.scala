@@ -140,6 +140,42 @@ object Sampling {
       literalRate(col(domainCol), rates.toSeq, lit(0.0)))
   }
 
+  /** Temperature-based domain mixing (the multilingual-corpus sampling
+    * rule of mT5/XLM-R: sample domain d proportionally to `n_d^τ`,
+    * flattening the natural distribution toward uniform as τ → 0).
+    * Public provenance: Xue et al. 2021 (mT5) §3.1, Conneau et al. 2020
+    * (XLM-R) §3. Under sampling-WITHOUT-replacement the largest subset
+    * with mixture `∝ n_d^τ` keeps the smallest domain whole and
+    * down-samples domain d at rate `(n_min/n_d)^(1-τ)` — the normalizer
+    * Σ n_e^τ cancels, so no cross-engine float-sum ordering exists at
+    * all. τ = 1 keeps everything (natural mixture); τ = 0 equalizes
+    * domains ([[balanceClasses]] semantics); τ = 0.5 is the common
+    * flattening, computed via `sqrt` (correctly-rounded IEEE in every
+    * engine, unlike general `pow`).
+    *
+    * Scale shape: domain histogram = one map-side-combined aggregation
+    * to the driver (bounded by domain count — the domainMix/IVF
+    * contract); rates inline as a literal CASE chain; corpus pass is a
+    * zero-join projection-filter with [[stratifiedSample]]'s determinism
+    * and monotonicity-in-τ contract. Null domains drop (rate 0).
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, domainCol: String,
+      tau: Double): DataFrame = {
+    require(tau >= 0.0 && tau <= 1.0, s"tau must be in [0,1], got $tau")
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(domainCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n"))
+    require(counts.nonEmpty, "no non-null domain present in the data")
+    val nMin = counts.map(_._2).min
+    val e = 1.0 - tau
+    val rates = counts.map { case (d, n) =>
+      val x = nMin.toDouble / n.toDouble
+      d -> (if (e == 0.5) math.sqrt(x) else math.pow(x, e))
+    }
+    df.filter(unitHash(col(keyCol)) <
+      literalRate(col(domainCol), rates.toSeq, lit(0.0)))
+  }
+
   /** Per-stratum deterministic sampling: keep a row iff its key's unit
     * hash is below the stratum's rate (`rates`, else `defaultRate`).
     * Exactly reproducible, and the kept set is MONOTONE in the rate: a

@@ -1888,6 +1888,36 @@ object TrainingDataOps {
          |FROM k GROUP BY source ORDER BY source""".stripMargin
     ),
 
+    // ---- temperature-flattened domain mixing (mT5/XLM-R τ-sampling) ----
+    // A skewed 60/30/10 domain split is synthesized on both engines so
+    // τ=0.5 actually exercises the flattening; rate_d = sqrt(n_min/n_d)
+    // (the Σ-free without-replacement form — see Sampling.temperatureMix).
+    "sp_temperature_mix" -> QuerySpec(
+      (s, dir) => {
+        val dom = when(col("doc_id") % 10 < 6, lit("a"))
+          .when(col("doc_id") % 10 < 9, lit("b")).otherwise(lit("c"))
+        graft.operators.Sampling.temperatureMix(
+            t(s, dir, "documents").withColumn("domain", dom),
+            "doc_id", "domain", tau = 0.5)
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_kept"),
+            sum("doc_id").cast("long").as("id_checksum"))
+          .orderBy("domain")
+      },
+      s"""WITH d AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 10 < 6 THEN 'a'
+         |    WHEN doc_id % 10 < 9 THEN 'b' ELSE 'c' END AS domain
+         |  FROM documents),
+         |n AS (SELECT domain, count(*) AS nd FROM d GROUP BY domain),
+         |r AS (SELECT domain, sqrt((SELECT min(nd) FROM n)*1.0/nd) AS rate
+         |  FROM n),
+         |k AS (SELECT d.domain, d.doc_id FROM d JOIN r USING (domain)
+         |  WHERE (((${duckHash("CAST(doc_id AS VARCHAR)")})*1315423911 + 2654435761)
+         |    % 1000000007)*1.0/1000000007 < r.rate)
+         |SELECT domain, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM k GROUP BY domain ORDER BY domain""".stripMargin
+    ),
+
     // ---- linear quality-classifier scoring ------------------------------
     "tx_quality_logit" -> QuerySpec(
       (s, dir) =>

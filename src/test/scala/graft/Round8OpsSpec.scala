@@ -481,6 +481,25 @@ class Round8OpsSpec extends SparkSpec {
     assert(out == List("a b", "&lt; stays < becomes", "c d", "no markup at all"))
   }
 
+  test("temperatureMix: tau=1 keeps all, kept sets are monotone in tau, smallest domain whole") {
+    import spark.implicits._
+    val df = (0 until 300).map(i =>
+      (i.toLong, if (i % 10 < 6) "a" else if (i % 10 < 9) "b" else "c"))
+      .toDF("id", "domain")
+    def kept(tau: Double) = Sampling.temperatureMix(df, "id", "domain", tau)
+      .select("id").as[Long].collect().toSet
+    assert(kept(1.0).size == 300)
+    val k0 = kept(0.0); val k5 = kept(0.5)
+    assert(k0.subsetOf(k5) && k5.subsetOf(kept(1.0)))
+    // the smallest domain (c, 30 rows) is never down-sampled
+    val cIds = (0 until 300).filter(_ % 10 >= 9).map(_.toLong).toSet
+    assert(cIds.subsetOf(k0) && cIds.subsetOf(k5))
+    // tau=0 equalizes in expectation: every domain's keep-count is near 30
+    val byDom = df.filter(col("id").isInCollection(k0)).groupBy("domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom.values.forall(n => n >= 15 && n <= 45), byDom.toString)
+  }
+
   test("decodeIds maps out-of-range ids (including unkId) to the sentinel") {
     import spark.implicits._
     val ids = Seq(("d1", 0, "tok", Seq(0, -1, 7, 1)))
