@@ -465,6 +465,55 @@ object Dedup {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Corpus-wide exact LINE dedup — the boilerplate-removal rule of the
+    * C4 lineage (Raffel et al. 2020 §2.2 deduplicates repeated spans
+    * corpus-wide; CCNet and most open curation stacks run the per-LINE
+    * variant): every distinct non-empty line keeps its globally first
+    * occurrence (smallest (doc, line_idx) — deterministic) and all other
+    * occurrences are dropped; each document is reassembled from its
+    * surviving lines in order. Headers, footers, navigation chrome,
+    * cookie banners — lines repeated across pages — vanish from all but
+    * the first page carrying them. EMPTY lines are exempt (they always
+    * survive): deduping them would collapse every paragraph break in the
+    * corpus onto one page. Output per doc: (doc, n_lines, n_kept,
+    * cleaned); a doc whose every line is claimed elsewhere survives with
+    * n_kept = 0 (accounting, like [[chunkDedup]]).
+    *
+    * Plan: lines posexplode (linear in corpus); winner per line is ONE
+    * map-side-combined min(struct) aggregation keyed by a 128-bit line
+    * hash (16-byte shuffle keys, the [[substringDedup]] collision
+    * contract — line text never shuffles in the winner agg); the drop is
+    * a keyed join + struct-inequality filter feeding a keyed left-anti;
+    * reassembly groups by doc with a per-doc-bounded collect_list. Keyed
+    * shuffles only — no corpus-wide window or sort.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n"): DataFrame = {
+    val lines = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))).as(Seq("p", "line")))
+    val keyed = lines.filter(length(trim(col("line"))) > 0)
+      .select(col("doc"), col("p"),
+        struct(xxhash64(col("line")).as("h1"),
+          xxhash64(lit(1L), col("line")).as("h2")).as("lh"))
+    val first = keyed.groupBy("lh")
+      .agg(min(struct(col("doc"), col("p"))).as("first"))
+    val losers = keyed.join(first, "lh")
+      .filter(struct(col("doc"), col("p")) =!= col("first"))
+      .select("doc", "p")
+    val kept = lines.join(losers, Seq("doc", "p"), "left_anti")
+    val rebuilt = kept.groupBy("doc").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("p"), col("line")))),
+        s => s.getField("line")), delim).as("cleaned"))
+    lines.groupBy("doc").agg(count(lit(1)).as("n_lines"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Dedup audit: histogram of exact-duplicate cluster sizes under
     * `keyCols` — for each cluster size s, how many clusters have exactly s
     * members and how many documents they hold. Two keyed aggregations (the

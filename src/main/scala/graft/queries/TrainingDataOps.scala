@@ -2115,6 +2115,61 @@ object TrainingDataOps {
     // window are cut; docs reassemble from surviving tokens. Winner =
     // globally-smallest (doc, position) — replayed in the oracle as a
     // row_number over the same ordering.
+    // ---- corpus-wide line dedup (C4/CCNet boilerplate removal) ----------
+    // Pages are synthesized on both engines: page p holds docs
+    // [5p, 5p+6] (docs with doc_id%5<2 overlap onto the previous page →
+    // cross-page duplicate lines) plus a shared HEADER/FOOTER line on
+    // every page — exactly the boilerplate the operator must strip from
+    // all but the first page. SF-invariant: no corpus-size constants.
+    "dd_line_dedup" -> QuerySpec(
+      (s, dir) => {
+        val l = t(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 100).as("l"))
+        val pg = floor(col("doc_id") / 5)
+        val mem = l.select(col("doc_id"), col("l"),
+          explode(when(col("doc_id") % 5 < 2 && col("doc_id") >= 5,
+              array(pg, pg - 1)).otherwise(array(pg))).as("page"))
+        val pages = mem.groupBy("page").agg(
+          concat_ws("\n", lit("HEADER: shared boilerplate"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("l")))),
+              x => x.getField("l")), "\n"),
+            lit("FOOTER: (c) legal text")).as("text"))
+        Dedup.lineDedup(pages, "page", "text").orderBy("doc")
+      },
+      s"""WITH l AS (SELECT doc_id, substr(text, 1, 100) AS l FROM documents),
+         |mem AS (
+         |  SELECT doc_id, l, doc_id // 5 AS page FROM l
+         |  UNION ALL
+         |  SELECT doc_id, l, doc_id // 5 - 1 FROM l
+         |  WHERE doc_id % 5 < 2 AND doc_id >= 5),
+         |pages AS (SELECT page,
+         |  'HEADER: shared boilerplate' || chr(10) ||
+         |  string_agg(l, chr(10) ORDER BY doc_id, l) || chr(10) ||
+         |  'FOOTER: (c) legal text' AS text
+         |  FROM mem GROUP BY page),
+         |lines AS (SELECT page, unnest(range(len(ls))) AS p, unnest(ls) AS line
+         |  FROM (SELECT page, string_split(text, chr(10)) AS ls FROM pages)),
+         |ne AS (SELECT * FROM lines WHERE length(trim(line)) > 0),
+         |first AS (SELECT line, page, p FROM (
+         |  SELECT line, page, p,
+         |    row_number() OVER (PARTITION BY line ORDER BY page, p) AS rn
+         |  FROM ne) WHERE rn = 1),
+         |drops AS (SELECT ne.page, ne.p FROM ne JOIN first f USING (line)
+         |  WHERE ne.page <> f.page OR ne.p <> f.p),
+         |kept AS (SELECT li.* FROM lines li ANTI JOIN drops
+         |  ON li.page = drops.page AND li.p = drops.p),
+         |reb AS (SELECT page, count(*) AS n_kept,
+         |  string_agg(line, chr(10) ORDER BY p) AS cleaned
+         |  FROM kept GROUP BY page),
+         |tot AS (SELECT page, count(*) AS n_lines FROM lines GROUP BY page)
+         |SELECT tot.page AS doc, tot.n_lines,
+         |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(reb.cleaned, '') AS cleaned
+         |FROM tot LEFT JOIN reb USING (page)
+         |ORDER BY doc""".stripMargin
+    ),
+
     "dd_substring_dedup" -> QuerySpec(
       (s, dir) =>
         Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text", 5)

@@ -500,6 +500,23 @@ class Round8OpsSpec extends SparkSpec {
     assert(byDom.values.forall(n => n >= 15 && n <= 45), byDom.toString)
   }
 
+  test("lineDedup keeps first occurrence corpus-wide, exempts empty lines") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "header\n\nalpha\nbeta\n\nfooter"),
+      (2L, "header\ngamma\n\nfooter\nalpha"),
+      (3L, "header\nfooter")).toDF("id", "txt")
+    val out = Dedup.lineDedup(docs, "id", "txt")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1 is first everywhere: all 6 lines survive (incl. 2 empties)
+    assert(out(0) == ((1L, 6L, 6L, "header\n\nalpha\nbeta\n\nfooter")))
+    // doc 2 loses header/footer/alpha to doc 1, keeps gamma + its empty
+    assert(out(1) == ((2L, 5L, 2L, "gamma\n")))
+    // doc 3 loses everything
+    assert(out(2) == ((3L, 2L, 0L, "")))
+  }
+
   test("decodeIds maps out-of-range ids (including unkId) to the sentinel") {
     import spark.implicits._
     val ids = Seq(("d1", 0, "tok", Seq(0, -1, 7, 1)))
