@@ -1007,6 +1007,79 @@ object TrainingDataOps {
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     ),
 
+    // ---- int8 scalar quantization of the embedding column --------------
+    // Per-dim global [min,max] → codes 0..255 via fixed-order IEEE double
+    // arithmetic — bit-identical across engines, so the full code matrix
+    // hash-matches.
+    "emb_quantize_int8" -> QuerySpec(
+      (s, dir) =>
+        Ann.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+          .select(col("id").as("vec_id"),
+            array_join(col("codes"), " ").as("codes"))
+          .orderBy("vec_id"),
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |e AS (SELECT vec_id, unnest(range(1, len(v)+1)) AS d, unnest(v) AS x
+         |  FROM v),
+         |mm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d),
+         |c AS (SELECT vec_id, e.d,
+         |  CASE WHEN mx = mn THEN 0 ELSE
+         |    least(255, greatest(0,
+         |      CAST(floor((x - mn)*255.0/(mx - mn) + 0.5) AS INTEGER)))
+         |  END AS code
+         |  FROM e JOIN mm ON e.d = mm.d)
+         |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ' ' ORDER BY d) AS codes
+         |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    ),
+
+    // ---- recall of quantized search vs exact ----------------------------
+    // Both rankers run the SAME cosine fold, one over raw doubles, one
+    // over the dequantized view — the quality dial a pipeline reads
+    // before committing to int8 storage.
+    "ann_quantized_recall" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val deq = Ann.quantizeInt8(emb, "vec_id", "embedding")
+          .select(col("id").as("vec_id"), col("deq").as("embedding"))
+        Ann.recallEval(
+            Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+              "vec_id", "embedding", 5),
+            Ann.bruteForceTopK(deq, deq.filter(col("vec_id") < 10),
+              "vec_id", "embedding", 5),
+            5)
+          .orderBy("query_id")
+      },
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |e AS (SELECT vec_id, unnest(range(1, len(v)+1)) AS d, unnest(v) AS x
+         |  FROM v),
+         |mm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d),
+         |dq AS (SELECT vec_id, list(CASE WHEN mx = mn THEN mn ELSE
+         |    mn + least(255, greatest(0,
+         |      CAST(floor((x - mn)*255.0/(mx - mn) + 0.5) AS INTEGER)))
+         |      * (mx - mn) / 255.0 END ORDER BY e.d) AS v
+         |  FROM e JOIN mm ON e.d = mm.d GROUP BY vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      $duckCosine DESC, b.vec_id) AS rank
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id < 10 AND b.vec_id <> a.vec_id) WHERE rank <= 5),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      list_dot_product(a.v, b.v) /
+         |        (sqrt(list_dot_product(a.v, a.v)) *
+         |         sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rank
+         |  FROM dq a JOIN dq b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |  WHERE rank <= 5)
+         |SELECT ex.query_id,
+         |  CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  round(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / 5.0, 4) AS recall
+         |FROM ex LEFT JOIN ap USING (query_id, neighbor_id)
+         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+    ),
+
     // ---- deterministic train/val/test split (hash-of-key, no RNG) ------
     "sp_hash_split" -> QuerySpec(
       (s, dir) => {

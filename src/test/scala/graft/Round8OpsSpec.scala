@@ -517,6 +517,28 @@ class Round8OpsSpec extends SparkSpec {
     assert(out(2) == ((3L, 2L, 0L, "")))
   }
 
+  test("quantizeInt8: codes span 0..255 per dim, reconstruction error bounded by half a step") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(0.0, -1.0, 5.0)), (1L, Seq(1.0, 1.0, 5.0)),
+      (2L, Seq(0.25, 0.0, 5.0)), (3L, Seq(0.75, 0.5, 5.0)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.quantizeInt8(vecs, "vec_id", "embedding")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getSeq[Double](2).toList))
+    // dim 0 range [0,1]: extremes hit the endpoints of the code space
+    assert(out(0)._2(0) == 0 && out(1)._2(0) == 255)
+    // constant dim 2 quantizes to 0 and dequantizes to the constant
+    assert(out.forall(_._2(2) == 0) && out.forall(_._3(2) == 5.0))
+    // reconstruction error <= half a quantization step per dim
+    val raw = vecs.orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toList)
+    val ranges = List(1.0, 2.0, 0.0)
+    for ((o, r) <- out.zip(raw); d <- 0 until 3)
+      assert(math.abs(o._3(d) - r(d)) <= ranges(d) / 255.0 / 2.0 + 1e-12,
+        s"vec ${o._1} dim $d: deq ${o._3(d)} vs raw ${r(d)}")
+  }
+
   test("decodeIds maps out-of-range ids (including unkId) to the sentinel") {
     import spark.implicits._
     val ids = Seq(("d1", 0, "tok", Seq(0, -1, 7, 1)))
