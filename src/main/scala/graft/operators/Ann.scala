@@ -46,6 +46,23 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** Nearest-centroid argmin fold over a broadcast centroid array
+    * (`array<struct<c,center>>`, c-ascending — fold order is the
+    * tie-break order). The per-centroid distance is the codegen'd
+    * [[graft.functions.L2Dist]] kernel (same element-order fold as the
+    * oracle's list_reduce, bit-identical); the outer fold interprets k
+    * steps per row instead of k×dims closure calls. Shared by the IVF
+    * and PQ trainers/encoders.
+    */
+  private def centArgmin(cents: Column, v: Column): Column =
+    aggregate(cents,
+      struct(lit(Double.MaxValue).as("dist"), lit(Int.MaxValue).as("c")),
+      (acc, cc) => {
+        val d = graft.functions.Fns.l2Dist(v, cc.getField("center"))
+        when(d < acc.getField("dist"),
+          struct(d.as("dist"), cc.getField("c").as("c"))).otherwise(acc)
+      }).getField("c")
+
   /** Deterministic ±1 hyperplane sign for (plane p, dimension d):
     * parity of (p*1315423911 + d*2654435761) mod 1e9+7 — engine-portable
     * 64-bit arithmetic (no overflow for p,d in sane ranges).
@@ -112,24 +129,10 @@ object Ann {
         .select(transform(col("cents"), s =>
           struct(s.getField("_1").as("c"), s.getField("_2").as("center"))).as("cents"))
 
-    // nearest-centroid argmin fold over the broadcast centroid array. The
-    // per-centroid distance is the codegen'd
-    // [[graft.functions.L2Dist]] kernel (same element-order fold as the
-    // oracle's list_reduce, bit-identical) — the outer fold interprets k
-    // steps per row instead of k×dims closure calls.
-    def argmin(cents: Column, v: Column): Column =
-      aggregate(cents,
-        struct(lit(Double.MaxValue).as("dist"), lit(Int.MaxValue).as("c")),
-        (acc, cc) => {
-          val d = graft.functions.Fns.l2Dist(v, cc.getField("center"))
-          when(d < acc.getField("dist"),
-            struct(d.as("dist"), cc.getField("c").as("c"))).otherwise(acc)
-        }).getField("c")
-
     // assignment is a pure projection — zero shuffle of the corpus
     def assignStep(centArr: DataFrame): DataFrame =
       base.crossJoin(broadcast(centArr))
-        .select(col("id"), argmin(col("cents"), col("v")).as("c"))
+        .select(col("id"), centArgmin(col("cents"), col("v")).as("c"))
 
     // init: centroid c = the vector whose id is c, for the k smallest ids
     var cents: Seq[(Int, Seq[Double])] = base.filter(col("id") < k)
@@ -147,7 +150,7 @@ object Ann {
       val sumCols = (0 until dims).map(d =>
         sum(element_at(col("v"), d + 1).cast("decimal(38,18)")).as(s"s_$d"))
       val sums = base.crossJoin(broadcast(centArrDf(cents)))
-        .select(argmin(col("cents"), col("v")).as("c"), col("v"))
+        .select(centArgmin(col("cents"), col("v")).as("c"), col("v"))
         .groupBy("c")
         .agg(count(lit(1)).as("n"), sumCols: _*)
         .collect()
@@ -312,6 +315,128 @@ object Ann {
           .as("codes"))
       .withColumn("deq", transform(col("codes"), (c, i) =>
         mn(i) + c.cast("double") * rg(i) / lit(255.0)))
+  }
+
+  /** Train product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search", §II: split each vector
+    * into `m` subvectors and k-means each subspace independently; a
+    * vector is then `m` one-byte codes instead of `dims` floats —
+    * with [[quantizeInt8]] the two memory levers a 100 TB ANN index
+    * actually ships). Deterministic protocol shared with
+    * [[ivfAssignments]]: init centroid c of every subspace = the
+    * subvector of the vector whose id is c (ids 0..k-1 must exist),
+    * `iterations` Lloyd rounds with fold-order L2 assignment and
+    * DECIMAL(38,18) means, clusters that lose all members drop.
+    *
+    * Scale shape: ONE corpus pass per Lloyd round — the subspace
+    * posexplode carries each dimension exactly once, the (s, c) group-by
+    * is map-side combined into m×k groups, and means come back to the
+    * driver (m×k×dims/m doubles — the IVF-centroid materialization
+    * contract). Returns per-subspace (c, center) books, c-ascending.
+    */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iterations: Int = 2): Seq[Seq[(Int, Seq[Double])]] = {
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val initRows = base.filter(col("id") < k)
+      .select(col("id").cast("int"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(initRows.nonEmpty, s"need vectors with ids 0..${k - 1} for init")
+    val dims = initRows.head._2.length
+    require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
+    val sub = dims / m
+    var books: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map(s =>
+      initRows.toSeq.map { case (c, v) => (c, v.slice(s * sub, (s + 1) * sub)) })
+    val subv = base.select(col("id"), posexplode(
+        array((0 until m).map(s => slice(col("v"), s * sub + 1, sub)): _*))
+      .as(Seq("s", "sv")))
+    val sumCols = (0 until sub).map(d =>
+      sum(element_at(col("sv"), d + 1).cast("decimal(38,18)")).as(s"s_$d"))
+    for (_ <- 0 until iterations) {
+      val allBooks = array(books.map(pqBookLit): _*)
+      val sums = subv
+        .select(col("s"),
+          centArgmin(element_at(allBooks, col("s") + 1), col("sv")).as("c"),
+          col("sv"))
+        .groupBy("s", "c").agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+      books = (0 until m).map { s =>
+        sums.filter(_.getInt(0) == s).map { r =>
+          val n = r.getAs[Long]("n").toDouble
+          (r.getInt(1), (0 until sub).map(d => r.getDecimal(d + 3).doubleValue() / n))
+        }.sortBy(_._1).toSeq
+      }
+    }
+    books
+  }
+
+  /** One subspace book as a literal `array<struct<c,center>>` column,
+    * c-ascending (the [[centArgmin]] fold/tie-break order).
+    */
+  private def pqBookLit(book: Seq[(Int, Seq[Double])]): Column =
+    array(book.sortBy(_._1).map { case (c, ctr) =>
+      struct(lit(c).as("c"), array(ctr.map(lit): _*).as("center")) }: _*)
+
+  /** Encode every vector as `m` codebook codes — a pure zero-shuffle
+    * projection (the books ride in as literal expressions), stream-safe.
+    * Output: (id, codes array<int> of length m).
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      books: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val m = books.size
+    val sub = books.head.head._2.length
+    emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), array((0 until m).map(s =>
+        centArgmin(pqBookLit(books(s)), slice(col("v"), s * sub + 1, sub))): _*)
+        .as("codes"))
+  }
+
+  /** PQ top-k search by asymmetric distance (ADC — Jégou et al. 2011
+    * §III): each query computes an m×k lookup table of exact
+    * subvector-to-centroid distances once, and every corpus vector costs
+    * m table lookups + m-1 adds instead of a dims-long float loop. The
+    * approximation the memory win buys; measure it with [[recallEval]]
+    * against [[bruteForceTopK]].
+    *
+    * Scale shape: train + encode as above; the LUT build is
+    * |queries|×m×k against literal centers (queries broadcast); the
+    * corpus side touches only (id, codes) — 1/32nd the bytes of the raw
+    * vectors at m=8/d=64 — and the ranker is the bounded
+    * map-side-combined top-k aggregate. Output: (query_id, rank,
+    * neighbor_id, dist) — ascending approximate squared-L2.
+    */
+  def pqTopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
+      vecCol: String, m: Int, k: Int, topK: Int,
+      iterations: Int = 2): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol, m, k, iterations)
+    val sub = books.head.head._2.length
+    val enc = pqEncode(corpus, idCol, vecCol, books)
+    val q = corpus.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .join(queryIds.select(col(idCol).cast("long").as("query_id")),
+        Seq("query_id"), "left_semi")
+    // per-query LUT: slot c of subspace s = exact L2(q_sub, center_{s,c});
+    // codes never reference a dropped cluster, so empty slots are +inf
+    def lutEntry(s: Int, c: Int): Column = books(s).find(_._1 == c) match {
+      case Some((_, ctr)) =>
+        Fns.l2Dist(slice(col("qv"), s * sub + 1, sub), array(ctr.map(lit): _*))
+      case None => lit(Double.MaxValue)
+    }
+    val lut = array((0 until m).map(s =>
+      array((0 until k).map(c => lutEntry(s, c)): _*)): _*)
+    val qLut = q.select(col("query_id"), lut.as("lut"))
+    // ADC fold in subspace order — the oracle sums t_0 + t_1 + … the same way
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+    val scored = enc.join(broadcast(qLut), col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), adc.as("dist"))
+    scored.groupBy("query_id")
+      .agg(Fns.topKByScore(-col("dist"), col("neighbor_id"), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("query_id"), (col("r") + 1).cast("int").as("rank"),
+        col("t.id").as("neighbor_id"), round(-col("t.score"), 4).as("dist"))
   }
 
   /** Recall@k of an approximate ranker against exact ground truth: both

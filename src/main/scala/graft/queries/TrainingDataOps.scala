@@ -483,6 +483,46 @@ object TrainingDataOps {
        |${assignCte("d3", "c2", "a3")}""".stripMargin
   }
 
+  /** DuckDB CTE chains replicating [[Ann.pqCodebooks]] + [[Ann.pqEncode]]
+    * per subspace: for each s, `base_s` slices dims [s·sub+1, (s+1)·sub],
+    * then the [[duckIvfCtes]] k-means protocol (init = ids < k, 2 Lloyd
+    * rounds of fold-order assignment + DECIMAL(38,18) means) ends in
+    * final books `c2_s` and code assignments `a3_s`.
+    */
+  private def duckPqCtes(m: Int, k: Int, dims: Int): String = {
+    val sub = dims / m
+    (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      def assignCte(dist: String, cent: String, out: String): String =
+        s"""${dist}_$s AS (
+           |  SELECT b.id, cc.c,
+           |    list_reduce(list_transform(range(1, len(b.v)+1),
+           |      i -> (b.v[i]-cc.center[i])*(b.v[i]-cc.center[i])),
+           |      (a, x) -> a + x) AS dist
+           |  FROM base_$s b CROSS JOIN ${cent}_$s cc),
+           |${out}_$s AS (SELECT id, c FROM (
+           |  SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY dist, c) AS rn
+           |  FROM ${dist}_$s) WHERE rn = 1)""".stripMargin
+      def updateCte(assign: String, out: String): String =
+        s"""${out}_$s AS (
+           |  SELECT c, list(cx ORDER BY d) AS center FROM (
+           |    SELECT a.c, dims_$s.d, CAST(sum(CAST(dims_$s.x AS DECIMAL(38,18))) AS DOUBLE)/count(*) AS cx
+           |    FROM dims_$s JOIN $assign a ON dims_$s.id = a.id GROUP BY 1, 2)
+           |  GROUP BY c)""".stripMargin
+      s"""base_$s AS (SELECT vec_id AS id, (embedding::DOUBLE[])[$lo:$hi] AS v
+         |  FROM embeddings),
+         |dims_$s AS (
+         |  SELECT id, unnest(range(len(v))) AS d, unnest(v) AS x FROM base_$s),
+         |c0_$s AS (SELECT CAST(id AS INTEGER) AS c, v AS center FROM base_$s WHERE id < $k),
+         |${assignCte("d1", "c0", "a1")},
+         |${updateCte(s"a1_$s", "c1")},
+         |${assignCte("d2", "c1", "a2")},
+         |${updateCte(s"a2_$s", "c2")},
+         |${assignCte("d3", "c2", "a3")}""".stripMargin
+    }.mkString(",\n")
+  }
+
   val specs: Map[String, QuerySpec] = Map(
 
     // ---- exact dedup on a canonical prefix key ------------------------
@@ -1078,6 +1118,73 @@ object TrainingDataOps {
          |    / 5.0, 4) AS recall
          |FROM ex LEFT JOIN ap USING (query_id, neighbor_id)
          |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+    ),
+
+    // ---- PQ: per-subspace k-means codes (4 subspaces × 8 centroids) ----
+    // The full code matrix hash-matches: training means are DECIMAL-
+    // exact, assignment distances fold in element order on both engines.
+    "emb_pq_codes" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val books = Ann.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8)
+        Ann.pqEncode(emb, "vec_id", "embedding", books)
+          .select(col("id").as("vec_id"),
+            array_join(col("codes"), " ").as("codes"))
+          .orderBy("vec_id")
+      },
+      s"""WITH ${duckPqCtes(4, 8, 64)}
+         |SELECT b.id AS vec_id,
+         |  concat_ws(' ', a3_0.c, a3_1.c, a3_2.c, a3_3.c) AS codes
+         |FROM base_0 b
+         |JOIN a3_0 ON a3_0.id = b.id JOIN a3_1 ON a3_1.id = b.id
+         |JOIN a3_2 ON a3_2.id = b.id JOIN a3_3 ON a3_3.id = b.id
+         |ORDER BY vec_id""".stripMargin
+    ),
+
+    // ---- PQ: asymmetric-distance top-k (ADC) ---------------------------
+    // LUT = exact subvector-to-centroid L2 per query (c2_s books); corpus
+    // cost is 4 lookups + 3 adds per vector; the sum order t0+t1+t2+t3 is
+    // pinned on both sides.
+    "ann_pq_adc" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Ann.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          m = 4, k = 8, topK = 5)
+          .orderBy("query_id", "rank")
+      },
+      {
+        val sub = 16
+        val luts = (0 until 4).map { sp =>
+          val lo = sp * sub + 1
+          s"""ld_$sp AS (
+             |  SELECT q.query_id, cc.c,
+             |    list_reduce(list_transform(range(1, $sub+1),
+             |      i -> ((q.qv)[$lo+i-1]-cc.center[i])*((q.qv)[$lo+i-1]-cc.center[i])),
+             |      (a, x) -> a + x) AS t
+             |  FROM q CROSS JOIN c2_$sp cc)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${duckPqCtes(4, 8, 64)},
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |$luts,
+           |sc AS (
+           |  SELECT d0.query_id, e0.id AS neighbor_id,
+           |    d0.t + d1.t + d2.t + d3.t AS dist
+           |  FROM a3_0 e0
+           |  JOIN a3_1 e1 ON e1.id = e0.id
+           |  JOIN a3_2 e2 ON e2.id = e0.id
+           |  JOIN a3_3 e3 ON e3.id = e0.id
+           |  JOIN ld_0 d0 ON d0.c = e0.c
+           |  JOIN ld_1 d1 ON d1.query_id = d0.query_id AND d1.c = e1.c
+           |  JOIN ld_2 d2 ON d2.query_id = d0.query_id AND d2.c = e2.c
+           |  JOIN ld_3 d3 ON d3.query_id = d0.query_id AND d3.c = e3.c
+           |  WHERE e0.id <> d0.query_id),
+           |r AS (SELECT *, row_number() OVER (
+           |  PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM sc)
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+           |  round(dist, 4) AS dist
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }
     ),
 
     // ---- deterministic train/val/test split (hash-of-key, no RNG) ------

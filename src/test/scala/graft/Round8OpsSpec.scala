@@ -539,6 +539,28 @@ class Round8OpsSpec extends SparkSpec {
         s"vec ${o._1} dim $d: deq ${o._3(d)} vs raw ${r(d)}")
   }
 
+  test("PQ: codes are bounded, ADC ranks same-cluster neighbors first on separable data") {
+    import spark.implicits._
+    // two well-separated clusters in 16 dims; even ids near +1, odd near -1
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      (i, (0 until 16).map(d => base + 0.01 * ((i + d) % 5)))
+    }.toDF("vec_id", "embedding")
+    val books = Ann.pqCodebooks(vecs, "vec_id", "embedding", m = 4, k = 4)
+    assert(books.size == 4 && books.forall(_.forall(_._2.size == 4)))
+    val codes = Ann.pqEncode(vecs, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(codes.values.forall(cs => cs.size == 4 && cs.forall(c => c >= 0 && c < 4)))
+    // every top-3 ADC neighbor of a query shares its parity (its cluster)
+    val top = Ann.pqTopK(vecs, vecs.filter(col("vec_id") < 4), "vec_id",
+        "embedding", m = 4, k = 4, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(top.length == 12)
+    top.foreach { case (q, n) =>
+      assert(q % 2 == n % 2, s"query $q got cross-cluster neighbor $n")
+    }
+  }
+
   test("decodeIds maps out-of-range ids (including unkId) to the sentinel") {
     import spark.implicits._
     val ids = Seq(("d1", 0, "tok", Seq(0, -1, 7, 1)))
