@@ -226,4 +226,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       "the corpus token stream must not shuffle for the probe")
   }
+
+  test("ids→pieces decode stays a projection chain — no join, no window") {
+    val plan = executedPlan("tx_ids_decode_roundtrip")
+    assert(!plan.contains("Join"), "the id→piece map must inline, not join")
+    assert(!plan.contains("Window"))
+  }
+
+  test("int8 quantization corpus pass is a zero-join projection (ranges as literals)") {
+    val plan = executedPlan("emb_quantize_int8")
+    assert(!plan.contains("Join"),
+      "per-dim ranges must come back as literal arrays, not join back")
+    assert(!plan.contains("Window"))
+  }
+
+  test("PQ encode is a zero-join projection; ADC ranks via the bounded top-k aggregate") {
+    val codes = executedPlan("emb_pq_codes")
+    assert(!codes.contains("Join") && !codes.contains("Window"),
+      "codebooks must ride in as literal expressions")
+    val adc = executedPlan("ann_pq_adc")
+    assert(!adc.contains("CartesianProduct"))
+    assert(adc.contains("topk_by_score"), "ADC must rank via TopKByScore")
+    assert(!adc.contains("Window"), "ADC must not rank via a window sort")
+    assert(!adc.contains("SortMergeJoin") && !adc.contains("ShuffledHashJoin"),
+      "the encoded corpus must not shuffle — the query LUT side broadcasts")
+  }
+
+  test("line dedup picks winners via partial min(struct), stays keyed") {
+    val plan = executedPlan("dd_line_dedup")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Window"), "winner-per-line must not use a window")
+    assert(plan.contains("partial_min"),
+      "winner selection must be a map-side-combined min(struct) aggregate")
+  }
 }

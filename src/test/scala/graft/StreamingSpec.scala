@@ -253,6 +253,70 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("decodeIds broadcast tier streams: decode identical to batch, round-trip holds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = Seq("aa", "a", "b") ++
+      (0 until graft.operators.Vocab.MaxInlineVocab + 1).map(i => s"#pad$i")
+    val merges = Seq(("a", "a"))
+    def fullPath(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Vocab.decodeIds(
+        graft.operators.Vocab.piecesToIds(
+          graft.operators.Vocab.bpeEncode(df, "doc_id", "text", merges), vocab),
+        vocab)
+        .select(col("doc"), col("token"), col("decoded"))
+    val mem = MemoryStream[(Long, String)]
+    val out = fullPath(mem.toDF().toDF("doc_id", "text"))
+    assert(out.isStreaming, "decode tier must not break the streaming plan")
+    val q = out.writeStream.format("memory").queryName("decode_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "aaa ab zb"))
+    q.processAllAvailable()
+    val streamed = spark.table("decode_stream").orderBy("token")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    import spark.implicits._
+    val batch = fullPath(Seq((1L, "aaa ab zb")).toDF("doc_id", "text"))
+      .orderBy("token")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(streamed == batch)
+    // covered tokens round-trip exactly; zb holds the [UNK] sentinel for z
+    assert(streamed == Seq(("aaa", "aaa"), ("ab", "ab"), ("zb", "[UNK]b")))
+    q.stop()
+  }
+
+  test("pqEncode applies offline-trained codebooks to a live stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // codebooks trained OFFLINE on a batch corpus; encode is a literal-
+    // books projection, so the same operator serves the stream unchanged
+    val corpus = (0L until 16L).map { i =>
+      (i, (0 until 8).map(d => (if (i % 2 == 0) 1.0 else -1.0) + 0.01 * d))
+    }.toDF("vec_id", "embedding")
+    val books = graft.operators.Ann.pqCodebooks(corpus, "vec_id", "embedding",
+      m = 2, k = 2)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val out = graft.operators.Ann.pqEncode(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", books)
+    assert(out.isStreaming, "pqEncode must not break the streaming plan")
+    val q = out.writeStream.format("memory").queryName("pq_stream")
+      .outputMode("append").start()
+    val fresh = Seq(
+      (100L, (0 until 8).map(_ => 1.02)), (101L, (0 until 8).map(_ => -0.98)))
+    mem.addData(fresh: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("pq_stream").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSeq
+    val batch = graft.operators.Ann.pqEncode(
+        fresh.toDF("vec_id", "embedding"), "vec_id", "embedding", books)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSeq
+    assert(streamed == batch)
+    // the two fresh vectors land in opposite clusters in every subspace
+    assert(streamed.head._2 != streamed(1)._2)
+    q.stop()
+  }
+
   test("bpeEncode runs unchanged on a stream (tokenization as projection)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
