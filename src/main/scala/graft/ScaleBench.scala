@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{Ann, Dedup, Vocab}
+import graft.operators.{Ann, Dedup, Sampling, Vocab}
 
 /** Headline-operator scale sweep — the committed, re-runnable form of the
   * SCALE.md stress protocol (the sf1ish/sf10ish amplified corpora: every
@@ -61,7 +61,48 @@ object ScaleBench {
         val m = Vocab.bpeTrain(docs, "text", 8).orderBy("merge_rank")
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
         Vocab.bpeEncode(docs, "doc_id", "text", m).count()
-      })
+      }),
+      // full tensor path: encode → ids → decode (two extra projections
+      // over the encode cost — the round-trip gate at corpus scale)
+      "bpe_ids_decode8" -> (() => {
+        val m = Vocab.bpeTrain(docs, "text", 8).orderBy("merge_rank")
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = Vocab.bpeEncode(docs, "doc_id", "text", m)
+          .select(explode(col("pieces")).as("p"))
+          .groupBy("p").count()
+          .orderBy(desc("count"), col("p"))
+          .collect().map(_.getString(0)).toSeq
+        Vocab.decodeIds(
+          Vocab.piecesToIds(Vocab.bpeEncode(docs, "doc_id", "text", m), vocab),
+          vocab).count()
+      }),
+      // corpus-wide line dedup over synthesized pages (same construction
+      // as dd_line_dedup: overlapping membership + shared boilerplate)
+      "line_dedup_pages" -> (() => {
+        val l = docs.select(col("doc_id"), substring(col("text"), 1, 100).as("l"))
+        val pg = floor(col("doc_id") / 5)
+        val mem = l.select(col("doc_id"), col("l"),
+          explode(when(col("doc_id") % 5 < 2 && col("doc_id") >= 5,
+            array(pg, pg - 1)).otherwise(array(pg))).as("page"))
+        val pages = mem.groupBy("page").agg(
+          concat_ws("\n", lit("HEADER: shared boilerplate"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("l")))),
+              x => x.getField("l")), "\n"),
+            lit("FOOTER: (c) legal text")).as("text"))
+        Dedup.lineDedup(pages, "page", "text").count()
+      }),
+      "quantize_int8" -> (() =>
+        Ann.quantizeInt8(emb, "vec_id", "embedding").count()),
+      "pq_encode_m8k16" -> (() => {
+        val books = Ann.pqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+        Ann.pqEncode(emb, "vec_id", "embedding", books).count()
+      }),
+      "pq_adc_q100_top10" -> (() =>
+        Ann.pqTopK(emb, emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding", m = 8, k = 16, topK = 10).count()),
+      "temperature_mix_05" -> (() =>
+        Sampling.temperatureMix(docs, "doc_id", "source", tau = 0.5).count())
     )
     val results = ops
       .filter { case (n, _) => only.isEmpty || only(n) }

@@ -1187,6 +1187,82 @@ object TrainingDataOps {
       }
     ),
 
+    // ---- PQ: recall of ADC top-5 vs exact squared-L2 top-5 -------------
+    // The quality dial the memory win trades away — both rankers
+    // replicated in SQL (exact side = full-vector fold-order L2).
+    "ann_pq_recall" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val qv = q.select(col("vec_id").cast("long").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+        val base = emb.select(col("vec_id").cast("long").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("cv"))
+        val exact = base.join(broadcast(qv), col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            graft.functions.Fns.l2Dist(col("qv"), col("cv")).as("dist"))
+          .groupBy("query_id")
+          .agg(graft.functions.Fns.topKByScore(-col("dist"),
+            col("neighbor_id"), 5).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("r", "t")))
+          .select(col("query_id"), col("t.id").as("neighbor_id"))
+        Ann.recallEval(exact,
+            Ann.pqTopK(emb, q, "vec_id", "embedding", m = 4, k = 8, topK = 5),
+            5)
+          .orderBy("query_id")
+      },
+      {
+        val sub = 16
+        val luts = (0 until 4).map { sp =>
+          val lo = sp * sub + 1
+          s"""ld_$sp AS (
+             |  SELECT q.query_id, cc.c,
+             |    list_reduce(list_transform(range(1, $sub+1),
+             |      i -> ((q.qv)[$lo+i-1]-cc.center[i])*((q.qv)[$lo+i-1]-cc.center[i])),
+             |      (a, x) -> a + x) AS t
+             |  FROM q CROSS JOIN c2_$sp cc)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${duckPqCtes(4, 8, 64)},
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |$luts,
+           |sc AS (
+           |  SELECT d0.query_id, e0.id AS neighbor_id,
+           |    d0.t + d1.t + d2.t + d3.t AS dist
+           |  FROM a3_0 e0
+           |  JOIN a3_1 e1 ON e1.id = e0.id
+           |  JOIN a3_2 e2 ON e2.id = e0.id
+           |  JOIN a3_3 e3 ON e3.id = e0.id
+           |  JOIN ld_0 d0 ON d0.c = e0.c
+           |  JOIN ld_1 d1 ON d1.query_id = d0.query_id AND d1.c = e1.c
+           |  JOIN ld_2 d2 ON d2.query_id = d0.query_id AND d2.c = e2.c
+           |  JOIN ld_3 d3 ON d3.query_id = d0.query_id AND d3.c = e3.c
+           |  WHERE e0.id <> d0.query_id),
+           |ap AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM sc)
+           |  WHERE rank <= 5),
+           |exd AS (
+           |  SELECT q.query_id, b.vec_id AS neighbor_id,
+           |    list_reduce(list_transform(range(1, 65),
+           |      i -> ((q.qv)[i]-(b.embedding::DOUBLE[])[i])
+           |         * ((q.qv)[i]-(b.embedding::DOUBLE[])[i])),
+           |      (a, x) -> a + x) AS dist
+           |  FROM q JOIN embeddings b ON b.vec_id <> q.query_id),
+           |ex AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM exd)
+           |  WHERE rank <= 5)
+           |SELECT ex.query_id,
+           |  CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_hits,
+           |  round(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    / 5.0, 4) AS recall
+           |FROM ex LEFT JOIN ap USING (query_id, neighbor_id)
+           |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+      }
+    ),
+
     // ---- deterministic train/val/test split (hash-of-key, no RNG) ------
     "sp_hash_split" -> QuerySpec(
       (s, dir) => {
