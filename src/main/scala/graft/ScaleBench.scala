@@ -101,6 +101,12 @@ object ScaleBench {
       "pq_adc_q100_top10" -> (() =>
         Ann.pqTopK(emb, emb.filter(col("vec_id") < 100),
           "vec_id", "embedding", m = 8, k = 16, topK = 10).count()),
+      // the production layout: coarse lists prune ~nprobe/nLists of the
+      // corpus before the ADC scan
+      "ivfpq_q100_top10" -> (() =>
+        Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding", nLists = 64, nprobe = 8, m = 8, k = 16,
+          topK = 10).count()),
       "temperature_mix_05" -> (() =>
         Sampling.temperatureMix(docs, "doc_id", "source", tau = 0.5).count())
     )

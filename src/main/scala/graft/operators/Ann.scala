@@ -410,33 +410,96 @@ object Ann {
       vecCol: String, m: Int, k: Int, topK: Int,
       iterations: Int = 2): DataFrame = {
     val books = pqCodebooks(corpus, idCol, vecCol, m, k, iterations)
-    val sub = books.head.head._2.length
     val enc = pqEncode(corpus, idCol, vecCol, books)
     val q = corpus.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .join(queryIds.select(col(idCol).cast("long").as("query_id")),
         Seq("query_id"), "left_semi")
-    // per-query LUT: slot c of subspace s = exact L2(q_sub, center_{s,c});
-    // codes never reference a dropped cluster, so empty slots are +inf
+    val qLut = q.select(col("query_id"), pqLut(books, k, col("qv")).as("lut"))
+    val scored = enc.join(broadcast(qLut), col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        pqAdc(m).as("dist"))
+    rankByAscDist(scored, topK)
+  }
+
+  /** Per-query ADC lookup table as a column: slot c of subspace s = exact
+    * L2(q_sub, center_{s,c}) against the LITERAL center; codes never
+    * reference a dropped cluster, so empty slots are +inf.
+    */
+  private def pqLut(books: Seq[Seq[(Int, Seq[Double])]], k: Int,
+      qv: Column): Column = {
+    val m = books.size
+    val sub = books.head.head._2.length
     def lutEntry(s: Int, c: Int): Column = books(s).find(_._1 == c) match {
       case Some((_, ctr)) =>
-        Fns.l2Dist(slice(col("qv"), s * sub + 1, sub), array(ctr.map(lit): _*))
+        Fns.l2Dist(slice(qv, s * sub + 1, sub), array(ctr.map(lit): _*))
       case None => lit(Double.MaxValue)
     }
-    val lut = array((0 until m).map(s =>
+    array((0 until m).map(s =>
       array((0 until k).map(c => lutEntry(s, c)): _*)): _*)
-    val qLut = q.select(col("query_id"), lut.as("lut"))
-    // ADC fold in subspace order — the oracle sums t_0 + t_1 + … the same way
-    val adc = (0 until m).map(s =>
+  }
+
+  /** ADC fold over `lut`/`codes` columns in subspace order — the oracle
+    * sums t_0 + t_1 + … the same way.
+    */
+  private def pqAdc(m: Int): Column =
+    (0 until m).map(s =>
       element_at(element_at(col("lut"), s + 1),
         element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
-    val scored = enc.join(broadcast(qLut), col("query_id") =!= col("id"))
-      .select(col("query_id"), col("id").as("neighbor_id"), adc.as("dist"))
+
+  /** Rank scored (query_id, neighbor_id, dist) ascending by distance via
+    * the bounded top-k aggregate (score = −dist; ties → lower id).
+    */
+  private def rankByAscDist(scored: DataFrame, topK: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(Fns.topKByScore(-col("dist"), col("neighbor_id"), topK).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("r", "t")))
       .select(col("query_id"), (col("r") + 1).cast("int").as("rank"),
         col("t.id").as("neighbor_id"), round(-col("t.score"), 4).as("dist"))
+
+  /** IVF-PQ search — the layout production ANN indexes actually ship
+    * (FAISS `IVFx,PQy` with `by_residual=false`: coarse inverted lists
+    * prune the corpus to `nprobe` cells, PQ codes + ADC rank what's
+    * left). Composes [[ivfAssignments]] (same coarse quantizer as
+    * [[ivfTopK]]) with [[pqCodebooks]]/[[pqEncode]] on the RAW vectors —
+    * the residual-encoding refinement changes the codebooks, not the
+    * plan shape. Cost per query: nLists centroid distances + an ADC
+    * scan of ~corpus·nprobe/nLists code rows; the corpus's raw vectors
+    * are read only at index-build time.
+    *
+    * Scale shape: probe selection is the bounded nLists-per-query
+    * window [[ivfTopK]] documents; the candidate join is
+    * list-key-equi against the broadcast probe LUTs; the ranker is the
+    * bounded top-k aggregate. Output: (query_id, rank, neighbor_id,
+    * dist) — ascending approximate squared-L2.
+    */
+  def ivfPqTopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
+      vecCol: String, nLists: Int, nprobe: Int, m: Int, k: Int,
+      topK: Int): DataFrame = {
+    val (assign, centroids) = ivfAssignments(corpus, idCol, vecCol, nLists)
+    val books = pqCodebooks(corpus, idCol, vecCol, m, k)
+    val enc = pqEncode(corpus, idCol, vecCol, books)
+      .join(assign.select(col(idCol).cast("long").as("id"), col("centroid")),
+        "id")
+    val q = corpus.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .join(queryIds.select(col(idCol).cast("long").as("query_id")),
+        Seq("query_id"), "left_semi")
+    // nprobe nearest coarse centroids — bounded window (nLists rows/query)
+    val qCent = q.crossJoin(broadcast(centroids))
+      .withColumn("dist", Fns.dotProduct(col("qv"), col("qv")) +
+        Fns.dotProduct(col("center"), col("center")) -
+        lit(2.0) * Fns.dotProduct(col("qv"), col("center")))
+    val wq = Window.partitionBy("query_id").orderBy(col("dist"), col("centroid"))
+    val probes = qCent.withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("centroid"),
+        pqLut(books, k, col("qv")).as("lut"))
+    val scored = enc.join(broadcast(probes), Seq("centroid"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        pqAdc(m).as("dist"))
+    rankByAscDist(scored, topK)
   }
 
   /** Recall@k of an approximate ranker against exact ground truth: both

@@ -1187,6 +1187,66 @@ object TrainingDataOps {
       }
     ),
 
+    // ---- IVF-PQ: coarse inverted lists pruned, PQ/ADC ranked -----------
+    // The production index layout (FAISS IVFx,PQy with by_residual=false):
+    // same coarse quantizer as ann_ivf_probe (a3/c2), same codes as
+    // emb_pq_codes (a3_s/c2_s), candidates restricted to the 3 probed
+    // lists before the ADC sum.
+    "ann_ivfpq_adc" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", nLists = 8, nprobe = 3, m = 4, k = 8, topK = 5)
+          .orderBy("query_id", "rank")
+      },
+      {
+        val sub = 16
+        val luts = (0 until 4).map { sp =>
+          val lo = sp * sub + 1
+          s"""ld_$sp AS (
+             |  SELECT q.query_id, cc.c,
+             |    list_reduce(list_transform(range(1, $sub+1),
+             |      i -> ((q.qv)[$lo+i-1]-cc.center[i])*((q.qv)[$lo+i-1]-cc.center[i])),
+             |      (a, x) -> a + x) AS t
+             |  FROM q CROSS JOIN c2_$sp cc)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${duckIvfCtes(8)},
+           |cent AS (SELECT c, center FROM c2),
+           |${duckPqCtes(4, 8, 64)},
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |qd AS (
+           |  SELECT query_id, c,
+           |    list_dot_product(qv, qv) + list_dot_product(center, center)
+           |      - 2*list_dot_product(qv, center) AS dist
+           |  FROM q CROSS JOIN cent),
+           |probes AS (SELECT query_id, c FROM (
+           |  SELECT query_id, c, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY dist, c) AS rn
+           |  FROM qd) WHERE rn <= 3),
+           |$luts,
+           |sc AS (
+           |  SELECT p.query_id, li.id AS neighbor_id,
+           |    d0.t + d1.t + d2.t + d3.t AS dist
+           |  FROM a3 li
+           |  JOIN probes p ON li.c = p.c
+           |  JOIN a3_0 e0 ON e0.id = li.id
+           |  JOIN a3_1 e1 ON e1.id = li.id
+           |  JOIN a3_2 e2 ON e2.id = li.id
+           |  JOIN a3_3 e3 ON e3.id = li.id
+           |  JOIN ld_0 d0 ON d0.query_id = p.query_id AND d0.c = e0.c
+           |  JOIN ld_1 d1 ON d1.query_id = p.query_id AND d1.c = e1.c
+           |  JOIN ld_2 d2 ON d2.query_id = p.query_id AND d2.c = e2.c
+           |  JOIN ld_3 d3 ON d3.query_id = p.query_id AND d3.c = e3.c
+           |  WHERE li.id <> p.query_id),
+           |r AS (SELECT *, row_number() OVER (
+           |  PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM sc)
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+           |  round(dist, 4) AS dist
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
     // ---- PQ: recall of ADC top-5 vs exact squared-L2 top-5 -------------
     // The quality dial the memory win trades away — both rankers
     // replicated in SQL (exact side = full-vector fold-order L2).

@@ -252,6 +252,16 @@ class PlanShapeSpec extends SparkSpec {
       "the encoded corpus must not shuffle — the query LUT side broadcasts")
   }
 
+  test("IVF-PQ keeps one bounded probe window, ranks via top-k aggregate, stays keyed") {
+    val plan = executedPlan("ann_ivfpq_adc")
+    assert(!plan.contains("CartesianProduct"))
+    // exactly one window: nprobe selection over nLists rows per query
+    assert("Window \\[row_number".r.findAllIn(plan).length == 1)
+    assert(plan.contains("topk_by_score"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the coded corpus joins broadcast probes on the list key only")
+  }
+
   test("line dedup picks winners via partial min(struct), stays keyed") {
     val plan = executedPlan("dd_line_dedup")
     assert(!plan.contains("CartesianProduct"))
