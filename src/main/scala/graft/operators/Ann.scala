@@ -475,12 +475,22 @@ object Ann {
     */
   def ivfPqTopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
       vecCol: String, nLists: Int, nprobe: Int, m: Int, k: Int,
-      topK: Int): DataFrame = {
+      topK: Int, byResidual: Boolean = false): DataFrame = {
     val (assign, centroids) = ivfAssignments(corpus, idCol, vecCol, nLists)
-    val books = pqCodebooks(corpus, idCol, vecCol, m, k)
-    val enc = pqEncode(corpus, idCol, vecCol, books)
-      .join(assign.select(col(idCol).cast("long").as("id"), col("centroid")),
-        "id")
+    val assignL = assign.select(col(idCol).cast("long").as("id"), col("centroid"))
+    // by_residual=true (the FAISS default): PQ learns the DISPLACEMENT
+    // from the coarse centroid instead of absolute position — the same
+    // code budget spends on a much smaller spread, so quantization error
+    // (and ADC error) drops at identical index bytes
+    val codeSrc =
+      if (!byResidual) corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("fv"))
+      else corpus.select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("v"))
+        .join(assignL, "id").join(broadcast(centroids), "centroid")
+        .select(col("id"), zip_with(col("v"), col("center"), _ - _).as("fv"))
+    val books = pqCodebooks(codeSrc, "id", "fv", m, k)
+    val enc = pqEncode(codeSrc, "id", "fv", books).join(assignL, "id")
     val q = corpus.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .join(queryIds.select(col(idCol).cast("long").as("query_id")),
@@ -491,10 +501,14 @@ object Ann {
         Fns.dotProduct(col("center"), col("center")) -
         lit(2.0) * Fns.dotProduct(col("qv"), col("center")))
     val wq = Window.partitionBy("query_id").orderBy(col("dist"), col("centroid"))
+    // residual LUTs are per (query, probed list): the query displaces
+    // against EACH probed centroid before the table build
+    val lutIn =
+      if (!byResidual) pqLut(books, k, col("qv"))
+      else pqLut(books, k, zip_with(col("qv"), col("center"), _ - _))
     val probes = qCent.withColumn("pr", row_number().over(wq))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("centroid"),
-        pqLut(books, k, col("qv")).as("lut"))
+      .select(col("query_id"), col("centroid"), lutIn.as("lut"))
     val scored = enc.join(broadcast(probes), Seq("centroid"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),

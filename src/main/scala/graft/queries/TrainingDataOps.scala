@@ -484,12 +484,16 @@ object TrainingDataOps {
   }
 
   /** DuckDB CTE chains replicating [[Ann.pqCodebooks]] + [[Ann.pqEncode]]
-    * per subspace: for each s, `base_s` slices dims [s·sub+1, (s+1)·sub],
-    * then the [[duckIvfCtes]] k-means protocol (init = ids < k, 2 Lloyd
-    * rounds of fold-order assignment + DECIMAL(38,18) means) ends in
-    * final books `c2_s` and code assignments `a3_s`.
+    * per subspace: for each s, `base_s` slices dims [s·sub+1, (s+1)·sub]
+    * of `srcVec` from `srcTable` (default: the raw embeddings; the
+    * residual variant passes a residual CTE), then the [[duckIvfCtes]]
+    * k-means protocol (init = ids < k, 2 Lloyd rounds of fold-order
+    * assignment + DECIMAL(38,18) means) ends in final books `c2_s` and
+    * code assignments `a3_s`.
     */
-  private def duckPqCtes(m: Int, k: Int, dims: Int): String = {
+  private def duckPqCtes(m: Int, k: Int, dims: Int,
+      srcTable: String = "embeddings", srcId: String = "vec_id",
+      srcVec: String = "embedding::DOUBLE[]"): String = {
     val sub = dims / m
     (0 until m).map { s =>
       val lo = s * sub + 1
@@ -510,8 +514,8 @@ object TrainingDataOps {
            |    SELECT a.c, dims_$s.d, CAST(sum(CAST(dims_$s.x AS DECIMAL(38,18))) AS DOUBLE)/count(*) AS cx
            |    FROM dims_$s JOIN $assign a ON dims_$s.id = a.id GROUP BY 1, 2)
            |  GROUP BY c)""".stripMargin
-      s"""base_$s AS (SELECT vec_id AS id, (embedding::DOUBLE[])[$lo:$hi] AS v
-         |  FROM embeddings),
+      s"""base_$s AS (SELECT $srcId AS id, ($srcVec)[$lo:$hi] AS v
+         |  FROM $srcTable),
          |dims_$s AS (
          |  SELECT id, unnest(range(len(v))) AS d, unnest(v) AS x FROM base_$s),
          |c0_$s AS (SELECT CAST(id AS INTEGER) AS c, v AS center FROM base_$s WHERE id < $k),
@@ -1238,6 +1242,75 @@ object TrainingDataOps {
            |  JOIN ld_1 d1 ON d1.query_id = p.query_id AND d1.c = e1.c
            |  JOIN ld_2 d2 ON d2.query_id = p.query_id AND d2.c = e2.c
            |  JOIN ld_3 d3 ON d3.query_id = p.query_id AND d3.c = e3.c
+           |  WHERE li.id <> p.query_id),
+           |r AS (SELECT *, row_number() OVER (
+           |  PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM sc)
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+           |  round(dist, 4) AS dist
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
+    // ---- IVF-PQ with residual encoding (the FAISS default) -------------
+    // PQ trains on displacements from the assigned coarse centroid;
+    // query LUTs are per (query, probed list) — the query displaces
+    // against EACH probed centroid before the table build.
+    "ann_ivfpq_residual" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", nLists = 8, nprobe = 3, m = 4, k = 8, topK = 5,
+          byResidual = true)
+          .orderBy("query_id", "rank")
+      },
+      {
+        val sub = 16
+        val luts = (0 until 4).map { sp =>
+          val lo = sp * sub + 1
+          s"""ld_$sp AS (
+             |  SELECT r.query_id, r.c AS pc, cc.c,
+             |    list_reduce(list_transform(range(1, $sub+1),
+             |      i -> ((r.rv)[$lo+i-1]-cc.center[i])*((r.rv)[$lo+i-1]-cc.center[i])),
+             |      (a, x) -> a + x) AS t
+             |  FROM rq r CROSS JOIN c2_$sp cc)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${duckIvfCtes(8)},
+           |cent AS (SELECT c, center FROM c2),
+           |resid AS (
+           |  SELECT b.id, list_transform(range(1, len(b.v)+1),
+           |    i -> b.v[i] - cc.center[i]) AS fv
+           |  FROM base b JOIN a3 ON a3.id = b.id JOIN cent cc ON cc.c = a3.c),
+           |${duckPqCtes(4, 8, 64, srcTable = "resid", srcId = "id", srcVec = "fv")},
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |qd AS (
+           |  SELECT query_id, c,
+           |    list_dot_product(qv, qv) + list_dot_product(center, center)
+           |      - 2*list_dot_product(qv, center) AS dist
+           |  FROM q CROSS JOIN cent),
+           |probes AS (SELECT query_id, c FROM (
+           |  SELECT query_id, c, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY dist, c) AS rn
+           |  FROM qd) WHERE rn <= 3),
+           |rq AS (
+           |  SELECT p.query_id, p.c, list_transform(range(1, len(q.qv)+1),
+           |    i -> q.qv[i] - cc.center[i]) AS rv
+           |  FROM probes p JOIN q ON q.query_id = p.query_id
+           |  JOIN cent cc ON cc.c = p.c),
+           |$luts,
+           |sc AS (
+           |  SELECT p.query_id, li.id AS neighbor_id,
+           |    d0.t + d1.t + d2.t + d3.t AS dist
+           |  FROM a3 li
+           |  JOIN probes p ON li.c = p.c
+           |  JOIN a3_0 e0 ON e0.id = li.id
+           |  JOIN a3_1 e1 ON e1.id = li.id
+           |  JOIN a3_2 e2 ON e2.id = li.id
+           |  JOIN a3_3 e3 ON e3.id = li.id
+           |  JOIN ld_0 d0 ON d0.query_id = p.query_id AND d0.pc = p.c AND d0.c = e0.c
+           |  JOIN ld_1 d1 ON d1.query_id = p.query_id AND d1.pc = p.c AND d1.c = e1.c
+           |  JOIN ld_2 d2 ON d2.query_id = p.query_id AND d2.pc = p.c AND d2.c = e2.c
+           |  JOIN ld_3 d3 ON d3.query_id = p.query_id AND d3.pc = p.c AND d3.c = e3.c
            |  WHERE li.id <> p.query_id),
            |r AS (SELECT *, row_number() OVER (
            |  PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank FROM sc)

@@ -262,6 +262,15 @@ class PlanShapeSpec extends SparkSpec {
       "the coded corpus joins broadcast probes on the list key only")
   }
 
+  test("residual IVF-PQ stays keyed: no cartesian, one probe window, top-k ranker") {
+    val plan = executedPlan("ann_ivfpq_residual")
+    assert(!plan.contains("CartesianProduct"))
+    // the residual build adds keyed id-joins (corpus-sized, shuffle-joinable
+    // at scale — fine); the only window is still the bounded nprobe pick
+    assert("Window \\[row_number".r.findAllIn(plan).length == 1)
+    assert(plan.contains("topk_by_score"))
+  }
+
   test("line dedup picks winners via partial min(struct), stays keyed") {
     val plan = executedPlan("dd_line_dedup")
     assert(!plan.contains("CartesianProduct"))

@@ -561,6 +561,30 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("residual IVF-PQ approximates true L2 better than absolute PQ on clustered data") {
+    import spark.implicits._
+    // two tight clusters far apart: residual coding spends the code
+    // budget on the small within-cluster spread instead of the gap
+    val vecs = (0L until 60L).map { i =>
+      val base = if (i % 2 == 0) 10.0 else -10.0
+      (i, (0 until 16).map(d => base + 0.05 * ((i * 7 + d * 3) % 11)))
+    }.toDF("vec_id", "embedding")
+    val raw = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def trueL2(a: Long, b: Long): Double =
+      raw(a).zip(raw(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    def meanAdcErr(byResidual: Boolean): Double = {
+      val out = Ann.ivfPqTopK(vecs, vecs.filter(col("vec_id") < 6), "vec_id",
+          "embedding", nLists = 2, nprobe = 1, m = 4, k = 4, topK = 5,
+          byResidual = byResidual)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      assert(out.nonEmpty)
+      out.map { case (q, n, adc) => math.abs(adc - trueL2(q, n)) }.sum / out.length
+    }
+    val (abs, res) = (meanAdcErr(false), meanAdcErr(true))
+    assert(res < abs, s"residual err $res should beat absolute err $abs")
+  }
+
   test("decodeIds maps out-of-range ids (including unkId) to the sentinel") {
     import spark.implicits._
     val ids = Seq(("d1", 0, "tok", Seq(0, -1, 7, 1)))
