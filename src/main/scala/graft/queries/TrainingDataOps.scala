@@ -2504,6 +2504,93 @@ object TrainingDataOps {
     // window are cut; docs reassemble from surviving tokens. Winner =
     // globally-smallest (doc, position) — replayed in the oracle as a
     // row_number over the same ordering.
+    // ---- flagship pipeline 4: web-corpus curation -----------------------
+    // The round-8 operators chained end-to-end over synthesized HTML
+    // pages: boilerplate line dedup → markup strip → token-count gate →
+    // τ-flattened domain mix → per-domain accounting. Full-chain oracle:
+    // every stage is replayed in SQL, so a drift anywhere in the chain
+    // breaks the hash.
+    "pipeline_web_curation" -> QuerySpec(
+      (s, dir) => {
+        val l = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("<p class=\"l\">"), substring(col("text"), 1, 80),
+            lit("&nbsp;&amp;lt;</p>")).as("l"))
+        val pg = floor(col("doc_id") / 5)
+        val mem = l.select(col("doc_id"), col("l"),
+          explode(when(col("doc_id") % 5 < 2 && col("doc_id") >= 5,
+            array(pg, pg - 1)).otherwise(array(pg))).as("page"))
+        val pages = mem.groupBy("page").agg(
+          concat_ws("\n", lit("<div id=\"hdr\">HEADER: boilerplate</div>"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("l")))),
+              x => x.getField("l")), "\n"),
+            lit("<div id=\"ftr\">FOOTER: (c) legal</div>")).as("html"))
+        val deduped = Dedup.lineDedup(pages, "page", "html")
+        val stripped = deduped.select(col("doc").as("page"),
+          TextAnalysis.stripMarkup(col("cleaned")).as("text_clean"))
+        val gated = stripped
+          .filter(TextAnalysis.tokenCount(col("text_clean")) >= 20)
+        val dom = when(col("page") % 10 < 6, lit("a"))
+          .when(col("page") % 10 < 9, lit("b")).otherwise(lit("c"))
+        graft.operators.Sampling.temperatureMix(
+            gated.withColumn("domain", dom), "page", "domain", tau = 0.5)
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_pages"),
+            sum(TextAnalysis.tokenCount(col("text_clean"))).cast("long")
+              .as("n_tokens"),
+            sum(col("page")).cast("long").as("page_checksum"))
+          .orderBy("domain")
+      },
+      s"""WITH l AS (SELECT doc_id,
+         |  '<p class="l">' || substr(text, 1, 80) || '&nbsp;&amp;lt;</p>' AS l
+         |  FROM documents),
+         |mem AS (
+         |  SELECT doc_id, l, doc_id // 5 AS page FROM l
+         |  UNION ALL
+         |  SELECT doc_id, l, doc_id // 5 - 1 FROM l
+         |  WHERE doc_id % 5 < 2 AND doc_id >= 5),
+         |pages AS (SELECT page,
+         |  '<div id="hdr">HEADER: boilerplate</div>' || chr(10) ||
+         |  string_agg(l, chr(10) ORDER BY doc_id, l) || chr(10) ||
+         |  '<div id="ftr">FOOTER: (c) legal</div>' AS html
+         |  FROM mem GROUP BY page),
+         |lines AS (SELECT page, unnest(range(len(ls))) AS p, unnest(ls) AS line
+         |  FROM (SELECT page, string_split(html, chr(10)) AS ls FROM pages)),
+         |ne AS (SELECT * FROM lines WHERE length(trim(line)) > 0),
+         |first AS (SELECT line, page, p FROM (
+         |  SELECT line, page, p,
+         |    row_number() OVER (PARTITION BY line ORDER BY page, p) AS rn
+         |  FROM ne) WHERE rn = 1),
+         |drops AS (SELECT ne.page, ne.p FROM ne JOIN first f USING (line)
+         |  WHERE ne.page <> f.page OR ne.p <> f.p),
+         |kept AS (SELECT li.* FROM lines li ANTI JOIN drops
+         |  ON li.page = drops.page AND li.p = drops.p),
+         |reb AS (SELECT page, string_agg(line, chr(10) ORDER BY p) AS cleaned
+         |  FROM kept GROUP BY page),
+         |strip AS (SELECT page, trim(regexp_replace(
+         |  replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(cleaned, '<[^>]*>', ' ', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |    '&nbsp;', ' '), '&amp;', '&'),
+         |  '\\s+', ' ', 'g')) AS text_clean FROM reb),
+         |gated AS (SELECT page, text_clean,
+         |  len(string_split_regex(trim(lower(text_clean)), '\\s+')) AS n_toks,
+         |  CASE WHEN page % 10 < 6 THEN 'a' WHEN page % 10 < 9 THEN 'b'
+         |    ELSE 'c' END AS domain
+         |  FROM strip
+         |  WHERE len(string_split_regex(trim(lower(text_clean)), '\\s+')) >= 20),
+         |n AS (SELECT domain, count(*) AS nd FROM gated GROUP BY domain),
+         |r AS (SELECT domain, sqrt((SELECT min(nd) FROM n)*1.0/nd) AS rate
+         |  FROM n),
+         |mix AS (SELECT g.* FROM gated g JOIN r USING (domain)
+         |  WHERE (((${duckHash("CAST(page AS VARCHAR)")})*1315423911 + 2654435761)
+         |    % 1000000007)*1.0/1000000007 < r.rate)
+         |SELECT domain, count(*) AS n_pages,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(page) AS BIGINT) AS page_checksum
+         |FROM mix GROUP BY domain ORDER BY domain""".stripMargin
+    ),
+
     // ---- corpus-wide line dedup (C4/CCNet boilerplate removal) ----------
     // Pages are synthesized on both engines: page p holds docs
     // [5p, 5p+6] (docs with doc_id%5<2 overlap onto the previous page →
