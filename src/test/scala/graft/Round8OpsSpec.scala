@@ -585,6 +585,85 @@ class Round8OpsSpec extends SparkSpec {
     assert(res < abs, s"residual err $res should beat absolute err $abs")
   }
 
+  test("pqCodebooks/pqEncode match an independent sequential k-means on 15 random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(88)
+    for (trial <- 0 until 15) {
+      val m = if (trial % 2 == 0) 2 else 4
+      val k = if (trial % 3 == 0) 2 else 4
+      val dims = 8
+      val sub = dims / m
+      val n = k + 8 + rng.nextInt(28)
+      val vecs = (0L until n.toLong).map(i =>
+        (i, Seq.fill(dims)(math.rint(rng.nextDouble() * 100) / 100.0)))
+      // independent sequential reference: same protocol (init = ids < k,
+      // element-order L2 folds, tie -> lowest c, empty clusters drop),
+      // plain-double means (centroid compare is approximate)
+      def l2(a: Seq[Double], b: Seq[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      def refBooks: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
+        var cents: Seq[(Int, Seq[Double])] = vecs.filter(_._1 < k)
+          .sortBy(_._1).map { case (id, v) =>
+            (id.toInt, v.slice(s * sub, (s + 1) * sub)) }
+        for (_ <- 0 until 2) {
+          val grouped = vecs.groupBy { case (_, v) =>
+            val sv = v.slice(s * sub, (s + 1) * sub)
+            cents.minBy { case (c, ctr) => (l2(sv, ctr), c) }._1
+          }
+          cents = grouped.toSeq.map { case (c, members) =>
+            val svs = members.map(_._2.slice(s * sub, (s + 1) * sub))
+            (c, (0 until sub).map(d => svs.map(_(d)).sum / svs.size))
+          }.sortBy(_._1)
+        }
+        cents
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val books = Ann.pqCodebooks(df, "vec_id", "embedding", m, k)
+      val ref = refBooks
+      assert(books.map(_.map(_._1)) == ref.map(_.map(_._1)),
+        s"trial $trial: cluster-id structure diverged")
+      for ((bs, rs) <- books.zip(ref); ((c1, v1), (c2, v2)) <- bs.zip(rs)) {
+        assert(c1 == c2)
+        v1.zip(v2).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 1e-9, s"trial $trial center $c1: $a vs $b") }
+      }
+      // codes agree with reference argmin under the reference books
+      val codes = Ann.pqEncode(df, "vec_id", "embedding", books)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      for ((id, v) <- vecs) {
+        val want = (0 until m).map { s =>
+          val sv = v.slice(s * sub, (s + 1) * sub)
+          ref(s).minBy { case (c, ctr) => (l2(sv, ctr), c) }._1
+        }.toList
+        assert(codes(id) == want, s"trial $trial vec $id")
+      }
+    }
+  }
+
+  test("quantizeInt8 codes match the naive per-dim formula exactly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(77)
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq.fill(6)(rng.nextDouble() * 20 - 10)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val mins = (0 until 6).map(d => vecs.map(_._2(d)).min)
+    val maxs = (0 until 6).map(d => vecs.map(_._2(d)).max)
+    val got = Ann.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    for ((id, v) <- vecs) {
+      val want = (0 until 6).map { d =>
+        val rg = maxs(d) - mins(d)
+        if (rg == 0) 0
+        else math.min(255, math.max(0,
+          math.floor((v(d) - mins(d)) * 255.0 / rg + 0.5).toInt))
+      }.toList
+      assert(got(id) == want, s"vec $id")
+    }
+  }
+
   test("decodeIds maps out-of-range ids (including unkId) to the sentinel") {
     import spark.implicits._
     val ids = Seq(("d1", 0, "tok", Seq(0, -1, 7, 1)))
