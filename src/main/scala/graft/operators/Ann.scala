@@ -410,6 +410,18 @@ object Ann {
       vecCol: String, m: Int, k: Int, topK: Int,
       iterations: Int = 2): DataFrame = {
     val books = pqCodebooks(corpus, idCol, vecCol, m, k, iterations)
+    pqTopK(corpus, queryIds, idCol, vecCol, books, k, topK)
+  }
+
+  /** Serving-path variant of [[pqTopK]]: rank against PRE-TRAINED books
+    * (index built once with [[pqCodebooks]], amortized over every query
+    * batch — the deployment shape; the in-query-training overload exists
+    * for one-shot jobs and the oracle harness). Identical output.
+    */
+  def pqTopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
+      vecCol: String, books: Seq[Seq[(Int, Seq[Double])]], k: Int,
+      topK: Int): DataFrame = {
+    val m = books.size
     val enc = pqEncode(corpus, idCol, vecCol, books)
     val q = corpus.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))

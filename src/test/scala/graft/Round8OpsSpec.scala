@@ -643,6 +643,24 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("pqTopK serving overload with pre-trained books equals the training path") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      (i, (0 until 16).map(d => base + 0.01 * ((i + d) % 5)))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toList
+    val trained = rows(Ann.pqTopK(vecs, q, "vec_id", "embedding",
+      m = 4, k = 4, topK = 3))
+    val books = Ann.pqCodebooks(vecs, "vec_id", "embedding", m = 4, k = 4)
+    val served = rows(Ann.pqTopK(vecs, q, "vec_id", "embedding", books,
+      k = 4, topK = 3))
+    assert(served == trained)
+  }
+
   test("quantizeInt8 codes match the naive per-dim formula exactly") {
     import spark.implicits._
     val rng = new scala.util.Random(77)
