@@ -485,15 +485,27 @@ object Ann {
     * bounded top-k aggregate. Output: (query_id, rank, neighbor_id,
     * dist) — ascending approximate squared-L2.
     */
-  def ivfPqTopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
-      vecCol: String, nLists: Int, nprobe: Int, m: Int, k: Int,
-      topK: Int, byResidual: Boolean = false): DataFrame = {
+  /** A built IVF-PQ index: `encoded` = (id, codes, centroid) — the only
+    * per-vector state a serving scan reads (m bytes of codes + a list
+    * id; the raw vectors are gone) — plus the coarse `centroids` table,
+    * the PQ `books`, and whether codes are residual-coded. Build once
+    * with [[ivfPqBuild]], serve every query batch with [[ivfPqSearch]].
+    */
+  case class IvfPqIndex(encoded: DataFrame, centroids: DataFrame,
+    books: Seq[Seq[(Int, Seq[Double])]], k: Int, byResidual: Boolean)
+
+  /** Build the IVF-PQ index: coarse-quantize the corpus into `nLists`
+    * inverted lists ([[ivfAssignments]]), then PQ-code each vector —
+    * absolute, or as its DISPLACEMENT from the assigned centroid
+    * (`byResidual=true`, the FAISS default: the same code budget spends
+    * on a much smaller spread, so quantization error and ADC error drop
+    * at identical index bytes).
+    */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, m: Int, k: Int,
+      byResidual: Boolean = false): IvfPqIndex = {
     val (assign, centroids) = ivfAssignments(corpus, idCol, vecCol, nLists)
     val assignL = assign.select(col(idCol).cast("long").as("id"), col("centroid"))
-    // by_residual=true (the FAISS default): PQ learns the DISPLACEMENT
-    // from the coarse centroid instead of absolute position — the same
-    // code budget spends on a much smaller spread, so quantization error
-    // (and ADC error) drops at identical index bytes
     val codeSrc =
       if (!byResidual) corpus.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("fv"))
@@ -503,12 +515,22 @@ object Ann {
         .select(col("id"), zip_with(col("v"), col("center"), _ - _).as("fv"))
     val books = pqCodebooks(codeSrc, "id", "fv", m, k)
     val enc = pqEncode(codeSrc, "id", "fv", books).join(assignL, "id")
-    val q = corpus.select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .join(queryIds.select(col(idCol).cast("long").as("query_id")),
-        Seq("query_id"), "left_semi")
-    // nprobe nearest coarse centroids — bounded window (nLists rows/query)
-    val qCent = q.crossJoin(broadcast(centroids))
+    IvfPqIndex(enc, centroids, books, k, byResidual)
+  }
+
+  /** Serve one query batch against a built [[IvfPqIndex]]: nprobe
+    * nearest coarse centroids per query (bounded nLists-per-query
+    * window), per-(query, probed-list) ADC LUTs broadcast, the pruned
+    * code scan ranked by the bounded top-k aggregate. `queries` must
+    * carry (`idCol`, `vecCol`) rows — typically the corpus filtered, or
+    * a fresh batch.
+    */
+  def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, idCol: String,
+      vecCol: String, nprobe: Int, topK: Int): DataFrame = {
+    val m = index.books.size
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val qCent = q.crossJoin(broadcast(index.centroids))
       .withColumn("dist", Fns.dotProduct(col("qv"), col("qv")) +
         Fns.dotProduct(col("center"), col("center")) -
         lit(2.0) * Fns.dotProduct(col("qv"), col("center")))
@@ -516,16 +538,30 @@ object Ann {
     // residual LUTs are per (query, probed list): the query displaces
     // against EACH probed centroid before the table build
     val lutIn =
-      if (!byResidual) pqLut(books, k, col("qv"))
-      else pqLut(books, k, zip_with(col("qv"), col("center"), _ - _))
+      if (!index.byResidual) pqLut(index.books, index.k, col("qv"))
+      else pqLut(index.books, index.k,
+        zip_with(col("qv"), col("center"), _ - _))
     val probes = qCent.withColumn("pr", row_number().over(wq))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("centroid"), lutIn.as("lut"))
-    val scored = enc.join(broadcast(probes), Seq("centroid"))
+    val scored = index.encoded.join(broadcast(probes), Seq("centroid"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         pqAdc(m).as("dist"))
     rankByAscDist(scored, topK)
+  }
+
+  /** One-shot IVF-PQ search: [[ivfPqBuild]] + [[ivfPqSearch]] in a
+    * single call — the oracle-harness shape. Deployments build the
+    * index once and call [[ivfPqSearch]] per batch.
+    */
+  def ivfPqTopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
+      vecCol: String, nLists: Int, nprobe: Int, m: Int, k: Int,
+      topK: Int, byResidual: Boolean = false): DataFrame = {
+    val index = ivfPqBuild(corpus, idCol, vecCol, nLists, m, k, byResidual)
+    val queries = corpus.join(queryIds.select(col(idCol)), Seq(idCol),
+      "left_semi")
+    ivfPqSearch(index, queries, idCol, vecCol, nprobe, topK)
   }
 
   /** Recall@k of an approximate ranker against exact ground truth: both

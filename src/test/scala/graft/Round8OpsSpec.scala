@@ -661,6 +661,28 @@ class Round8OpsSpec extends SparkSpec {
     assert(served == trained)
   }
 
+  test("ivfPqSearch serves a FRESH query batch against a built index") {
+    import spark.implicits._
+    val corpus = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      (i, (0 until 16).map(d => base + 0.01 * ((i + d) % 5)))
+    }.toDF("vec_id", "embedding")
+    val index = Ann.ivfPqBuild(corpus, "vec_id", "embedding",
+      nLists = 2, m = 4, k = 4, byResidual = true)
+    // queries NOT in the corpus: one per cluster
+    val fresh = Seq(
+      (1000L, (0 until 16).map(_ => 1.02)),
+      (1001L, (0 until 16).map(_ => -0.98))).toDF("vec_id", "embedding")
+    val out = Ann.ivfPqSearch(index, fresh, "vec_id", "embedding",
+        nprobe = 1, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.length == 6)
+    out.foreach { case (q, n) =>
+      val wantEven = q == 1000L
+      assert((n % 2 == 0) == wantEven, s"fresh query $q got neighbor $n")
+    }
+  }
+
   test("quantizeInt8 codes match the naive per-dim formula exactly") {
     import spark.implicits._
     val rng = new scala.util.Random(77)
