@@ -78,8 +78,11 @@ object Sampling {
     * task): rows are histogram-bucketed by the first byte of the hash
     * (256 fixed buckets), positions are `bucket_offset + rank-within-
     * bucket`; the within-bucket window partitions BY BUCKET (distributed,
-    * ~n/256 rows each), and the offset table is 256 rows — a bounded
-    * broadcast by construction, not an assumption about data size.
+    * ~n/256 rows each). The 256-row histogram is ONE map-side-combined
+    * aggregation materialized to the driver — bounded by the byte domain,
+    * not the data — and the offsets come back inlined as a literal chain
+    * (the domainMix/IVF contract), so the corpus pass is a projection
+    * plus the bucketed rank window: no offset join, no offset window.
     *
     * Output: the input columns plus `pos` (long, dense, 0-based).
     */
@@ -87,18 +90,19 @@ object Sampling {
     val hk = md5(concat(lit(seed.toString), col(keyCol).cast("string")))
     val bucket = conv(substring(hk, 1, 2), 16, 10).cast("int")
     val withB = df.withColumn("__hk", hk).withColumn("__b", bucket)
-    // offsets: exclusive prefix sum over the 256-row histogram. The
-    // unpartitioned window is bounded at 256 rows — constant, not corpus-
-    // dependent — so the single task is fine at any scale.
-    val offsets = withB.groupBy("__b").agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(sum("__n").over(
-        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__b", "__off")
+    // exclusive prefix sum over the ≤256-row histogram, driver-side
+    val hist = withB.groupBy("__b").agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("__n"))).sortBy(_._1)
+    if (hist.isEmpty) return df.withColumn("pos", lit(null).cast("long"))
+    val offs = hist.map(_._1).zip(hist.map(_._2).scanLeft(0L)(_ + _).init)
+    val offCol = offs.tail.foldLeft(
+      when(col("__b") === lit(offs.head._1), lit(offs.head._2))) {
+      case (acc, (v, o)) => acc.when(col("__b") === lit(v), lit(o))
+    }
     val wInBucket = Window.partitionBy("__b").orderBy(col("__hk"), col(keyCol))
     withB
-      .join(broadcast(offsets), "__b")
-      .withColumn("pos", col("__off") + row_number().over(wInBucket) - 1)
-      .drop("__hk", "__b", "__off")
+      .withColumn("pos", offCol + row_number().over(wInBucket) - 1)
+      .drop("__hk", "__b")
   }
 
   /** Importance sampling with a per-ROW continuous weight ∈ [0,1] (the

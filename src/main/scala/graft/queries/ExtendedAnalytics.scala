@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, epochS}
-import graft.operators.{AsofJoin, BloomPrefilterJoin, ZOrder}
+import graft.operators.{AsofJoin, BloomPrefilterJoin, Ranks, ZOrder}
 
 /** Extended analytics surface: as-of join, range join, grouping sets,
   * statistical aggregates — rounding out the M7 query layer with the
@@ -219,24 +219,32 @@ object ExtendedAnalytics {
     ),
 
     // ---- z-order layout: per-curve-bucket dimension spans --------------
-    // Rank-normalize two dimensions to 8-bit space (exact ntile here — the
-    // deterministic small-data variant of approxQuantile cutpoints), take
-    // the Morton z-value, and report min/max spans of BOTH dims per
-    // z-bucket: narrow spans on both = the data-skipping win. The write-
-    // path operator (ZOrder.cluster) range-partitions on the same z-value;
-    // bucketing via ntile keeps this oracle partition-count-independent.
+    // Rank-normalize two dimensions to 8-bit space via the DISTRIBUTED
+    // exact ntile (Ranks.ntile: bucket-histogram rank — no partition-less
+    // window anywhere; the ntile semantics are reproduced exactly from
+    // (rank, n), so the DuckDB ntile oracle hash is unchanged), take the
+    // Morton z-value, and report min/max spans of BOTH dims per z-bucket:
+    // narrow spans on both = the data-skipping win. The write-path
+    // operator (ZOrder.cluster) range-partitions on the same z-value.
+    // Bucketers: approxQuantile cutpoints computed ONCE on the cheap base
+    // scan for both input dims (exactness never depends on cutpoint
+    // quality — only load balance does); the z pass needs no quantile
+    // pass at all, its domain is bounded at 2^16 so `zval >> 8` is 256
+    // uniform monotone buckets for free.
     "opt_zorder_cluster" -> QuerySpec(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val ranked = t(s, dir, "part").select(
-          col("p_partkey"),
-          (ntile(256).over(Window.orderBy("p_partkey")) - 1).as("nx"),
-          (ntile(256).over(Window.orderBy(col("p_size"), col("p_partkey"))) - 1)
-            .as("ny"))
-        ranked
+        val base = t(s, dir, "part").select("p_partkey", "p_size")
+        val bx = Ranks.quantileBucket(base, "p_partkey")
+        val by = Ranks.quantileBucket(base, "p_size")
+        val withX = Ranks.ntile(base, 256, Seq("p_partkey"), "tx",
+          bucketOf = Some(bx))
+        val withY = Ranks.ntile(withX, 256, Seq("p_size", "p_partkey"), "ty",
+          bucketOf = Some(by))
+        val ranked = withY
+          .withColumn("nx", col("tx") - 1).withColumn("ny", col("ty") - 1)
           .withColumn("zval", ZOrder.zValue2(col("nx"), col("ny"), 8))
-          .withColumn("bucket",
-            ntile(32).over(Window.orderBy(col("zval"), col("p_partkey"))))
+        Ranks.ntile(ranked, 32, Seq("zval", "p_partkey"), "bucket",
+            bucketOf = Some(shiftright(col("zval"), 8)))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n_rows"),
             min("nx").as("min_x"), max("nx").as("max_x"),

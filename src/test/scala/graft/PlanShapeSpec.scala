@@ -77,15 +77,30 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("global shuffle ranks within hash buckets — no corpus-wide window") {
-    val plan = executedPlan("sp_global_shuffle")
-    // the within-bucket rank window must partition BY the bucket; the only
-    // unpartitioned window allowed is the 256-row offset prefix sum
-    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(windows.nonEmpty)
-    val unpartitioned = windows.count(_.isEmpty)
-    assert(unpartitioned == 0,
-      s"found an unpartitioned corpus window: $windows")
+    val df = SparkEntry.queries("sp_global_shuffle")(spark, dir)
+    df.count()
+    // the within-bucket rank window must partition BY the bucket; the
+    // 256-row offset prefix sum declares its bounded single partition
+    // with partitionBy(lit(0)) — tree-walk because toString hides empty
+    // partition specs (the old regex could never see one)
+    val loners = partitionlessWindows(df)
+    assert(loners.isEmpty, s"unpartitioned corpus window: $loners")
+  }
+
+  test("z-order rank normalization is fully distributed — bucketed rank windows only") {
+    val df = SparkEntry.queries("opt_zorder_cluster")(spark, dir)
+    df.count()
+    val loners = partitionlessWindows(df)
+    assert(loners.isEmpty, s"partition-less window in z-order plan: $loners")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val wins = allPlanNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    // three rank passes (nx, ny, z-bucket), each a row_number window
+    // PARTITIONED by its histogram bucket — ~n/256 rows per task — plus
+    // the constant-bounded offset windows; none may sort the corpus
+    val rankWins = wins.filter(_.windowExpression.mkString.contains("row_number"))
+    assert(rankWins.size == 3, s"expected 3 bucketed rank windows, got ${rankWins.size}")
+    assert(rankWins.forall(_.partitionSpec.nonEmpty))
   }
 
   test("chunk dedup picks winners via partial min(struct) aggregation, not a window") {

@@ -25,6 +25,12 @@ class QueriesSpec extends SparkSpec {
         s"$name plans a cartesian product")
       assert(!plan.contains("InMemoryTableScan"),
         s"$name reads a cached relation — persist() leaked into the operator")
+      // no query may funnel its data through a partition-less window (the
+      // single-task sort that killed opt_zorder_cluster's first ntile
+      // formulation); tree-walk, not toString — the string form hides
+      // empty partition specs
+      val loners = partitionlessWindows(df)
+      assert(loners.isEmpty, s"$name plans a partition-less window: $loners")
     }
   }
 
