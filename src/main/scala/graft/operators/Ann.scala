@@ -296,13 +296,23 @@ object Ann {
     */
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // CHEAP width precheck before any corpus work: "refuses to
+    // materialize" must mean refusing BEFORE the full posexplode
+    // aggregation runs, not after — one LIMIT-1 probe of the array size
+    // catches a non-embedding-shaped column for the cost of one row
+    v.select(size(col("v")).as("w")).limit(1).collect().foreach { r =>
+      val w = r.getInt(0)
+      require(w <= MaxQuantDims,
+        s"refusing to quantize $w-dim vectors (> $MaxQuantDims): " +
+          "not an embedding-shaped column")
+    }
     val ranges = v.select(posexplode(col("v")).as(Seq("d", "x")))
       .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
     require(ranges.length <= MaxQuantDims,
       s"refusing to quantize ${ranges.length}-dim vectors (> $MaxQuantDims): " +
-        "not an embedding-shaped column")
+        "not an embedding-shaped column — ragged arrays wider than the probe row")
     val mnLit = array(ranges.map(r => lit(r._2)): _*)
     val rgLit = array(ranges.map(r => lit(r._3 - r._2)): _*)
     def mn(i: Column) = element_at(mnLit, i + 1)

@@ -257,6 +257,7 @@ object Multimodal {
     */
   private def parseMp4(b: Array[Byte]): Either[String, (Long, Int, Int)] = {
     var timescale = -1L; var duration = -1L; var w = -1; var h = -1
+    var sawTkhd = false
     def walk(from: Int, to: Int, depth: Int): Option[String] = {
       var o = from
       while (o + 8 <= to) {
@@ -285,10 +286,13 @@ object Multimodal {
             val v = b(o + 8) & 0xff
             val wOff = if (v == 0) o + 84 else o + 96
             if (wOff + 8 > to) return Some("truncated")
-            if (w < 0) { // first video track wins
-              w = (be32(b, wOff) >> 16).toInt
-              h = (be32(b, wOff + 4) >> 16).toInt
-            }
+            // first track with NONZERO geometry wins: audio tkhds carry
+            // width=height=0, so a file whose audio track precedes its
+            // video track must not report 0x0 and mask the real geometry
+            sawTkhd = true
+            val tw = (be32(b, wOff) >> 16).toInt
+            val th = (be32(b, wOff + 4) >> 16).toInt
+            if (w <= 0 && tw > 0 && th > 0) { w = tw; h = th }
           case _ => ()
         }
         o = end
@@ -300,8 +304,10 @@ object Multimodal {
       case None =>
         if (timescale < 0) Left("no_mvhd")
         else if (timescale == 0) Left("bad_timescale")
-        else if (w < 0) Left("no_tkhd")
-        else Right((duration * 1000L / timescale, w, h))
+        else if (!sawTkhd) Left("no_tkhd")
+        // tkhd(s) present but none with geometry = audio-only container:
+        // a valid file, reported ok with 0x0 — not corrupt
+        else Right((duration * 1000L / timescale, math.max(w, 0), math.max(h, 0)))
     }
   }
 

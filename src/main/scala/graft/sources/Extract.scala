@@ -28,7 +28,7 @@ object Extract {
     def get(url: String): Option[Array[Byte]]
   }
 
-  /** Bounded-retry decorator for transient HTTP failures — 5xx and
+  /** Bounded-retry decorator for TRANSIENT HTTP failures — 5xx and
     * timeouts surface as exceptions from the underlying client. Retries
     * the SAME URL with linear backoff; every paginated GET in this
     * library is a pure cursor read, so the retried request is
@@ -38,21 +38,50 @@ object Extract {
     * answer, never retried; after `maxAttempts` failures the last
     * exception propagates so Spark's task retry (the outer, whole-slice
     * level of the retry story) can take over.
+    *
+    * `retryable` decides WHICH failures are worth another attempt. The
+    * default matches transient shapes by message/type (timeouts, 5xx,
+    * connection drops); a permanent failure — 4xx auth/request errors,
+    * parse errors — propagates on the FIRST attempt instead of burning
+    * backoff sleeps on a request that can never succeed and delaying the
+    * loud failure.
     */
   final class RetryingFetcher(inner: Fetcher, maxAttempts: Int = 3,
-      backoffMs: Long = 0L) extends Fetcher {
+      backoffMs: Long = 0L,
+      retryable: Throwable => Boolean = RetryingFetcher.transientDefault)
+      extends Fetcher {
     require(maxAttempts >= 1, s"bad maxAttempts $maxAttempts")
     def get(url: String): Option[Array[Byte]] = {
       var attempt = 1
       while (attempt < maxAttempts) {
         try return inner.get(url)
         catch {
-          case scala.util.control.NonFatal(_) =>
+          case scala.util.control.NonFatal(e) if retryable(e) =>
             if (backoffMs > 0) Thread.sleep(backoffMs * attempt)
             attempt += 1
         }
       }
       inner.get(url) // final attempt: let the failure propagate
+    }
+  }
+
+  object RetryingFetcher {
+    /** Default transience test: IO/timeout exception types are always
+      * transient; other failures count as transient only when the message
+      * carries a 5xx/throttle shape (`HTTP 5xx`, 429, "timed out",
+      * "connection reset"). 4xx, auth, and parse failures fall through —
+      * permanent, no retry.
+      */
+    val transientDefault: Throwable => Boolean = {
+      case _: java.net.SocketTimeoutException => true
+      case _: java.net.http.HttpTimeoutException => true
+      case _: java.net.ConnectException => true
+      case _: java.io.IOException => true
+      case e =>
+        val m = Option(e.getMessage).getOrElse("").toLowerCase
+        "\\b5\\d\\d\\b".r.findFirstIn(m).isDefined ||
+          m.contains("429") || m.contains("timed out") ||
+          m.contains("connection reset") || m.contains("throttl")
     }
   }
 

@@ -172,22 +172,41 @@ object StreamingCuration {
       .select("doc_id", "text", "lang", "source", "event_time")
   }
 
+  /** Ceiling on the inlined eval-suite n-gram array: 4M longs = 32 MB of
+    * literal per microbatch plan — already past where inlining is wise;
+    * the guard turns a silently bloating plan into a loud failure with a
+    * prescription (every driver materialization in this repo carries one).
+    */
+  val MaxInlineBenchHashes: Int = 4 << 20
+
   /** Streaming decontamination: drop any document sharing a word-n-gram
     * with the benchmark set. The bench side is a STATIC eval suite —
     * small by construction — so its distinct n-gram hashes are collected
     * once and inlined as an array literal; the stream-side check is a
     * codegen'd `arrays_overlap` per row, no join and no state. (At
     * batch scale the same contract is the broadcast semi-join in
-    * [[graft.operators.Contamination]]; an eval set too large to inline
-    * here is too large to be an eval set.)
+    * [[graft.operators.Contamination]].)
+    *
+    * The collect is BOUNDED-OR-LOUD: past [[MaxInlineBenchHashes]] the
+    * call refuses with sizing guidance instead of silently building a
+    * multi-MB literal into every microbatch plan — run the batch
+    * decontaminate per microbatch via foreachBatch at that size.
     */
   def decontaminate(docs: DataFrame, bench: DataFrame, textCol: String,
-      n: Int): DataFrame = {
+      n: Int, maxInline: Int = MaxInlineBenchHashes): DataFrame = {
+    // LIMIT rides below the collect: an over-budget eval set is refused
+    // after materializing at most ceiling+1 rows, not the whole set
     val benchHashes: Array[Long] = bench
       .select(explode(Fns.shingles(col(textCol), n)).as("s"))
       .select(Fns.rollingHash(col("s")).as("gh"))
       .distinct()
+      .limit(maxInline + 1)
       .collect().map(_.getLong(0))
+    require(benchHashes.length <= maxInline,
+      s"eval suite yields > $maxInline distinct $n-gram hashes — " +
+        "too large to inline into a streaming plan literal; decontaminate " +
+        "per microbatch with Contamination.decontaminate (broadcast " +
+        "semi-join) inside foreachBatch instead")
     val streamGrams = transform(Fns.shingles(col(textCol), n),
       s => Fns.rollingHash(s))
     docs.filter(!arrays_overlap(streamGrams, lit(benchHashes)))

@@ -61,4 +61,86 @@ class Round9OpsSpec extends SparkSpec {
     got.count()
     assert(partitionlessWindows(got).isEmpty)
   }
+
+  // ---- advisor items ------------------------------------------------------
+
+  /** A minimal two-trak ISO-BMFF container: audio tkhd (0x0 geometry)
+    * FIRST, then video tkhd (w×h) — the layout that fooled first-tkhd-wins.
+    */
+  private def twoTrakMp4(timescale: Int, durUnits: Int, w: Int, h: Int,
+      includeVideo: Boolean): Array[Byte] = {
+    val ident = {
+      val m = java.nio.ByteBuffer.allocate(36)
+      m.putInt(0x00010000).putInt(0).putInt(0)
+      m.putInt(0).putInt(0x00010000).putInt(0)
+      m.putInt(0).putInt(0).putInt(0x40000000)
+      m.array()
+    }
+    def trak(bb: java.nio.ByteBuffer, trackId: Int, tw: Int, th: Int): Unit = {
+      bb.putInt(100).put("trak".getBytes)
+      bb.putInt(92).put("tkhd".getBytes)
+        .putInt(0).putInt(0).putInt(0).putInt(trackId).putInt(0)
+        .putInt(durUnits).put(new Array[Byte](8))
+        .putShort(0).putShort(0).putShort(0).putShort(0)
+        .put(ident).putInt(tw << 16).putInt(th << 16)
+    }
+    val nTraks = if (includeVideo) 2 else 1
+    val moovSize = 8 + 108 + 100 * nTraks
+    val bb = java.nio.ByteBuffer.allocate(16 + moovSize)
+    bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    bb.putInt(moovSize).put("moov".getBytes)
+    bb.putInt(108).put("mvhd".getBytes)
+      .putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(durUnits)
+      .putInt(0x00010000).putShort(0x0100.toShort).put(new Array[Byte](10))
+      .put(ident).put(new Array[Byte](24)).putInt(nTraks + 1)
+    trak(bb, 1, 0, 0) // audio track: zero geometry
+    if (includeVideo) trak(bb, 2, w, h)
+    bb.array()
+  }
+
+  test("mp4 decode takes the first NONZERO-geometry track, not the first track") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Seq(
+      (1L, twoTrakMp4(1000, 5000, 320, 240, includeVideo = true)),
+      (2L, twoTrakMp4(1000, 5000, 0, 0, includeVideo = false)) // audio-only
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.decodeAvMeta(spark, docs).collect()
+      .map(m => m.doc_id -> m).toMap
+    // audio trak precedes video: geometry must come from the video trak
+    assert(got(1L).status == "ok" && got(1L).width == 320 && got(1L).height == 240)
+    assert(got(1L).duration_ms == 5000L)
+    // audio-only container: valid file, ok with 0x0 — never "corrupt"
+    assert(got(2L).status == "ok" && got(2L).width == 0 && got(2L).height == 0)
+  }
+
+  test("RetryingFetcher propagates permanent failures on the FIRST attempt") {
+    import graft.sources.Extract
+    class Counting(e: => Throwable) extends Extract.Fetcher {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      def get(url: String): Option[Array[Byte]] = { n.incrementAndGet(); throw e }
+    }
+    // permanent: 401 auth failure — exactly one attempt, no backoff burn
+    val auth = new Counting(new RuntimeException("HTTP 401 Unauthorized"))
+    intercept[RuntimeException] { new Extract.RetryingFetcher(auth, 3).get("u") }
+    assert(auth.n.get() == 1, s"permanent failure retried ${auth.n.get()} times")
+    // transient: IOException — all attempts consumed
+    val flaky = new Counting(new java.io.IOException("connection reset"))
+    intercept[java.io.IOException] { new Extract.RetryingFetcher(flaky, 3).get("u") }
+    assert(flaky.n.get() == 3)
+    // transient by message shape: 503 in a RuntimeException still retries
+    val five = new Counting(new RuntimeException("HTTP 503 Service Unavailable"))
+    intercept[RuntimeException] { new Extract.RetryingFetcher(five, 2).get("u") }
+    assert(five.n.get() == 2)
+  }
+
+  test("quantizeInt8 refuses non-embedding-shaped columns before the corpus pass") {
+    import spark.implicits._
+    import graft.operators.Ann
+    val wide = Seq((1L, Array.fill(Ann.MaxQuantDims + 1)(0.5))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Ann.quantizeInt8(wide, "id", "vec")
+    }
+    assert(e.getMessage.contains("refusing to quantize"))
+  }
 }

@@ -136,6 +136,22 @@ class StreamingSpec extends SparkSpec {
       s"PII must be redacted in-stream: ${rows(5L)}")
   }
 
+  test("streaming decontaminate refuses an over-budget eval suite loudly") {
+    import graft.streaming.StreamingCuration
+    // 30 distinct 3-grams against a ceiling of 10: the inline-literal path
+    // must fail with the foreachBatch prescription, not silently build the
+    // plan — and materialize at most ceiling+1 rows while refusing
+    val bench = Seq((1 to 32).map(i => s"w$i").mkString(" ")).toDF("text")
+    val docs = Seq("some stream document").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingCuration.decontaminate(docs, bench, "text", n = 3, maxInline = 10)
+    }
+    assert(e.getMessage.contains("foreachBatch"))
+    // at/under budget still constructs the filter
+    assert(StreamingCuration.decontaminate(docs, bench, "text", n = 3,
+      maxInline = 100).count() == 1)
+  }
+
   test("streaming near-dup dedup: an edited re-drop is suppressed within the window") {
     import graft.streaming.StreamingCuration
     val staging = Files.createTempDirectory("stream-neardup").toString
