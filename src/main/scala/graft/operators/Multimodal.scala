@@ -483,6 +483,126 @@ object Multimodal {
       greatest(floor(col("height") * scale), lit(1)).cast("int").as("out_h"))
   }
 
+  /** Patterned image-fixture synthesis: REAL PNGs whose pixel (x, y) is
+    * gray value `(x·7 + y·13 + shade) mod 256` — unlike the solid-fill
+    * [[synthesizeImages]], a resample of this pattern is sensitive to
+    * WHICH source pixel each output pixel reads, so it exercises the
+    * resize kernel's pixel addressing, not just its geometry. PNG only:
+    * lossless, so the decoded raster is the pattern bit-for-bit and an
+    * oracle can recompute every output pixel arithmetically.
+    */
+  case class PatternImageSpec(doc_id: Long, w: Int, h: Int, shade: Int)
+
+  def synthesizePatternImages(spark: SparkSession,
+      specs: Dataset[PatternImageSpec]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureMinParallelism(specs.toDF()).as[PatternImageSpec]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { s =>
+          val img = new java.awt.image.BufferedImage(
+            s.w, s.h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until s.h; x <- 0 until s.w) {
+            val v = (x * 7 + y * 13 + s.shade) % 256
+            img.setRGB(x, y, v * 0x010101)
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", out), "no png writer")
+          BinaryDoc(s.doc_id, out.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One EXECUTED resize: decoded geometry, output raster statistics, and
+    * the re-encoded thumbnail bytes. `checksum` is position-weighted —
+    * `Σ (gray+1)·(oy·out_w + ox + 1)` — so two rasters with the same
+    * pixel multiset but different layouts hash differently. Quarantine
+    * rows (`status` "corrupt") carry zero geometry/stats and a STABLE
+    * reason; payloads no installed reader claims are "unsupported".
+    */
+  case class ResizedImage(
+      doc_id: Long, n_bytes: Long, in_w: Int, in_h: Int,
+      out_w: Int, out_h: Int, n_px: Long, sum_gray: Long,
+      min_gray: Int, max_gray: Int, checksum: Long,
+      thumb: Array[Byte], status: String, err: Option[String])
+
+  /** Pixel-EXECUTING resize (the step [[resizePlan]] only planned):
+    * ImageIO decode → aspect-preserving fit into `targetW`×`targetH`
+    * ([[resizePlan]]'s exact geometry arithmetic) → nearest-neighbor
+    * resample with pure integer source addressing — output pixel
+    * (ox, oy) reads source pixel (ox·in_w div out_w, oy·in_h div out_h),
+    * deterministic and engine-reproducible (no filter kernel, no float
+    * accumulation) — → gray stats over the RED channel + re-encoded PNG
+    * thumbnail. Runs inside the same quarantine mapPartitions tier as
+    * [[decodeMeta]]: a truncated payload becomes a "corrupt" row with a
+    * stable reason, never a task failure; per-task codec init amortizes
+    * across the partition; no shuffle anywhere — partition sizing
+    * (spark.sql.files.maxPartitionBytes) bounds peak decode memory.
+    */
+  def resizeExec(spark: SparkSession, binDocs: DataFrame,
+      targetW: Int, targetH: Int): Dataset[ResizedImage] = {
+    require(targetW > 0 && targetH > 0)
+    import spark.implicits._
+    val base =
+      if (binDocs.isStreaming) binDocs
+      else graft.Tables.ensureMinParallelism(binDocs)
+    base.as[BinaryDoc].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { d =>
+        val n = d.payload.length.toLong
+        def bad(status: String, reason: Option[String]) =
+          ResizedImage(d.doc_id, n, 0, 0, 0, 0, 0L, 0L, 0, 0, 0L,
+            null, status, reason)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(d.payload))
+        if (iis == null || d.payload.isEmpty) bad("unsupported", None)
+        else try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) bad("unsupported", None)
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val img = reader.read(0)
+              val (w, h) = (img.getWidth, img.getHeight)
+              val scale = math.min(math.min(
+                targetW.toDouble / w, targetH.toDouble / h), 1.0)
+              val outW = math.max(math.floor(w * scale).toInt, 1)
+              val outH = math.max(math.floor(h * scale).toInt, 1)
+              val thumb = new java.awt.image.BufferedImage(
+                outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var sum = 0L; var mn = 255; var mx = 0; var ck = 0L
+              var oy = 0
+              while (oy < outH) {
+                val sy = oy * h / outH
+                var ox = 0
+                while (ox < outW) {
+                  val sx = ox * w / outW
+                  val rgb = img.getRGB(sx, sy)
+                  thumb.setRGB(ox, oy, rgb)
+                  val g = (rgb >> 16) & 0xff
+                  sum += g
+                  if (g < mn) mn = g
+                  if (g > mx) mx = g
+                  ck += (g + 1).toLong * (oy.toLong * outW + ox + 1)
+                  ox += 1
+                }
+                oy += 1
+              }
+              val enc = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(thumb, "png", enc)
+              ResizedImage(d.doc_id, n, w, h, outW, outH,
+                outW.toLong * outH, sum, mn, mx, ck, enc.toByteArray, "ok", None)
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                bad("corrupt", Some("decode_failed"))
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      }
+    }
+  }
+
   /** Frame-sampling PLUMBING for video-like payloads: every `stride`-th
     * frame boundary as (doc_id, frame_idx, byte_offset, frame_bytes).
     * Deterministic arithmetic over the (stubbed) container geometry —

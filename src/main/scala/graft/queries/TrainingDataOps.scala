@@ -895,6 +895,70 @@ object TrainingDataOps {
         |FROM s ORDER BY doc_id""".stripMargin
     ),
 
+    // ---- EXECUTED resize: real PNG decode + nearest-neighbor resample --
+    // Patterned fixtures (pixel (x,y) = (7x+13y+shade) mod 256, lossless
+    // PNG) make every OUTPUT pixel oracle-predictable: nearest-neighbor
+    // with integer source addressing reads source pixel
+    // (ox·w div out_w, oy·h div out_h), so DuckDB recomputes the full
+    // raster from arithmetic — geometry, gray stats AND a position-
+    // weighted checksum must all match the ImageIO-decoded truth. Every
+    // 13th payload is cut after the IHDR chunk (33 bytes): the PNG reader
+    // claims it, pixel decode fails -> quarantine with a stable reason.
+    "mm_resize_exec" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (lit(20) + col("doc_id") % 40).cast("int").as("w"),
+          (lit(16) + col("doc_id") % 24).cast("int").as("h"),
+          ((col("doc_id") * 31) % 256).cast("int").as("shade")
+        ).as[Multimodal.PatternImageSpec]
+        val bin = Multimodal.synthesizePatternImages(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 7, col("payload").substr(1, 33))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.resizeExec(s, bin, 32, 24).toDF()
+          .select(col("doc_id"), col("status"), col("in_w"), col("in_h"),
+            col("out_w"), col("out_h"), col("n_px"), col("sum_gray"),
+            col("min_gray"), col("max_gray"), col("checksum"))
+          .orderBy("doc_id")
+      },
+      """WITH s AS (
+        |  SELECT doc_id, 20 + doc_id % 40 AS w, 16 + doc_id % 24 AS h,
+        |    (doc_id * 31) % 256 AS shade, doc_id % 13 = 7 AS bad
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, w, h, shade, bad,
+        |    CAST(greatest(floor(w * least(32.0/w, 24.0/h, 1.0)), 1) AS INTEGER) AS out_w,
+        |    CAST(greatest(floor(h * least(32.0/w, 24.0/h, 1.0)), 1) AS INTEGER) AS out_h
+        |  FROM s),
+        |py AS (SELECT *, unnest(range(0, out_h)) AS oy FROM d WHERE NOT bad),
+        |px AS (SELECT *, unnest(range(0, out_w)) AS ox FROM py),
+        |v AS (
+        |  SELECT doc_id, w, h, out_w, out_h, oy, ox,
+        |    ((ox * w // out_w) * 7 + (oy * h // out_h) * 13 + shade) % 256 AS gray
+        |  FROM px),
+        |ok AS (
+        |  SELECT doc_id, 'ok' AS status,
+        |    CAST(max(w) AS INTEGER) AS in_w, CAST(max(h) AS INTEGER) AS in_h,
+        |    max(out_w) AS out_w, max(out_h) AS out_h,
+        |    count(*) AS n_px,
+        |    CAST(sum(gray) AS BIGINT) AS sum_gray,
+        |    CAST(min(gray) AS INTEGER) AS min_gray,
+        |    CAST(max(gray) AS INTEGER) AS max_gray,
+        |    CAST(sum((gray + 1) * (oy * out_w + ox + 1)) AS BIGINT) AS checksum
+        |  FROM v GROUP BY doc_id),
+        |bd AS (
+        |  SELECT doc_id, 'corrupt' AS status,
+        |    CAST(0 AS INTEGER) AS in_w, CAST(0 AS INTEGER) AS in_h,
+        |    CAST(0 AS INTEGER) AS out_w, CAST(0 AS INTEGER) AS out_h,
+        |    CAST(0 AS BIGINT) AS n_px, CAST(0 AS BIGINT) AS sum_gray,
+        |    CAST(0 AS INTEGER) AS min_gray, CAST(0 AS INTEGER) AS max_gray,
+        |    CAST(0 AS BIGINT) AS checksum
+        |  FROM d WHERE bad)
+        |SELECT * FROM ok UNION ALL SELECT * FROM bd ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- frame-sampling plumbing (every 3rd 64-byte "frame"). The Spark
     // side slices BINARY at byte offsets (the real media semantics); the
     // oracle slices VARCHAR, which is byte-exact because the synthetic

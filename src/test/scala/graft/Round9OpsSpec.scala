@@ -134,6 +134,36 @@ class Round9OpsSpec extends SparkSpec {
     assert(five.n.get() == 2)
   }
 
+  test("resizeExec thumbnails round-trip: re-decoding gives the resampled raster") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val specs = Seq(
+      Multimodal.PatternImageSpec(1L, 48, 32, 10),
+      Multimodal.PatternImageSpec(2L, 8, 8, 0) // smaller than target: no upscale
+    ).toDS()
+    val bin = Multimodal.synthesizePatternImages(spark, specs)
+    val out = Multimodal.resizeExec(spark, bin, 16, 16).collect()
+      .map(r => r.doc_id -> r).toMap
+    val r1 = out(1L)
+    assert(r1.status == "ok" && r1.out_w == 16 && r1.out_h == 10)
+    // the thumb is a REAL PNG of the resampled raster: decode it and
+    // recompute the nearest-neighbor pattern pixel-for-pixel
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r1.thumb))
+    assert(img.getWidth == 16 && img.getHeight == 10)
+    for (oy <- 0 until 10; ox <- 0 until 16) {
+      val expect = ((ox * 48 / 16) * 7 + (oy * 32 / 10) * 13 + 10) % 256
+      assert(((img.getRGB(ox, oy) >> 16) & 0xff) == expect, s"pixel ($ox,$oy)")
+    }
+    // under-target image: identity geometry, pixels preserved
+    val r2 = out(2L)
+    assert(r2.out_w == 8 && r2.out_h == 8 && r2.min_gray == 0)
+    // corrupt payload: quarantine row, stable reason, no thumb
+    val cut = bin.filter($"doc_id" === 1L)
+      .select($"doc_id", $"payload".substr(1, 33).as("payload"))
+    val q = Multimodal.resizeExec(spark, cut, 16, 16).collect().head
+    assert(q.status == "corrupt" && q.err.contains("decode_failed") && q.thumb == null)
+  }
+
   test("quantizeInt8 refuses non-embedding-shaped columns before the corpus pass") {
     import spark.implicits._
     import graft.operators.Ann
