@@ -50,6 +50,21 @@ object Fns {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ofExpr(TopKByScore(toExpr(score), toExpr(id), k).toAggregateExpression())
 
+  /** Codegen'd PQ asymmetric-distance fold `Σ_s lut[s][codes[s]]` (see
+    * [[AdcScore]] — subspace-ascending, oracle-identical).
+    */
+  def adcScore(codes: Column, lut: Column): Column =
+    ofExpr(AdcScore(toExpr(codes), toExpr(lut)))
+
+  /** The 128-bit line key of line-level dedup: `struct(h1, h2)` of two
+    * independent xxhash64 seeds — 16-byte shuffle keys so line TEXT never
+    * shuffles in the winner aggregation, with the collision contract of
+    * [[graft.operators.Dedup.substringDedup]]. Registered in SQL as
+    * `line_key128` so external pipelines reproduce the exact keying.
+    */
+  def lineKey128(line: Column): Column =
+    struct(xxhash64(line).as("h1"), xxhash64(lit(1L), line).as("h2"))
+
   /** Bloom bitset build aggregate over a BIGINT key column (see
     * [[BloomFilterAgg]]).
     */

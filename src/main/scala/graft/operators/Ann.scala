@@ -462,12 +462,14 @@ object Ann {
   }
 
   /** ADC fold over `lut`/`codes` columns in subspace order — the oracle
-    * sums t_0 + t_1 + … the same way.
+    * sums t_0 + t_1 + … the same way. The codegen'd [[Fns.adcScore]]
+    * kernel replaces the interpreted element_at chain (same fold order,
+    * same hashes); `m` rides only in the signature for doc symmetry.
     */
-  private def pqAdc(m: Int): Column =
-    (0 until m).map(s =>
-      element_at(element_at(col("lut"), s + 1),
-        element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+  private def pqAdc(m: Int): Column = {
+    val _ = m
+    Fns.adcScore(col("codes"), col("lut"))
+  }
 
   /** Rank scored (query_id, neighbor_id, dist) ascending by distance via
     * the bounded top-k aggregate (score = −dist; ties → lower id).

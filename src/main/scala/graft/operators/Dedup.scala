@@ -494,9 +494,7 @@ object Dedup {
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(delim))).as(Seq("p", "line")))
     val keyed = lines.filter(length(trim(col("line"))) > 0)
-      .select(col("doc"), col("p"),
-        struct(xxhash64(col("line")).as("h1"),
-          xxhash64(lit(1L), col("line")).as("h2")).as("lh"))
+      .select(col("doc"), col("p"), Fns.lineKey128(col("line")).as("lh"))
     val first = keyed.groupBy("lh")
       .agg(min(struct(col("doc"), col("p"))).as("first"))
     val losers = keyed.join(first, "lh")

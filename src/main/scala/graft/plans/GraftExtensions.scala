@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{ConcatWs, Expression, Literal, Md5}
+import org.apache.spark.sql.catalyst.expressions.{ConcatWs, CreateNamedStruct, Expression, Literal, Md5, RegExpReplace, StringReplace, StringTrim, XxHash64}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSim, L2Dist, RollingHash, TopKByScore}
+import graft.functions.{AdcScore, CosineSim, Fns, L2Dist, RollingHash, TopKByScore}
 
 /** Engine SQL-surface registration (SURVEY §2.12):
   *
@@ -17,6 +17,11 @@ import graft.functions.{CosineSim, L2Dist, RollingHash, TopKByScore}
   *  - `l2_dist(a, b)`         — codegen'd squared L2 distance
   *  - `topk_by_score(s, id, k)` — bounded per-group top-k aggregate
   *                              (k must be a foldable integer literal)
+  *  - `adc_score(codes, lut)` — codegen'd PQ asymmetric-distance fold
+  *  - `strip_markup(s)`       — HTML tag/entity/whitespace cleanup (the
+  *                              r8 markup-stripping kernel, same
+  *                              expression tree as the column API)
+  *  - `line_key128(s)`        — line dedup's 128-bit shuffle key
   *
   * Two registration paths: `withExtensions(new GraftExtensions)` at
   * session build, or [[GraftExtensions.register]] on a live session
@@ -36,6 +41,31 @@ object GraftExtensions {
   private def mpInsertId(args: Seq[Expression]): Expression =
     Md5(org.apache.spark.sql.catalyst.expressions.Cast(
       ConcatWs(Literal("|") +: args), org.apache.spark.sql.types.BinaryType))
+
+  /** Catalyst mirror of [[graft.operators.TextAnalysis.stripMarkup]] —
+    * registry builders must return directly-resolvable trees (the
+    * Column→Expression bridge leaves `functions._` sugar as
+    * UnresolvedFunction nodes the analyzer never visits inside a
+    * builder), so the chain is restated in catalyst nodes;
+    * SqlSurfaceSpec pins SQL == column API so the two cannot drift.
+    */
+  private def stripMarkup(s: Expression): Expression = {
+    val noTags = RegExpReplace(s, Literal("<[^>]*>"), Literal(" "))
+    val ents = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = ents.foldLeft(noTags: Expression) {
+      case (c, (e, r)) => StringReplace(c, Literal(e), Literal(r))
+    }
+    StringTrim(RegExpReplace(decoded, Literal("\\s+"), Literal(" ")))
+  }
+
+  /** Catalyst mirror of [[graft.functions.Fns.lineKey128]] (same
+    * builder-resolvability constraint; xxhash64's default seed is 42).
+    */
+  private def lineKey128(s: Expression): Expression =
+    CreateNamedStruct(Seq(
+      Literal("h1"), XxHash64(Seq(s), 42L),
+      Literal("h2"), XxHash64(Seq(Literal(1L), s), 42L)))
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("rolling_hash",
@@ -66,7 +96,16 @@ object GraftExtensions {
           }
         }
         TopKByScore(args(0), args(1), k).toAggregateExpression()
-      })
+      }),
+    ("adc_score",
+      new ExpressionInfo(classOf[AdcScore].getName, "adc_score"),
+      (args: Seq[Expression]) => AdcScore(args(0), args(1))),
+    ("strip_markup",
+      new ExpressionInfo("graft.operators.TextAnalysis", "strip_markup"),
+      (args: Seq[Expression]) => stripMarkup(args.head)),
+    ("line_key128",
+      new ExpressionInfo("graft.functions.Fns", "line_key128"),
+      (args: Seq[Expression]) => lineKey128(args.head))
   )
 
   /** Idempotent runtime registration on an existing session. Skips names

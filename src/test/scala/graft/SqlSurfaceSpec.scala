@@ -75,6 +75,56 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(top == ((1L, Seq(11L, 12L))))
   }
 
+  test("adc_score SQL function matches the element_at fold and the kernel") {
+    Tables.tune(spark)
+    // lut: 2 subspaces × 3 slots; codes pick slot 2 then slot 0
+    val got = spark.sql(
+      """SELECT adc_score(array(2, 0),
+        |  array(array(1.0d, 2.0d, 3.0d), array(10.0d, 20.0d, 30.0d))) AS d""".stripMargin)
+      .as[Double].head()
+    assert(got == 13.0)
+    val viaChain = spark.sql(
+      """SELECT element_at(array(1.0d,2.0d,3.0d), 2+1)
+        |     + element_at(array(10.0d,20.0d,30.0d), 0+1) AS d""".stripMargin)
+      .as[Double].head()
+    assert(got == viaChain)
+  }
+
+  test("strip_markup SQL function equals the column API on real documents") {
+    Tables.tune(spark)
+    val html = Seq("<p>A &amp; B</p>  <div>c&nbsp;&lt;d&gt;</div>").toDF("t")
+    html.createOrReplaceTempView("html_docs")
+    val viaSql = spark.sql("SELECT strip_markup(t) AS s FROM html_docs").as[String].head()
+    assert(viaSql == "A & B c <d>")
+    val viaCol = html.select(
+      graft.operators.TextAnalysis.stripMarkup(col("t")).as("s")).as[String].head()
+    assert(viaSql == viaCol)
+  }
+
+  test("line_key128 SQL function reproduces line dedup's shuffle key") {
+    Tables.tune(spark)
+    val got = spark.sql(
+      "SELECT line_key128('hello').h1 AS h1, line_key128('hello').h2 AS h2")
+      .as[(Long, Long)].head()
+    val expect = spark.sql(
+      "SELECT xxhash64('hello') AS h1, xxhash64(1L, 'hello') AS h2")
+      .as[(Long, Long)].head()
+    assert(got == expect)
+  }
+
+  test("adc_score stays inside WholeStageCodegen on a real scan") {
+    Tables.tune(spark)
+    val lut = array(array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0)))
+    val plan = Tables.t(spark, sfDir, "documents")
+      .select(graft.functions.Fns.adcScore(
+        array((col("doc_id") % 2).cast("int"), lit(0)), lut).as("d"))
+      .queryExecution.executedPlan
+    val wscg = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wscg.nonEmpty, plan.toString)
+  }
+
   test("generator result matches the relational x1 formulation on real data") {
     // explode_session over per-user event groups ≡ the begin/hit/end shape
     val ev = Tables.t(spark, sfDir, "events")
