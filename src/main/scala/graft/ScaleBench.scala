@@ -33,6 +33,24 @@ object ScaleBench {
     def docs = Tables.t(spark, dir, "documents")
     def emb = Tables.t(spark, dir, "embeddings")
 
+    // Build-once IVF-PQ index, MATERIALIZED to parquet (the on-disk form
+    // a serving fleet loads; books/centroid table are driver-small and
+    // ride in the case class). First caller pays the build; the serve
+    // ops below then measure pure batch-serving cost against the coded
+    // corpus — which never re-reads raw vectors.
+    var ivfPqCache: Option[Ann.IvfPqIndex] = None
+    def materializedIvfPq(): Ann.IvfPqIndex = ivfPqCache.getOrElse {
+      val d = "/tmp/graft_ivfpq_index"
+      val idx = Ann.ivfPqBuild(emb, "vec_id", "embedding",
+        nLists = 64, m = 8, k = 16)
+      idx.encoded.write.mode("overwrite").parquet(s"$d/encoded")
+      idx.centroids.write.mode("overwrite").parquet(s"$d/centroids")
+      val served = Ann.IvfPqIndex(spark.read.parquet(s"$d/encoded"),
+        spark.read.parquet(s"$d/centroids"), idx.books, idx.k, idx.byResidual)
+      ivfPqCache = Some(served)
+      served
+    }
+
     val ops: Seq[(String, () => Long)] = Seq(
       // stop-shingle cap = the documented dial for duplication-adversarial
       // corpora (shingles in more docs than the cap are dropped from
@@ -108,7 +126,30 @@ object ScaleBench {
           "vec_id", "embedding", nLists = 64, nprobe = 8, m = 8, k = 16,
           topK = 10).count()),
       "temperature_mix_05" -> (() =>
-        Sampling.temperatureMix(docs, "doc_id", "source", tau = 0.5).count())
+        Sampling.temperatureMix(docs, "doc_id", "source", tau = 0.5).count()),
+      // ---- build/serve split: the numbers a deployment actually sees.
+      // `ivfpq_q100_top10` above pays TRAINING in-query (the oracle-
+      // harness shape); a 100 TB serving path builds the IvfPqIndex once,
+      // MATERIALIZES the coded corpus (parquet — the index persists like
+      // any FAISS index file; raw vectors are gone from the serving
+      // scan), and pays only nprobe-pruned ADC per query batch.
+      "ivfpq_build_materialize" -> (() => materializedIvfPq().encoded.count()),
+      "ivfpq_serve_q100_top10" -> (() =>
+        Ann.ivfPqSearch(materializedIvfPq(),
+          emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+          nprobe = 8, topK = 10).count()),
+      "ivfpq_serve_q1000_top10" -> (() =>
+        Ann.ivfPqSearch(materializedIvfPq(),
+          emb.filter(col("vec_id") < 1000), "vec_id", "embedding",
+          nprobe = 8, topK = 10).count()),
+      "pq_serve_flat_q100_top10" -> (() => {
+        // flat (unpruned) ADC over the SAME materialized codes — the
+        // serve-side contrast that isolates what nprobe pruning buys
+        val idx = materializedIvfPq()
+        Ann.pqAdcTopK(idx.encoded, idx.books, idx.k,
+          emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+          topK = 10).count()
+      })
     )
     val results = ops
       .filter { case (n, _) => only.isEmpty || only(n) }

@@ -444,6 +444,28 @@ object Ann {
     rankByAscDist(scored, topK)
   }
 
+  /** Flat-ADC serve over a PRE-ENCODED code table — the deepest point of
+    * the build/serve split: [[pqTopK]]'s serving overload still encodes
+    * the corpus per call, this one reads a MATERIALIZED (id, codes)
+    * relation (e.g. [[IvfPqIndex.encoded]] written to parquet) and pays
+    * only the LUT broadcast + ADC fold + bounded top-k per batch. The
+    * corpus-side scan is m bytes of codes per vector — no raw vectors
+    * anywhere in the serving plan.
+    */
+  def pqAdcTopK(encoded: DataFrame, books: Seq[Seq[(Int, Seq[Double])]],
+      k: Int, queries: DataFrame, idCol: String, vecCol: String,
+      topK: Int): DataFrame = {
+    val m = books.size
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val qLut = q.select(col("query_id"), pqLut(books, k, col("qv")).as("lut"))
+    val scored = encoded.select(col("id"), col("codes"))
+      .join(broadcast(qLut), col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        pqAdc(m).as("dist"))
+    rankByAscDist(scored, topK)
+  }
+
   /** Per-query ADC lookup table as a column: slot c of subspace s = exact
     * L2(q_sub, center_{s,c}) against the LITERAL center; codes never
     * reference a dropped cluster, so empty slots are +inf.

@@ -164,6 +164,28 @@ class Round9OpsSpec extends SparkSpec {
     assert(q.status == "corrupt" && q.err.contains("decode_failed") && q.thumb == null)
   }
 
+  test("pqAdcTopK over a materialized code table equals the encode-per-batch serve") {
+    import graft.operators.Ann
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val books = Ann.pqCodebooks(emb, "vec_id", "embedding", m = 8, k = 4)
+    val qIds = emb.select(col("vec_id")).filter(col("vec_id") < 5)
+    val want = Ann.pqTopK(emb, qIds, "vec_id", "embedding", books, 4, topK = 5)
+    // materialize codes to parquet — the serving fleet's on-disk index —
+    // and serve the same batch against the coded relation alone
+    val d = java.nio.file.Files.createTempDirectory("pq-idx").toString
+    Ann.pqEncode(emb, "vec_id", "embedding", books)
+      .write.mode("overwrite").parquet(d)
+    val enc = spark.read.parquet(d)
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Ann.pqAdcTopK(enc, books, 4, queries, "vec_id", "embedding", topK = 5)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // serving plan: no raw-vector column anywhere on the corpus side
+    got.count()
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "coded corpus must not shuffle — the query LUT side broadcasts")
+  }
+
   test("quantizeInt8 refuses non-embedding-shaped columns before the corpus pass") {
     import spark.implicits._
     import graft.operators.Ann
