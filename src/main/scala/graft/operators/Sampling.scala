@@ -94,11 +94,12 @@ object Sampling {
     val hist = withB.groupBy("__b").agg(count(lit(1)).as("__n")).collect()
       .map(r => (r.getInt(0), r.getAs[Long]("__n"))).sortBy(_._1)
     if (hist.isEmpty) return df.withColumn("pos", lit(null).cast("long"))
-    val offs = hist.map(_._1).zip(hist.map(_._2).scanLeft(0L)(_ + _).init)
-    val offCol = offs.tail.foldLeft(
-      when(col("__b") === lit(offs.head._1), lit(offs.head._2))) {
-      case (acc, (v, o)) => acc.when(col("__b") === lit(v), lit(o))
-    }
+    val offs = hist.map { case (b, _) => b.toLong }
+      .zip(hist.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    // bucket → exclusive-prefix-sum offset: O(1) codegen'd dense lookup
+    // (a 256-branch when-chain dominates Janino compile time on every job
+    // that re-plans this frame)
+    val offCol = Ranks.offsetLookup(col("__b"), offs)
     val wInBucket = Window.partitionBy("__b").orderBy(col("__hk"), col(keyCol))
     withB
       .withColumn("pos", offCol + row_number().over(wInBucket) - 1)

@@ -234,12 +234,10 @@ object ExtendedAnalytics {
     "opt_zorder_cluster" -> QuerySpec(
       (s, dir) => {
         val base = t(s, dir, "part").select("p_partkey", "p_size")
-        val bx = Ranks.quantileBucket(base, "p_partkey")
-        val by = Ranks.quantileBucket(base, "p_size")
-        val withX = Ranks.ntile(base, 256, Seq("p_partkey"), "tx",
-          bucketOf = Some(bx))
-        val withY = Ranks.ntile(withX, 256, Seq("p_size", "p_partkey"), "ty",
-          bucketOf = Some(by))
+        val Seq(bx, by) = Ranks.quantileBuckets(base, Seq("p_partkey", "p_size"))
+        val withY = Ranks.ntiles(base, Seq(
+          Ranks.NtileSpec(256, Seq("p_partkey"), "tx", Some(bx)),
+          Ranks.NtileSpec(256, Seq("p_size", "p_partkey"), "ty", Some(by))))
         val ranked = withY
           .withColumn("nx", col("tx") - 1).withColumn("ny", col("ty") - 1)
           .withColumn("zval", ZOrder.zValue2(col("nx"), col("ny"), 8))
