@@ -64,10 +64,25 @@ object Bench {
         w.join(w.groupBy("k").count(), "k").count()
         w.select(split(trim(lower(concat_ws(" ", col("k"), col("v")))), "\\s+")).count()
       }
+      // ImageIO codec init (registry scan + PNG/BMP reader+writer classes)
+      // is a one-time ~0.5 s cost that otherwise lands on the first
+      // executed-resize rep and reads as rep-spread noise
+      locally {
+        javax.imageio.ImageIO.setUseCache(false)
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (fmt <- Seq("png", "bmp")) {
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, out)
+          javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(out.toByteArray))
+        }
+      }
     }
+    val all = SparkEntry.queries ++ SparkEntry.benchQueries
     val selected =
-      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
-      else SparkEntry.queries
+      if (args.nonEmpty) all.view.filterKeys(args.toSet).toMap
+      else all
 
     def fmt(v: Double): String = f"$v%.3f"
     final case class QRes(name: String, runs: Seq[Double], err: Option[String]) {

@@ -41,4 +41,12 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     allSpecs.collect { case (k, QuerySpec(_, Some(sql))) => k -> sql }
+
+  /** Bench-only entries ([[graft.Bench]] runs `queries ++ benchQueries`):
+    * perf-tracked deployment shapes (e.g. serving against a pre-built
+    * index) that have no DuckDB-expressible oracle and therefore stay out
+    * of the Verify/correctness surface.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    BenchOnlyOps.specs
 }

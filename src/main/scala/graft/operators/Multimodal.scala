@@ -443,6 +443,282 @@ object Multimodal {
     m.array()
   }
 
+  /** MP4 fixture synthesis WITH real sample tables: `ftyp` + `moov(mvhd,
+    * trak(tkhd, mdia(minf(stbl(stsz, stsc, stco)))))` + `mdat`. Sample
+    * sizes are per-row data (genuinely non-uniform), samples pack into
+    * chunks of `samples_per_chunk` (last chunk may be partial — the ISO
+    * 14496-12 shape), and every chunk is preceded by a 4-byte pad inside
+    * `mdat` so chunk offsets are NOT inferable from contiguity — a demuxer
+    * must actually read `stco`. Sample `i`'s payload is `sample_sizes(i)`
+    * bytes of fill value `(fill_seed + 7·i) mod 256`.
+    */
+  case class Mp4SampleSpec(doc_id: Long, timescale: Int, duration_units: Long,
+      w: Int, h: Int, sample_sizes: Seq[Int], samples_per_chunk: Int,
+      fill_seed: Int)
+
+  def synthesizeMp4Samples(spark: SparkSession,
+      specs: Dataset[Mp4SampleSpec]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureMinParallelism(specs.toDF()).as[Mp4SampleSpec]
+      .mapPartitions { it =>
+        it.map { s =>
+          require(s.samples_per_chunk > 0 && s.sample_sizes.nonEmpty)
+          val ns = s.sample_sizes.size
+          val nc = (ns + s.samples_per_chunk - 1) / s.samples_per_chunk
+          val sumS = s.sample_sizes.sum
+          val stszSz = 20 + 4 * ns
+          val stscSz = 28
+          val stcoSz = 16 + 4 * nc
+          val stblSz = 8 + stszSz + stscSz + stcoSz
+          val minfSz = 8 + stblSz
+          val mdiaSz = 8 + minfSz
+          val trakSz = 8 + 92 + mdiaSz
+          val moovSz = 8 + 108 + trakSz
+          val mdatStart = 16 + moovSz
+          val mdatSz = 8 + 4 * nc + sumS
+          val bb = java.nio.ByteBuffer.allocate(mdatStart + mdatSz)
+          bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+          bb.putInt(moovSz).put("moov".getBytes)
+          bb.putInt(108).put("mvhd".getBytes)
+            .putInt(0).putInt(0).putInt(0)
+            .putInt(s.timescale).putInt(s.duration_units.toInt)
+            .putInt(0x00010000).putShort(0x0100.toShort)
+            .put(new Array[Byte](10)).put(identityMatrix)
+            .put(new Array[Byte](24)).putInt(2)
+          bb.putInt(trakSz).put("trak".getBytes)
+          bb.putInt(92).put("tkhd".getBytes)
+            .putInt(0).putInt(0).putInt(0).putInt(1).putInt(0)
+            .putInt(s.duration_units.toInt).put(new Array[Byte](8))
+            .putShort(0).putShort(0).putShort(0).putShort(0)
+            .put(identityMatrix).putInt(s.w << 16).putInt(s.h << 16)
+          bb.putInt(mdiaSz).put("mdia".getBytes)
+          bb.putInt(minfSz).put("minf".getBytes)
+          bb.putInt(stblSz).put("stbl".getBytes)
+          bb.putInt(stszSz).put("stsz".getBytes).putInt(0)
+            .putInt(0) // sample_size 0 => per-sample entries follow
+            .putInt(ns)
+          s.sample_sizes.foreach(bb.putInt)
+          bb.putInt(stscSz).put("stsc".getBytes).putInt(0)
+            .putInt(1).putInt(1).putInt(s.samples_per_chunk).putInt(1)
+          bb.putInt(stcoSz).put("stco".getBytes).putInt(0).putInt(nc)
+          // chunk j's first sample sits after the per-chunk 4-byte pad
+          var off = mdatStart + 8
+          var si = 0
+          for (j <- 0 until nc) {
+            off += 4
+            bb.putInt(off)
+            var k = 0
+            while (k < s.samples_per_chunk && si < ns) {
+              off += s.sample_sizes(si); si += 1; k += 1
+            }
+          }
+          bb.putInt(mdatSz).put("mdat".getBytes)
+          si = 0
+          for (j <- 0 until nc) {
+            bb.put("PAD_".getBytes)
+            var k = 0
+            while (k < s.samples_per_chunk && si < ns) {
+              val fill = ((s.fill_seed + 7 * si) % 256).toByte
+              val a = new Array[Byte](s.sample_sizes(si))
+              java.util.Arrays.fill(a, fill)
+              bb.put(a)
+              si += 1; k += 1
+            }
+          }
+          BinaryDoc(s.doc_id, bb.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** TRUE frame demux index: walk `moov/trak/mdia/minf/stbl` and expand
+    * the ISO 14496-12 sample tables — `stsz` (per-sample or fixed sizes),
+    * `stsc` (run-length sample→chunk map: each entry applies from its
+    * `first_chunk` until the next entry's), `stco` (chunk byte offsets) —
+    * into absolute per-sample (byte_offset, size). The first trak carrying
+    * a complete stbl wins (audio traks without one are skipped). Every
+    * failure is a STABLE reason string; a sample whose bytes overrun the
+    * payload (truncated `mdat`) is "truncated" — the index is only
+    * returned when every frame it promises is actually readable.
+    */
+  private[graft] def parseMp4SampleIndex(
+      b: Array[Byte]): Either[String, Array[(Long, Int)]] = {
+    // (tpe, bodyStart, end) for each box in [from, to); Left on malformed
+    def boxes(from: Int, to: Int): Either[String, Seq[(String, Int, Int)]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var o = from
+      while (o + 8 <= to) {
+        val size = be32(b, o)
+        if (size < 8) return Left("bad_box")
+        if (o + size > to) return Left("truncated")
+        out += ((tag4(b, o + 4), o + 8, (o + size).toInt))
+        o = (o + size).toInt
+      }
+      if (o != to) Left("truncated") else Right(out.toSeq)
+    }
+    def find(bs: Seq[(String, Int, Int)], tpe: String): Option[(Int, Int)] =
+      bs.collectFirst { case (t, s, e) if t == tpe => (s, e) }
+
+    // top-level walk stops at moov: mdat's declared size may legitimately
+    // overrun a truncated payload — the per-sample bounds check below owns
+    // that failure mode (and reports WHICH contract broke)
+    var moov: Option[(Int, Int)] = None
+    var o = 0
+    while (moov.isEmpty && o + 8 <= b.length) {
+      val size = be32(b, o)
+      if (size < 8) return Left("bad_box")
+      if (tag4(b, o + 4) == "moov") {
+        if (o + size > b.length) return Left("truncated")
+        moov = Some((o + 8, (o + size).toInt))
+      } else o += size.toInt
+    }
+    val (ms, me) = moov.getOrElse(return Left("no_moov"))
+
+    def u32(o: Int, end: Int): Either[String, Long] =
+      if (o + 4 > end) Left("truncated") else Right(be32(b, o))
+
+    def stblIndex(stS: Int, stE: Int): Either[String, Array[(Long, Int)]] = for {
+      bs <- boxes(stS, stE)
+      szB <- find(bs, "stsz").toRight("no_stsz")
+      scB <- find(bs, "stsc").toRight("no_stsc")
+      coB <- find(bs, "stco").toRight("no_stco")
+      sizes <- {
+        val (s0, e0) = szB
+        for {
+          fixed <- u32(s0 + 4, e0)
+          n <- u32(s0 + 8, e0)
+          out <-
+            if (n > (b.length.toLong max 4096L)) Left("bad_stsz")
+            else if (fixed > 0) Right(Array.fill(n.toInt)(fixed.toInt))
+            else if (s0 + 12 + 4 * n > e0) Left("truncated")
+            else Right(Array.tabulate(n.toInt)(i => be32(b, s0 + 12 + 4 * i).toInt))
+        } yield out
+      }
+      stsc <- {
+        val (s0, e0) = scB
+        u32(s0 + 4, e0).flatMap { n =>
+          if (s0 + 8 + 12 * n > e0) Left("truncated")
+          else {
+            val es = Array.tabulate(n.toInt) { i =>
+              (be32(b, s0 + 8 + 12 * i), be32(b, s0 + 8 + 12 * i + 4).toInt)
+            }
+            if (es.isEmpty || es.head._1 != 1L ||
+                es.map(_._1).sliding(2).exists(w => w.length == 2 && w(1) <= w(0)) ||
+                es.exists(_._2 <= 0)) Left("bad_stsc")
+            else Right(es)
+          }
+        }
+      }
+      stco <- {
+        val (s0, e0) = coB
+        u32(s0 + 4, e0).flatMap { n =>
+          if (s0 + 8 + 4 * n > e0) Left("truncated")
+          else Right(Array.tabulate(n.toInt)(i => be32(b, s0 + 8 + 4 * i)))
+        }
+      }
+      idx <- {
+        // expand: chunk c (1-based) takes the samples-per-chunk of the
+        // last stsc entry with first_chunk <= c; samples are assigned to
+        // chunks in order; within a chunk, offsets accumulate from stco(c)
+        val out = new Array[(Long, Int)](sizes.length)
+        var si = 0
+        var c = 0
+        var err: String = null
+        while (si < sizes.length && err == null) {
+          if (c >= stco.length) err = "bad_stco"
+          else {
+            val spc = stsc.takeWhile(_._1 <= c + 1).lastOption
+              .map(_._2).getOrElse(0)
+            if (spc <= 0) err = "bad_stsc"
+            else {
+              var off = stco(c)
+              var k = 0
+              while (k < spc && si < sizes.length && err == null) {
+                if (sizes(si) < 0 || off < 0 ||
+                    off + sizes(si) > b.length) err = "truncated"
+                else {
+                  out(si) = (off, sizes(si))
+                  off += sizes(si); si += 1
+                }
+                k += 1
+              }
+            }
+          }
+          c += 1
+        }
+        if (err != null) Left(err) else Right(out)
+      }
+    } yield idx
+
+    (for {
+      mbs <- boxes(ms, me)
+      traks = mbs.collect { case ("trak", s, e) => (s, e) }
+      _ <- if (traks.isEmpty) Left("no_trak") else Right(())
+      idx <- {
+        // first trak with a complete stbl wins; structural errors inside
+        // a trak that HAS one propagate (a video track with a broken
+        // sample table is corrupt, not skippable)
+        val candidates = traks.map { case (ts, te) =>
+          for {
+            tbs <- boxes(ts, te)
+            md <- find(tbs, "mdia").toRight("no_stbl")
+            mdbs <- boxes(md._1, md._2)
+            mi <- find(mdbs, "minf").toRight("no_stbl")
+            mibs <- boxes(mi._1, mi._2)
+            st <- find(mibs, "stbl").toRight("no_stbl")
+          } yield st
+        }
+        candidates.collectFirst {
+          case Right((s, e)) => stblIndex(s, e)
+          case Left(reason) if reason != "no_stbl" => Left(reason)
+        }.getOrElse(Left("no_stbl"))
+      }
+    } yield idx)
+  }
+
+  /** One demuxed frame. Quarantine docs (broken/truncated sample tables,
+    * truncated mdat) emit ONE row with `frame_idx` = -1, a stable reason
+    * in `err`, and zero geometry; payloads that are not MP4 at all are
+    * "unsupported". `frame_sum` is the unsigned byte sum of the frame's
+    * actual payload slice — reading it proves the demuxed offsets point
+    * at real bytes, not arithmetic.
+    */
+  case class FrameSample(doc_id: Long, frame_idx: Long, byte_offset: Long,
+      frame_bytes: Int, frame_sum: Long, status: String, err: Option[String])
+
+  /** TRUE frame sampling over MP4 payloads: demux the container's own
+    * sample tables ([[parseMp4SampleIndex]]) and emit every `stride`-th
+    * frame's (index, absolute byte offset, size, payload byte sum) —
+    * replacing [[sampleFrames]]' fixed-size-slice plumbing with the real
+    * per-sample geometry. Same quarantine mapPartitions tier as
+    * [[decodeMeta]]: no shuffle, skip-and-account, streaming-safe.
+    */
+  def frameIndex(spark: SparkSession, binDocs: DataFrame,
+      stride: Int): Dataset[FrameSample] = {
+    require(stride > 0, s"bad stride $stride")
+    import spark.implicits._
+    val base =
+      if (binDocs.isStreaming) binDocs
+      else graft.Tables.ensureMinParallelism(binDocs)
+    base.as[BinaryDoc].mapPartitions { it =>
+      it.flatMap { d =>
+        if (!mp4Claims(d.payload))
+          Iterator.single(FrameSample(d.doc_id, -1L, 0L, 0, 0L, "unsupported", None))
+        else parseMp4SampleIndex(d.payload) match {
+          case Left(reason) =>
+            Iterator.single(FrameSample(d.doc_id, -1L, 0L, 0, 0L, "corrupt", Some(reason)))
+          case Right(idx) =>
+            (0 until idx.length by stride).iterator.map { i =>
+              val (off, sz) = idx(i)
+              var sum = 0L
+              var k = 0
+              while (k < sz) { sum += (d.payload(off.toInt + k) & 0xff); k += 1 }
+              FrameSample(d.doc_id, i.toLong, off, sz, sum, "ok", None)
+            }
+        }
+      }
+    }
+  }
+
   /** REAL (non-stub) feature extraction over raw media bytes: a `bins`-bin
     * byte-value histogram per payload — the kind of cheap content feature
     * (entropy proxies, format fingerprints, corruption detection) a media
@@ -493,6 +769,16 @@ object Multimodal {
     */
   case class PatternImageSpec(doc_id: Long, w: Int, h: Int, shade: Int)
 
+  private def patternRaster(w: Int, h: Int, shade: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 13 + shade) % 256
+      img.setRGB(x, y, v * 0x010101)
+    }
+    img
+  }
+
   def synthesizePatternImages(spark: SparkSession,
       specs: Dataset[PatternImageSpec]): DataFrame = {
     import spark.implicits._
@@ -500,14 +786,34 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { s =>
-          val img = new java.awt.image.BufferedImage(
-            s.w, s.h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          for (y <- 0 until s.h; x <- 0 until s.w) {
-            val v = (x * 7 + y * 13 + s.shade) % 256
-            img.setRGB(x, y, v * 0x010101)
-          }
           val out = new java.io.ByteArrayOutputStream()
-          require(javax.imageio.ImageIO.write(img, "png", out), "no png writer")
+          require(javax.imageio.ImageIO.write(patternRaster(s.w, s.h, s.shade),
+            "png", out), "no png writer")
+          BinaryDoc(s.doc_id, out.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Format-parameterized pattern fixtures: same raster arithmetic as
+    * [[synthesizePatternImages]], but the container codec is per-row
+    * (`fmt` = any lossless ImageIO writer name — "png", "bmp") so the
+    * EXECUTED resize tier's oracle can cover more than one real decode
+    * path. Lossy formats (jpeg) would break pixel-exactness — callers
+    * that need them go through [[synthesizeImages]]' solid fills instead.
+    */
+  case class PatternImageFmtSpec(doc_id: Long, w: Int, h: Int, shade: Int,
+      fmt: String)
+
+  def synthesizePatternImagesFmt(spark: SparkSession,
+      specs: Dataset[PatternImageFmtSpec]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureMinParallelism(specs.toDF()).as[PatternImageFmtSpec]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { s =>
+          val out = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(patternRaster(s.w, s.h, s.shade),
+            s.fmt, out), s"no ImageIO writer for format ${s.fmt}")
           BinaryDoc(s.doc_id, out.toByteArray)
         }
       }.toDF("doc_id", "payload")
@@ -603,12 +909,12 @@ object Multimodal {
     }
   }
 
-  /** Frame-sampling PLUMBING for video-like payloads: every `stride`-th
-    * frame boundary as (doc_id, frame_idx, byte_offset, frame_bytes).
-    * Deterministic arithmetic over the (stubbed) container geometry —
-    * a real demuxer would read the frame index instead; the partition
-    * shape (pure projection + generator, no shuffle) is what survives the
-    * swap. Frames are fixed-size `frameBytes` slices here.
+  /** Fixed-stride frame-boundary sampling for payloads with NO container
+    * index (raw/unknown byte streams): every `stride`-th `frameBytes`
+    * slice as (doc_id, frame_idx, byte_offset, frame). For real MP4
+    * payloads use [[frameIndex]], which demuxes the container's own
+    * stsz/stsc/stco sample tables into exact per-frame geometry — this
+    * fixed-size variant is the fallback when there is no index to read.
     */
   def sampleFrames(binDocs: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     require(frameBytes > 0 && stride > 0)

@@ -982,6 +982,148 @@ object TrainingDataOps {
         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
     ),
 
+    // ---- TRUE MP4 frame demux: stbl/stsz/stsc/stco sample tables -------
+    // Fixtures carry REAL sample tables with non-uniform per-sample sizes
+    // (stsz entries), 3-samples-per-chunk packing (stsc), and chunk
+    // offsets (stco) that are NOT contiguity-inferable (a 4-byte pad
+    // precedes every chunk inside mdat). The demuxer must expand the
+    // tables into absolute (offset, size) per frame and READ the bytes —
+    // frame_sum is the unsigned byte sum of the actual slice, which only
+    // matches the oracle's fill arithmetic if every offset is exact.
+    // Layout arithmetic (fixed v0 boxes): data region starts at
+    // 328 + 4·ns + 4·nc; sample i sits 4·(i div 3 + 1) pad bytes plus the
+    // cumulative size of all prior samples past that. Every 9th doc cut
+    // mid-moov and every (9k+7)th cut mid-mdat -> quarantine 'truncated'
+    // (the second class proves index-vs-payload bounds are enforced, not
+    // just box-walk bounds).
+    "mm_frame_index" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val ns = (lit(4) + col("doc_id") % 9).cast("int")
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          lit(600).as("timescale"),
+          lit(1000L).as("duration_units"),
+          lit(64).as("w"), lit(48).as("h"),
+          transform(sequence(lit(0), ns - 1),
+            i => (lit(8) + (col("doc_id") * 5 + i * 3) % 9).cast("int"))
+            .as("sample_sizes"),
+          lit(3).as("samples_per_chunk"),
+          (col("doc_id") * 13 % 256).cast("int").as("fill_seed")
+        ).as[Multimodal.Mp4SampleSpec]
+        // class 7: ns=11, nc=4 -> mdat data starts at 388; cut at 392 =
+        // exactly the first sample's offset, so the index parses but its
+        // first promised frame overruns the payload
+        val bin = Multimodal.synthesizeMp4Samples(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 9 === 4, col("payload").substr(1, 60))
+              .when(col("doc_id") % 9 === 7, col("payload").substr(1, 392))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.frameIndex(s, bin, stride = 2).toDF()
+          .orderBy("doc_id", "frame_idx")
+      },
+      """WITH p AS (
+        |  SELECT doc_id, 4 + doc_id % 9 AS ns,
+        |    (4 + doc_id % 9 + 2) // 3 AS nc,
+        |    doc_id % 9 IN (4, 7) AS bad
+        |  FROM documents),
+        |sam AS (
+        |  SELECT doc_id, ns, nc, unnest(range(0, ns)) AS i
+        |  FROM p WHERE NOT bad),
+        |sz AS (
+        |  SELECT doc_id, ns, nc, i,
+        |    8 + (doc_id*5 + i*3) % 9 AS s,
+        |    sum(8 + (doc_id*5 + i*3) % 9) OVER
+        |      (PARTITION BY doc_id ORDER BY i
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum
+        |  FROM sam),
+        |ok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |    CAST(328 + 4*ns + 4*nc + 4*(i//3 + 1) + coalesce(cum, 0) AS BIGINT)
+        |      AS byte_offset,
+        |    CAST(s AS INTEGER) AS frame_bytes,
+        |    CAST(s * ((doc_id*13 + 7*i) % 256) AS BIGINT) AS frame_sum,
+        |    'ok' AS status, CAST(NULL AS VARCHAR) AS err
+        |  FROM sz WHERE i % 2 = 0),
+        |bd AS (
+        |  SELECT doc_id, CAST(-1 AS BIGINT) AS frame_idx,
+        |    CAST(0 AS BIGINT) AS byte_offset, CAST(0 AS INTEGER) AS frame_bytes,
+        |    CAST(0 AS BIGINT) AS frame_sum, 'corrupt' AS status,
+        |    'truncated' AS err
+        |  FROM p WHERE bad)
+        |SELECT * FROM ok UNION ALL SELECT * FROM bd
+        |ORDER BY doc_id, frame_idx""".stripMargin
+    ),
+
+    // ---- EXECUTED resize, second codec + full status fan-out -----------
+    // Same pattern arithmetic as mm_resize_exec, but the container cycles
+    // per doc: PNG, BMP (both lossless, both real JDK ImageIO decode
+    // paths), a text payload no installed reader claims ('unsupported'),
+    // and a BMP cut to 20 bytes (the reader claims the 'BM' magic, pixel
+    // decode fails -> 'corrupt'). Pins that the executed-pixels tier is
+    // codec-agnostic and that all three non-ok channels stay distinct.
+    "mm_resize_codecs" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (lit(20) + col("doc_id") % 40).cast("int").as("w"),
+          (lit(16) + col("doc_id") % 24).cast("int").as("h"),
+          ((col("doc_id") * 31) % 256).cast("int").as("shade"),
+          when(col("doc_id") % 4 === 0, "png").otherwise("bmp").as("fmt")
+        ).as[Multimodal.PatternImageFmtSpec]
+        val cls = col("doc_id") % 4
+        val bin = Multimodal.synthesizePatternImagesFmt(s, specs)
+          .select(col("doc_id"),
+            when(cls === 2, concat(lit("unsupported payload #"),
+              col("doc_id").cast("string")).cast("binary"))
+              .when(cls === 3, col("payload").substr(1, 20))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.resizeExec(s, bin, 32, 24).toDF()
+          .select(col("doc_id"), col("status"), col("err"),
+            col("in_w"), col("in_h"), col("out_w"), col("out_h"),
+            col("n_px"), col("sum_gray"), col("min_gray"), col("max_gray"),
+            col("checksum"))
+          .orderBy("doc_id")
+      },
+      """WITH s AS (
+        |  SELECT doc_id, 20 + doc_id % 40 AS w, 16 + doc_id % 24 AS h,
+        |    (doc_id * 31) % 256 AS shade, doc_id % 4 AS cls
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, w, h, shade, cls,
+        |    CAST(greatest(floor(w * least(32.0/w, 24.0/h, 1.0)), 1) AS INTEGER) AS out_w,
+        |    CAST(greatest(floor(h * least(32.0/w, 24.0/h, 1.0)), 1) AS INTEGER) AS out_h
+        |  FROM s),
+        |py AS (SELECT *, unnest(range(0, out_h)) AS oy FROM d WHERE cls IN (0, 1)),
+        |px AS (SELECT *, unnest(range(0, out_w)) AS ox FROM py),
+        |v AS (
+        |  SELECT doc_id, w, h, out_w, out_h, oy, ox,
+        |    ((ox * w // out_w) * 7 + (oy * h // out_h) * 13 + shade) % 256 AS gray
+        |  FROM px),
+        |ok AS (
+        |  SELECT doc_id, 'ok' AS status, CAST(NULL AS VARCHAR) AS err,
+        |    CAST(max(w) AS INTEGER) AS in_w, CAST(max(h) AS INTEGER) AS in_h,
+        |    max(out_w) AS out_w, max(out_h) AS out_h,
+        |    count(*) AS n_px,
+        |    CAST(sum(gray) AS BIGINT) AS sum_gray,
+        |    CAST(min(gray) AS INTEGER) AS min_gray,
+        |    CAST(max(gray) AS INTEGER) AS max_gray,
+        |    CAST(sum((gray + 1) * (oy * out_w + ox + 1)) AS BIGINT) AS checksum
+        |  FROM v GROUP BY doc_id),
+        |bd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN cls = 2 THEN 'unsupported' ELSE 'corrupt' END AS status,
+        |    CASE WHEN cls = 3 THEN 'decode_failed' ELSE NULL END AS err,
+        |    CAST(0 AS INTEGER) AS in_w, CAST(0 AS INTEGER) AS in_h,
+        |    CAST(0 AS INTEGER) AS out_w, CAST(0 AS INTEGER) AS out_h,
+        |    CAST(0 AS BIGINT) AS n_px, CAST(0 AS BIGINT) AS sum_gray,
+        |    CAST(0 AS INTEGER) AS min_gray, CAST(0 AS INTEGER) AS max_gray,
+        |    CAST(0 AS BIGINT) AS checksum
+        |  FROM d WHERE cls IN (2, 3))
+        |SELECT * FROM ok UNION ALL SELECT * FROM bd ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- native identity resolution (connected components) ------------
     "id_resolution_cc" -> QuerySpec(
       (s, dir) => {

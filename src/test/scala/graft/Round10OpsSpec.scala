@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Round-10 operator specs: TRUE MP4 frame demux (stsz/stsc/stco) and the
+  * second-codec executed-resize path.
+  */
+class Round10OpsSpec extends SparkSpec {
+
+  private def specDs(sizes: Seq[Int], spc: Int, seed: Int) = {
+    import spark.implicits._
+    Seq(Multimodal.Mp4SampleSpec(1L, 600, 1200L, 64, 48, sizes, spc, seed)).toDS()
+  }
+
+  test("frameIndex recovers exact per-sample offsets, sizes, and byte sums") {
+    val sizes = Seq(9, 12, 8, 15, 10, 11, 13) // non-uniform, 7 samples, spc 3
+    val bin = Multimodal.synthesizeMp4Samples(spark, specDs(sizes, 3, 50))
+    val rows = Multimodal.frameIndex(spark, bin, stride = 1)
+      .orderBy("frame_idx").collect()
+    assert(rows.forall(_.status == "ok") && rows.length == 7)
+    // layout arithmetic: ns=7, nc=3; data region at 328+28+12=368;
+    // sample i offset = 368 + 4*(i/3+1) + cumsum(sizes)
+    var cum = 0
+    for ((r, i) <- rows.zipWithIndex) {
+      val expOff = 368 + 4 * (i / 3 + 1) + cum
+      assert(r.byte_offset == expOff, s"frame $i offset ${r.byte_offset} != $expOff")
+      assert(r.frame_bytes == sizes(i))
+      assert(r.frame_sum == sizes(i).toLong * ((50 + 7 * i) % 256))
+      cum += sizes(i)
+    }
+  }
+
+  test("frameIndex stride emits every k-th frame only") {
+    val bin = Multimodal.synthesizeMp4Samples(spark, specDs(Seq(8, 8, 8, 8, 8, 8), 2, 0))
+    val idx = Multimodal.frameIndex(spark, bin, stride = 3)
+      .collect().map(_.frame_idx).sorted
+    assert(idx.toSeq == Seq(0L, 3L))
+  }
+
+  test("parseMp4SampleIndex expands multi-entry stsc runs correctly") {
+    // hand-build an stbl whose stsc has TWO entries: chunks 1-2 carry 2
+    // samples each, chunk 3+ carries 1 — 5 samples over 3 chunks
+    val sizes = Seq(10, 11, 12, 13, 14)
+    val stco = Seq(1000, 2000, 3000)
+    val stszSz = 20 + 4 * sizes.size
+    val stscSz = 16 + 12 * 2
+    val stcoSz = 16 + 4 * stco.size
+    val stblSz = 8 + stszSz + stscSz + stcoSz
+    // minimal mp4: ftyp + moov(trak(mdia(minf(stbl)))) — no mvhd/tkhd
+    // needed, the index walker only follows the stbl path; trailing slack
+    // bytes keep the stco offsets in-bounds for the payload-length check
+    val trakSz = 8 + (8 + (8 + stblSz))
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + trakSz + 5000)
+    bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    bb.putInt(8 + trakSz).put("moov".getBytes)
+    bb.putInt(trakSz).put("trak".getBytes)
+    bb.putInt(8 + (8 + stblSz)).put("mdia".getBytes)
+    bb.putInt(8 + stblSz).put("minf".getBytes)
+    bb.putInt(stblSz).put("stbl".getBytes)
+    bb.putInt(stszSz).put("stsz".getBytes).putInt(0).putInt(0).putInt(sizes.size)
+    sizes.foreach(bb.putInt)
+    bb.putInt(stscSz).put("stsc".getBytes).putInt(0).putInt(2)
+      .putInt(1).putInt(2).putInt(1) // chunks 1-2: 2 samples each
+      .putInt(3).putInt(1).putInt(1) // chunk 3+: 1 sample
+    bb.putInt(stcoSz).put("stco".getBytes).putInt(0).putInt(stco.size)
+    stco.foreach(bb.putInt)
+    val idx = Multimodal.parseMp4SampleIndex(bb.array()).toOption.get
+    assert(idx.toSeq == Seq(
+      (1000L, 10), (1010L, 11), // chunk 1
+      (2000L, 12), (2012L, 13), // chunk 2
+      (3000L, 14)))             // chunk 3
+  }
+
+  test("parseMp4SampleIndex handles fixed-size stsz (sample_size > 0)") {
+    val bin = Multimodal.synthesizeMp4Samples(spark, specDs(Seq(6, 6, 6, 6), 4, 9))
+      .collect().head.getAs[Array[Byte]]("payload")
+    // rewrite stsz to the fixed-size form in place: find "stsz", set
+    // sample_size=6, count=4, and blank the per-entry area is NOT needed —
+    // fixed-size readers must ignore it
+    val pos = (0 until bin.length - 4).find(i =>
+      bin(i) == 's' && bin(i + 1) == 't' && bin(i + 2) == 's' && bin(i + 3) == 'z').get
+    val bb = java.nio.ByteBuffer.wrap(bin)
+    bb.putInt(pos + 8, 6) // sample_size
+    val idx = Multimodal.parseMp4SampleIndex(bin).toOption.get
+    assert(idx.length == 4 && idx.forall(_._2 == 6))
+  }
+
+  test("frameIndex quarantines mid-moov and mid-mdat truncation distinctly from ok") {
+    import spark.implicits._
+    val specs = Seq(
+      Multimodal.Mp4SampleSpec(1L, 600, 100L, 8, 8, Seq(10, 10, 10), 3, 1),
+      Multimodal.Mp4SampleSpec(2L, 600, 100L, 8, 8, Seq(10, 10, 10), 3, 1),
+      Multimodal.Mp4SampleSpec(3L, 600, 100L, 8, 8, Seq(10, 10, 10), 3, 1)).toDS()
+    val bin = Multimodal.synthesizeMp4Samples(spark, specs)
+      .select(col("doc_id"),
+        when(col("doc_id") === 2, col("payload").substr(1, 60))   // mid-moov
+          .when(col("doc_id") === 3, col("payload").substr(1, 345)) // mid-mdat
+          .otherwise(col("payload")).as("payload"))
+    val out = Multimodal.frameIndex(spark, bin, stride = 1).collect()
+      .groupBy(_.doc_id)
+    assert(out(1L).forall(_.status == "ok") && out(1L).length == 3)
+    for (d <- Seq(2L, 3L)) {
+      assert(out(d).length == 1 && out(d).head.status == "corrupt" &&
+        out(d).head.err.contains("truncated"), s"doc $d: ${out(d).toSeq}")
+    }
+    // a non-mp4 payload is unsupported, not corrupt
+    val alien = Seq((9L, "plain text".getBytes)).toDF("doc_id", "payload")
+    val a = Multimodal.frameIndex(spark, alien, 1).collect().head
+    assert(a.status == "unsupported" && a.err.isEmpty)
+  }
+
+  test("legacy headers-only mp4 (no stbl) is quarantined as no_stbl") {
+    import spark.implicits._
+    val bin = Multimodal.synthesizeMp4(spark,
+      Seq(Multimodal.Mp4Spec(1L, 600, 100L, 8, 8)).toDS())
+    val r = Multimodal.frameIndex(spark, bin, 1).collect().head
+    assert(r.status == "corrupt" && r.err.contains("no_stbl"))
+  }
+
+  test("resizeExec decodes BMP pattern fixtures pixel-exactly") {
+    import spark.implicits._
+    val specs = Seq(
+      Multimodal.PatternImageFmtSpec(1L, 48, 32, 10, "bmp"),
+      Multimodal.PatternImageFmtSpec(2L, 48, 32, 10, "png")).toDS()
+    val bin = Multimodal.synthesizePatternImagesFmt(spark, specs)
+    val out = Multimodal.resizeExec(spark, bin, 16, 16).collect()
+      .map(r => (r.doc_id, (r.out_w, r.out_h, r.sum_gray, r.checksum))).toMap
+    // the same raster through two lossless codecs must yield identical
+    // resampled stats
+    assert(out(1L) == out(2L))
+    assert(out(1L)._1 == 16)
+  }
+
+  test("truncated BMP is corrupt; text payload is unsupported") {
+    import spark.implicits._
+    val specs = Seq(Multimodal.PatternImageFmtSpec(1L, 32, 32, 0, "bmp")).toDS()
+    val cut = Multimodal.synthesizePatternImagesFmt(spark, specs)
+      .select(col("doc_id"), col("payload").substr(1, 20).as("payload"))
+    val c = Multimodal.resizeExec(spark, cut, 16, 16).collect().head
+    assert(c.status == "corrupt" && c.err.contains("decode_failed"))
+    val txt = Seq((2L, "not an image at all".getBytes)).toDF("doc_id", "payload")
+    val u = Multimodal.resizeExec(spark, txt, 16, 16).collect().head
+    assert(u.status == "unsupported")
+  }
+}

@@ -236,6 +236,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming EXECUTED resize quarantines a corrupt payload mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val good = {
+      val out = new java.io.ByteArrayOutputStream()
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x7f7f7f)
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val mem = MemoryStream[Multimodal.BinaryDoc]
+    val out = Multimodal.resizeExec(spark, mem.toDF(), 4, 4)
+    val q = out.writeStream.format("memory").queryName("resize_exec_stream")
+      .outputMode("append").start()
+    mem.addData(Multimodal.BinaryDoc(1L, good))
+    q.processAllAvailable()
+    // mid-stream corrupt payload (IHDR-only PNG): the executed-pixels
+    // tier must quarantine and keep the query alive for the next batch
+    mem.addData(Multimodal.BinaryDoc(2L, good.take(33)))
+    q.processAllAvailable()
+    mem.addData(Multimodal.BinaryDoc(3L, good))
+    q.processAllAvailable()
+    val rows = spark.table("resize_exec_stream").orderBy("doc_id")
+      .select("doc_id", "status", "out_w", "out_h").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(rows == Seq((1L, "ok", 4, 3), (2L, "corrupt", 0, 0), (3L, "ok", 4, 3)))
+    q.stop()
+  }
+
   test("piecesToIds broadcast tier streams: ids identical to batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
