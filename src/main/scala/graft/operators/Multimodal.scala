@@ -444,17 +444,25 @@ object Multimodal {
   }
 
   /** MP4 fixture synthesis WITH real sample tables: `ftyp` + `moov(mvhd,
-    * trak(tkhd, mdia(minf(stbl(stsz, stsc, stco)))))` + `mdat`. Sample
-    * sizes are per-row data (genuinely non-uniform), samples pack into
-    * chunks of `samples_per_chunk` (last chunk may be partial — the ISO
-    * 14496-12 shape), and every chunk is preceded by a 4-byte pad inside
-    * `mdat` so chunk offsets are NOT inferable from contiguity — a demuxer
-    * must actually read `stco`. Sample `i`'s payload is `sample_sizes(i)`
-    * bytes of fill value `(fill_seed + 7·i) mod 256`.
+    * trak(tkhd, mdia(mdhd, minf(stbl(stsz, stsc, stco, stts,
+    * stss)))))` + `mdat`. Sample sizes are per-row data (genuinely
+    * non-uniform), samples pack into chunks of `samples_per_chunk` (last
+    * chunk may be partial — the ISO 14496-12 shape), and every chunk is
+    * preceded by a 4-byte pad inside `mdat` so chunk offsets are NOT
+    * inferable from contiguity — a demuxer must actually read `stco`.
+    * Sample `i`'s payload is `sample_sizes(i)` bytes of fill value
+    * `(fill_seed + 7·i) mod 256`.
+    *
+    * Timing/sync tables: `mdhd` carries `media_timescale`; `stts` writes
+    * TWO runs — the first `ceil(ns/2)` samples at `delta_a` units, the
+    * rest at `delta_b` (a run-length table a demuxer must actually
+    * expand); `stss` marks every 4th sample (1, 5, 9, …) as a sync
+    * sample.
     */
   case class Mp4SampleSpec(doc_id: Long, timescale: Int, duration_units: Long,
       w: Int, h: Int, sample_sizes: Seq[Int], samples_per_chunk: Int,
-      fill_seed: Int)
+      fill_seed: Int, media_timescale: Int = 1000, delta_a: Int = 40,
+      delta_b: Int = 80)
 
   def synthesizeMp4Samples(spark: SparkSession,
       specs: Dataset[Mp4SampleSpec]): DataFrame = {
@@ -465,13 +473,17 @@ object Multimodal {
           require(s.samples_per_chunk > 0 && s.sample_sizes.nonEmpty)
           val ns = s.sample_sizes.size
           val nc = (ns + s.samples_per_chunk - 1) / s.samples_per_chunk
+          val nk = (ns + 3) / 4 // stss: samples 1, 5, 9, … (1-based)
+          val h = (ns + 1) / 2  // stts run split
           val sumS = s.sample_sizes.sum
           val stszSz = 20 + 4 * ns
           val stscSz = 28
           val stcoSz = 16 + 4 * nc
-          val stblSz = 8 + stszSz + stscSz + stcoSz
+          val sttsSz = 16 + 8 * 2
+          val stssSz = 16 + 4 * nk
+          val stblSz = 8 + stszSz + stscSz + stcoSz + sttsSz + stssSz
           val minfSz = 8 + stblSz
-          val mdiaSz = 8 + minfSz
+          val mdiaSz = 8 + 32 + minfSz // mdhd v0 = 32 bytes
           val trakSz = 8 + 92 + mdiaSz
           val moovSz = 8 + 108 + trakSz
           val mdatStart = 16 + moovSz
@@ -492,6 +504,13 @@ object Multimodal {
             .putShort(0).putShort(0).putShort(0).putShort(0)
             .put(identityMatrix).putInt(s.w << 16).putInt(s.h << 16)
           bb.putInt(mdiaSz).put("mdia".getBytes)
+          bb.putInt(32).put("mdhd".getBytes)
+            .putInt(0)                    // version+flags
+            .putInt(0).putInt(0)          // creation, modification
+            .putInt(s.media_timescale)
+            .putInt(0)                    // duration (unused by demux)
+            .putShort(0x55c4.toShort)     // language "und"
+            .putShort(0)                  // pre_defined
           bb.putInt(minfSz).put("minf".getBytes)
           bb.putInt(stblSz).put("stbl".getBytes)
           bb.putInt(stszSz).put("stsz".getBytes).putInt(0)
@@ -500,6 +519,11 @@ object Multimodal {
           s.sample_sizes.foreach(bb.putInt)
           bb.putInt(stscSz).put("stsc".getBytes).putInt(0)
             .putInt(1).putInt(1).putInt(s.samples_per_chunk).putInt(1)
+          bb.putInt(sttsSz).put("stts".getBytes).putInt(0).putInt(2)
+            .putInt(h).putInt(s.delta_a)
+            .putInt(ns - h).putInt(s.delta_b)
+          bb.putInt(stssSz).put("stss".getBytes).putInt(0).putInt(nk)
+          for (k <- 0 until nk) bb.putInt(1 + 4 * k)
           bb.putInt(stcoSz).put("stco".getBytes).putInt(0).putInt(nc)
           // chunk j's first sample sits after the per-chunk 4-byte pad
           var off = mdatStart + 8
@@ -530,18 +554,28 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** One demuxed sample's geometry + timing: absolute byte offset, size,
+    * decode timestamp in ms (-1 when the container carries no stts/mdhd),
+    * and sync-sample (keyframe) flag (absent stss = every sample is sync,
+    * per ISO 14496-12 §8.6.2).
+    */
+  private[graft] case class Mp4Sample(offset: Long, size: Int, ptsMs: Long,
+      sync: Boolean)
+
   /** TRUE frame demux index: walk `moov/trak/mdia/minf/stbl` and expand
     * the ISO 14496-12 sample tables — `stsz` (per-sample or fixed sizes),
     * `stsc` (run-length sample→chunk map: each entry applies from its
-    * `first_chunk` until the next entry's), `stco` (chunk byte offsets) —
-    * into absolute per-sample (byte_offset, size). The first trak carrying
-    * a complete stbl wins (audio traks without one are skipped). Every
+    * `first_chunk` until the next entry's), `stco`/`co64` (32/64-bit
+    * chunk offsets), `stts` (run-length decode deltas, converted to ms
+    * via the `mdhd` media timescale), `stss` (sync-sample numbers) —
+    * into absolute per-sample [[Mp4Sample]]s. The first trak carrying a
+    * complete stbl wins (audio traks without one are skipped). Every
     * failure is a STABLE reason string; a sample whose bytes overrun the
     * payload (truncated `mdat`) is "truncated" — the index is only
     * returned when every frame it promises is actually readable.
     */
   private[graft] def parseMp4SampleIndex(
-      b: Array[Byte]): Either[String, Array[(Long, Int)]] = {
+      b: Array[Byte]): Either[String, Array[Mp4Sample]] = {
     // (tpe, bodyStart, end) for each box in [from, to); Left on malformed
     def boxes(from: Int, to: Int): Either[String, Seq[(String, Int, Int)]] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
@@ -576,11 +610,16 @@ object Multimodal {
     def u32(o: Int, end: Int): Either[String, Long] =
       if (o + 4 > end) Left("truncated") else Right(be32(b, o))
 
-    def stblIndex(stS: Int, stE: Int): Either[String, Array[(Long, Int)]] = for {
+    // mediaTimescale: from the trak's mdhd (v0 offset 12, v1 offset 20),
+    // or -1 when absent/unreadable — pts then reports as -1, not an error
+    // (geometry-only containers are still demuxable)
+    def stblIndex(stS: Int, stE: Int,
+        mediaTimescale: Long): Either[String, Array[Mp4Sample]] = for {
       bs <- boxes(stS, stE)
       szB <- find(bs, "stsz").toRight("no_stsz")
       scB <- find(bs, "stsc").toRight("no_stsc")
-      coB <- find(bs, "stco").toRight("no_stco")
+      coB <- find(bs, "stco").map((_, false))
+        .orElse(find(bs, "co64").map((_, true))).toRight("no_stco")
       sizes <- {
         val (s0, e0) = szB
         for {
@@ -609,17 +648,60 @@ object Multimodal {
         }
       }
       stco <- {
-        val (s0, e0) = coB
+        val ((s0, e0), wide) = coB
+        val w = if (wide) 8 else 4
         u32(s0 + 4, e0).flatMap { n =>
-          if (s0 + 8 + 4 * n > e0) Left("truncated")
-          else Right(Array.tabulate(n.toInt)(i => be32(b, s0 + 8 + 4 * i)))
+          if (s0 + 8 + w * n > e0) Left("truncated")
+          else Right(Array.tabulate(n.toInt)(i =>
+            if (wide) be64(b, s0 + 8 + 8 * i) else be32(b, s0 + 8 + 4 * i)))
         }
+      }
+      // stts -> per-sample decode time in MEDIA timescale units, or null
+      // when the box (or mdhd) is absent; zero-count runs are skipped
+      pts <- find(bs, "stts") match {
+        case None => Right(null: Array[Long])
+        case Some((s0, e0)) =>
+          u32(s0 + 4, e0).flatMap { n =>
+            if (s0 + 8 + 8 * n > e0) Left("truncated")
+            else {
+              val out = new Array[Long](sizes.length)
+              var si = 0
+              var t = 0L
+              var bad = false
+              for (i <- 0 until n.toInt if !bad) {
+                val cnt = be32(b, s0 + 8 + 8 * i)
+                val delta = be32(b, s0 + 8 + 8 * i + 4)
+                var k = 0L
+                while (k < cnt && si < sizes.length) {
+                  out(si) = t; t += delta; si += 1; k += 1
+                }
+                if (k < cnt) bad = true // run overruns the sample count
+              }
+              if (bad || si != sizes.length) Left("bad_stts") else Right(out)
+            }
+          }
+      }
+      // stss -> 1-based sync sample numbers; absent = ALL samples sync
+      sync <- find(bs, "stss") match {
+        case None => Right(null: Array[Long])
+        case Some((s0, e0)) =>
+          u32(s0 + 4, e0).flatMap { n =>
+            if (s0 + 8 + 4 * n > e0) Left("truncated")
+            else {
+              val es = Array.tabulate(n.toInt)(i => be32(b, s0 + 8 + 4 * i))
+              if (es.exists(x => x < 1 || x > sizes.length)) Left("bad_stss")
+              else Right(es)
+            }
+          }
       }
       idx <- {
         // expand: chunk c (1-based) takes the samples-per-chunk of the
         // last stsc entry with first_chunk <= c; samples are assigned to
         // chunks in order; within a chunk, offsets accumulate from stco(c)
-        val out = new Array[(Long, Int)](sizes.length)
+        val syncSet: java.util.HashSet[Long] =
+          if (sync == null) null
+          else { val s = new java.util.HashSet[Long](); sync.foreach(s.add); s }
+        val out = new Array[Mp4Sample](sizes.length)
         var si = 0
         var c = 0
         var err: String = null
@@ -636,7 +718,12 @@ object Multimodal {
                 if (sizes(si) < 0 || off < 0 ||
                     off + sizes(si) > b.length) err = "truncated"
                 else {
-                  out(si) = (off, sizes(si))
+                  val ptsMs =
+                    if (pts == null || mediaTimescale <= 0) -1L
+                    else pts(si) * 1000L / mediaTimescale
+                  val isSync =
+                    syncSet == null || syncSet.contains(si + 1L)
+                  out(si) = Mp4Sample(off, sizes(si), ptsMs, isSync)
                   off += sizes(si); si += 1
                 }
                 k += 1
@@ -665,10 +752,19 @@ object Multimodal {
             mi <- find(mdbs, "minf").toRight("no_stbl")
             mibs <- boxes(mi._1, mi._2)
             st <- find(mibs, "stbl").toRight("no_stbl")
-          } yield st
+          } yield {
+            // media timescale from the sibling mdhd (v0 body offset 12,
+            // v1 offset 20); absent/short mdhd -> -1 (pts reported as -1)
+            val ts = find(mdbs, "mdhd").collect {
+              case (s0, e0) if s0 + 4 <= e0 =>
+                val off = if ((b(s0) & 0xff) == 0) s0 + 12 else s0 + 20
+                if (off + 4 <= e0) be32(b, off) else -1L
+            }.getOrElse(-1L)
+            (st, ts)
+          }
         }
         candidates.collectFirst {
-          case Right((s, e)) => stblIndex(s, e)
+          case Right(((s, e), mts)) => stblIndex(s, e, mts)
           case Left(reason) if reason != "no_stbl" => Left(reason)
         }.getOrElse(Left("no_stbl"))
       }
@@ -683,7 +779,8 @@ object Multimodal {
     * at real bytes, not arithmetic.
     */
   case class FrameSample(doc_id: Long, frame_idx: Long, byte_offset: Long,
-      frame_bytes: Int, frame_sum: Long, status: String, err: Option[String])
+      frame_bytes: Int, frame_sum: Long, pts_ms: Long, is_sync: Boolean,
+      status: String, err: Option[String])
 
   /** TRUE frame sampling over MP4 payloads: demux the container's own
     * sample tables ([[parseMp4SampleIndex]]) and emit every `stride`-th
@@ -702,17 +799,22 @@ object Multimodal {
     base.as[BinaryDoc].mapPartitions { it =>
       it.flatMap { d =>
         if (!mp4Claims(d.payload))
-          Iterator.single(FrameSample(d.doc_id, -1L, 0L, 0, 0L, "unsupported", None))
+          Iterator.single(FrameSample(d.doc_id, -1L, 0L, 0, 0L, -1L, false,
+            "unsupported", None))
         else parseMp4SampleIndex(d.payload) match {
           case Left(reason) =>
-            Iterator.single(FrameSample(d.doc_id, -1L, 0L, 0, 0L, "corrupt", Some(reason)))
+            Iterator.single(FrameSample(d.doc_id, -1L, 0L, 0, 0L, -1L, false,
+              "corrupt", Some(reason)))
           case Right(idx) =>
             (0 until idx.length by stride).iterator.map { i =>
-              val (off, sz) = idx(i)
+              val s = idx(i)
               var sum = 0L
               var k = 0
-              while (k < sz) { sum += (d.payload(off.toInt + k) & 0xff); k += 1 }
-              FrameSample(d.doc_id, i.toLong, off, sz, sum, "ok", None)
+              while (k < s.size) {
+                sum += (d.payload(s.offset.toInt + k) & 0xff); k += 1
+              }
+              FrameSample(d.doc_id, i.toLong, s.offset, s.size, sum,
+                s.ptsMs, s.sync, "ok", None)
             }
         }
       }

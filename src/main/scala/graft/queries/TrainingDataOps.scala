@@ -990,12 +990,15 @@ object TrainingDataOps {
     // tables into absolute (offset, size) per frame and READ the bytes —
     // frame_sum is the unsigned byte sum of the actual slice, which only
     // matches the oracle's fill arithmetic if every offset is exact.
-    // Layout arithmetic (fixed v0 boxes): data region starts at
-    // 328 + 4·ns + 4·nc; sample i sits 4·(i div 3 + 1) pad bytes plus the
-    // cumulative size of all prior samples past that. Every 9th doc cut
-    // mid-moov and every (9k+7)th cut mid-mdat -> quarantine 'truncated'
-    // (the second class proves index-vs-payload bounds are enforced, not
-    // just box-walk bounds).
+    // Layout arithmetic (fixed v0 boxes incl. mdhd/stts/stss): data
+    // region starts at 408 + 4·(ns + nc + nk); sample i sits
+    // 4·(i div 3 + 1) pad bytes plus the cumulative size of all prior
+    // samples past that. pts comes from expanding stts's TWO runs (first
+    // ceil(ns/2) samples at 40 media units, rest at 80; mdhd timescale
+    // 1000 -> units are ms); sync flags from stss (every 4th sample).
+    // Every 9th doc cut mid-moov and every (9k+7)th cut mid-mdat ->
+    // quarantine 'truncated' (the second class proves index-vs-payload
+    // bounds are enforced, not just box-walk bounds).
     "mm_frame_index" -> QuerySpec(
       (s, dir) => {
         import s.implicits._
@@ -1009,15 +1012,17 @@ object TrainingDataOps {
             i => (lit(8) + (col("doc_id") * 5 + i * 3) % 9).cast("int"))
             .as("sample_sizes"),
           lit(3).as("samples_per_chunk"),
-          (col("doc_id") * 13 % 256).cast("int").as("fill_seed")
+          (col("doc_id") * 13 % 256).cast("int").as("fill_seed"),
+          lit(1000).as("media_timescale"),
+          lit(40).as("delta_a"), lit(80).as("delta_b")
         ).as[Multimodal.Mp4SampleSpec]
-        // class 7: ns=11, nc=4 -> mdat data starts at 388; cut at 392 =
-        // exactly the first sample's offset, so the index parses but its
-        // first promised frame overruns the payload
+        // class 7: ns=11, nc=4, nk=3 -> mdat data starts at 480; cut at
+        // 484 = exactly the first sample's offset, so the index parses
+        // but its first promised frame overruns the payload
         val bin = Multimodal.synthesizeMp4Samples(s, specs)
           .select(col("doc_id"),
             when(col("doc_id") % 9 === 4, col("payload").substr(1, 60))
-              .when(col("doc_id") % 9 === 7, col("payload").substr(1, 392))
+              .when(col("doc_id") % 9 === 7, col("payload").substr(1, 484))
               .otherwise(col("payload")).as("payload"))
         Multimodal.frameIndex(s, bin, stride = 2).toDF()
           .orderBy("doc_id", "frame_idx")
@@ -1025,13 +1030,15 @@ object TrainingDataOps {
       """WITH p AS (
         |  SELECT doc_id, 4 + doc_id % 9 AS ns,
         |    (4 + doc_id % 9 + 2) // 3 AS nc,
+        |    (4 + doc_id % 9 + 3) // 4 AS nk,
+        |    (4 + doc_id % 9 + 1) // 2 AS h,
         |    doc_id % 9 IN (4, 7) AS bad
         |  FROM documents),
         |sam AS (
-        |  SELECT doc_id, ns, nc, unnest(range(0, ns)) AS i
+        |  SELECT doc_id, ns, nc, nk, h, unnest(range(0, ns)) AS i
         |  FROM p WHERE NOT bad),
         |sz AS (
-        |  SELECT doc_id, ns, nc, i,
+        |  SELECT doc_id, ns, nc, nk, h, i,
         |    8 + (doc_id*5 + i*3) % 9 AS s,
         |    sum(8 + (doc_id*5 + i*3) % 9) OVER
         |      (PARTITION BY doc_id ORDER BY i
@@ -1039,17 +1046,19 @@ object TrainingDataOps {
         |  FROM sam),
         |ok AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-        |    CAST(328 + 4*ns + 4*nc + 4*(i//3 + 1) + coalesce(cum, 0) AS BIGINT)
-        |      AS byte_offset,
+        |    CAST(408 + 4*(ns + nc + nk) + 4*(i//3 + 1) + coalesce(cum, 0)
+        |      AS BIGINT) AS byte_offset,
         |    CAST(s AS INTEGER) AS frame_bytes,
         |    CAST(s * ((doc_id*13 + 7*i) % 256) AS BIGINT) AS frame_sum,
+        |    CAST(40*least(i, h) + 80*greatest(i - h, 0) AS BIGINT) AS pts_ms,
+        |    i % 4 = 0 AS is_sync,
         |    'ok' AS status, CAST(NULL AS VARCHAR) AS err
         |  FROM sz WHERE i % 2 = 0),
         |bd AS (
         |  SELECT doc_id, CAST(-1 AS BIGINT) AS frame_idx,
         |    CAST(0 AS BIGINT) AS byte_offset, CAST(0 AS INTEGER) AS frame_bytes,
-        |    CAST(0 AS BIGINT) AS frame_sum, 'corrupt' AS status,
-        |    'truncated' AS err
+        |    CAST(0 AS BIGINT) AS frame_sum, CAST(-1 AS BIGINT) AS pts_ms,
+        |    FALSE AS is_sync, 'corrupt' AS status, 'truncated' AS err
         |  FROM p WHERE bad)
         |SELECT * FROM ok UNION ALL SELECT * FROM bd
         |ORDER BY doc_id, frame_idx""".stripMargin

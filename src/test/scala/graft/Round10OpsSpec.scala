@@ -13,20 +13,25 @@ class Round10OpsSpec extends SparkSpec {
     Seq(Multimodal.Mp4SampleSpec(1L, 600, 1200L, 64, 48, sizes, spc, seed)).toDS()
   }
 
-  test("frameIndex recovers exact per-sample offsets, sizes, and byte sums") {
+  test("frameIndex recovers exact offsets, sizes, byte sums, pts, and sync flags") {
     val sizes = Seq(9, 12, 8, 15, 10, 11, 13) // non-uniform, 7 samples, spc 3
     val bin = Multimodal.synthesizeMp4Samples(spark, specDs(sizes, 3, 50))
     val rows = Multimodal.frameIndex(spark, bin, stride = 1)
       .orderBy("frame_idx").collect()
     assert(rows.forall(_.status == "ok") && rows.length == 7)
-    // layout arithmetic: ns=7, nc=3; data region at 328+28+12=368;
-    // sample i offset = 368 + 4*(i/3+1) + cumsum(sizes)
+    // layout arithmetic: ns=7, nc=3, nk=2 -> data region at 408+4*12=456;
+    // sample i offset = 456 + 4*(i/3+1) + cumsum(sizes); stts runs:
+    // h=4 samples at 40 ms then 80 ms (media timescale 1000); stss marks
+    // samples 1 and 5 (1-based) = frames 0 and 4
     var cum = 0
     for ((r, i) <- rows.zipWithIndex) {
-      val expOff = 368 + 4 * (i / 3 + 1) + cum
+      val expOff = 456 + 4 * (i / 3 + 1) + cum
       assert(r.byte_offset == expOff, s"frame $i offset ${r.byte_offset} != $expOff")
       assert(r.frame_bytes == sizes(i))
       assert(r.frame_sum == sizes(i).toLong * ((50 + 7 * i) % 256))
+      assert(r.pts_ms == 40L * math.min(i, 4) + 80L * math.max(i - 4, 0),
+        s"frame $i pts ${r.pts_ms}")
+      assert(r.is_sync == (i % 4 == 0), s"frame $i sync ${r.is_sync}")
       cum += sizes(i)
     }
   }
@@ -66,10 +71,12 @@ class Round10OpsSpec extends SparkSpec {
     bb.putInt(stcoSz).put("stco".getBytes).putInt(0).putInt(stco.size)
     stco.foreach(bb.putInt)
     val idx = Multimodal.parseMp4SampleIndex(bb.array()).toOption.get
-    assert(idx.toSeq == Seq(
+    assert(idx.map(s => (s.offset, s.size)).toSeq == Seq(
       (1000L, 10), (1010L, 11), // chunk 1
       (2000L, 12), (2012L, 13), // chunk 2
       (3000L, 14)))             // chunk 3
+    // no stts/mdhd -> pts unknown; no stss -> every sample is sync
+    assert(idx.forall(s => s.ptsMs == -1L && s.sync))
   }
 
   test("parseMp4SampleIndex handles fixed-size stsz (sample_size > 0)") {
@@ -83,7 +90,7 @@ class Round10OpsSpec extends SparkSpec {
     val bb = java.nio.ByteBuffer.wrap(bin)
     bb.putInt(pos + 8, 6) // sample_size
     val idx = Multimodal.parseMp4SampleIndex(bin).toOption.get
-    assert(idx.length == 4 && idx.forall(_._2 == 6))
+    assert(idx.length == 4 && idx.forall(_.size == 6))
   }
 
   test("frameIndex quarantines mid-moov and mid-mdat truncation distinctly from ok") {
@@ -95,7 +102,7 @@ class Round10OpsSpec extends SparkSpec {
     val bin = Multimodal.synthesizeMp4Samples(spark, specs)
       .select(col("doc_id"),
         when(col("doc_id") === 2, col("payload").substr(1, 60))   // mid-moov
-          .when(col("doc_id") === 3, col("payload").substr(1, 345)) // mid-mdat
+          .when(col("doc_id") === 3, col("payload").substr(1, 430)) // mid-mdat
           .otherwise(col("payload")).as("payload"))
     val out = Multimodal.frameIndex(spark, bin, stride = 1).collect()
       .groupBy(_.doc_id)
@@ -108,6 +115,49 @@ class Round10OpsSpec extends SparkSpec {
     val alien = Seq((9L, "plain text".getBytes)).toDF("doc_id", "payload")
     val a = Multimodal.frameIndex(spark, alien, 1).collect().head
     assert(a.status == "unsupported" && a.err.isEmpty)
+  }
+
+  test("parseMp4SampleIndex reads 64-bit co64 chunk offsets") {
+    // hand-build: stsz (2 samples of 10/11) + single-entry stsc + co64
+    // with offsets that only fit the wide form semantically
+    val stszSz = 20 + 4 * 2
+    val stscSz = 28
+    val co64Sz = 16 + 8 * 1
+    val stblSz = 8 + stszSz + stscSz + co64Sz
+    val trakSz = 8 + (8 + (8 + stblSz))
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + trakSz + 3000)
+    bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    bb.putInt(8 + trakSz).put("moov".getBytes)
+    bb.putInt(trakSz).put("trak".getBytes)
+    bb.putInt(8 + (8 + stblSz)).put("mdia".getBytes)
+    bb.putInt(8 + stblSz).put("minf".getBytes)
+    bb.putInt(stblSz).put("stbl".getBytes)
+    bb.putInt(stszSz).put("stsz".getBytes).putInt(0).putInt(0).putInt(2)
+      .putInt(10).putInt(11)
+    bb.putInt(stscSz).put("stsc".getBytes).putInt(0).putInt(1)
+      .putInt(1).putInt(2).putInt(1)
+    bb.putInt(co64Sz).put("co64".getBytes).putInt(0).putInt(1).putLong(2500L)
+    val idx = Multimodal.parseMp4SampleIndex(bb.array()).toOption.get
+    assert(idx.map(s => (s.offset, s.size)).toSeq == Seq((2500L, 10), (2510L, 11)))
+  }
+
+  test("stts runs that under-cover the sample count are bad_stts; out-of-range stss is bad_stss") {
+    def payload(): Array[Byte] = Multimodal.synthesizeMp4Samples(spark,
+      specDs(Seq(8, 8, 8, 8), 4, 0)).collect().head.getAs[Array[Byte]]("payload")
+    def boxPos(b: Array[Byte], tag: String): Int =
+      (0 until b.length - 4).find(i => tag.indices.forall(j => b(i + j) == tag(j))).get
+    // stts: shrink the SECOND run's count so the runs cover 3 of 4 samples
+    val p1 = payload()
+    val bb1 = java.nio.ByteBuffer.wrap(p1)
+    bb1.putInt(boxPos(p1, "stts") + 20, 1) // run2 count: 2 -> 1
+    val e1 = Multimodal.parseMp4SampleIndex(p1).swap.toOption.get
+    assert(e1 == "bad_stts")
+    // stss: point a sync entry past the sample count
+    val p2 = payload()
+    val bb2 = java.nio.ByteBuffer.wrap(p2)
+    bb2.putInt(boxPos(p2, "stss") + 12, 99) // sample 99 of 4
+    val e2 = Multimodal.parseMp4SampleIndex(p2).swap.toOption.get
+    assert(e2 == "bad_stss")
   }
 
   test("legacy headers-only mp4 (no stbl) is quarantined as no_stbl") {
