@@ -426,13 +426,18 @@ object Vocab {
     var done = false
     while (r <= nMerges && !done) {
       val syms = split(trim(col("w")), "  ")
-      // symbol (unigram) frequencies — vocabulary-sized, broadcast into
-      // the score join; recomputed per round because every merge shifts
-      // the global denominator
+      // symbol (unigram) frequencies — vocabulary-sized (base alphabet +
+      // merges so far), recomputed per round because every merge shifts
+      // the global denominator. Two tiers, identical semantics: alphabets
+      // ≤ MaxInlineVocab collect once and inline as a literal map (ONE
+      // extra tiny job, zero broadcasts — the hot path for every real
+      // tokenizer alphabet); bigger alphabets keep the broadcast joins
+      // (the limit(n+1) probe never materializes more than n+1 rows).
       val symTable = words
         .select(explode(syms).as("s"), col("cnt"))
         .groupBy("s").agg(sum("cnt").as("f"))
-      val top = words
+      val symProbe = symTable.limit(MaxInlineVocab + 1).collect()
+      val pairs = words
         .select(syms.as("syms"), col("cnt"))
         .filter(size(col("syms")) >= 2)
         .select(explode(zip_with(
@@ -441,11 +446,23 @@ object Vocab {
           (x, y) => struct(x.as("l"), y.as("r")))).as("pr"), col("cnt"))
         .select(col("pr.l"), col("pr.r"), col("cnt"))
         .groupBy("l", "r").agg(sum("cnt").as("fp"))
-        .join(broadcast(symTable.select(col("s").as("l"), col("f").as("fl"))), Seq("l"))
-        .join(broadcast(symTable.select(col("s").as("r"), col("f").as("fr"))), Seq("r"))
-        .select(col("l"), col("r"), col("fp"),
-          (col("fp").cast("double") /
-            (col("fl").cast("double") * col("fr").cast("double"))).as("score"))
+      val scored =
+        if (symProbe.length <= MaxInlineVocab) {
+          val m = map(symProbe.flatMap(row =>
+            Seq(lit(row.getString(0)), lit(row.getLong(1)))): _*)
+          pairs.select(col("l"), col("r"), col("fp"),
+            (col("fp").cast("double") /
+              (element_at(m, col("l")).cast("double") *
+                element_at(m, col("r")).cast("double"))).as("score"))
+        } else {
+          pairs
+            .join(broadcast(symTable.select(col("s").as("l"), col("f").as("fl"))), Seq("l"))
+            .join(broadcast(symTable.select(col("s").as("r"), col("f").as("fr"))), Seq("r"))
+            .select(col("l"), col("r"), col("fp"),
+              (col("fp").cast("double") /
+                (col("fl").cast("double") * col("fr").cast("double"))).as("score"))
+        }
+      val top = scored
         .orderBy(col("score").desc, col("l"), col("r"))
         .limit(1).collect()
       prev.foreach(_.unpersist(blocking = false))
