@@ -132,7 +132,7 @@ object Dedup {
     val prefix = ranked
       .join(cnt, "doc")
       .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
-      .select(col("doc"), col("s"))
+      .select(col("doc"), col("s"), col("rn"), col("n_sh"))
     // candidates: docs sharing a prefix shingle, via a prefix self-join.
     // (Measured AGAINST the grouped-bucket pair explosion used in
     // minhashLshPairs: there the duplicated side is the expensive k-min
@@ -141,9 +141,33 @@ object Dedup {
     // sf0.1. Per-shingle fan-out stays small by construction: the prefix
     // keeps each doc's rarest shingles; `maxShingleFreq` hard-caps
     // adversarial corpora.)
-    val cand = prefix.select(col("doc").as("id_a"), col("s"))
-      .join(prefix.select(col("doc").as("id_b"), col("s")), Seq("s"))
+    //
+    // Matched rows then pass PPJoin's LENGTH and POSITIONAL filters before
+    // the distinct — both lossless, both plain codegen'd comparisons:
+    //  - length: J ≥ τ implies min(|x|,|y|)/max(|x|,|y|) ≥ τ (overlap is
+    //    at most the smaller set, union at least the larger).
+    //  - positional: J ≥ τ implies overlap O ≥ τ/(1+τ)·(|x|+|y|). For the
+    //    FIRST shared prefix shingle (positions rn_a, rn_b in the global
+    //    frequency order), every shared shingle sits at position ≥ rn in
+    //    both docs — any earlier shared shingle would itself be in both
+    //    prefixes, contradicting firstness — so
+    //    O ≤ min(n_a − rn_a, n_b − rn_b) + 1. A row failing the bound
+    //    cannot be that first shared row of a true pair; the true pair's
+    //    first-match row always passes, so keep-if-any-row-passes drops
+    //    nothing (the 1e-9 slack keeps float rounding conservative; exact
+    //    Jaccard verification remains the final arbiter either way).
+    // Under `maxShingleFreq` capping, rn indexes surviving shingles only —
+    // positions shift DOWN, the bound only loosens, still conservative.
+    val eps = lit(1e-9)
+    val alpha = lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b")) - eps
+    val cand = prefix
+      .select(col("doc").as("id_a"), col("s"), col("rn").as("rn_a"), col("n_sh").as("n_a"))
+      .join(prefix.select(
+        col("doc").as("id_b"), col("s"), col("rn").as("rn_b"), col("n_sh").as("n_b")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")) >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")) - eps)
+      .filter(least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) + lit(1) >= alpha)
       .select("id_a", "id_b").distinct()
     verifyJaccard(cand, sh, cnt, threshold)
   }

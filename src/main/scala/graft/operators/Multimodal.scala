@@ -389,6 +389,164 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** WAV fixture synthesis with a DETERMINISTIC PCM payload — the write
+    * side of [[audioEnergy]]'s sample decoder. Frame `k`, channel `c`
+    * carries the 16-bit sample `((seed + 31·k + 17·c) mod 4096) − 2048`
+    * (interleaved little-endian, the RIFF PCM layout), so every energy/
+    * peak/zero-crossing statistic the decoder extracts is closed-form
+    * arithmetic a SQL oracle can replay with `unnest(range(...))`. 8-bit
+    * specs write `(seed + 31·k + 17·c) mod 256` unsigned bytes — a VALID
+    * container the 16-bit-only executed tier must refuse as
+    * `unsupported`, not misread.
+    */
+  case class WavPcmSpec(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Int, seed: Int)
+
+  def synthesizeWavPcm(spark: SparkSession, specs: Dataset[WavPcmSpec]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureMinParallelism(specs.toDF()).as[WavPcmSpec].mapPartitions { it =>
+      it.map { s =>
+        require(s.bits == 16 || s.bits == 8, s"bits ${s.bits}")
+        val blockAlign = s.channels * s.bits / 8
+        val dataSize = s.n_frames * blockAlign
+        val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+        bb.put("fmt ".getBytes).putInt(16)
+          .putShort(1).putShort(s.channels.toShort)
+          .putInt(s.sample_rate).putInt(s.sample_rate * blockAlign)
+          .putShort(blockAlign.toShort).putShort(s.bits.toShort)
+        bb.put("data".getBytes).putInt(dataSize)
+        var k = 0
+        while (k < s.n_frames) {
+          var c = 0
+          while (c < s.channels) {
+            val v = (s.seed + 31 * k + 17 * c) % 4096 - 2048
+            if (s.bits == 16) bb.putShort(v.toShort)
+            else bb.put(((s.seed + 31 * k + 17 * c) % 256).toByte)
+            c += 1
+          }
+          k += 1
+        }
+        BinaryDoc(s.doc_id, bb.array())
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** One decoded-audio analysis window: frames `[window_idx·W,
+    * window_idx·W + n_frames)`, with integer-exact signal statistics —
+    * `sum_sq` = Σ s² over every (frame, channel) sample in the window,
+    * `peak` = max |s|, `zcross` = channel-0 sign-boundary crossings
+    * WITHIN the window (frame w·W+1 onward — windows are independent, so
+    * the stat is embarrassingly parallel at any scale). Quarantine rows
+    * carry window_idx −1 and zeroed stats.
+    */
+  case class AudioWindow(doc_id: Long, window_idx: Long, n_frames: Int,
+      sum_sq: Long, peak: Int, zcross: Int, status: String, err: Option[String])
+
+  /** EXECUTED audio tier: parse the RIFF container, decode the REAL
+    * interleaved 16-bit PCM frames from the `data` chunk, and emit
+    * per-window integer-exact energy/peak/zero-crossing rows — the audio
+    * sibling of the pixel-executing [[resizeExec]] (same skip-and-account
+    * quarantine contract, same mapPartitions shape: zero shuffles, peak
+    * decode memory bounded by the partition's largest payload, streaming-
+    * safe). Status fan-out: `ok`; `unsupported` for valid containers the
+    * tier doesn't decode (compressed fmt codes, non-16-bit PCM);
+    * `corrupt` for bad magic, truncated fmt/data chunks, or a data chunk
+    * that is not a whole number of frames (`ragged_data`).
+    */
+  def audioEnergy(spark: SparkSession, binDocs: DataFrame,
+      windowFrames: Int): Dataset[AudioWindow] = {
+    import spark.implicits._
+    require(windowFrames > 0, s"windowFrames $windowFrames")
+    val base =
+      if (binDocs.isStreaming) binDocs
+      else graft.Tables.ensureMinParallelism(binDocs)
+    base.as[BinaryDoc].mapPartitions { it =>
+      it.flatMap { d =>
+        def bad(status: String, reason: String) =
+          Seq(AudioWindow(d.doc_id, -1L, 0, 0L, 0, 0, status, Some(reason)))
+        val b = d.payload
+        if (!wavClaims(b)) bad("corrupt", "bad_magic")
+        else parseWavData(b) match {
+          case Left(reason) => bad("corrupt", reason)
+          case Right((_, ch, bits, fmtCode, dataOff, dataLen)) =>
+            if (fmtCode != 1) bad("unsupported", s"fmt_code_$fmtCode")
+            else if (bits != 16) bad("unsupported", s"bits_$bits")
+            else {
+              val blockAlign = ch * 2
+              if (dataLen % blockAlign != 0) bad("corrupt", "ragged_data")
+              else {
+                val nFrames = (dataLen / blockAlign).toInt
+                val nWin = (nFrames + windowFrames - 1) / windowFrames
+                (0 until nWin).map { w =>
+                  val f0 = w * windowFrames
+                  val f1 = math.min(f0 + windowFrames, nFrames)
+                  var sumSq = 0L; var peak = 0; var zc = 0
+                  var prevNonNeg = false
+                  var k = f0
+                  while (k < f1) {
+                    var c = 0
+                    while (c < ch) {
+                      val o = dataOff + k * blockAlign + c * 2
+                      val v = (le16(b, o) << 16) >> 16 // sign-extend
+                      sumSq += v.toLong * v
+                      val a = math.abs(v)
+                      if (a > peak) peak = a
+                      if (c == 0) {
+                        val nonNeg = v >= 0
+                        if (k > f0 && nonNeg != prevNonNeg) zc += 1
+                        prevNonNeg = nonNeg
+                      }
+                      c += 1
+                    }
+                    k += 1
+                  }
+                  AudioWindow(d.doc_id, w.toLong, f1 - f0, sumSq, peak, zc,
+                    "ok", None)
+                }
+              }
+            }
+        }
+      }
+    }
+  }
+
+  /** [[parseWav]]'s walk, additionally surfacing the fmt code and the
+    * `data` chunk's byte span — what an executed decode needs that a
+    * header decode does not. Returns (sampleRate, channels, bits,
+    * fmtCode, dataOffset, dataSize) or the same stable reasons.
+    */
+  private def parseWavData(
+      b: Array[Byte]): Either[String, (Int, Int, Int, Int, Int, Long)] = {
+    var sr = -1; var ch = -1; var bits = -1; var fmtCode = -1
+    var dataOff = -1; var dataSize = -1L
+    var partial = false
+    var o = 12L
+    while (!partial && o + 8 <= b.length) {
+      val oi = o.toInt
+      val id = tag4(b, oi)
+      val size = le32(b, oi + 4)
+      if (o + 8 + size > b.length) {
+        if (id == "fmt " || id == "data") return Left("truncated")
+        partial = true
+      } else {
+        if (id == "fmt ") {
+          if (size < 16) return Left("truncated")
+          fmtCode = le16(b, oi + 8)
+          ch = le16(b, oi + 10)
+          sr = le32(b, oi + 12).toInt
+          bits = le16(b, oi + 22)
+        } else if (id == "data") { dataOff = oi + 8; dataSize = size }
+        o += 8 + size + (size & 1)
+      }
+    }
+    if (sr < 0) Left(if (partial || o < b.length) "truncated" else "no_fmt_chunk")
+    else if (dataSize < 0)
+      Left(if (partial || o < b.length) "truncated" else "no_data_chunk")
+    else Right((sr, ch, bits, fmtCode, dataOff, dataSize))
+  }
+
   /** MP4 fixture synthesis: a minimal REAL ISO-BMFF file — `ftyp` +
     * `moov(mvhd v0, trak(tkhd v0))` — with the given movie timescale/
     * duration and track geometry. 232 bytes total, fixed layout.

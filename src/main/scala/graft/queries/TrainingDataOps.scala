@@ -816,6 +816,84 @@ object TrainingDataOps {
         |FROM p ORDER BY doc_id""".stripMargin
     ),
 
+    // ---- EXECUTED audio: real PCM frame decode -> window statistics ----
+    // The audio sibling of mm_resize_exec: synthesize genuine RIFF/WAVE
+    // containers whose interleaved 16-bit PCM payload is doc_id
+    // arithmetic, then DECODE THE SAMPLES (not just the header) into
+    // per-window integer-exact energy / peak / zero-crossing rows. Class
+    // 5 writes a valid 8-bit container the 16-bit tier must refuse as
+    // 'unsupported'; class 6 truncates mid-fmt-chunk -> 'corrupt'. The
+    // oracle replays the waveform with unnest(range(...)).
+    "mm_audio_energy" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val cls = col("doc_id") % 7
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          lit(8000).as("sample_rate"),
+          (lit(1) + col("doc_id") % 2).cast("int").as("channels"),
+          when(cls === 5, 8).otherwise(16).cast("int").as("bits"),
+          (lit(50) + (col("doc_id") * 11) % 150).cast("int").as("n_frames"),
+          ((col("doc_id") * 29) % 4096).cast("int").as("seed")
+        ).as[Multimodal.WavPcmSpec]
+        val bin = Multimodal.synthesizeWavPcm(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 6, col("payload").substr(1, 30))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.audioEnergy(s, bin, windowFrames = 64).toDF()
+          .orderBy("doc_id", "window_idx")
+      },
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    1 + doc_id % 2 AS ch,
+        |    50 + (doc_id * 11) % 150 AS nf,
+        |    (doc_id * 29) % 4096 AS seed,
+        |    doc_id % 7 AS cls
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, ch, seed, unnest(range(0, nf)) AS k
+        |  FROM p WHERE cls NOT IN (5, 6)),
+        |fc AS (
+        |  SELECT doc_id, seed, k, k // 64 AS wi, unnest(range(0, ch)) AS c
+        |  FROM f),
+        |v AS (
+        |  SELECT doc_id, wi, k, c,
+        |    (seed + 31*k + 17*c) % 4096 - 2048 AS s
+        |  FROM fc),
+        |agg AS (
+        |  SELECT doc_id, wi,
+        |    count(*) FILTER (WHERE c = 0) AS n_frames,
+        |    sum(s*s) AS sum_sq,
+        |    max(abs(s)) AS peak
+        |  FROM v GROUP BY doc_id, wi),
+        |z0 AS (
+        |  SELECT doc_id, wi, s,
+        |    lag(s) OVER (PARTITION BY doc_id, wi ORDER BY k) AS ps
+        |  FROM v WHERE c = 0),
+        |z AS (
+        |  SELECT doc_id, wi,
+        |    count(*) FILTER (WHERE ps IS NOT NULL AND (s >= 0) <> (ps >= 0))
+        |      AS zcross
+        |  FROM z0 GROUP BY doc_id, wi),
+        |ok AS (
+        |  SELECT a.doc_id, CAST(a.wi AS BIGINT) AS window_idx,
+        |    CAST(a.n_frames AS INTEGER) AS n_frames,
+        |    CAST(a.sum_sq AS BIGINT) AS sum_sq,
+        |    CAST(a.peak AS INTEGER) AS peak,
+        |    CAST(z.zcross AS INTEGER) AS zcross,
+        |    'ok' AS status, CAST(NULL AS VARCHAR) AS err
+        |  FROM agg a JOIN z ON a.doc_id = z.doc_id AND a.wi = z.wi),
+        |bd AS (
+        |  SELECT doc_id, CAST(-1 AS BIGINT) AS window_idx,
+        |    CAST(0 AS INTEGER) AS n_frames, CAST(0 AS BIGINT) AS sum_sq,
+        |    CAST(0 AS INTEGER) AS peak, CAST(0 AS INTEGER) AS zcross,
+        |    CASE WHEN cls = 5 THEN 'unsupported' ELSE 'corrupt' END AS status,
+        |    CASE WHEN cls = 5 THEN 'bits_8' ELSE 'truncated' END AS err
+        |  FROM p WHERE cls IN (5, 6))
+        |SELECT * FROM ok UNION ALL SELECT * FROM bd
+        |ORDER BY doc_id, window_idx""".stripMargin
+    ),
+
     // ---- REAL video header decode: ISO-BMFF moov/mvhd/tkhd boxes -------
     // Same pattern for mp4: genuine minimal containers (ftyp+moov), track
     // geometry as 16.16 fixed point, movie duration in mvhd timescale

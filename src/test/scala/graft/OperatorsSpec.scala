@@ -196,4 +196,40 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.subsetOf(uncapped),
       s"cap invented pairs: ${capped.diff(uncapped)}")
   }
+
+  test("PPJoin length+positional filters are lossless vs brute-force all-pairs") {
+    // Seeded corpus engineered to stress the filters: exact copies,
+    // one-token edits (just over/under typical thresholds), length-skewed
+    // pairs (length filter must not drop true pairs at the τ boundary),
+    // and unrelated docs sharing stop-shingles (what the filters prune).
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("data", "spark", "query", "join", "scan", "hash",
+      "sort", "merge", "shard", "batch", "tuple", "index")
+    def doc(len: Int): Seq[String] = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+    val base = (0 until 30).map(i => i.toLong -> doc(8 + rnd.nextInt(20))).toMap
+    val variants = base.collect { case (id, ts) if id % 3 == 0 =>
+      // drop one token / substitute one token — near-dup but not identical
+      val k = rnd.nextInt(ts.size)
+      (100L + id) -> ts.patch(k, if (id % 2 == 0) Nil else Seq("edit"), 1)
+    }
+    val copies = base.collect { case (id, ts) if id % 5 == 0 => (200L + id) -> ts }
+    val corpus = (base ++ variants ++ copies).toSeq
+    val docs = corpus.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    def shingleSet(ts: Seq[String]): Set[String] =
+      if (ts.size < 3) Set.empty
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    for (tau <- Seq(0.5, 0.7, 0.8, 0.95)) {
+      val naive = (for {
+        (a, ta) <- corpus; (b, tb) <- corpus if a < b
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        inter = (sa & sb).size if sa.nonEmpty && sb.nonEmpty
+        j = inter.toDouble / (sa.size + sb.size - inter) if j >= tau
+      } yield (a, b)).toSet
+      val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, tau)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == naive,
+        s"τ=$tau missed=${naive.diff(got)} invented=${got.diff(naive)}")
+    }
+  }
 }

@@ -193,4 +193,62 @@ class Round10OpsSpec extends SparkSpec {
     val u = Multimodal.resizeExec(spark, txt, 16, 16).collect().head
     assert(u.status == "unsupported")
   }
+
+  test("audioEnergy decodes real PCM frames to exact window statistics") {
+    import spark.implicits._
+    // 2 channels, 10 frames, window 4 -> windows of 4/4/2 frames; every
+    // stat recomputed here independently from the waveform formula
+    val (ch, nf, seed, win) = (2, 10, 100, 4)
+    val specs = Seq(Multimodal.WavPcmSpec(1L, 8000, ch, 16, nf, seed)).toDS()
+    val bin = Multimodal.synthesizeWavPcm(spark, specs)
+    val rows = Multimodal.audioEnergy(spark, bin, win)
+      .orderBy("window_idx").collect()
+    def s(k: Int, c: Int) = (seed + 31 * k + 17 * c) % 4096 - 2048
+    assert(rows.length == 3 && rows.forall(_.status == "ok"))
+    for ((r, w) <- rows.zipWithIndex) {
+      val ks = (w * win) until math.min((w + 1) * win, nf)
+      val samples = for (k <- ks; c <- 0 until ch) yield s(k, c)
+      assert(r.n_frames == ks.size)
+      assert(r.sum_sq == samples.map(v => v.toLong * v).sum, s"window $w sum_sq")
+      assert(r.peak == samples.map(math.abs).max)
+      val c0 = ks.map(s(_, 0))
+      val zc = c0.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+      assert(r.zcross == zc, s"window $w zcross ${r.zcross} != $zc")
+    }
+  }
+
+  test("audioEnergy decodes NEGATIVE samples correctly (sign extension)") {
+    import spark.implicits._
+    // seed 0: s(0,0) = -2048 (min 16-bit pattern value) — a decoder that
+    // reads unsigned would report peak 2048 with sum_sq of 63488² instead
+    val specs = Seq(Multimodal.WavPcmSpec(1L, 8000, 1, 16, 1, 0)).toDS()
+    val r = Multimodal.audioEnergy(spark,
+      Multimodal.synthesizeWavPcm(spark, specs), 8).collect().head
+    assert(r.sum_sq == 2048L * 2048 && r.peak == 2048)
+  }
+
+  test("audioEnergy status fan-out: 8-bit unsupported, truncated corrupt, ragged corrupt") {
+    import spark.implicits._
+    val eight = Seq(Multimodal.WavPcmSpec(1L, 8000, 1, 8, 20, 5)).toDS()
+    val u = Multimodal.audioEnergy(spark,
+      Multimodal.synthesizeWavPcm(spark, eight), 8).collect().head
+    assert(u.status == "unsupported" && u.err.contains("bits_8"))
+    val good = Seq(Multimodal.WavPcmSpec(2L, 8000, 2, 16, 20, 5)).toDS()
+    val cut = Multimodal.synthesizeWavPcm(spark, good)
+      .select(col("doc_id"), col("payload").substr(1, 30).as("payload"))
+    val c = Multimodal.audioEnergy(spark, cut, 8).collect().head
+    assert(c.status == "corrupt" && c.err.contains("truncated"))
+    // stereo 16-bit container cut to an odd number of PAYLOAD bytes past
+    // the header: data chunk declares more than remains -> truncated too;
+    // ragged needs a VALID but non-frame-aligned data size — synthesize by
+    // patching the data-chunk length field down to a non-multiple of 4
+    val patched = Multimodal.synthesizeWavPcm(spark, good).as[(Long, Array[Byte])]
+      .map { case (id, b) =>
+        val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(40, 6) // 6 bytes = 1.5 stereo frames
+        (id, b)
+      }.toDF("doc_id", "payload")
+    val rg = Multimodal.audioEnergy(spark, patched, 8).collect().head
+    assert(rg.status == "corrupt" && rg.err.contains("ragged_data"), rg.toString)
+  }
 }
