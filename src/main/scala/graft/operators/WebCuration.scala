@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation operators: URL canonicalization, registered-domain
+  * extraction, and canonical-URL deduplication — the normalization layer a
+  * large-scale crawl pipeline runs before any content-level dedup (the
+  * CCNet / C4 / RefinedWeb preprocessing shape: one crawl URL appears
+  * under dozens of surface forms — scheme/host case, default ports,
+  * `www.`, fragments, tracking parameters, parameter order, trailing
+  * slashes — and each variant would defeat exact dedup downstream).
+  *
+  * Everything here is a pure `Column` expression over Spark's built-in
+  * string/array functions (codegen'd, no UDFs, no shuffle until the
+  * caller aggregates), and every rule is mirrored 1:1 by a DuckDB oracle
+  * (RE2-safe patterns only — no lookahead/backreferences).
+  */
+object WebCuration {
+
+  /** Multi-label public suffixes the registered-domain rule must treat as
+    * one TLD unit (a deliberately small, deterministic subset of the
+    * public-suffix list — the full list is a data file a deployment
+    * broadcasts; the RULE is what the engine owns).
+    */
+  private val MultiLabelSuffixes = Seq(
+    "co.uk", "org.uk", "com.au", "co.jp", "com.br", "co.in")
+
+  private def suffixAlt: String =
+    MultiLabelSuffixes.map(_.replace(".", "\\.")).mkString("|")
+
+  private def hostPort(url: Column): Column =
+    lower(regexp_extract(
+      regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", ""), "^([^/?#]*)", 1))
+
+  /** Lowercased host with `www.` and any `:port` stripped. */
+  def hostOf(url: Column): Column =
+    regexp_replace(regexp_replace(hostPort(url), ":[0-9]+$", ""), "^www\\.", "")
+
+  /** eTLD+1: the last TWO labels of the host, or the last THREE when the
+    * host ends in a multi-label public suffix (`a.b.co.uk` → `b.co.uk`).
+    * Hosts with fewer labels than the rule needs collapse to themselves.
+    */
+  def registeredDomain(url: Column): Column = {
+    val h = hostOf(url)
+    when(h.rlike(s"(^|\\.)[^.]+\\.(?:$suffixAlt)$$"),
+      regexp_extract(h, s"([^.]+\\.(?:$suffixAlt))$$", 1))
+      .otherwise(
+        when(h.rlike("(^|\\.)[^.]+\\.[^.]+$"),
+          regexp_extract(h, "([^.]+\\.[^.]+)$", 1)).otherwise(h))
+  }
+
+  /** Canonical URL:
+    *  - scheme and host lowercased; `www.` stripped
+    *  - default ports dropped (`http:80`, `https:443`); others kept
+    *  - fragment dropped
+    *  - tracking parameters dropped (`utm_*`, `fbclid`, `gclid`, `ref`)
+    *  - surviving query parameters SORTED (param order never
+    *    distinguishes resources in practice, and unsorted order defeats
+    *    exact dedup)
+    *  - trailing slashes stripped from the path
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hp = hostPort(u)
+    val port = regexp_extract(hp, ":([0-9]+)$", 1)
+    val host = hostOf(u)
+    val keepPort = (port =!= "") &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val afterHost = regexp_extract(
+      regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", ""), "^[^/?#]*(.*)$", 1)
+    val noFrag = regexp_replace(afterHost, "#.*$", "")
+    val path = regexp_replace(regexp_extract(noFrag, "^([^?]*)", 1), "/+$", "")
+    val rawQ = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(rawQ, "&"),
+      p => (p =!= "") && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")))
+    val q = concat_ws("&", params)
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+  }
+
+  /** Canonical-URL dedup: one row per canonical URL with the occurrence
+    * count and the first-seen (minimum) id — a single keyed aggregation,
+    * the same one-shuffle posture as [[Dedup.exactFirstWins]] and safe at
+    * any scale (canonical URLs are near-unique keys; no skew pile-up).
+    */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
+}

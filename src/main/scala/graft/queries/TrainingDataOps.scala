@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.Fns
-import graft.operators.{Ann, Contamination, Dedup, Multimodal, TextAnalysis, IdentityResolution}
+import graft.operators.{Ann, Contamination, Dedup, Multimodal, TextAnalysis, IdentityResolution, WebCuration}
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
   * text analysis) as verifiable queries over `documents`/`embeddings`.
@@ -553,6 +553,106 @@ object TrainingDataOps {
       s"""WITH ${duckJaccardCtes()}
          |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
          |FROM jac WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+    ),
+
+    // ---- web-curation URL canonicalization ----------------------------
+    // Synthesize crawl-shaped URLs from doc_id arithmetic — mixed-case
+    // scheme/host, www., default and explicit ports, trailing slashes,
+    // tracking params, unsorted params, fragments — and canonicalize.
+    // The oracle predicts the canonical form in CLOSED FORM from the same
+    // arithmetic (independent derivation, not a parallel regex run), the
+    // multimodal-oracle pattern.
+    "web_url_canonical" -> QuerySpec(
+      (s, dir) => {
+        val d = col("doc_id")
+        val url = concat(
+          when(d % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+          lit("WWW.Site"), d % 37,
+          when(d % 4 === 0, ".com").when(d % 4 === 1, ".CO.UK")
+            .when(d % 4 === 2, ".org").otherwise(".io"),
+          when(d % 6 === 0, ":443").when(d % 6 === 3, ":8080").otherwise(""),
+          lit("/Dir/page"), d % 11,
+          when(d % 3 === 0, "/").otherwise(""),
+          when(d % 4 === 0, concat(lit("?utm_source=feed&id="), d % 9))
+            .when(d % 4 === 1, "?b=2&a=1&fbclid=zz")
+            .when(d % 4 === 2, concat(lit("?q="), d % 5)).otherwise(""),
+          when(d % 5 === 1, "#frag").otherwise(""))
+        t(s, dir, "documents")
+          .select(d.as("doc_id"), url.as("url"))
+          .select(col("doc_id"), col("url"),
+            WebCuration.canonicalizeUrl(col("url")).as("canonical_url"),
+            WebCuration.hostOf(col("url")).as("host"),
+            WebCuration.registeredDomain(col("url")).as("registered_domain"))
+          .orderBy("doc_id")
+      },
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END AS scm,
+        |    CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.CO.UK'
+        |      WHEN 2 THEN '.org' ELSE '.io' END AS tld,
+        |    CASE doc_id % 6 WHEN 0 THEN ':443' WHEN 3 THEN ':8080'
+        |      ELSE '' END AS prt,
+        |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END AS trl,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN '?utm_source=feed&id=' || (doc_id % 9)
+        |      WHEN 1 THEN '?b=2&a=1&fbclid=zz'
+        |      WHEN 2 THEN '?q=' || (doc_id % 5) ELSE '' END AS qry,
+        |    CASE WHEN doc_id % 5 = 1 THEN '#frag' ELSE '' END AS frg
+        |  FROM documents)
+        |SELECT doc_id,
+        |  scm || '://WWW.Site' || (doc_id % 37) || tld || prt
+        |    || '/Dir/page' || (doc_id % 11) || trl || qry || frg AS url,
+        |  lower(scm) || '://site' || (doc_id % 37) || lower(tld)
+        |    || CASE WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END
+        |    || '/Dir/page' || (doc_id % 11)
+        |    || CASE doc_id % 4
+        |         WHEN 0 THEN '?id=' || (doc_id % 9)
+        |         WHEN 1 THEN '?a=1&b=2'
+        |         WHEN 2 THEN '?q=' || (doc_id % 5) ELSE '' END AS canonical_url,
+        |  'site' || (doc_id % 37) || lower(tld)
+        |    AS host,
+        |  'site' || (doc_id % 37) || lower(tld) AS registered_domain
+        |FROM p ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- canonical-URL dedup ------------------------------------------
+    // Surface variants of the same resource — www. vs none, default :443
+    // vs none, trailing slash, a fragment, tracking params, and the SAME
+    // params in a different ORDER — collapse to one canonical key; one
+    // keyed aggregation resolves the first-seen winner (the crawl-level
+    // dedup that runs BEFORE any content-level pass). Moduli are chosen
+    // so the surface modulus (7) is coprime to every canonical modulus:
+    // each canonical group genuinely contains several distinct raw
+    // surface forms the canonicalizer must merge.
+    "dd_url_dedup" -> QuerySpec(
+      (s, dir) => {
+        val d = col("doc_id")
+        val url = concat(
+          when(d % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+          when(d % 7 === 4, "WWW.").otherwise(""), lit("Site"), d % 5, lit(".com"),
+          when(d % 2 === 0 && d % 7 === 0, ":443").otherwise(""),
+          lit("/p"), d % 3,
+          when(d % 7 === 1, "/").otherwise(""),
+          when(d % 4 === 0, "?b=2&utm_source=x&a=1")
+            .when(d % 4 === 1, "?b=2&a=1")
+            .when(d % 4 === 2, concat(lit("?id="), d % 3)).otherwise(""),
+          when(d % 7 === 3, "#f").otherwise(""))
+        WebCuration.urlDedup(
+          t(s, dir, "documents").select(d.as("doc_id"), url.as("url")),
+          "doc_id", "url")
+          .orderBy("canonical_url")
+      },
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END
+        |      || '://site' || (doc_id % 5) || '.com/p' || (doc_id % 3)
+        |      || CASE WHEN doc_id % 4 IN (0, 1) THEN '?a=1&b=2'
+        |           WHEN doc_id % 4 = 2 THEN '?id=' || (doc_id % 3)
+        |           ELSE '' END AS canonical_url
+        |  FROM documents)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
     ),
 
     // ---- MinHash + LSH near-dup pairs ---------------------------------

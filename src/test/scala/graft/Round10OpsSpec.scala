@@ -194,6 +194,43 @@ class Round10OpsSpec extends SparkSpec {
     assert(u.status == "unsupported")
   }
 
+  test("URL canonicalization: case, ports, www, fragments, tracking params, param order, slashes") {
+    import spark.implicits._
+    import graft.operators.WebCuration
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&z=1&a=2#frag",
+      "http://sub.Domain.co.uk:8080/p",
+      "http://x.io/",
+      "https://one.com:8443/q?fbclid=abc&gclid=d&ref=rss",
+      "http://plain.org:80/path//")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val got = urls.select(col("id"),
+      WebCuration.canonicalizeUrl(col("url")).as("c"),
+      WebCuration.hostOf(col("url")).as("h"),
+      WebCuration.registeredDomain(col("url")).as("rd"))
+      .orderBy("id").as[(Long, String, String, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, "https://example.com/a/b?a=2&z=1", "example.com", "example.com"),
+      (1L, "http://sub.domain.co.uk:8080/p", "sub.domain.co.uk", "domain.co.uk"),
+      (2L, "http://x.io", "x.io", "x.io"),
+      (3L, "https://one.com:8443/q", "one.com", "one.com"),
+      (4L, "http://plain.org/path", "plain.org", "plain.org")))
+  }
+
+  test("urlDedup collapses surface variants of one resource to a single canonical row") {
+    import graft.operators.WebCuration
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "https://A.com/x?utm_source=s"),
+      (11L, "HTTPS://www.a.COM:443/x/"),
+      (12L, "https://a.com/x#top"),
+      (13L, "https://a.com/y"))
+      .toDF("doc_id", "url")
+    val got = WebCuration.urlDedup(docs, "doc_id", "url")
+      .orderBy("canonical_url").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("https://a.com/x", 3L, 10L), ("https://a.com/y", 1L, 13L)))
+  }
+
   test("audioEnergy decodes real PCM frames to exact window statistics") {
     import spark.implicits._
     // 2 channels, 10 frames, window 4 -> windows of 4/4/2 frames; every

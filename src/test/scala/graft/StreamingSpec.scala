@@ -266,6 +266,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming EXECUTED audio decode quarantines mid-stream corruption, stats match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val specs = Seq(Multimodal.WavPcmSpec(1L, 8000, 2, 16, 12, 77)).toDS()
+    val good = Multimodal.synthesizeWavPcm(spark, specs)
+      .select("payload").as[Array[Byte]].head()
+    val batch = Multimodal.audioEnergy(spark,
+      Seq((1L, good)).toDF("doc_id", "payload"), 8).collect().toSeq
+    val mem = MemoryStream[Multimodal.BinaryDoc]
+    val out = Multimodal.audioEnergy(spark, mem.toDF(), 8)
+    val q = out.writeStream.format("memory").queryName("audio_energy_stream")
+      .outputMode("append").start()
+    mem.addData(Multimodal.BinaryDoc(1L, good))
+    q.processAllAvailable()
+    mem.addData(Multimodal.BinaryDoc(2L, good.take(30))) // mid-fmt cut
+    q.processAllAvailable()
+    mem.addData(Multimodal.BinaryDoc(3L, good))
+    q.processAllAvailable()
+    val rows = spark.table("audio_energy_stream").orderBy("doc_id", "window_idx")
+      .as[Multimodal.AudioWindow].collect().toSeq
+    assert(rows.filter(_.doc_id == 1L) == batch.map(_.copy(doc_id = 1L)))
+    assert(rows.filter(_.doc_id == 2L)
+      .forall(r => r.status == "corrupt" && r.err.contains("truncated")))
+    assert(rows.filter(_.doc_id == 3L).map(_.copy(doc_id = 1L)) == batch)
+    q.stop()
+  }
+
   test("piecesToIds broadcast tier streams: ids identical to batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
