@@ -347,4 +347,46 @@ object TextAnalysis {
           expr("(2*abs(islp) + 100*n_bigrams) div (200*n_bigrams)"))
           .cast("double")./(lit(10000.0)).as("avg_logprob"))
   }
+
+  /** DSIR-style hashed n-gram importance weights (Xie et al., NeurIPS
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): features are unigram + bigram occurrences hashed into
+    * `buckets`; the target and source distributions are the two bucket
+    * count tables (add-one smoothed), and a doc's weight sums its grams'
+    * bucket scores. The published form scores log(p_target/p_source);
+    * transcendental doubles cannot hash-match across engines, so the
+    * score is the FIXED-POINT frequency ratio
+    * `((cnt_t + 1)·scale) div (cnt_s + 1)` — integer-exact and
+    * cross-engine reproducible (the same deviation-for-exactness
+    * precedent as the quality logit's DECIMAL linear score). Compose
+    * with [[Sampling.importanceSample]] for the resampling step.
+    *
+    * Plan shape: one tokenize pass feeds unigrams and bigrams (the
+    * bigram `lead` rides the same per-doc exchange), one bucket
+    * aggregation (`buckets` rows — AQE broadcasts it back), one per-doc
+    * aggregation. No driver-side state; safe at any corpus size.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int, scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && scale > 0, s"buckets $buckets scale $scale")
+    val w = Window.partitionBy("doc").orderBy("p")
+    val base = docs.select(col(idCol).as("doc"), targetPred.as("is_target"),
+        posexplode(Fns.tokens(col(textCol))).as(Seq("p", "w")))
+      .withColumn("w2", lead("w", 1).over(w))
+    val uni = base.select(col("doc"), col("is_target"), col("w").as("g"))
+    val bi = base.filter(col("w2").isNotNull)
+      .select(col("doc"), col("is_target"),
+        concat_ws(" ", col("w"), col("w2")).as("g"))
+    val grams = uni.unionByName(bi)
+      .select(col("doc"), col("is_target"),
+        pmod(Fns.rollingHash(col("g")), lit(buckets.toLong)).as("b"))
+    val scores = grams.groupBy("b").agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("cnt_t"),
+        sum(when(!col("is_target"), 1L).otherwise(0L)).as("cnt_s"))
+      .select(col("b"),
+        expr(s"((cnt_t + 1) * $scale) div (cnt_s + 1)").as("score"))
+    grams.join(scores, "b")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_grams"), sum("score").as("weight"))
+  }
 }

@@ -93,4 +93,19 @@ object WebCuration {
         canonicalizeUrl(col(urlCol)).as("canonical_url"))
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
+
+  /** Domain blocklist filter: drop every doc whose registered domain
+    * appears in `blocked` (one `domain` column). An anti-join, so the
+    * blocklist can be millions of rows — AQE broadcasts it while it fits
+    * under the threshold and falls back to a keyed shuffle beyond (a
+    * literal `isin` would inline the list into the plan and stop scaling
+    * at a few thousand entries).
+    */
+  def blockDomains(docs: DataFrame, urlCol: String,
+      blocked: DataFrame): DataFrame = {
+    val bl = blocked.select(
+      lower(trim(col(blocked.columns.head))).as("__blocked_domain"))
+    docs.withColumn("registered_domain", registeredDomain(col(urlCol)))
+      .join(bl, col("registered_domain") === col("__blocked_domain"), "left_anti")
+  }
 }

@@ -655,6 +655,64 @@ object TrainingDataOps {
         |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
     ),
 
+    // ---- domain blocklist filter --------------------------------------
+    // Crawl-level domain exclusion: anti-join the registered domain
+    // against a blocklist relation (broadcast by AQE at this size; keyed
+    // shuffle at public-suffix-list scale).
+    "web_domain_filter" -> QuerySpec(
+      (s, dir) => {
+        val d = col("doc_id")
+        val url = concat(
+          when(d % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+          when(d % 7 === 4, "WWW.").otherwise(""), lit("Site"), d % 5, lit(".com"),
+          lit("/p"), d % 3)
+        val blocked = s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row("site1.com"),
+            org.apache.spark.sql.Row("SITE3.COM")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("domain",
+              org.apache.spark.sql.types.StringType))))
+        WebCuration.blockDomains(
+          t(s, dir, "documents").select(d.as("doc_id"), url.as("url")),
+          "url", blocked)
+          .select(col("doc_id"), col("registered_domain"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, 'site' || (doc_id % 5) || '.com' AS registered_domain
+        |FROM documents WHERE doc_id % 5 NOT IN (1, 3)
+        |ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- DSIR hashed n-gram importance weights ------------------------
+    // Target = src0 docs; every doc scored by its hashed unigram+bigram
+    // buckets' target-vs-source frequency ratios (fixed-point integer —
+    // see TextAnalysis.dsirWeights for the log-free exactness rationale).
+    "tx_dsir_weights" -> QuerySpec(
+      (s, dir) =>
+        TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("source") === "src0", buckets = 512)
+          .withColumnRenamed("doc", "doc_id")
+          .orderBy("doc_id"),
+      s"""WITH toks AS (
+         |  SELECT doc_id, source = 'src0' AS tgt, $duckToks AS ts
+         |  FROM documents),
+         |uni AS (SELECT doc_id, tgt, unnest(ts) AS g FROM toks),
+         |bi AS (SELECT doc_id, tgt, unnest(
+         |  [array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]) AS g
+         |  FROM toks),
+         |g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+         |hb AS (SELECT doc_id, tgt, ${duckHash("g")} % 512 AS b FROM g),
+         |c AS (SELECT b,
+         |    count(*) FILTER (WHERE tgt) AS cnt_t,
+         |    count(*) FILTER (WHERE NOT tgt) AS cnt_s
+         |  FROM hb GROUP BY b),
+         |sc AS (SELECT b, (cnt_t + 1) * 1000000 // (cnt_s + 1) AS score FROM c)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(score) AS BIGINT) AS weight
+         |FROM hb JOIN sc USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- MinHash + LSH near-dup pairs ---------------------------------
     "dd_minhash_lsh" -> QuerySpec(
       (s, dir) =>

@@ -231,6 +231,39 @@ class Round10OpsSpec extends SparkSpec {
     assert(got == Seq(("https://a.com/x", 3L, 10L), ("https://a.com/y", 1L, 13L)))
   }
 
+  test("blockDomains drops exactly the blocklisted registered domains, case-insensitively") {
+    import spark.implicits._
+    import graft.operators.WebCuration
+    val docs = Seq(
+      (1L, "http://www.bad.com/x"), (2L, "https://Sub.Bad.COM/y"),
+      (3L, "http://good.org/z"), (4L, "http://evil.co.uk/w"),
+      (5L, "http://notbad.com/v"))
+      .toDF("doc_id", "url")
+    val blocked = Seq("BAD.com", "evil.co.uk").toDF("domain")
+    val got = WebCuration.blockDomains(docs, "url", blocked)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(3L, 5L))
+  }
+
+  test("dsirWeights: target-heavy grams outscore source-heavy grams; weights integer-exact") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // target corpus repeats 'alpha', source repeats 'beta'; a doc made of
+    // alphas must outweigh a doc made of betas under any hashing
+    val docs = (
+      (0 until 8).map(i => (i.toLong, "alpha alpha alpha alpha", "tgt")) ++
+      (0 until 8).map(i => ((100 + i).toLong, "beta beta beta beta", "src")) ++
+      Seq((500L, "alpha alpha alpha alpha", "src"),
+          (501L, "beta beta beta beta", "src"))).toDF("doc_id", "text", "kind")
+    val w = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+      col("kind") === "tgt", buckets = 64)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(w(500L) > w(501L),
+      s"alpha-doc ${w(500L)} not above beta-doc ${w(501L)}")
+    // identical text => identical weight (pure function of content)
+    assert(w(0L) == w(500L))
+  }
+
   test("audioEnergy decodes real PCM frames to exact window statistics") {
     import spark.implicits._
     // 2 channels, 10 frames, window 4 -> windows of 4/4/2 frames; every
