@@ -300,6 +300,51 @@ object Sampling {
         sum("__nt").cast("long").as("total_tokens"),
         sum(col(keyCol)).cast("long").as("id_checksum"))
 
+  /** Token-budget mixture schedule — the data-recipe planning step of
+    * LLaMA-style pretraining mixes (Touvron et al. 2023 §2 table 1 and
+    * the Doremi/Pile recipe shape: each domain gets a target share of
+    * the token budget; small domains REPEAT for multiple epochs, large
+    * ones subsample). Inputs: per-row token counts, target mixture as
+    * integer parts-per-million (rationals, so the plan is exact — float
+    * weights would make the schedule engine-dependent), and the total
+    * token budget. Output, one row per targeted domain:
+    *
+    *  - `tokens_have` / `n_docs`: the domain's corpus inventory
+    *  - `tokens_wanted` = budget·weight_ppm div 10⁶
+    *  - `full_epochs` = tokens_wanted div tokens_have (whole passes)
+    *  - `tail_rate_ppm`: deterministic sample rate for the fractional
+    *    last pass (feed to [[stratifiedSample]] per domain)
+    *  - `repeat_ppm` = overall oversampling factor ×10⁶
+    *
+    * All integer arithmetic on positives (floor div == trunc, so Spark
+    * `div` and any SQL `//` agree). ONE keyed aggregation; the schedule
+    * is itself a #domains-row relation — nothing materializes to the
+    * driver, unlike the rate-literal operators above (this one PLANS the
+    * mix; they EXECUTE it).
+    */
+  def mixSchedule(df: DataFrame, domainCol: String, tokenCount: Column,
+      weightsPpm: Map[String, Long], budgetTokens: Long): DataFrame = {
+    require(weightsPpm.nonEmpty && weightsPpm.values.forall(_ > 0),
+      "weightsPpm must be non-empty with positive weights")
+    require(budgetTokens > 0, s"budgetTokens $budgetTokens")
+    val weightCase = weightsPpm.tail.foldLeft(
+      when(col("domain") === weightsPpm.head._1, lit(weightsPpm.head._2))) {
+      case (acc, (d, w)) => acc.when(col("domain") === d, lit(w))
+    }.otherwise(lit(0L))
+    df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(tokenCount).cast("long").as("tokens_have"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("weight_ppm", weightCase)
+      .filter(col("weight_ppm") > 0 && col("tokens_have") > 0)
+      .withColumn("tokens_wanted",
+        expr(s"($budgetTokens * weight_ppm) div 1000000"))
+      .withColumn("full_epochs", expr("tokens_wanted div tokens_have"))
+      .withColumn("tail_rate_ppm",
+        expr("((tokens_wanted % tokens_have) * 1000000) div tokens_have"))
+      .withColumn("repeat_ppm",
+        expr("(tokens_wanted * 1000000) div tokens_have"))
+  }
+
   /** CCNet-style quality-band sampling (Wenzek et al. 2020,
     * arXiv:1911.00359 §4.3: corpora are cut into head/middle/tail by LM
     * perplexity and each band kept at its own rate). `scoreCol` is any

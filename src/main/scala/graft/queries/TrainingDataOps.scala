@@ -2728,6 +2728,41 @@ object TrainingDataOps {
          |FROM k GROUP BY source ORDER BY source""".stripMargin
     ),
 
+    // ---- token-budget mixture schedule (LLaMA-style data recipe) -------
+    // Plans the mix rather than executing it: per-lang token inventory vs
+    // ppm target shares and a 3.5M-token budget -> whole epochs + the
+    // fractional-pass sample rate, all integer-exact.
+    "sp_mix_schedule" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Sampling.mixSchedule(
+          t(s, dir, "documents"), "lang", col("n_chars"),
+          Map("en" -> 400000L, "zh" -> 250000L, "de" -> 150000L,
+            "es" -> 120000L, "fr" -> 80000L),
+          budgetTokens = 3500000L)
+          .orderBy("domain"),
+      """WITH a AS (
+        |  SELECT lang AS domain, CAST(sum(n_chars) AS BIGINT) AS tokens_have,
+        |    count(*) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT domain, tokens_have, n_docs,
+        |    CAST(CASE domain WHEN 'en' THEN 400000 WHEN 'zh' THEN 250000
+        |      WHEN 'de' THEN 150000 WHEN 'es' THEN 120000
+        |      WHEN 'fr' THEN 80000 ELSE 0 END AS BIGINT) AS weight_ppm
+        |  FROM a),
+        |x AS (
+        |  SELECT *, (3500000 * weight_ppm) // 1000000 AS tokens_wanted
+        |  FROM w WHERE weight_ppm > 0 AND tokens_have > 0)
+        |SELECT domain, tokens_have, CAST(n_docs AS BIGINT) AS n_docs,
+        |  weight_ppm, CAST(tokens_wanted AS BIGINT) AS tokens_wanted,
+        |  CAST(tokens_wanted // tokens_have AS BIGINT) AS full_epochs,
+        |  CAST(((tokens_wanted % tokens_have) * 1000000) // tokens_have
+        |    AS BIGINT) AS tail_rate_ppm,
+        |  CAST((tokens_wanted * 1000000) // tokens_have AS BIGINT)
+        |    AS repeat_ppm
+        |FROM x ORDER BY domain""".stripMargin
+    ),
+
     // ---- temperature-flattened domain mixing (mT5/XLM-R τ-sampling) ----
     // A skewed 60/30/10 domain split is synthesized on both engines so
     // τ=0.5 actually exercises the flattening; rate_d = sqrt(n_min/n_d)

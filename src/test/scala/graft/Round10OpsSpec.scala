@@ -264,6 +264,32 @@ class Round10OpsSpec extends SparkSpec {
     assert(w(0L) == w(500L))
   }
 
+  test("mixSchedule: integer-exact epochs + tail rate reconstruct tokens_wanted") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 150L), // a: 250 tokens
+      (3L, "b", 1000L),                 // b: 1000 tokens
+      (4L, "c", 60L))                   // c: untargeted, must not appear
+      .toDF("doc_id", "domain", "n_tok")
+    val got = Sampling.mixSchedule(docs, "domain", col("n_tok"),
+      Map("a" -> 600000L, "b" -> 400000L), budgetTokens = 1000L)
+      .orderBy("domain")
+      .select("domain", "tokens_have", "tokens_wanted", "full_epochs",
+        "tail_rate_ppm", "repeat_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // a: wants 600 of 250 -> 2 full epochs + 100/250 tail; b: wants 400
+    // of 1000 -> 0 epochs + 0.4 sample
+    assert(got == Seq(
+      ("a", 250L, 600L, 2L, 400000L, 2400000L),
+      ("b", 1000L, 400L, 0L, 400000L, 400000L)))
+    // invariant: full_epochs*have + tail_rate*have/1e6 ~= wanted (floor)
+    got.foreach { case (_, have, want, ep, tail, _) =>
+      assert(ep * have + tail * have / 1000000 <= want)
+      assert(ep * have + (tail + 1) * have / 1000000 + 1 >= want)
+    }
+  }
+
   test("audioEnergy decodes real PCM frames to exact window statistics") {
     import spark.implicits._
     // 2 channels, 10 frames, window 4 -> windows of 4/4/2 frames; every
