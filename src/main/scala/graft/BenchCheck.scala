@@ -34,7 +34,7 @@ object BenchCheck {
   }
 
   def main(args: Array[String]): Unit = {
-    val basePath = args.lift(0).getOrElse("/root/repo/BENCH_SELF_r09.json")
+    val basePath = args.lift(0).getOrElse("/root/repo/BENCH_SELF_r10.json")
     val freshPath = args.lift(1).getOrElse("/tmp/bench_self.json")
     def load(p: String): Map[String, Double] =
       try queryMedians(Files.readString(Paths.get(p)))

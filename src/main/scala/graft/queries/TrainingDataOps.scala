@@ -2676,6 +2676,62 @@ object TrainingDataOps {
          |FROM enc WHERE pos >= len(token) ORDER BY doc_id, token_idx""".stripMargin
     ),
 
+    // ---- tokenizer fertility by language -------------------------------
+    // The tokenizer-quality metric multilingual work reports (pieces per
+    // word; Rust et al. 2021 "How Good is Your Tokenizer?"): encode the
+    // %20 doc subset with the fixed WordPiece vocab, join language back,
+    // and aggregate integer-exact per-lang fertility (ppm fixed point)
+    // plus the UNK-word count — high fertility / UNK rates are how a
+    // vocab mismatch for a language shows up in practice.
+    "tx_fertility" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+        graft.operators.Vocab.wordpieceEncode(docs, "doc_id", "text", wpVocab)
+          .join(docs.select(col("doc_id").as("doc"), col("lang")), "doc")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum(size(col("pieces"))).as("n_pieces"),
+            sum(when(array_contains(col("pieces"), "[UNK]"), 1L)
+              .otherwise(0L)).as("n_unk_words"))
+          .withColumn("fertility_ppm", expr("(n_pieces * 1000000) div n_words"))
+          .orderBy("lang")
+      },
+      s"""WITH RECURSIVE
+         |vraw AS (SELECT unnest([${wpVocab.map(p => s"'$p'").mkString(",")}]) AS piece),
+         |v AS (SELECT piece,
+         |    CASE WHEN piece LIKE '##%' THEN substr(piece,3) ELSE piece END AS raw,
+         |    (piece LIKE '##%') AS cont FROM vraw),
+         |toks AS (SELECT doc_id, lang, $duckToks AS ts FROM documents
+         |  WHERE doc_id % 20 = 0),
+         |tok AS (SELECT doc_id, lang, unnest(range(len(ts))) AS token_idx,
+         |    unnest(ts) AS token FROM toks),
+         |enc AS (
+         |  SELECT doc_id, lang, token_idx, token, 0 AS pos,
+         |    CAST([] AS VARCHAR[]) AS pieces
+         |  FROM tok WHERE len(token) > 0
+         |  UNION ALL
+         |  SELECT e.doc_id, e.lang, e.token_idx, e.token,
+         |    CASE WHEN b.piece IS NULL THEN len(e.token) ELSE e.pos + len(b.raw) END AS pos,
+         |    CASE WHEN b.piece IS NULL THEN ['[UNK]']
+         |         ELSE list_append(e.pieces, b.piece) END AS pieces
+         |  FROM enc e
+         |  LEFT JOIN LATERAL (
+         |    SELECT piece, raw FROM v
+         |    WHERE cont = (e.pos > 0)
+         |      AND substr(e.token, e.pos + 1, len(raw)) = raw
+         |    ORDER BY len(raw) DESC, piece LIMIT 1
+         |  ) b ON true
+         |  WHERE e.pos < len(e.token)),
+         |f AS (SELECT lang, pieces FROM enc WHERE pos >= len(token))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(pieces)) AS BIGINT) AS n_pieces,
+         |  CAST(count(*) FILTER (WHERE list_contains(pieces, '[UNK]'))
+         |    AS BIGINT) AS n_unk_words,
+         |  CAST((sum(len(pieces)) * 1000000) // count(*) AS BIGINT)
+         |    AS fertility_ppm
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+    ),
+
     // ---- importance sampling: per-row continuous keep weight -----------
     "sp_importance_sample" -> QuerySpec(
       (s, dir) =>
