@@ -294,6 +294,31 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("canonical-URL dedup streams: cross-batch state drops later surface variants") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.WebCuration
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val out = mem.toDF().toDF("doc_id", "url")
+      .withColumn("canonical_url", WebCuration.canonicalizeUrl(col("url")))
+      .dropDuplicates("canonical_url")
+    val q = out.writeStream.format("memory").queryName("url_dedup_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "https://A.com/x?utm_source=s"))
+    q.processAllAvailable()
+    // batch 2: two more surface forms of the SAME resource + one new one —
+    // streaming state must remember batch 1's canonical and drop both
+    mem.addData((2L, "HTTPS://www.a.COM:443/x/"), (3L, "https://a.com/x#top"),
+      (4L, "https://a.com/y"))
+    q.processAllAvailable()
+    val rows = spark.table("url_dedup_stream")
+      .select("doc_id", "canonical_url")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "https://a.com/x"), (4L, "https://a.com/y")))
+    q.stop()
+  }
+
   test("piecesToIds broadcast tier streams: ids identical to batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
