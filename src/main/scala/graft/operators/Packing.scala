@@ -35,4 +35,31 @@ object Packing {
       .withColumn("seq", floor(col("__cum") / budget).cast("long"))
       .drop("__cum")
   }
+
+  /** WebDataset/tar-style shard byte layout — the storage-manifest step
+    * of a multimodal training corpus (Beaumont et al.'s webdataset
+    * convention: records live in tar shards; a reader needs each
+    * member's byte offset to seek without scanning). Every record costs
+    * one `blockBytes` header plus its payload rounded UP to a block
+    * multiple; `byte_offset` is the exclusive prefix sum of those entry
+    * sizes within the record's deterministic shard ([[Sampling.shardOf]]
+    * hash contract), in ascending id order.
+    *
+    * One shard-partitioned window — parallelism scales with shard count
+    * and no global sort exists, the [[packSequences]] posture. All
+    * positive-integer arithmetic (`div` ≡ SQL `//`).
+    */
+  def shardLayout(df: DataFrame, idCol: String, sizeCol: org.apache.spark.sql.Column,
+      nShards: Int, blockBytes: Int = 512): DataFrame = {
+    require(blockBytes > 0, s"blockBytes $blockBytes")
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", Sampling.shardOf(col(idCol), nShards))
+      .withColumn("payload_bytes", sizeCol.cast("long"))
+      .withColumn("entry_bytes",
+        expr(s"((payload_bytes + ${blockBytes - 1}) div $blockBytes) * $blockBytes" +
+          s" + $blockBytes"))
+      .withColumn("byte_offset",
+        coalesce(sum(col("entry_bytes")).over(w), lit(0L)))
+  }
 }

@@ -3376,6 +3376,33 @@ object TrainingDataOps {
          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
     ),
 
+    // ---- WebDataset-style shard byte layout ----------------------------
+    // Tar-member arithmetic per record (one block header + payload
+    // rounded up to a block) prefix-summed within each deterministic
+    // shard: the seek index a multimodal shard reader needs. One
+    // shard-partitioned window, integer-exact.
+    "mm_shard_layout" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Packing.shardLayout(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", col("n_chars"), nShards = 8)
+          .select("doc_id", "shard", "payload_bytes", "entry_bytes",
+            "byte_offset")
+          .orderBy("doc_id"),
+      s"""WITH e AS (
+         |  SELECT doc_id,
+         |    CAST((((${duckHash("CAST(doc_id AS VARCHAR)")})*1315423911
+         |      + 2654435761) % 1000000007) * 8 // 1000000007 AS INTEGER) AS shard,
+         |    CAST(n_chars AS BIGINT) AS payload_bytes,
+         |    CAST(((n_chars + 511) // 512) * 512 + 512 AS BIGINT) AS entry_bytes
+         |  FROM documents)
+         |SELECT doc_id, shard, payload_bytes, entry_bytes,
+         |  CAST(coalesce(sum(entry_bytes) OVER (PARTITION BY shard
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) AS byte_offset
+         |FROM e ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- CCNet-style perplexity-band sampling ---------------------------
     // Band docs by the corpus-trained LM score (head/middle/tail), keep
     // head fully, sample middle at 50%, tail at 10% — deterministic hash

@@ -290,6 +290,40 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("audioEnergy never throws on arbitrary bytes — every garbage payload quarantines") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    // seeded garbage: pure noise, RIFF-magic noise (forces the chunk
+    // walk), empty, and 1-3 byte stubs
+    val payloads: Seq[(Long, Array[Byte])] =
+      (0 until 30).map { i =>
+        val b = new Array[Byte](rnd.nextInt(200))
+        rnd.nextBytes(b)
+        if (i % 3 == 0 && b.length >= 12) {
+          Array.copy("RIFF".getBytes, 0, b, 0, 4)
+          Array.copy("WAVE".getBytes, 0, b, 8, 4)
+        }
+        (i.toLong, b)
+      } :+ (100L, Array.empty[Byte]) :+ (101L, Array[Byte](82))
+    val rows = Multimodal.audioEnergy(spark,
+      payloads.toDF("doc_id", "payload"), 8).collect()
+    assert(rows.length == payloads.length)
+    assert(rows.forall(r => r.status == "corrupt" || r.status == "unsupported"),
+      rows.filter(r => r.status != "corrupt" && r.status != "unsupported").mkString(","))
+  }
+
+  test("canonicalizeUrl total on degenerate inputs (no scheme, empty, bare host, junk)") {
+    import spark.implicits._
+    import graft.operators.WebCuration
+    val weird = Seq("", "   ", "no-scheme-at-all", "http://", "https://:8080",
+      "ftp://Weird.Host/path", "http://h?#", "a://b//", "http://h/p?&&&")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    // must evaluate without throwing and never yield null for non-null in
+    val got = weird.select(WebCuration.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect()
+    assert(got.length == 9 && got.forall(_ != null))
+  }
+
   test("audioEnergy decodes real PCM frames to exact window statistics") {
     import spark.implicits._
     // 2 channels, 10 frames, window 4 -> windows of 4/4/2 frames; every
