@@ -615,4 +615,162 @@ object Ann {
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .select(col("query_id"), col("n_hits"),
         round(col("n_hits") / lit(k.toDouble), 4).as("recall"))
+
+  /** Width cap for the rotation/covariance family: the moment matrix is
+    * d² driver-side doubles and the pair explode is d(d+1)/2 rows per
+    * vector — both quadratic in width, so the cap is far tighter than
+    * [[MaxQuantDims]].
+    */
+  val MaxRotDims: Int = 256
+
+  /** Upper-triangle second-moment matrix `M[i][j] = Σ_rows v_i·v_j` of an
+    * embedding column — the DISTRIBUTED half of PCA/OPQ-style rotation
+    * training (FAISS's `PCAMatrix`/`OPQ` pretransforms; Ge et al. 2013):
+    * the corpus touches this one aggregation, and the bounded d×d
+    * eigenproblem runs on the driver from its result.
+    *
+    * Exactness contract: each product is one IEEE double multiply
+    * (identical in every engine), then cast to DECIMAL(38,18) BEFORE the
+    * sum — decimal addition is exact and order-independent, so the
+    * matrix hash-matches across engines and partitionings (the
+    * IVF/PQ-means precedent). Output (i, j, n, sxx) with i ≤ j,
+    * `sxx` rounded to 12 decimals as double.
+    *
+    * Scale shape: one pass, d(d+1)/2 rows per vector exploded into
+    * d(d+1)/2 map-side-combined groups. Width-capped at [[MaxRotDims]]
+    * by a LIMIT-1 probe before any corpus work; for 100 TB corpora run
+    * it over a deterministic sample ([[Sampling.hashSplit]]) — moments
+    * converge long before the full pass pays off.
+    */
+  def secondMoments(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = emb.select(col(vecCol).cast("array<double>").as("v"))
+    v.select(size(col("v")).as("w")).limit(1).collect().foreach { r =>
+      val w = r.getInt(0)
+      require(w <= MaxRotDims,
+        s"refusing rotation moments for $w-dim vectors (> $MaxRotDims): " +
+          "the d^2 explode/driver matrix would not be bounded")
+    }
+    v.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum((col("xi") * col("xj")).cast("decimal(38,18)")).as("sxx"))
+      .select(col("i"), col("j"), col("n"),
+        round(col("sxx"), 12).cast("double").as("sxx"))
+  }
+
+  /** Deterministic symmetric eigendecomposition by cyclic Jacobi sweeps —
+    * fixed sweep count, fixed rotation order, no pivot search by
+    * magnitude-with-ties ambiguity (row-major upper-triangle order), so
+    * the basis is bit-reproducible for a given matrix. Returns
+    * (eigenvalues desc, row-major eigenvector matrix aligned to them).
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]],
+      sweeps: Int = 12): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val vMat = Array.tabulate(d, d)((r, c) => if (r == c) 1.0 else 0.0)
+    var s = 0
+    while (s < sweeps) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-14) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val th = math.abs(theta)
+            val t0 = 1.0 / (th + math.sqrt(th * th + 1.0))
+            val t = if (theta >= 0) t0 else -t0
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sn * akq
+              a(k)(q) = sn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sn * aqk
+              a(q)(k) = sn * apk + c * aqk
+              val vkp = vMat(k)(p); val vkq = vMat(k)(q)
+              vMat(k)(p) = c * vkp - sn * vkq
+              vMat(k)(q) = sn * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      s += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => (0 until d).map(r => vMat(r)(i)).toArray).toArray)
+  }
+
+  /** PCA rotation learned from [[secondMoments]]: mean-center, project
+    * onto the top `outDims` eigenvectors of the covariance, and (the
+    * OPQ-flavored detail) INTERLEAVE components round-robin across PQ
+    * subspaces — plain PCA concentrates variance in the first subspace,
+    * which unbalances per-subspace k-means; round-robin assignment is
+    * the deterministic stand-in for OPQ's learned balancing (FAISS's
+    * "PCAR" shape without the random matrix, so runs reproduce).
+    * Returns (meanVector, rotation rows×d) for [[pcaProject]].
+    */
+  def pcaTrain(emb: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, pqSubspaces: Int = 1): (Array[Double], Array[Array[Double]]) = {
+    val mom = secondMoments(emb, idCol, vecCol)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val d = mom.keys.map(_._2).max + 1
+    require(outDims > 0 && outDims <= d, s"outDims $outDims vs width $d")
+    require(pqSubspaces > 0 && outDims % pqSubspaces == 0,
+      s"outDims $outDims must divide into $pqSubspaces subspaces")
+    val n = mom((0, 0))._1.toDouble
+    // means from the SAME decimal-exact pass family: Σxi = M[i][i] is not
+    // the mean — recompute first moments exactly once here
+    val v = emb.select(col(vecCol).cast("array<double>").as("v"))
+    val mu = v.select(posexplode(col("v")).as(Seq("i", "xi")))
+      .groupBy("i").agg(sum(col("xi").cast("decimal(38,18)")).as("sx"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue / n)
+      .sortBy(_._1).map(_._2)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val (lo, hi) = if (i <= j) (i, j) else (j, i)
+      mom((lo, hi))._2 / n - mu(i) * mu(j)
+    }
+    val (_, vecs) = jacobiEigen(cov)
+    // round-robin interleave: component k goes to subspace k % m, order
+    // preserved within a subspace — concatenated back this is a row
+    // permutation of the top-outDims eigenbasis
+    val top = vecs.take(outDims)
+    val perm = (0 until pqSubspaces).flatMap(s =>
+      (s until outDims by pqSubspaces)).toArray
+    (mu, perm.map(top))
+  }
+
+  /** Apply a trained rotation: y = R·(x − μ), as a literal-matrix
+    * projection (zero joins, zero shuffles, streaming-safe). The fold
+    * order is fixed (ascending input dim), so projected values are
+    * deterministic doubles.
+    */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+      mean: Array[Double], rot: Array[Array[Double]]): DataFrame = {
+    val muLit = array(mean.map(lit(_)): _*)
+    val rows = rot.map(r => array(r.map(lit(_)): _*))
+    val outCols = rows.map { rl =>
+      aggregate(
+        zip_with(zip_with(col("__v"), muLit, (x, m) => x - m), rl,
+          (c, w) => c * w),
+        lit(0.0), (acc, t) => acc + t)
+    }
+    emb.withColumn("__v", col(vecCol).cast("array<double>"))
+      .withColumn("rotated", array(outCols: _*))
+      .drop("__v")
+  }
 }

@@ -1506,6 +1506,26 @@ object TrainingDataOps {
     // Per-dim global [min,max] → codes 0..255 via fixed-order IEEE double
     // arithmetic — bit-identical across engines, so the full code matrix
     // hash-matches.
+    // ---- rotation-training second moments ------------------------------
+    // The distributed half of PCA/OPQ pretransform training: the
+    // upper-triangle second-moment matrix, decimal-exact (each product is
+    // ONE IEEE multiply, summed in DECIMAL(38,18) — order-independent on
+    // both engines). The bounded d x d eigensolve runs on the driver and
+    // is property-tested (Round10OpsSpec), not oracle-gated.
+    "emb_covariance" -> QuerySpec(
+      (s, dir) =>
+        Ann.secondMoments(t(s, dir, "embeddings"), "vec_id", "embedding")
+          .orderBy("i", "j"),
+      """WITH x AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |f AS (SELECT v, unnest(range(1, len(v)+1)) AS i FROM x),
+        |g AS (SELECT v, i, unnest(range(i, len(v)+1)) AS j FROM f)
+        |SELECT CAST(i-1 AS INTEGER) AS i, CAST(j-1 AS INTEGER) AS j,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(v[i]*v[j] AS DECIMAL(38,18))), 12) AS DOUBLE)
+        |    AS sxx
+        |FROM g GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+    ),
+
     "emb_quantize_int8" -> QuerySpec(
       (s, dir) =>
         Ann.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")

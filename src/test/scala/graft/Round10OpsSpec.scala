@@ -324,6 +324,78 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.length == 9 && got.forall(_ != null))
   }
 
+  test("jacobiEigen recovers a known symmetric spectrum") {
+    import graft.operators.Ann
+    // [[2,1],[1,2]] has eigenvalues 3 (along [1,1]) and 1 (along [1,-1])
+    val (vals, vecs) = Ann.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12)
+    assert(math.abs(math.abs(vecs(0)(0)) - math.sqrt(0.5)) < 1e-12)
+    // eigen property: A v = lambda v
+    val m = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+    for (k <- 0 until 2; i <- 0 until 2) {
+      val av = (0 until 2).map(j => m(i)(j) * vecs(k)(j)).sum
+      assert(math.abs(av - vals(k) * vecs(k)(i)) < 1e-10)
+    }
+  }
+
+  test("pcaTrain: orthonormal rotation, PC1 beats every raw axis on correlated data") {
+    import spark.implicits._
+    import graft.operators.Ann
+    // strongly correlated 6-dim data: dims are scaled copies of one
+    // latent factor plus small deterministic perturbations
+    val rows = (0 until 400).map { i =>
+      val t = (i % 97) / 97.0 - 0.5
+      val p = (i % 13) / 130.0
+      (i.toLong, Seq(t, 2 * t + p, -t + p / 2, 0.5 * t - p, t + 2 * p, -2 * t + p).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val (mu, rot) = Ann.pcaTrain(rows, "vec_id", "embedding", outDims = 6)
+    // orthonormality: R R^T = I
+    for (a <- rot.indices; b <- rot.indices) {
+      val dot = rot(a).zip(rot(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9, s"R R^T [$a][$b] = $dot")
+    }
+    val proj = Ann.pcaProject(rows, "vec_id", "embedding", mu, rot)
+      .select("rotated").as[Seq[Double]].collect()
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val pcVar = variance(proj.map(_.head).toSeq)
+    val raw = rows.select("embedding").as[Seq[Float]].collect()
+    val rawVars = (0 until 6).map(d => variance(raw.map(_(d).toDouble).toSeq))
+    assert(rawVars.forall(pcVar >= _ - 1e-12),
+      s"PC1 var $pcVar below a raw axis ${rawVars.max}")
+    // total variance preserved by the full rotation (trace invariance)
+    val projVarSum = (0 until 6).map(d => variance(proj.map(_(d)).toSeq)).sum
+    assert(math.abs(projVarSum - rawVars.sum) < 1e-6)
+  }
+
+  test("pcaTrain round-robin interleave permutes the top components across subspaces") {
+    import spark.implicits._
+    import graft.operators.Ann
+    val rows = (0 until 100).map { i =>
+      val t = (i % 31) / 31.0
+      (i.toLong, Seq(t, t / 2, (i % 7) / 7.0, (i % 5) / 5.0).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val (_, plain) = Ann.pcaTrain(rows, "vec_id", "embedding", 4, pqSubspaces = 1)
+    val (_, inter) = Ann.pcaTrain(rows, "vec_id", "embedding", 4, pqSubspaces = 2)
+    // subspaces of 2: interleave order is PCs (0,2 | 1,3)
+    assert(inter(0).sameElements(plain(0)) && inter(1).sameElements(plain(2)))
+    assert(inter(2).sameElements(plain(1)) && inter(3).sameElements(plain(3)))
+  }
+
+  test("pcaProject is partition-count independent (deterministic fold order)") {
+    import spark.implicits._
+    import graft.operators.Ann
+    val emb = Tables.t(spark, sfDir, "embeddings").limit(64)
+    val (mu, rot) = Ann.pcaTrain(emb, "vec_id", "embedding", outDims = 8)
+    def run(parts: Int) = Ann.pcaProject(emb.repartition(parts), "vec_id",
+      "embedding", mu, rot)
+      .select("vec_id", "rotated").as[(Long, Seq[Double])].collect()
+      .sortBy(_._1).toSeq
+    assert(run(1) == run(7))
+  }
+
   test("audioEnergy decodes real PCM frames to exact window statistics") {
     import spark.implicits._
     // 2 channels, 10 frames, window 4 -> windows of 4/4/2 frames; every
