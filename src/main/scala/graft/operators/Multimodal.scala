@@ -979,6 +979,50 @@ object Multimodal {
     }
   }
 
+  /** Keyframe-aligned clip extraction (GOP segmentation) over the demuxed
+    * frame index: a clip is a sync frame (stss keyframe) plus every frame
+    * until the next sync frame — the unit a video-training pipeline can
+    * actually decode independently, so it's the natural shard/sampling
+    * grain for clip-level datasets. Built ON the verified demux
+    * ([[frameIndex]], stride 1): clip assignment is a running sum of sync
+    * flags in ONE window partitioned by doc (bounded by frames-per-video,
+    * never corpus-wide), aggregation is one keyed agg. Frames before the
+    * first keyframe (a container that starts mid-GOP) land in clip -1 —
+    * they are not independently decodable and a curation pass must see
+    * them accounted, not silently merged into clip 0. Quarantined docs
+    * (non-MP4 / corrupt) pass through as one clip_idx=-1 row with their
+    * demux status, preserving skip-and-account.
+    *
+    * Output per clip: first frame index, frame count, absolute byte offset
+    * of the clip's first sample, total sample bytes, payload byte-sum
+    * (decode-free content check), start pts and pts span in ms.
+    */
+  def keyframeClips(spark: SparkSession, binDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = frameIndex(spark, binDocs, stride = 1).toDF()
+    val perDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ok = idx.filter(col("status") === "ok")
+      .withColumn("clip_idx", sum(col("is_sync").cast("long")).over(perDoc) - 1L)
+    val clips = ok.groupBy("doc_id", "clip_idx").agg(
+      min("frame_idx").as("start_frame"),
+      count(lit(1)).as("n_frames"),
+      min("byte_offset").as("start_offset"),
+      sum("frame_bytes").cast("long").as("clip_bytes"),
+      sum("frame_sum").as("clip_sum"),
+      min("pts_ms").as("start_ms"),
+      (max("pts_ms") - min("pts_ms")).as("span_ms"))
+      .withColumn("status", lit("ok"))
+      .withColumn("err", lit(null).cast("string"))
+    val quarantined = idx.filter(col("status") =!= "ok").select(
+      col("doc_id"), lit(-1L).as("clip_idx"), lit(0L).as("start_frame"),
+      lit(0L).as("n_frames"), lit(0L).as("start_offset"),
+      lit(0L).as("clip_bytes"), lit(0L).as("clip_sum"),
+      lit(-1L).as("start_ms"), lit(0L).as("span_ms"),
+      col("status"), col("err"))
+    clips.unionByName(quarantined)
+  }
+
   /** REAL (non-stub) feature extraction over raw media bytes: a `bins`-bin
     * byte-value histogram per payload — the kind of cheap content feature
     * (entropy proxies, format fingerprints, corruption detection) a media

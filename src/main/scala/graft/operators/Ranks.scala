@@ -115,6 +115,44 @@ object Ranks {
     } else element_at(typedLit(offs), bucketCol.cast("long"))
   }
 
+  /** Exact distributed `row_number() OVER (ORDER BY orderCols) - 1`
+    * (0-based global rank) appended as LongType `out`, plus the
+    * relation's total row count — read off the same histogram job, so
+    * callers that need n (every iterative ranker does) pay zero extra
+    * jobs. Same bucket-histogram shape as [[ntiles]], exposing the rank
+    * itself instead of its ntile summary: one ≤[[MaxRankBuckets]]-row
+    * driver histogram, offsets inlined, one bucket-partitioned window.
+    * `bucketOf` must be monotone non-decreasing in the leading order
+    * column; `orderCols` must be a total order for determinism.
+    */
+  def globalRowNumberWithCount(df: DataFrame, orderCols: Seq[String],
+      bucketOf: Column, out: String): (DataFrame, Long) = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val b = s"__grn_$out"
+    val withB = df.withColumn(b, bucketOf.cast("long"))
+    val hist = withB.groupBy(col(b)).agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getAs[Long](b), r.getAs[Long]("__n"))).sortBy(_._1)
+    require(hist.length <= MaxRankBuckets,
+      s"bucket expression produced ${hist.length} distinct buckets (max " +
+        s"$MaxRankBuckets) — the offset table is a driver materialization; " +
+        "supply a coarser monotone bucketOf")
+    if (hist.isEmpty) (df.withColumn(out, lit(null).cast("long")), 0L)
+    else {
+      val total = hist.map(_._2).sum
+      val offs = hist.map(_._1).zip(hist.map(_._2).scanLeft(0L)(_ + _).init).toMap
+      val wIn = Window.partitionBy(b).orderBy(orderCols.map(col): _*)
+      (withB
+        .withColumn(out,
+          offsetLookup(col(b), offs) + row_number().over(wIn) - 1L)
+        .drop(b), total)
+    }
+  }
+
+  /** [[globalRowNumberWithCount]] discarding the count. */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[String],
+      bucketOf: Column, out: String): DataFrame =
+    globalRowNumberWithCount(df, orderCols, bucketOf, out)._1
+
   /** Exact distributed `ntile(k) OVER (ORDER BY orderCols)` appended as
     * IntegerType column `out` (1-based, matching SQL ntile). `bucketOf`
     * overrides the quantile bucketer with a caller-known monotone

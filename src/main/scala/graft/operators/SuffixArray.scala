@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CommonPrefixLen, Fns}
+
+/** Distributed suffix array over the corpus by prefix doubling
+  * (Manber–Myers 1993), and the duplicated-substring detection built on it
+  * (the exact-substring dedup signal of Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better" — their single-node suffix
+  * array is the part that does NOT scale to a cluster; width-doubling
+  * re-expresses it as O(log maxDocLen) relational rounds).
+  *
+  * Why this exists next to the n-gram/MinHash family: shingle-based dedup
+  * finds DOCUMENT-level near-duplicates; the suffix array finds every
+  * EXACT repeated substring at any position — the memorization-risk signal
+  * (boilerplate, licenses, templated spam) that survives document-level
+  * dedup because the containing documents differ.
+  *
+  * Scale shape (the whole point): NO suffix string is ever materialized.
+  * A suffix is the pair (doc, pos); its sort key is an order-consistent
+  * integer rank refined over rounds. Three job-count levers make this
+  * bench-real (the naive per-char/per-doubling form was measured 4-5×
+  * slower at sf0.1 — all fixed job overhead):
+  *
+  *   1. ROUND 0 STARTS WIDE: suffixes are first ranked by their leading
+  *      `initWidth`-char substring directly (a bounded `substr`
+  *      projection, pipelined with the position generator — the full text
+  *      is never copied per row). One pass replaces log2(initWidth)
+  *      doubling rounds; the shuffle carries ≤ initWidth extra bytes/row.
+  *   2. EACH ROUND QUADRUPLES: one exchange gathers the four width-w
+  *      ranks at p, p+w, p+2w, p+3w (each row multicasts itself to the
+  *      four positions that need it; one groupBy(doc,pos) pivot — NOT
+  *      four self-joins), and ranking the 4-tuple orders suffixes by
+  *      their first 4w chars. -1 is the past-end sentinel (below every
+  *      real rank, so a shorter suffix that is a prefix sorts first).
+  *   3. ONE WINDOW PER RANK PASS: ranks use rank()-over-bucket semantics
+  *      (min row-number of the equal-key class) instead of dense rank —
+  *      order-consistent, which is all later rounds need — so a pass is
+  *      one ≤65536-row driver histogram (the IVF-centroid bounded-
+  *      materialization contract), inlined offsets, and ONE
+  *      bucket-partitioned window. Never a partition-less window, no
+  *      distinct-pairs table, no rank join-back.
+  *
+  * Round count is DETERMINISTIC: one cheap max(length) job upfront, then
+  * ceil(log4(maxLen/initWidth)) rounds — once the window covers the
+  * longest doc, rank classes are exactly the byte-identical-suffix
+  * classes and a final row_number pass (ties by (doc, pos)) emits the
+  * permutation. 100 TB posture: a 1M-char max doc is 7 rounds; rounds
+  * checkpoint-cut lineage and release predecessor blocks (the
+  * [[IdentityResolution.connectedComponents]] loop contract).
+  *
+  * Ordering contract: UTF-8 byte order (Spark and DuckDB string
+  * comparison agree for the ASCII corpus; round-0 buckets cap multi-byte
+  * leading chars at 255, which only coarsens load balance, never rank
+  * order).
+  */
+object SuffixArray {
+
+  /** Driver-side histogram bound for the round-0 two-byte bucketer
+    * (≤ 256² buckets, 16 B each — the same order as a broadcast bloom
+    * bitset). Later rounds use ≤ `buckets` numeric-range buckets.
+    */
+  val MaxInitBuckets = 65536
+
+  private val P = 1000000007L
+
+  /** One rank pass: order-consistent class rank (min 0-based row number
+    * of the equal-`keyCols` class under ORDER BY keyCols) appended as
+    * `out`, plus the relation's row count from the same histogram job.
+    * `bucketOf` must be monotone non-decreasing in the keyCols order with
+    * ≤ `maxBuckets` distinct values; rank() ties inside the bucket window
+    * give every class member its head's position, so no per-class
+    * aggregation or join-back is needed.
+    */
+  private def classRankPass(df: DataFrame, keyCols: Seq[String],
+      bucketOf: Column, out: String,
+      maxBuckets: Int = MaxInitBuckets): (DataFrame, Long) = {
+    val b = s"__crp_$out"
+    val withB = df.withColumn(b, bucketOf.cast("long"))
+    val hist = withB.groupBy(col(b)).agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getAs[Long](b), r.getAs[Long]("__n"))).sortBy(_._1)
+    require(hist.length <= maxBuckets,
+      s"rank-pass bucketer produced ${hist.length} distinct buckets (max " +
+        s"$maxBuckets) — the offset table is a driver materialization")
+    if (hist.isEmpty) (withB.drop(b).withColumn(out, lit(0L)), 0L)
+    else {
+      val total = hist.map(_._2).sum
+      val offs = hist.map(_._1).zip(hist.map(_._2).scanLeft(0L)(_ + _).init).toMap
+      val w = Window.partitionBy(b).orderBy(keyCols.map(col): _*)
+      (withB.withColumn(out,
+        Ranks.offsetLookup(col(b), offs) + rank().over(w) - 1L).drop(b),
+        total)
+    }
+  }
+
+  /** (doc, pos, sa_pos): for every suffix of every doc (0-based char
+    * `pos`), its 0-based position in the global suffix order — ranks by
+    * full suffix, ties (byte-identical suffixes, e.g. from exact-copy
+    * docs) broken by (doc, pos).
+    */
+  def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
+      initWidth: Int = 64, buckets: Int = 256): DataFrame = {
+    require(initWidth >= 4, s"initWidth must be >= 4, got $initWidth")
+    val spark = docs.sparkSession
+    val useReliable = spark.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (useReliable) df.checkpoint() else df.localCheckpoint()
+    def releaseBlocks(df: DataFrame): Unit =
+      if (!useReliable)
+        df.queryExecution.logical.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(blocking = false))
+
+    val base = graft.Tables.ensureMinParallelism(
+      docs.filter(col(idCol).isNotNull && length(col(textCol)) > 0))
+      .select(col(idCol).as("doc"), col(textCol).as("__txt"))
+    val maxLen = base.agg(max(length(col("__txt")))).collect()(0)
+      .get(0) match { case null => 0; case i: Int => i }
+    if (maxLen == 0)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("doc"), lit(0L).as("pos"), lit(0L).as("sa_pos"))
+        .limit(0)
+
+    // round 0: rank by the leading initWidth chars — generator + substr
+    // pipeline in one narrow stage, so the per-row cost is the capped key,
+    // never the doc text
+    val suf0 = base
+      .select(col("doc"),
+        explode(sequence(lit(0L), length(col("__txt")).cast("long") - 1L))
+          .as("pos"),
+        col("__txt"))
+      .select(col("doc"), col("pos"),
+        col("__txt").substr((col("pos") + 1L).cast("int"), lit(initWidth))
+          .as("__k"))
+    // two-byte monotone bucketer: first two chars' code points capped at
+    // 255 (capping coarsens balance only; a 1-char key's missing second
+    // byte is 0, matching "a" < "ab" string order)
+    val bucket0 =
+      least(coalesce(ascii(substring(col("__k"), 1, 1)), lit(0)), lit(255)) * 256 +
+        least(coalesce(ascii(substring(col("__k"), 2, 1)), lit(0)), lit(255))
+    val (ranked0, n) = classRankPass(suf0, Seq("__k"), bucket0, "r")
+    var cur = cut(ranked0.select(col("doc"), col("pos"), col("r")))
+    var prev = cur
+
+    var width = initWidth.toLong
+    while (width < maxLen) {
+      // multicast: each (doc, q, r) serves as the width-w rank for the
+      // four positions q, q-w, q-2w, q-3w; ONE exchange pivots all four
+      val tagged = cur.select(col("doc"), col("pos"), col("r"),
+          explode(sequence(lit(0L), lit(3L))).as("__t"))
+        .select(col("doc"), (col("pos") - col("__t") * width).as("pos"),
+          col("__t"), col("r"))
+        .filter(col("pos") >= 0L)
+      val gathered = tagged.groupBy("doc", "pos").agg(
+        max(when(col("__t") === 0L, col("r"))).as("__r0"),
+        coalesce(max(when(col("__t") === 1L, col("r"))), lit(-1L)).as("__r1"),
+        coalesce(max(when(col("__t") === 2L, col("r"))), lit(-1L)).as("__r2"),
+        coalesce(max(when(col("__t") === 3L, col("r"))), lit(-1L)).as("__r3"))
+      val g = cut(gathered)
+      val (ranked, _) = classRankPass(g, Seq("__r0", "__r1", "__r2", "__r3"),
+        expr(s"CAST(__r0 * $buckets AS BIGINT) div ${math.max(n, 1L)}"), "__nr",
+        maxBuckets = buckets + 1)
+      val next = cut(ranked.select(col("doc"), col("pos"),
+        col("__nr").as("r")))
+      releaseBlocks(prev)
+      releaseBlocks(g)
+      prev = next
+      cur = next
+      width *= 4
+    }
+    // final total order: rank, ties by (doc, pos) — equal classes after
+    // the last round are byte-identical suffixes
+    Ranks.globalRowNumber(cur, Seq("r", "doc", "pos"),
+      expr(s"CAST(r * $buckets AS BIGINT) div ${math.max(n, 1L)}"), "sa_pos")
+      .select(col("doc"), col("pos"), col("sa_pos"))
+  }
+
+  /** Per-doc suffix-array verification summary: suffix count, min/max
+    * global rank, and a position-weighted rank checksum mod 1e9+7 — any
+    * single rank error anywhere breaks some doc's checksum, so the whole
+    * permutation is pinned in #docs output rows (the executed-resize
+    * checksum pattern). The sum accumulates in DECIMAL(38,0): Long would
+    * overflow past ~9e9 terms of (mod P)² products.
+    */
+  def rankChecksum(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val term = ((col("sa_pos") % P) * ((col("pos") + 1L) % P)) % P
+    suffixRanks(docs, idCol, textCol)
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_suffixes"),
+        min("sa_pos").as("min_rank"),
+        max("sa_pos").as("max_rank"),
+        (sum(term.cast("decimal(38,0)")) % P).cast("long").as("rank_checksum"))
+  }
+
+  /** Duplicated-substring spans: a position is a DUP START if the suffix
+    * there shares a prefix of ≥ `minLen` chars (capped at `cap`) with a
+    * rank-adjacent suffix — the suffix-array property that adjacent ranks
+    * maximize common prefixes makes checking the two neighbors EXACT for
+    * "∃ another occurrence of length ≥ minLen" (any such occurrence
+    * implies an adjacent LCP at least that long). Output per doc: suffix
+    * count, dup-start count, longest capped span.
+    *
+    * Shape: suffix prefixes re-materialize only `cap` chars per row
+    * (never the suffix); rank-adjacency is a keyed self-join on
+    * consecutive sa_pos; LCPs are one codegen'd [[CommonPrefixLen]] per
+    * edge; two keyed left joins fold each position's prev/next edge.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20, cap: Int = 64): DataFrame = {
+    require(minLen >= 1 && minLen <= cap,
+      s"need 1 <= minLen <= cap, got minLen=$minLen cap=$cap")
+    val sa = suffixRanks(docs, idCol, textCol)
+    val pfx = sa.join(
+        docs.select(col(idCol).as("doc"), col(textCol).as("__txt")), Seq("doc"))
+      .select(col("doc"), col("pos"), col("sa_pos"),
+        col("__txt").substr((col("pos") + 1L).cast("int"), lit(cap)).as("pfx"))
+    val edges = pfx
+      .join(pfx.select((col("sa_pos") - 1L).as("sa_pos"),
+        col("pfx").as("__pfx2")), Seq("sa_pos"))
+      .select(col("sa_pos"),
+        Fns.ofExpr(CommonPrefixLen(
+          Fns.toExpr(col("pfx")), Fns.toExpr(col("__pfx2")), cap)).as("lcp"))
+    pfx
+      .join(edges.withColumnRenamed("lcp", "__lcp_next"), Seq("sa_pos"), "left")
+      .join(edges.select((col("sa_pos") + 1L).as("sa_pos"),
+        col("lcp").as("__lcp_prev")), Seq("sa_pos"), "left")
+      .withColumn("__dup_len",
+        greatest(coalesce(col("__lcp_next"), lit(0)),
+          coalesce(col("__lcp_prev"), lit(0))))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_suffixes"),
+        sum(when(col("__dup_len") >= minLen, 1L).otherwise(0L)).as("n_dup_pos"),
+        max("__dup_len").cast("int").as("max_dup_len"))
+  }
+}

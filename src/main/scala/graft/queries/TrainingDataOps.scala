@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.Fns
-import graft.operators.{Ann, Contamination, Dedup, Multimodal, TextAnalysis, IdentityResolution, WebCuration}
+import graft.operators.{Ann, Contamination, Dedup, Multimodal, SuffixArray, TextAnalysis, IdentityResolution, WebCuration}
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
   * text analysis) as verifiable queries over `documents`/`embeddings`.
@@ -1298,6 +1298,85 @@ object TrainingDataOps {
         |  FROM p WHERE bad)
         |SELECT * FROM ok UNION ALL SELECT * FROM bd
         |ORDER BY doc_id, frame_idx""".stripMargin
+    ),
+
+    // ---- keyframe-aligned clip extraction (GOP segmentation) -----------
+    // Same real-sample-table fixtures as mm_frame_index, full stride: the
+    // stss box marks every 4th sample sync, so clips are exactly the
+    // i//4 groups and every clip aggregate (frame count, first-sample
+    // byte offset, total bytes, payload byte-sum, pts span) is closed-form
+    // from the same layout arithmetic. Truncation classes quarantine as
+    // one clip_idx=-1 row each (skip-and-account preserved through the
+    // clip layer).
+    "mm_keyframe_clips" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val ns = (lit(4) + col("doc_id") % 9).cast("int")
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          lit(600).as("timescale"),
+          lit(1000L).as("duration_units"),
+          lit(64).as("w"), lit(48).as("h"),
+          transform(sequence(lit(0), ns - 1),
+            i => (lit(8) + (col("doc_id") * 5 + i * 3) % 9).cast("int"))
+            .as("sample_sizes"),
+          lit(3).as("samples_per_chunk"),
+          (col("doc_id") * 13 % 256).cast("int").as("fill_seed"),
+          lit(1000).as("media_timescale"),
+          lit(40).as("delta_a"), lit(80).as("delta_b")
+        ).as[Multimodal.Mp4SampleSpec]
+        val bin = Multimodal.synthesizeMp4Samples(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 9 === 4, col("payload").substr(1, 60))
+              .when(col("doc_id") % 9 === 7, col("payload").substr(1, 484))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.keyframeClips(s, bin)
+          .orderBy("doc_id", "clip_idx")
+      },
+      """WITH p AS (
+        |  SELECT doc_id, 4 + doc_id % 9 AS ns,
+        |    (4 + doc_id % 9 + 2) // 3 AS nc,
+        |    (4 + doc_id % 9 + 3) // 4 AS nk,
+        |    (4 + doc_id % 9 + 1) // 2 AS h,
+        |    doc_id % 9 IN (4, 7) AS bad
+        |  FROM documents),
+        |sam AS (
+        |  SELECT doc_id, ns, nc, nk, h, unnest(range(0, ns)) AS i
+        |  FROM p WHERE NOT bad),
+        |sz AS (
+        |  SELECT doc_id, ns, nc, nk, h, i,
+        |    8 + (doc_id*5 + i*3) % 9 AS s,
+        |    sum(8 + (doc_id*5 + i*3) % 9) OVER
+        |      (PARTITION BY doc_id ORDER BY i
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum
+        |  FROM sam),
+        |f AS (
+        |  SELECT doc_id, i, i // 4 AS clip_idx, s,
+        |    408 + 4*(ns + nc + nk) + 4*(i//3 + 1) + coalesce(cum, 0) AS off,
+        |    s * ((doc_id*13 + 7*i) % 256) AS fsum,
+        |    40*least(i, h) + 80*greatest(i - h, 0) AS pts
+        |  FROM sz),
+        |ok AS (
+        |  SELECT doc_id, CAST(clip_idx AS BIGINT) AS clip_idx,
+        |    CAST(min(i) AS BIGINT) AS start_frame,
+        |    count(*) AS n_frames,
+        |    CAST(min(off) AS BIGINT) AS start_offset,
+        |    CAST(sum(s) AS BIGINT) AS clip_bytes,
+        |    CAST(sum(fsum) AS BIGINT) AS clip_sum,
+        |    CAST(min(pts) AS BIGINT) AS start_ms,
+        |    CAST(max(pts) - min(pts) AS BIGINT) AS span_ms,
+        |    'ok' AS status, CAST(NULL AS VARCHAR) AS err
+        |  FROM f GROUP BY doc_id, clip_idx),
+        |bd AS (
+        |  SELECT doc_id, CAST(-1 AS BIGINT) AS clip_idx,
+        |    CAST(0 AS BIGINT) AS start_frame, CAST(0 AS BIGINT) AS n_frames,
+        |    CAST(0 AS BIGINT) AS start_offset, CAST(0 AS BIGINT) AS clip_bytes,
+        |    CAST(0 AS BIGINT) AS clip_sum, CAST(-1 AS BIGINT) AS start_ms,
+        |    CAST(0 AS BIGINT) AS span_ms,
+        |    'corrupt' AS status, 'truncated' AS err
+        |  FROM p WHERE bad)
+        |SELECT * FROM ok UNION ALL SELECT * FROM bd
+        |ORDER BY doc_id, clip_idx""".stripMargin
     ),
 
     // ---- EXECUTED resize, second codec + full status fan-out -----------
@@ -3159,6 +3238,67 @@ object TrainingDataOps {
     // cross-page duplicate lines) plus a shared HEADER/FOOTER line on
     // every page — exactly the boilerplate the operator must strip from
     // all but the first page. SF-invariant: no corpus-size constants.
+    // ---- distributed suffix array (prefix doubling) --------------------
+    // The full suffix permutation over every doc, pinned in #docs rows via
+    // a per-doc position-weighted rank checksum mod 1e9+7 — the oracle
+    // materializes every suffix string and window-sorts it (fine at gate
+    // scale), the engine never materializes any suffix (the scale story).
+    // Ties between byte-identical suffixes (the corpus plants exact
+    // copies) break by (doc, pos) in BOTH engines.
+    "dd_suffix_array" -> QuerySpec(
+      (s, dir) => SuffixArray.rankChecksum(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id").orderBy("doc_id"),
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) > 0),
+        |s AS (SELECT doc_id, text, unnest(range(0, len(text))) AS pos FROM d),
+        |sf AS (SELECT doc_id, pos,
+        |  substr(text, CAST(pos + 1 AS INTEGER)) AS sfx FROM s),
+        |r AS (SELECT doc_id, pos,
+        |  row_number() OVER (ORDER BY sfx, doc_id, pos) - 1 AS sa FROM sf)
+        |SELECT doc_id, count(*) AS n_suffixes,
+        |  CAST(min(sa) AS BIGINT) AS min_rank,
+        |  CAST(max(sa) AS BIGINT) AS max_rank,
+        |  CAST(sum((sa % 1000000007) * ((pos + 1) % 1000000007)
+        |    % 1000000007) % 1000000007 AS BIGINT) AS rank_checksum
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- exact duplicated-substring spans over the suffix array --------
+    // Lee et al. 2022 exact-substring dedup signal: a position starts a
+    // ≥20-char EXACT repeat iff its LCP with a rank-adjacent suffix is
+    // ≥20 (adjacency maximizes LCP, so the two neighbors are sufficient).
+    // The corpus's planted near-copies carry long shared spans, so dup
+    // mass is real, not degenerate. LCPs cap at 64 in both engines.
+    "dd_dup_substrings" -> QuerySpec(
+      (s, dir) => SuffixArray.dupSpans(t(s, dir, "documents"), "doc_id", "text",
+          minLen = 20, cap = 64)
+        .withColumnRenamed("doc", "doc_id").orderBy("doc_id"),
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) > 0),
+        |s AS (SELECT doc_id, text, unnest(range(0, len(text))) AS pos FROM d),
+        |sf AS (SELECT doc_id, pos,
+        |  substr(text, CAST(pos + 1 AS INTEGER), 64) AS pfx,
+        |  substr(text, CAST(pos + 1 AS INTEGER)) AS sfx FROM s),
+        |r AS (SELECT doc_id, pos, pfx,
+        |  row_number() OVER (ORDER BY sfx, doc_id, pos) - 1 AS sa FROM sf),
+        |e AS (SELECT a.sa AS sa,
+        |  -- substr past end-of-string returns the whole string, so the
+        |  -- prefix test must ALSO require i <= both lengths or identical
+        |  -- short suffixes would count as cap-length matches
+        |  CAST(len(list_filter(range(1, 65),
+        |    i -> i <= least(len(a.pfx), len(b.pfx))
+        |     AND substr(a.pfx, 1, CAST(i AS INTEGER))
+        |       = substr(b.pfx, 1, CAST(i AS INTEGER)))) AS INTEGER) AS lcp
+        |  FROM r a JOIN r b ON b.sa = a.sa + 1),
+        |p AS (SELECT r.doc_id,
+        |  greatest(coalesce(en.lcp, 0), coalesce(ep.lcp, 0)) AS dup_len
+        |  FROM r LEFT JOIN e en ON en.sa = r.sa
+        |         LEFT JOIN e ep ON ep.sa = r.sa - 1)
+        |SELECT doc_id, count(*) AS n_suffixes,
+        |  CAST(sum(CASE WHEN dup_len >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_pos,
+        |  CAST(max(dup_len) AS INTEGER) AS max_dup_len
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ),
+
     "dd_line_dedup" -> QuerySpec(
       (s, dir) => {
         val l = t(s, dir, "documents")

@@ -453,4 +453,125 @@ class Round10OpsSpec extends SparkSpec {
     val rg = Multimodal.audioEnergy(spark, patched, 8).collect().head
     assert(rg.status == "corrupt" && rg.err.contains("ragged_data"), rg.toString)
   }
+
+  // ---- distributed suffix array ------------------------------------------
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Brute-force suffix order: materialize every suffix, sort by
+    * (suffix, doc, pos) — the oracle the distributed ranks must match.
+    */
+  private def bruteSa(rows: Seq[(Long, String)]): Seq[(Long, Long, Long)] =
+    rows.flatMap { case (d, t) =>
+      (0 until t.length).map(p => (d, p.toLong, t.substring(p)))
+    }.sortBy { case (d, p, s) => (s, d, p) }
+      .zipWithIndex.map { case ((d, p, _), i) => (d, p, i.toLong) }
+
+  test("suffixRanks orders the banana suffixes exactly") {
+    val got = operators.SuffixArray.suffixRanks(docsDf(1L -> "banana"),
+        "doc_id", "text")
+      .orderBy("sa_pos").collect().map(r => (r.getLong(1), r.getLong(2)))
+    // a(5) < ana(3) < anana(1) < banana(0) < na(4) < nana(2)
+    assert(got.toSeq == Seq(5L -> 0L, 3L -> 1L, 1L -> 2L, 0L -> 3L,
+      4L -> 4L, 2L -> 5L))
+  }
+
+  test("suffixRanks breaks byte-identical suffix ties by (doc, pos)") {
+    val got = operators.SuffixArray.suffixRanks(
+        docsDf(2L -> "abab", 1L -> "abab"), "doc_id", "text")
+      .orderBy("sa_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // ab(1,2) ab(2,2) abab(1,0) abab(2,0) b(1,3) b(2,3) bab(1,1) bab(2,1)
+    assert(got.toSeq == Seq(1L -> 2L, 2L -> 2L, 1L -> 0L, 2L -> 0L,
+      1L -> 3L, 2L -> 3L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("suffixRanks matches brute force through multiple quadrupling rounds, " +
+    "independent of input partitioning") {
+    // initWidth=4 with 60+-char docs forces the multicast-gather loop to
+    // run (widths 4 -> 16 -> 64); planted shared spans keep classes
+    // non-trivial deep into the rounds
+    val rnd = new scala.util.Random(7)
+    val span = "the quick brown fox jumps over the lazy dog"
+    val rows = (0L until 12L).map { i =>
+      val noise = (0 until 20).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      i -> (if (i % 3 == 0) noise + span else span + noise)
+    }
+    val exp = bruteSa(rows)
+    for (parts <- Seq(1, 7)) {
+      val got = operators.SuffixArray.suffixRanks(
+          docsDf(rows: _*).repartition(parts), "doc_id", "text", initWidth = 4)
+        .orderBy("sa_pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == exp, s"mismatch at $parts partitions")
+    }
+  }
+
+  test("dupSpans matches an all-pairs brute force on planted repeats") {
+    val rows = Seq[(Long, String)](
+      1L -> ("unique preamble one THIS EXACT SPAN REPEATS VERBATIM LATER tail a"),
+      2L -> ("other lead-in text THIS EXACT SPAN REPEATS VERBATIM LATER coda bb"),
+      3L -> "no repetition here just some short filler words nothing shared")
+    val minLen = 20; val cap = 64
+    // brute force: per position, max LCP against ANY other suffix — which
+    // equals the operator's max over rank-adjacent neighbors (the SA
+    // adjacency property the operator relies on)
+    val all = rows.flatMap { case (d, t) =>
+      (0 until t.length).map(p => ((d, p), t.substring(p))) }
+    def lcp(a: String, b: String): Int =
+      a.zip(b).take(cap).takeWhile { case (x, y) => x == y }.size
+    val expected = rows.map { case (d, t) =>
+      def best(p: Int): Int = {
+        val s = t.substring(p)
+        (all.collect { case ((d2, p2), s2) if (d2, p2) != ((d, p)) =>
+          lcp(s, s2) } :+ 0).max
+      }
+      val bests = (0 until t.length).map(best)
+      (d, t.length.toLong, bests.count(_ >= minLen).toLong, bests.max)
+    }
+    val got = operators.SuffixArray.dupSpans(docsDf(rows: _*), "doc_id", "text",
+        minLen, cap)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == expected)
+  }
+
+  test("CommonPrefixLen kernel: caps, exact bounds, multi-byte boundaries") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val f = functions.CommonPrefixLen
+    assert(f.lcpChars(u("abcdef"), u("abcxyz"), 64) == 3)
+    assert(f.lcpChars(u("same"), u("same"), 64) == 4)
+    assert(f.lcpChars(u("same"), u("same"), 2) == 2) // cap wins
+    assert(f.lcpChars(u(""), u("x"), 64) == 0)
+    assert(f.lcpChars(u("héllo"), u("héllx"), 64) == 4) // 2-byte é counts once
+    assert(f.lcpChars(u("é"), u("è"), 64) == 0) // shared lead byte, no char
+  }
+
+  // ---- keyframe-aligned clip extraction ----------------------------------
+
+  test("keyframeClips aggregates GOPs exactly and quarantines corrupt docs") {
+    import spark.implicits._
+    val sizes = Seq(9, 12, 8, 15, 10, 11, 13) // sync at frames 0 and 4
+    val good = Multimodal.synthesizeMp4Samples(spark, specDs(sizes, 3, 50))
+    val bad = Seq((9L, "not an mp4".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val rows = Multimodal.keyframeClips(spark, good.unionByName(bad))
+      .orderBy("doc_id", "clip_idx").collect()
+    assert(rows.length == 3)
+    val Array(c0, c1, q) = rows
+    // clip 0 = frames 0-3: starts at data region 456+4, bytes 9+12+8+15
+    assert(c0.getLong(1) == 0L && c0.getLong(2) == 0L && c0.getLong(3) == 4L)
+    assert(c0.getLong(4) == 460L && c0.getLong(5) == 44L)
+    assert(c0.getLong(6) == 9L * 50 + 12 * 57 + 8 * 64 + 15 * 71)
+    assert(c0.getLong(7) == 0L && c0.getLong(8) == 120L)
+    // clip 1 = frames 4-6: frame 4 offset = 456 + 4*(4/3+1) + 44
+    assert(c1.getLong(1) == 1L && c1.getLong(2) == 4L && c1.getLong(3) == 3L)
+    assert(c1.getLong(4) == 508L && c1.getLong(5) == 34L)
+    assert(c1.getLong(6) == 10L * 78 + 11 * 85 + 13 * 92)
+    assert(c1.getLong(7) == 160L && c1.getLong(8) == 160L)
+    assert(q.getLong(0) == 9L && q.getLong(1) == -1L &&
+      q.getString(9) == "unsupported")
+  }
 }
