@@ -51,6 +51,69 @@ object TrainingDataOps {
        |$rounds""".stripMargin
   }
 
+  /** DuckDB CTE chain replaying [[TextAnalysis.perceptronTrain]]'s POCKET
+    * batch perceptron exactly: features are hashed-token counts (the
+    * shared portable hash) + a per-doc bias; epoch r scores docs with
+    * w{r-1}, folds the misclassified docs' y·x into a per-bucket
+    * gradient, and adds it — all integer, so the chain is hash-exact at
+    * any epoch count (the duckBpeCtes unrolling pattern). The pocket
+    * pick replays too: `errs` holds each candidate w_0..w_E's exact
+    * training-error count (err(w_r) comes from s{r+1}, which scores with
+    * w_r), `best` is the argmin with earliest-epoch ties, and `wbest`
+    * is the returned weight table.
+    */
+  private def duckPerceptronCtes(dim: Int, epochs: Int,
+      biasScale: Int = 8): String = {
+    // AS MATERIALIZED everywhere a CTE is referenced more than once:
+    // DuckDB inlines CTEs by default, so the w-chain (w_r references
+    // w_{r-1} twice) would re-evaluate feat 2^epochs times and the
+    // pocket unions multiply that again — materialization makes each
+    // epoch evaluate exactly once, like the Spark side
+    val rounds = (1 to epochs).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT f.doc_id, f.y, sum(w.w * f.x) AS score
+         |  FROM feat f JOIN w${r - 1} w ON w.j = f.j GROUP BY 1, 2),
+         |g$r AS (SELECT f.j, sum(f.y * f.x) AS g
+         |  FROM feat f JOIN s$r s ON s.doc_id = f.doc_id
+         |    AND s.y * s.score <= 0
+         |  GROUP BY f.j),
+         |w$r AS MATERIALIZED (SELECT w.j, w.w + coalesce(g.g, 0) AS w
+         |  FROM w${r - 1} w LEFT JOIN g$r g ON g.j = w.j)""".stripMargin
+    }.mkString(",\n")
+    val sLast =
+      s"""s${epochs + 1} AS MATERIALIZED (
+         |  SELECT f.doc_id, f.y, sum(w.w * f.x) AS score
+         |  FROM feat f JOIN w$epochs w ON w.j = f.j GROUP BY 1, 2)""".stripMargin
+    val errRows = (0 to epochs).map { r =>
+      s"SELECT $r AS e, (SELECT count(*) FROM s${r + 1} " +
+        "WHERE y * score <= 0) AS n"
+    }.mkString(" UNION ALL ")
+    val candRows = (0 to epochs).map { r =>
+      s"SELECT $r AS e, j, w FROM w$r"
+    }.mkString(" UNION ALL ")
+    val pocket =
+      s"""$sLast,
+         |errs AS ($errRows),
+         |best AS (SELECT e FROM errs ORDER BY n, e LIMIT 1),
+         |cand AS ($candRows),
+         |wbest AS (SELECT c.j, c.w FROM cand c JOIN best b ON b.e = c.e)""".stripMargin
+    s"""lab AS (SELECT doc_id,
+       |  CAST(CASE WHEN len(text) >= 300 THEN 1 ELSE -1 END AS BIGINT) AS y
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest($duckToks) AS t FROM documents),
+       |feat AS MATERIALIZED (
+       |  SELECT k.doc_id, l.y, k.h % $dim AS j, count(*) AS x
+       |  FROM (SELECT doc_id, ${duckHash("t")} AS h FROM tok WHERE t <> '') k
+       |  JOIN lab l ON l.doc_id = k.doc_id GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT doc_id, y, CAST($dim AS BIGINT) AS j,
+       |    CAST($biasScale AS BIGINT) AS x
+       |  FROM lab),
+       |w0 AS (SELECT unnest(range(0, ${dim + 1})) AS j,
+       |  CAST(0 AS BIGINT) AS w),
+       |$rounds,
+       |$pocket""".stripMargin
+  }
+
   /** Fingerprint stress corpus for the LARGE BPE training tier: one
     * synthetic "word" per hash of a bounded document slice (md5 of text +
     * sha256 of metadata — both engines produce identical lowercase hex).
@@ -688,6 +751,46 @@ object TrainingDataOps {
     // Target = src0 docs; every doc scored by its hashed unigram+bigram
     // buckets' target-vs-source frequency ratios (fixed-point integer —
     // see TextAnalysis.dsirWeights for the log-free exactness rationale).
+    // ---- trained quality classifier (pocket batch perceptron) ----------
+    // DISTRIBUTED TRAINING, oracle-gated: 8 epochs of integer batch-
+    // perceptron updates over 32 hashed bag-of-words buckets + a bias
+    // feature, label y = (len >= 300); the returned weights are the
+    // POCKET pick — the candidate with the exact minimum training-error
+    // count (plain final-epoch weights oscillate to one class on this
+    // non-separable data). The oracle unrolls every epoch AND the
+    // pocket argmin as CTEs, so drift in any epoch's gradient or in the
+    // error accounting breaks the hash.
+    "tx_perceptron_train" -> QuerySpec(
+      (s, dir) => TextAnalysis.perceptronTrain(t(s, dir, "documents"),
+          "doc_id", "text",
+          when(length(col("text")) >= 300, 1L).otherwise(-1L),
+          dim = 32, epochs = 8)
+        .orderBy("bucket"),
+      s"""WITH ${duckPerceptronCtes(32, 8)}
+         |SELECT j AS bucket, CAST(w AS BIGINT) AS weight
+         |FROM wbest ORDER BY bucket""".stripMargin
+    ),
+
+    // ---- classifier scoring: confusion matrix --------------------------
+    // Scores every doc with the pocket weights; pred = sign(score) with
+    // 0 → -1 (the training rule's margin convention). The confusion
+    // matrix pins every doc's score sign in ≤4 output rows.
+    "tx_perceptron_confusion" -> QuerySpec(
+      (s, dir) => TextAnalysis.perceptronScore(t(s, dir, "documents"),
+          "doc_id", "text",
+          when(length(col("text")) >= 300, 1L).otherwise(-1L),
+          dim = 32, epochs = 8)
+        .groupBy("y", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("y", "pred"),
+      s"""WITH ${duckPerceptronCtes(32, 8)},
+         |sf2 AS (SELECT f.doc_id, f.y, sum(w.w * f.x) AS score
+         |  FROM feat f JOIN wbest w ON w.j = f.j GROUP BY 1, 2)
+         |SELECT y,
+         |  CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+         |  count(*) AS n
+         |FROM sf2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ),
+
     "tx_dsir_weights" -> QuerySpec(
       (s, dir) =>
         TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",

@@ -550,6 +550,39 @@ class Round10OpsSpec extends SparkSpec {
     assert(f.lcpChars(u("é"), u("è"), 64) == 0) // shared lead byte, no char
   }
 
+  // ---- pocket perceptron training ----------------------------------------
+
+  test("perceptron separates disjoint vocabularies perfectly and converges") {
+    import operators.TextAnalysis
+    val docs = docsDf((0L until 40L).map { i =>
+      i -> (if (i % 2 == 0) "alpha beta gamma alpha" else "omega psi chi omega psi")
+    }: _*).withColumn("y", when(col("doc_id") % 2 === 0, 1L).otherwise(-1L))
+    val conf = TextAnalysis.perceptronScore(docs, "doc_id", "text",
+        col("y"), dim = 16, epochs = 3)
+      .groupBy("y", "pred").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // disjoint token sets: epoch 1's gradient already separates; the
+    // pocket keeps it
+    assert(conf == Set((1L, 1L, 20L), (-1L, -1L, 20L)), conf.toString)
+  }
+
+  test("perceptron pocket beats the final-epoch weights on oscillating data") {
+    import operators.TextAnalysis
+    // threshold label with unscaled-bias dynamics: plain batch perceptron
+    // oscillates between all-positive and all-negative predictions; the
+    // pocket must still return a candidate at least as good as epoch 0's
+    // trivial classifier
+    val docs = docsDf((0L until 30L).map { i =>
+      i -> ("w " * (if (i < 15) 3 else 9)).trim
+    }: _*).withColumn("y", when(col("doc_id") < 15, -1L).otherwise(1L))
+    val conf = TextAnalysis.perceptronScore(docs, "doc_id", "text",
+        col("y"), dim = 4, epochs = 4, biasScale = 5)
+      .groupBy("y", "pred").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val correct = conf.getOrElse((1L, 1L), 0L) + conf.getOrElse((-1L, -1L), 0L)
+    assert(correct == 30L, s"pocket should separate this trivially: $conf")
+  }
+
   // ---- keyframe-aligned clip extraction ----------------------------------
 
   test("keyframeClips aggregates GOPs exactly and quarantines corrupt docs") {
