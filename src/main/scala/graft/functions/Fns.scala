@@ -65,6 +65,13 @@ object Fns {
   def lineKey128(line: Column): Column =
     struct(xxhash64(line).as("h1"), xxhash64(lit(1L), line).as("h2"))
 
+  /** Misra–Gries heavy-hitters summary aggregate: map<string, bigint>
+    * of ≤ k-1 candidate keys with lower-bound counters (see
+    * [[MisraGries]] for the est/true/n-over-k guarantee contract).
+    */
+  def misraGries(key: Column, k: Int): Column =
+    ofExpr(MisraGries(toExpr(key.cast("string")), k).toAggregateExpression())
+
   /** Bloom bitset build aggregate over a BIGINT key column (see
     * [[BloomFilterAgg]]).
     */

@@ -512,6 +512,80 @@ object Multimodal {
     }
   }
 
+  /** One EXECUTED-resample digest per audio doc: the decimated signal's
+    * shape and content pinned in a single row. `out[t][c]` is the boxcar
+    * sum of `factor` consecutive decoded samples (anti-alias prefilter +
+    * downsample in one integer step — the sum is the mean scaled by
+    * `factor`, kept UNDIVIDED so the arithmetic is exact in both engines
+    * with no floor/truncation-semantics edge); the trailing partial block
+    * is dropped (full blocks only, the standard decimator contract).
+    * `checksum` = Σ out[t][c]·(t·ch + c + 1) — position-weighted like the
+    * image-resize checksum, so any mis-addressed or mis-summed sample
+    * anywhere breaks it; `out_peak` = max |out| over every (t, c).
+    */
+  case class AudioResample(doc_id: Long, n_in_frames: Int, n_out_frames: Int,
+      out_peak: Int, checksum: Long, status: String, err: Option[String])
+
+  /** EXECUTED integer decimation over real RIFF/WAVE PCM payloads — the
+    * audio sibling of the pixel-executing [[resizeExec]]: parses the
+    * container, decodes the ACTUAL 16-bit little-endian samples, and
+    * computes the [[AudioResample]] digest of the factor-decimated
+    * signal. Same skip-and-account quarantine tier as [[audioEnergy]]
+    * (bad magic / truncated / ragged → corrupt; non-PCM / non-16-bit →
+    * unsupported); mapPartitions, zero shuffles, streaming-safe.
+    */
+  def audioResample(spark: SparkSession, binDocs: DataFrame,
+      factor: Int): Dataset[AudioResample] = {
+    import spark.implicits._
+    require(factor > 0, s"factor $factor")
+    val base =
+      if (binDocs.isStreaming) binDocs
+      else graft.Tables.ensureMinParallelism(binDocs)
+    base.as[BinaryDoc].mapPartitions { it =>
+      it.map { d =>
+        def bad(status: String, reason: String) =
+          AudioResample(d.doc_id, 0, 0, 0, 0L, status, Some(reason))
+        val b = d.payload
+        if (!wavClaims(b)) bad("corrupt", "bad_magic")
+        else parseWavData(b) match {
+          case Left(reason) => bad("corrupt", reason)
+          case Right((_, ch, bits, fmtCode, dataOff, dataLen)) =>
+            if (fmtCode != 1) bad("unsupported", s"fmt_code_$fmtCode")
+            else if (bits != 16) bad("unsupported", s"bits_$bits")
+            else {
+              val blockAlign = ch * 2
+              if (dataLen % blockAlign != 0) bad("corrupt", "ragged_data")
+              else {
+                val nIn = (dataLen / blockAlign).toInt
+                val nOut = nIn / factor
+                var peak = 0
+                var cks = 0L
+                var t = 0
+                while (t < nOut) {
+                  var c = 0
+                  while (c < ch) {
+                    var o = 0L
+                    var i = 0
+                    while (i < factor) {
+                      val off = dataOff + (t * factor + i) * blockAlign + c * 2
+                      o += (le16(b, off) << 16) >> 16 // sign-extend
+                      i += 1
+                    }
+                    val a = math.abs(o)
+                    if (a > peak) peak = a.toInt
+                    cks += o * (t.toLong * ch + c + 1)
+                    c += 1
+                  }
+                  t += 1
+                }
+                AudioResample(d.doc_id, nIn, nOut, peak, cks, "ok", None)
+              }
+            }
+        }
+      }
+    }
+  }
+
   /** [[parseWav]]'s walk, additionally surfacing the fmt code and the
     * `data` chunk's byte span — what an executed decode needs that a
     * header decode does not. Returns (sampleRate, channels, bits,

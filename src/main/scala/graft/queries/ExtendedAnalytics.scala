@@ -12,6 +12,50 @@ object ExtendedAnalytics {
 
   val specs: Map[String, QuerySpec] = Map(
 
+    // ---- heavy hitters: mergeable Misra–Gries sketch -------------------
+    // The key stream plants real skew over events (user_id % 10 < 3 maps
+    // ~30% of events onto 3 hot keys at ~10% each; the rest fan out to
+    // per-user cold keys), so with k=16 the sketch runs under genuine
+    // eviction pressure (~150 distinct keys vs 15 counters) and exactly
+    // the hot keys clear the n/16 threshold. A sketch's CONTENT is
+    // merge-order dependent, so the oracle gates on the deterministic
+    // part only (the approx_distinct precedent): the exact heavy set
+    // with its counts, plus guarantee booleans that must all hold —
+    // membership (true > n/k ⇒ in summary), the est ≤ true ≤ est+n/k
+    // band, and the ≤ k-1 size bound.
+    "agg_heavy_hitters" -> QuerySpec(
+      (s, dir) => {
+        val k = 16
+        val stream = t(s, dir, "events").select(
+          when(col("user_id") % 10 < 3,
+            concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+            .otherwise(concat(lit("cold_"), col("user_id").cast("string")))
+            .as("key"))
+        val sk = stream.agg(graft.functions.Fns.misraGries(col("key"), k).as("mg"),
+          count(lit(1)).as("n"))
+        val est = coalesce(element_at(col("mg"), col("key")), lit(0L))
+        stream.groupBy("key").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(sk)) // 1-row sketch scalar (bigram-LM precedent)
+          .filter(col("cnt") * k > col("n"))
+          .select(col("key"), col("cnt"),
+            element_at(col("mg"), col("key")).isNotNull.as("in_sketch"),
+            (est <= col("cnt") && col("cnt") <= est + expr(s"n div $k"))
+              .as("bound_ok"),
+            (size(map_keys(col("mg"))) <= k - 1).as("size_ok"))
+          .orderBy("key")
+      },
+      """WITH s AS (
+        |  SELECT CASE WHEN user_id % 10 < 3
+        |    THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+        |    ELSE 'cold_' || CAST(user_id AS VARCHAR) END AS key
+        |  FROM events),
+        |n AS (SELECT count(*) AS n FROM s),
+        |h AS (SELECT key, count(*) AS cnt FROM s GROUP BY 1)
+        |SELECT h.key, h.cnt, TRUE AS in_sketch, TRUE AS bound_ok,
+        |  TRUE AS size_ok
+        |FROM h, n WHERE h.cnt * 16 > n.n ORDER BY h.key""".stripMargin
+    ),
+
     // ---- as-of join: each event ↔ user's most recent prior signup ------
     "join_asof_prior" -> QuerySpec(
       (s, dir) => {

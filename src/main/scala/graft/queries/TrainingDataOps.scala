@@ -1155,6 +1155,72 @@ object TrainingDataOps {
         |ORDER BY doc_id, window_idx""".stripMargin
     ),
 
+    // ---- EXECUTED audio resample: integer boxcar decimation ------------
+    // Same WAV fixture classes as mm_audio_energy (8-bit -> unsupported,
+    // truncated -> corrupt), factor-4 decimation: out[t][c] = sum of 4
+    // consecutive decoded samples (undivided boxcar — exact in both
+    // engines), trailing partial block dropped. The digest pins shape
+    // (in/out frame counts), content (position-weighted checksum over
+    // every (t, c)), and dynamics (max |out|) in one row per doc.
+    "mm_audio_resample" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val cls = col("doc_id") % 7
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          lit(8000).as("sample_rate"),
+          (lit(1) + col("doc_id") % 2).cast("int").as("channels"),
+          when(cls === 5, 8).otherwise(16).cast("int").as("bits"),
+          (lit(50) + (col("doc_id") * 11) % 150).cast("int").as("n_frames"),
+          ((col("doc_id") * 29) % 4096).cast("int").as("seed")
+        ).as[Multimodal.WavPcmSpec]
+        val bin = Multimodal.synthesizeWavPcm(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 6, col("payload").substr(1, 30))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.audioResample(s, bin, factor = 4).toDF()
+          .orderBy("doc_id")
+      },
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    1 + doc_id % 2 AS ch,
+        |    50 + (doc_id * 11) % 150 AS nf,
+        |    (doc_id * 29) % 4096 AS seed,
+        |    doc_id % 7 AS cls
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, ch, nf, seed, unnest(range(0, (nf // 4) * 4)) AS k
+        |  FROM p WHERE cls NOT IN (5, 6)),
+        |fc AS (
+        |  SELECT doc_id, ch, nf, seed, k, k // 4 AS t,
+        |    unnest(range(0, ch)) AS c
+        |  FROM f),
+        |v AS (
+        |  SELECT doc_id, ch, nf, t, c,
+        |    (seed + 31*k + 17*c) % 4096 - 2048 AS s
+        |  FROM fc),
+        |o AS (
+        |  SELECT doc_id, ch, nf, t, c, sum(s) AS o
+        |  FROM v GROUP BY 1, 2, 3, 4, 5),
+        |ok AS (
+        |  SELECT doc_id,
+        |    CAST(any_value(nf) AS INTEGER) AS n_in_frames,
+        |    CAST(any_value(nf) // 4 AS INTEGER) AS n_out_frames,
+        |    CAST(max(abs(o)) AS INTEGER) AS out_peak,
+        |    CAST(sum(o * (t * ch + c + 1)) AS BIGINT) AS checksum,
+        |    'ok' AS status, CAST(NULL AS VARCHAR) AS err
+        |  FROM o GROUP BY doc_id),
+        |bd AS (
+        |  SELECT doc_id, CAST(0 AS INTEGER) AS n_in_frames,
+        |    CAST(0 AS INTEGER) AS n_out_frames, CAST(0 AS INTEGER) AS out_peak,
+        |    CAST(0 AS BIGINT) AS checksum,
+        |    CASE WHEN cls = 5 THEN 'unsupported' ELSE 'corrupt' END AS status,
+        |    CASE WHEN cls = 5 THEN 'bits_8' ELSE 'truncated' END AS err
+        |  FROM p WHERE cls IN (5, 6))
+        |SELECT * FROM ok UNION ALL SELECT * FROM bd
+        |ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- REAL video header decode: ISO-BMFF moov/mvhd/tkhd boxes -------
     // Same pattern for mp4: genuine minimal containers (ftyp+moov), track
     // geometry as 16.16 fixed point, movie duration in mvhd timescale

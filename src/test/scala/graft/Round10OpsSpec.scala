@@ -583,6 +583,72 @@ class Round10OpsSpec extends SparkSpec {
     assert(correct == 30L, s"pocket should separate this trivially: $conf")
   }
 
+  // ---- executed audio resample -------------------------------------------
+
+  test("audioResample: hand-computed boxcar digest, tail block dropped") {
+    import spark.implicits._
+    // mono, 9 frames, factor 4: samples s_k = (31k) % 4096 - 2048;
+    // out0 = s0..s3 = -8006, out1 = s4..s7 = -7510; frame 8 dropped
+    val bin = Multimodal.synthesizeWavPcm(spark,
+      Seq(Multimodal.WavPcmSpec(1L, 8000, 1, 16, 9, 0)).toDS())
+    val r = Multimodal.audioResample(spark, bin, 4).collect().head
+    assert(r.status == "ok" && r.n_in_frames == 9 && r.n_out_frames == 2)
+    assert(r.out_peak == 8006)
+    assert(r.checksum == -8006L * 1 + -7510L * 2, r.toString)
+    // quarantine parity with audioEnergy
+    val cut = Multimodal.synthesizeWavPcm(spark,
+        Seq(Multimodal.WavPcmSpec(2L, 8000, 1, 16, 9, 0)).toDS())
+      .select(col("doc_id"), col("payload").substr(1, 30).as("payload"))
+    val q = Multimodal.audioResample(spark, cut, 4).collect().head
+    assert(q.status == "corrupt" && q.err.contains("truncated"))
+  }
+
+  // ---- Misra–Gries heavy hitters -----------------------------------------
+
+  test("MisraGries guarantees hold under every partitioning (merge orders)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // skewed stream: 3 hot keys at ~20% each, 200 cold keys on the rest
+    val stream = (0 until 5000).map { _ =>
+      if (rnd.nextInt(10) < 6) s"hot${rnd.nextInt(3)}"
+      else s"cold${rnd.nextInt(200)}"
+    }
+    val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val k = 16
+    val n = stream.size.toLong
+    for (parts <- Seq(1, 4, 13)) {
+      val mg = stream.toDF("key").repartition(parts)
+        .agg(functions.Fns.misraGries(col("key"), k))
+        .collect().head.getMap[String, Long](0)
+      assert(mg.size <= k - 1, s"size ${mg.size} at $parts parts")
+      // membership: every key above n/k must be present
+      truth.filter(_._2 > n / k).keys.foreach(key =>
+        assert(mg.contains(key), s"heavy $key missing at $parts parts"))
+      // band: est <= true <= est + n/k for EVERY summarized key
+      mg.foreach { case (key, est) =>
+        val tr = truth.getOrElse(key, 0L)
+        assert(est <= tr && tr <= est + n / k,
+          s"bound violated for $key: est=$est true=$tr at $parts parts")
+      }
+    }
+  }
+
+  test("MisraGries buffer: eviction retires counters, exact below capacity") {
+    import scala.collection.mutable
+    val buf = mutable.HashMap.empty[String, Long]
+    for (i <- 0 until 10) functions.MisraGries.offer(buf, s"k$i", 4)
+    assert(buf.size <= 3)
+    // below capacity the sketch is exact
+    val ex = mutable.HashMap.empty[String, Long]
+    for (_ <- 0 until 5) functions.MisraGries.offer(ex, "a", 4)
+    for (_ <- 0 until 2) functions.MisraGries.offer(ex, "b", 4)
+    assert(ex("a") == 5L && ex("b") == 2L)
+    // shrink keeps at most k-1 and only subtracts
+    val m = mutable.HashMap("a" -> 10L, "b" -> 7L, "c" -> 3L, "d" -> 3L, "e" -> 1L)
+    functions.MisraGries.shrink(m, 4)
+    assert(m.size <= 3 && m("a") == 7L && m("b") == 4L && !m.contains("e"))
+  }
+
   // ---- keyframe-aligned clip extraction ----------------------------------
 
   test("keyframeClips aggregates GOPs exactly and quarantines corrupt docs") {
