@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{Ann, Dedup, Sampling, Vocab}
+import graft.operators.{Ann, Dedup, Sampling, SuffixArray, Vocab}
 
 /** Headline-operator scale sweep — the committed, re-runnable form of the
   * SCALE.md stress protocol (the sf1ish/sf10ish amplified corpora: every
@@ -127,6 +127,13 @@ object ScaleBench {
           topK = 10).count()),
       "temperature_mix_05" -> (() =>
         Sampling.temperatureMix(docs, "doc_id", "source", tau = 0.5).count()),
+      // suffix array: rounds grow log4(maxDocLen), NOT with corpus size —
+      // the 10×/100× ratio should track the per-round exchange volume
+      // (≈ corpus chars) times a CONSTANT round count
+      "suffix_ranks_full" -> (() =>
+        SuffixArray.suffixRanks(docs, "doc_id", "text").count()),
+      "dup_spans_min20" -> (() =>
+        SuffixArray.dupSpans(docs, "doc_id", "text", 20, 64).count()),
       // ---- build/serve split: the numbers a deployment actually sees.
       // `ivfpq_q100_top10` above pays TRAINING in-query (the oracle-
       // harness shape); a 100 TB serving path builds the IvfPqIndex once,

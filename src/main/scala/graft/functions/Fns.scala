@@ -72,6 +72,12 @@ object Fns {
   def misraGries(key: Column, k: Int): Column =
     ofExpr(MisraGries(toExpr(key.cast("string")), k).toAggregateExpression())
 
+  /** Count-Min sketch aggregate: d×w counter matrix as array<bigint>,
+    * row-major (see [[CountMin]] — deterministic content, est ≥ true).
+    */
+  def countMin(key: Column, d: Int, w: Int): Column =
+    ofExpr(CountMin(toExpr(key.cast("string")), d, w).toAggregateExpression())
+
   /** Bloom bitset build aggregate over a BIGINT key column (see
     * [[BloomFilterAgg]]).
     */

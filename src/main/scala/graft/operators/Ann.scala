@@ -327,6 +327,60 @@ object Ann {
         mn(i) + c.cast("double") * rg(i) / lit(255.0)))
   }
 
+  /** Sign-bit BINARY quantization — the third memory rung after
+    * [[quantizeInt8]] (×4) and PQ (×32): ONE bit per dimension, so a
+    * 64-dim float32 vector becomes 8 bytes (×32) and similarity becomes
+    * Hamming distance over machine words. Bits pack into 32-bit WORDS
+    * (held as longs): a single 64-bit word would need 2^63 for the top
+    * bit, which overflows BIGINT arithmetic in both engines — the
+    * 32-bit-word layout keeps every value < 2^32, portable to the
+    * oracle's integer fold, and generalizes to any d ≡ 0 (mod 32).
+    * Word w bit b = 1 iff v[32w + b] > 0; packing is an integer
+    * doubling fold (acc·2 + indicator, b descending), no shifts needed.
+    * Output: (id, words: array<bigint>). Pure projection, zero shuffles.
+    */
+  def binaryQuantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val d = v.select(size(col("v")).as("w")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(d > 0 && d % 32 == 0 && d <= MaxQuantDims,
+      s"binary quantization needs 0 < d ≤ $MaxQuantDims with d ≡ 0 (mod " +
+        s"32), got $d — pad the embedding upstream")
+    val nw = d / 32
+    v.select(col("id"),
+      transform(sequence(lit(0), lit(nw - 1)), w =>
+        aggregate(sequence(lit(31), lit(0), lit(-1)), lit(0L), (acc, b) =>
+          acc * 2L + when(element_at(col("v"), w * 32 + b + 1) > 0d, 1L)
+            .otherwise(0L))).as("words"))
+  }
+
+  /** Hamming top-k over binary codes: distance = Σ_w bit_count(q_w XOR
+    * c_w) — the [[binaryQuantize]] serving path. Queries broadcast
+    * (bounded batch), the corpus side reads only (id, words) = 8 bytes
+    * per 64-dim vector, ranking is the bounded [[Fns.topKByScore]]
+    * aggregate (score = d − hamming so higher is better; ties by
+    * ascending neighbor id) — zero corpus shuffles, O(queries×k)
+    * exchange. Output: (query_id, rank, neighbor_id, hamming).
+    */
+  def hammingTopK(codes: DataFrame, queryCodes: DataFrame, d: Int,
+      k: Int): DataFrame = {
+    val q = queryCodes.select(col("id").as("query_id"), col("words").as("qw"))
+    val c = codes.select(col("id").as("neighbor_id"), col("words").as("cw"))
+    val dist = aggregate(
+      zip_with(col("qw"), col("cw"), (a, b) => bit_count(a.bitwiseXOR(b))),
+      lit(0), (acc, x) => acc + x)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ham", dist)
+      .groupBy("query_id")
+      .agg(Fns.topKByScore((lit(d) - col("ham")).cast("double"),
+        col("neighbor_id").cast("long"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("query_id"), (col("r") + 1).cast("int").as("rank"),
+        col("t.id").as("neighbor_id"),
+        (lit(d) - col("t.score")).cast("int").as("hamming"))
+  }
+
   /** Train product-quantization codebooks (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search", §II: split each vector
     * into `m` subvectors and k-means each subspace independently; a

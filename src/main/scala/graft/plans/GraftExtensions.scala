@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{ConcatWs, CreateNamedStruct, E
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AdcScore, CosineSim, Fns, L2Dist, RollingHash, TopKByScore}
+import graft.functions.{AdcScore, CommonPrefixLen, CosineSim, CountMin, Fns, L2Dist, MisraGries, RollingHash, TopKByScore}
 
 /** Engine SQL-surface registration (SURVEY §2.12):
   *
@@ -22,6 +22,13 @@ import graft.functions.{AdcScore, CosineSim, Fns, L2Dist, RollingHash, TopKBySco
   *                              r8 markup-stripping kernel, same
   *                              expression tree as the column API)
   *  - `line_key128(s)`        — line dedup's 128-bit shuffle key
+  *  - `common_prefix_len(a, b, cap)` — codegen'd capped char-LCP (the
+  *                              suffix-array dup-span kernel; cap must
+  *                              be an integer literal)
+  *  - `misra_gries(key, k)`   — mergeable heavy-hitters summary
+  *                              aggregate (k must be an integer literal)
+  *  - `count_min(key, d, w)`  — Count-Min sketch aggregate, d×w counter
+  *                              matrix (d, w integer literals)
   *
   * Two registration paths: `withExtensions(new GraftExtensions)` at
   * session build, or [[GraftExtensions.register]] on a live session
@@ -59,6 +66,16 @@ object GraftExtensions {
     StringTrim(RegExpReplace(decoded, Literal("\\s+"), Literal(" ")))
   }
 
+  /** Foldable-integer argument for registry builders (k, cap, ...). */
+  private def litInt(e: Expression, msg: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => other.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case _ => throw new IllegalArgumentException(msg)
+    }
+  }
+
   /** Catalyst mirror of [[graft.functions.Fns.lineKey128]] (same
     * builder-resolvability constraint; xxhash64's default seed is 42).
     */
@@ -85,18 +102,25 @@ object GraftExtensions {
       (args: Seq[Expression]) => L2Dist(args(0), args(1))),
     ("topk_by_score",
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
-      (args: Seq[Expression]) => {
-        val k = args(2) match {
-          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
-          case other => other.eval() match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case _ => throw new IllegalArgumentException(
-              "topk_by_score(score, id, k): k must be an integer literal")
-          }
-        }
-        TopKByScore(args(0), args(1), k).toAggregateExpression()
-      }),
+      (args: Seq[Expression]) => TopKByScore(args(0), args(1),
+        litInt(args(2), "topk_by_score(score, id, k): k must be an " +
+          "integer literal")).toAggregateExpression()),
+    ("common_prefix_len",
+      new ExpressionInfo(classOf[CommonPrefixLen].getName, "common_prefix_len"),
+      (args: Seq[Expression]) => CommonPrefixLen(args(0), args(1),
+        litInt(args(2), "common_prefix_len(a, b, cap): cap must be an " +
+          "integer literal"))),
+    ("misra_gries",
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (args: Seq[Expression]) => MisraGries(args(0),
+        litInt(args(1), "misra_gries(key, k): k must be an integer " +
+          "literal")).toAggregateExpression()),
+    ("count_min",
+      new ExpressionInfo(classOf[CountMin].getName, "count_min"),
+      (args: Seq[Expression]) => CountMin(args(0),
+        litInt(args(1), "count_min(key, d, w): d must be an integer literal"),
+        litInt(args(2), "count_min(key, d, w): w must be an integer literal"))
+        .toAggregateExpression()),
     ("adc_score",
       new ExpressionInfo(classOf[AdcScore].getName, "adc_score"),
       (args: Seq[Expression]) => AdcScore(args(0), args(1))),

@@ -56,6 +56,70 @@ object ExtendedAnalytics {
         |FROM h, n WHERE h.cnt * 16 > n.n ORDER BY h.key""".stripMargin
     ),
 
+    // ---- Count-Min sketch: exact estimate replication ------------------
+    // The overestimating counterpart of agg_heavy_hitters. Because every
+    // CMS cell is a commutative sum over portable hashes, the sketch
+    // content is fully deterministic — so unlike MG the oracle replicates
+    // every ESTIMATE exactly: est(x) = min_i Σ_{y: slot_i(y)=slot_i(x)}
+    // true(y), computed relationally from exact counts and the shared
+    // rolling-hash/permutation family. Probes = the 3 hot keys + the
+    // cold_(10j+5) stripe, so both colliding and clean slots are pinned.
+    "agg_countmin_est" -> QuerySpec(
+      (s, dir) => {
+        val (d, w) = (3, 64)
+        val P = 1000000007L
+        val stream = t(s, dir, "events").select(
+          when(col("user_id") % 10 < 3,
+            concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+            .otherwise(concat(lit("cold_"), col("user_id").cast("string")))
+            .as("key"))
+        val sk = stream.agg(graft.functions.Fns.countMin(col("key"), d, w)
+          .as("cm"))
+        val bh = graft.functions.Fns.rollingHash(col("key"))
+        def slot(i: Int) =
+          (lit(2L * i + 1) * bh + lit(i.toLong * i + i + 41)) % P % w
+        stream.groupBy("key").agg(count(lit(1)).as("cnt"))
+          // cold_(10j+5) stripe ⇔ trailing digit 5 — no cast, total on
+          // every key shape in both engines
+          .filter(col("key").startsWith("hot_") ||
+            (col("key").startsWith("cold_") && col("key").endsWith("5")))
+          .crossJoin(broadcast(sk)) // 1-row sketch scalar
+          .select(col("key"), col("cnt"),
+            least(
+              element_at(col("cm"), (slot(0) + 1).cast("int")),
+              element_at(col("cm"), (slot(1) + lit(w) + 1).cast("int")),
+              element_at(col("cm"), (slot(2) + lit(2 * w) + 1).cast("int")))
+              .as("est"))
+          .orderBy("key")
+      },
+      """WITH s AS (
+        |  SELECT CASE WHEN user_id % 10 < 3
+        |    THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+        |    ELSE 'cold_' || CAST(user_id AS VARCHAR) END AS key
+        |  FROM events),
+        |h AS (SELECT key, count(*) AS cnt FROM s GROUP BY 1),
+        |hh AS (SELECT key, cnt,
+        |  CASE WHEN key = '' THEN 0 ELSE list_reduce(
+        |    list_transform(string_split(key, ''),
+        |      x -> CAST(ascii(x) AS BIGINT)),
+        |    (a, b) -> (a*31 + b) % 1000000007) END AS bh
+        |  FROM h),
+        |sl AS (SELECT key, cnt,
+        |  ((1*bh + 41) % 1000000007) % 64 AS s0,
+        |  ((3*bh + 43) % 1000000007) % 64 AS s1,
+        |  ((5*bh + 47) % 1000000007) % 64 AS s2
+        |  FROM hh),
+        |est AS (SELECT a.key, a.cnt, least(
+        |    (SELECT sum(b.cnt) FROM sl b WHERE b.s0 = a.s0),
+        |    (SELECT sum(b.cnt) FROM sl b WHERE b.s1 = a.s1),
+        |    (SELECT sum(b.cnt) FROM sl b WHERE b.s2 = a.s2)) AS est
+        |  FROM sl a)
+        |SELECT key, cnt, CAST(est AS BIGINT) AS est FROM est
+        |WHERE starts_with(key, 'hot_') OR (starts_with(key, 'cold_')
+        |  AND ends_with(key, '5'))
+        |ORDER BY key""".stripMargin
+    ),
+
     // ---- as-of join: each event ↔ user's most recent prior signup ------
     "join_asof_prior" -> QuerySpec(
       (s, dir) => {

@@ -514,6 +514,22 @@ object TrainingDataOps {
       "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
       "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
 
+  /** DuckDB CTE: sign-bit binary codes as two 32-bit words (must match
+    * [[Ann.binaryQuantize]]'s packing: word w bit b = embedding[32w+b] >
+    * 0; integer shifts only, every value < 2^32).
+    */
+  private val duckBinWords =
+    """bw AS (SELECT vec_id,
+      |  CAST(list_sum(list_transform(range(0, 32), b ->
+      |    CASE WHEN embedding[CAST(b + 1 AS INTEGER)] > 0
+      |    THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+      |    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+      |  CAST(list_sum(list_transform(range(0, 32), b ->
+      |    CASE WHEN embedding[CAST(b + 33 AS INTEGER)] > 0
+      |    THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+      |    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+      |  FROM embeddings)""".stripMargin
+
   /** DuckDB CTE chain replicating [[Ann.ivfAssignments]] exactly (init =
     * k smallest vec ids, 2 Lloyd rounds of fold-order assignment +
     * DECIMAL(38,18) means): final assignment table `a3(id, c)`.
@@ -752,7 +768,7 @@ object TrainingDataOps {
     // buckets' target-vs-source frequency ratios (fixed-point integer —
     // see TextAnalysis.dsirWeights for the log-free exactness rationale).
     // ---- trained quality classifier (pocket batch perceptron) ----------
-    // DISTRIBUTED TRAINING, oracle-gated: 8 epochs of integer batch-
+    // DISTRIBUTED TRAINING, oracle-gated: 4 epochs of integer batch-
     // perceptron updates over 32 hashed bag-of-words buckets + a bias
     // feature, label y = (len >= 300); the returned weights are the
     // POCKET pick — the candidate with the exact minimum training-error
@@ -764,9 +780,9 @@ object TrainingDataOps {
       (s, dir) => TextAnalysis.perceptronTrain(t(s, dir, "documents"),
           "doc_id", "text",
           when(length(col("text")) >= 300, 1L).otherwise(-1L),
-          dim = 32, epochs = 8)
+          dim = 32, epochs = 4)
         .orderBy("bucket"),
-      s"""WITH ${duckPerceptronCtes(32, 8)}
+      s"""WITH ${duckPerceptronCtes(32, 4)}
          |SELECT j AS bucket, CAST(w AS BIGINT) AS weight
          |FROM wbest ORDER BY bucket""".stripMargin
     ),
@@ -779,10 +795,10 @@ object TrainingDataOps {
       (s, dir) => TextAnalysis.perceptronScore(t(s, dir, "documents"),
           "doc_id", "text",
           when(length(col("text")) >= 300, 1L).otherwise(-1L),
-          dim = 32, epochs = 8)
+          dim = 32, epochs = 4)
         .groupBy("y", "pred").agg(count(lit(1)).as("n"))
         .orderBy("y", "pred"),
-      s"""WITH ${duckPerceptronCtes(32, 8)},
+      s"""WITH ${duckPerceptronCtes(32, 4)},
          |sf2 AS (SELECT f.doc_id, f.y, sum(w.w * f.x) AS score
          |  FROM feat f JOIN wbest w ON w.j = f.j GROUP BY 1, 2)
          |SELECT y,
@@ -1833,6 +1849,80 @@ object TrainingDataOps {
          |        (sqrt(list_dot_product(a.v, a.v)) *
          |         sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rank
          |  FROM dq a JOIN dq b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |  WHERE rank <= 5)
+         |SELECT ex.query_id,
+         |  CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  round(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / 5.0, 4) AS recall
+         |FROM ex LEFT JOIN ap USING (query_id, neighbor_id)
+         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+    ),
+
+    // ---- binary (sign-bit) quantization: the 1-bit memory rung ---------
+    // Full code matrix hash-exact: packing is pure integer arithmetic
+    // (no floats survive), so any addressing slip anywhere flips a bit.
+    "emb_binary_codes" -> QuerySpec(
+      (s, dir) => Ann.binaryQuantize(t(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .select(col("id").as("vec_id"),
+          element_at(col("words"), 1).as("w0"),
+          element_at(col("words"), 2).as("w1"))
+        .orderBy("vec_id"),
+      s"""WITH $duckBinWords
+         |SELECT vec_id, w0, w1 FROM bw ORDER BY vec_id""".stripMargin
+    ),
+
+    // ---- Hamming top-k over binary codes (the serving path) ------------
+    // Distance = popcount(xor) over the packed words; ranked by the
+    // bounded top-k aggregate with ascending-id ties — the corpus side
+    // reads 8 bytes per 64-dim vector.
+    "ann_hamming_topk" -> QuerySpec(
+      (s, dir) => {
+        val codes = Ann.binaryQuantize(t(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        Ann.hammingTopK(codes, codes.filter(col("id") < 10), d = 64, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      s"""WITH $duckBinWords,
+         |r AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+         |    AS INTEGER) AS hamming,
+         |  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |    bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)),
+         |    b.vec_id) AS rank
+         |  FROM bw a JOIN bw b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+         |  hamming
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    ),
+
+    // ---- binary-quantization quality: Hamming@5 vs exact cosine@5 ------
+    // The quality dial the 32x memory win trades (same contract as
+    // ann_quantized_recall / ann_pq_recall).
+    "ann_hamming_recall" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val codes = Ann.binaryQuantize(emb, "vec_id", "embedding")
+        Ann.recallEval(
+            Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+              "vec_id", "embedding", 5),
+            Ann.hammingTopK(codes, codes.filter(col("id") < 10), 64, 5), 5)
+          .orderBy("query_id")
+      },
+      s"""WITH $duckBinWords,
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      $duckCosine DESC, b.vec_id) AS rank
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id < 10 AND b.vec_id <> a.vec_id) WHERE rank <= 5),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)),
+         |      b.vec_id) AS rank
+         |  FROM bw a JOIN bw b ON a.vec_id < 10 AND b.vec_id <> a.vec_id)
          |  WHERE rank <= 5)
          |SELECT ex.query_id,
          |  CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)

@@ -649,6 +649,33 @@ class Round10OpsSpec extends SparkSpec {
     assert(m.size <= 3 && m("a") == 7L && m("b") == 4L && !m.contains("e"))
   }
 
+  // ---- Count-Min sketch ----------------------------------------------------
+
+  test("CountMin content is bit-identical across partitionings; est >= true") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val stream = (0 until 3000).map(_ => s"k${rnd.nextInt(500)}")
+    val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val sketches = Seq(1, 4, 13).map { parts =>
+      stream.toDF("key").repartition(parts)
+        .agg(functions.Fns.countMin(col("key"), 3, 32))
+        .collect().head.getSeq[Long](0)
+    }
+    // commutative sums: every partitioning yields the SAME matrix
+    assert(sketches.distinct.size == 1)
+    val cm = sketches.head
+    truth.foreach { case (key, tr) =>
+      val h = functions.CountMin.baseHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(key))
+      val est = (0 until 3).map(i =>
+        cm(i * 32 + functions.CountMin.rowSlot(h, i, 32))).min
+      assert(est >= tr, s"undercount for $key: est=$est true=$tr")
+    }
+    // total mass per row = stream size
+    (0 until 3).foreach(i =>
+      assert(cm.slice(i * 32, (i + 1) * 32).sum == 3000L))
+  }
+
   // ---- keyframe-aligned clip extraction ----------------------------------
 
   test("keyframeClips aggregates GOPs exactly and quarantines corrupt docs") {

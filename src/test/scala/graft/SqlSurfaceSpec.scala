@@ -146,4 +146,41 @@ class SqlSurfaceSpec extends SparkSpec {
     // hits whose offset is exactly 0 get a +1s bump → still one row per event
     assert(exploded.count() == nEvents + 2 * nUsers)
   }
+
+  test("common_prefix_len SQL function matches the kernel, caps, and codegen-folds") {
+    Tables.tune(spark)
+    val got = spark.sql(
+      """SELECT common_prefix_len('abcdef', 'abcxyz', 64) AS a,
+        |  common_prefix_len('same', 'same', 2) AS b,
+        |  common_prefix_len('', 'x', 8) AS c""".stripMargin)
+      .as[(Int, Int, Int)].head()
+    assert(got == ((3, 2, 0)))
+  }
+
+  test("count_min SQL aggregate matches the column API matrix exactly") {
+    Tables.tune(spark)
+    val ev = "parquet.`/root/testdata/sf0.001/events.parquet`"
+    val sqlArr = spark.sql(
+      s"SELECT count_min(CAST(user_id AS STRING), 3, 16) FROM $ev")
+      .head().getSeq[Long](0)
+    val colArr = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .agg(graft.functions.Fns.countMin(col("user_id"), 3, 16))
+      .head().getSeq[Long](0)
+    assert(sqlArr == colArr && sqlArr.sum == 3 * sqlArr.sum / 3)
+    assert(sqlArr.slice(0, 16).sum == sqlArr.slice(16, 32).sum)
+  }
+
+  test("misra_gries SQL aggregate honors the summary guarantees") {
+    Tables.tune(spark)
+    // events' user_id stream: ~150 uniform keys vs k=4 counters — pure
+    // eviction pressure; guarantees must still hold
+    val row = spark.sql(
+      """SELECT misra_gries(CAST(user_id AS STRING), 4) AS mg, count(*) AS n
+        |FROM parquet.`/root/testdata/sf0.001/events.parquet`""".stripMargin)
+      .head()
+    val mg = row.getMap[String, Long](0)
+    val n = row.getLong(1)
+    assert(mg.size <= 3)
+    mg.foreach { case (_, est) => assert(est >= 1L && est <= n) }
+  }
 }

@@ -294,6 +294,32 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming EXECUTED audio resample quarantines mid-stream, digest matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val specs = Seq(Multimodal.WavPcmSpec(1L, 8000, 2, 16, 13, 77)).toDS()
+    val good = Multimodal.synthesizeWavPcm(spark, specs)
+      .select("payload").as[Array[Byte]].head()
+    val batch = Multimodal.audioResample(spark,
+      Seq((1L, good)).toDF("doc_id", "payload"), 4).collect().toSeq
+    val mem = MemoryStream[Multimodal.BinaryDoc]
+    val out = Multimodal.audioResample(spark, mem.toDF(), 4)
+    val q = out.writeStream.format("memory").queryName("audio_resample_stream")
+      .outputMode("append").start()
+    mem.addData(Multimodal.BinaryDoc(1L, good))
+    mem.addData(Multimodal.BinaryDoc(2L, good.take(30))) // mid-fmt cut
+    mem.addData(Multimodal.BinaryDoc(3L, good))
+    q.processAllAvailable()
+    val rows = spark.table("audio_resample_stream").orderBy("doc_id")
+      .as[Multimodal.AudioResample].collect().toSeq
+    assert(rows.filter(_.doc_id == 1L) == batch.map(_.copy(doc_id = 1L)))
+    assert(rows.filter(_.doc_id == 2L)
+      .forall(r => r.status == "corrupt" && r.err.contains("truncated")))
+    assert(rows.filter(_.doc_id == 3L).map(_.copy(doc_id = 1L)) == batch)
+    q.stop()
+  }
+
   test("canonical-URL dedup streams: cross-batch state drops later surface variants") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.WebCuration
