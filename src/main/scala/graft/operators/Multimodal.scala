@@ -1287,6 +1287,143 @@ object Multimodal {
     }
   }
 
+  /** One perceptual hash per image: doc_id, decoded geometry, the 64-bit
+    * average-hash split into two nonnegative 32-bit halves (`ahash_hi` =
+    * grid rows 0-3, `ahash_lo` = rows 4-7 — two BIGINTs so every engine's
+    * signed-64 arithmetic stays overflow-free), and the quarantine
+    * status/reason channel shared with [[resizeExec]].
+    */
+  case class PerceptualHash(
+      doc_id: Long, n_bytes: Long, in_w: Int, in_h: Int,
+      ahash_hi: Long, ahash_lo: Long, status: String, err: Option[String])
+
+  /** Pixel-EXECUTING perceptual average-hash (aHash) — the image
+    * counterpart of content-defined text fingerprints: decode, partition
+    * the raster into an 8×8 grid (pixel (x, y) falls in cell
+    * (x·8 div w, y·8 div h) — pure integer addressing, engine-
+    * replayable), and set one bit per cell iff the cell's mean gray is ≥
+    * the global mean. The comparison is cross-multiplied
+    * (cellSum·(w·h) ≥ totalSum·cellN) so no division, no floats — the
+    * hash is bit-for-bit reproducible by any engine that can replay the
+    * integer arithmetic, which is what lets a relational oracle gate it.
+    *
+    * Near-duplicate images (re-encodes, slight brightness shifts, small
+    * crops) land within a few bits of Hamming distance; exact re-encodes
+    * collide exactly — group by (ahash_hi, ahash_lo) for exact-perceptual
+    * dedup, band the halves for Hamming-bounded candidate pairs (the
+    * SimHash pigeonhole construction, over pixels instead of shingles).
+    *
+    * Same quarantine mapPartitions tier as [[resizeExec]]: truncated
+    * payloads → "corrupt", unclaimed formats → "unsupported", rasters
+    * smaller than the 8×8 grid → "too_small" (a cell would be empty and
+    * the mean undefined) — all stable rows, never task failures. No
+    * shuffle; partition bytes bound peak decode memory.
+    */
+  def perceptualHash(spark: SparkSession, binDocs: DataFrame): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    val base =
+      if (binDocs.isStreaming) binDocs
+      else graft.Tables.ensureMinParallelism(binDocs)
+    base.as[BinaryDoc].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { d =>
+        val n = d.payload.length.toLong
+        def bad(status: String, reason: Option[String]) =
+          PerceptualHash(d.doc_id, n, 0, 0, 0L, 0L, status, reason)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(d.payload))
+        if (iis == null || d.payload.isEmpty) bad("unsupported", None)
+        else try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) bad("unsupported", None)
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val img = reader.read(0)
+              val (w, h) = (img.getWidth, img.getHeight)
+              if (w < 8 || h < 8) bad("too_small", None)
+              else {
+                val cellSum = new Array[Long](64)
+                val cellN = new Array[Long](64)
+                var total = 0L
+                var y = 0
+                while (y < h) {
+                  val cy = y * 8 / h
+                  var x = 0
+                  while (x < w) {
+                    val g = (img.getRGB(x, y) >> 16) & 0xff
+                    val idx = cy * 8 + x * 8 / w
+                    cellSum(idx) += g
+                    cellN(idx) += 1
+                    total += g
+                    x += 1
+                  }
+                  y += 1
+                }
+                val npx = w.toLong * h
+                var hi = 0L; var lo = 0L
+                var i = 0
+                while (i < 64) {
+                  if (cellSum(i) * npx >= total * cellN(i)) {
+                    if (i < 32) hi |= 1L << (31 - i)
+                    else lo |= 1L << (63 - i)
+                  }
+                  i += 1
+                }
+                PerceptualHash(d.doc_id, n, w, h, hi, lo, "ok", None)
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                bad("corrupt", Some("decode_failed"))
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      }
+    }
+  }
+
+  /** Hamming-bounded near-duplicate image pairs over [[perceptualHash]]
+    * output: the SimHash pigeonhole construction on the 64-bit aHash —
+    * four 16-bit bands generate candidates (any pair within Hamming
+    * distance ≤ `maxHamming` ≤ 3·16 that also shares a band is found;
+    * with 4 bands every pair at distance ≤ 3 is GUARANTEED found, and in
+    * practice near-dups at small distance almost always share one), each
+    * candidate verified with two popcounts. One exchange on
+    * (band_idx, band_value); candidate volume is bounded by bucket sizes,
+    * the near-dup analog of LSH banding — no O(n²) anywhere.
+    *
+    * Contract (both engines): emitted pairs = { id_a < id_b : the hashes
+    * share ≥ 1 of the 4 bands AND hamming ≤ maxHamming }.
+    */
+  def perceptualNearPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64)
+    val ok = hashes.filter(col("status") === "ok")
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+    val banded = ok.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+      explode(array(
+        struct(lit(0).as("band_idx"), shiftright(col("ahash_hi"), 16).as("band_val")),
+        struct(lit(1).as("band_idx"), (col("ahash_hi").bitwiseAND(65535L)).as("band_val")),
+        struct(lit(2).as("band_idx"), shiftright(col("ahash_lo"), 16).as("band_val")),
+        struct(lit(3).as("band_idx"), (col("ahash_lo").bitwiseAND(65535L)).as("band_val"))
+      )).as("band"))
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    val a = banded.select(col("doc_id").as("id_a"),
+      col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col("doc_id").as("id_b"),
+      col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Fixed-stride frame-boundary sampling for payloads with NO container
     * index (raw/unknown byte streams): every `stride`-th `frameBytes`
     * slice as (doc_id, frame_idx, byte_offset, frame). For real MP4

@@ -1380,6 +1380,145 @@ object TrainingDataOps {
         |SELECT * FROM ok UNION ALL SELECT * FROM bd ORDER BY doc_id""".stripMargin
     ),
 
+    // ---- perceptual image hash (aHash) over EXECUTED pixels ------------
+    // Images come in 40 pattern groups; within a group the three
+    // brightness variants (shade +0/+1/+2) are near-identical rasters, so
+    // the 8x8 average-hash mostly collides or lands within a few bits —
+    // real perceptual-dedup behavior, not a toy. The hash is pure integer
+    // arithmetic (cross-multiplied mean compare, no division), so the
+    // oracle replays every bit from the pattern formula alone; every
+    // 17th payload is truncated mid-IHDR -> quarantined 'corrupt'.
+    "mm_phash_dedup" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val g = expr("doc_id div 3")
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (lit(16) + (g % 12) * 2).cast("int").as("w"),
+          (lit(16) + (g % 9) * 2).cast("int").as("h"),
+          ((g * 19) % 250 + col("doc_id") % 3).cast("int").as("shade")
+        ).as[Multimodal.PatternImageSpec]
+        val bin = Multimodal.synthesizePatternImages(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 17 === 5, col("payload").substr(1, 20))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.perceptualHash(s, bin).toDF()
+          .select(col("doc_id"), col("status"), col("in_w"), col("in_h"),
+            col("ahash_hi"), col("ahash_lo"))
+          .orderBy("doc_id")
+      },
+      """WITH s AS (
+        |  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS rep,
+        |    doc_id % 17 = 5 AS bad
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, bad,
+        |    16 + (g % 12) * 2 AS w, 16 + (g % 9) * 2 AS h,
+        |    (g * 19) % 250 + rep AS shade
+        |  FROM s),
+        |px AS (SELECT doc_id, w, h, shade, unnest(range(0, w)) AS x
+        |  FROM d WHERE NOT bad),
+        |pxy AS (SELECT *, unnest(range(0, h)) AS y FROM px),
+        |v AS (SELECT doc_id,
+        |    (y * 8 // h) * 8 + (x * 8 // w) AS idx,
+        |    (x * 7 + y * 13 + shade) % 256 AS gval
+        |  FROM pxy),
+        |tot AS (SELECT doc_id, sum(gval) AS ts, count(*) AS tn
+        |  FROM v GROUP BY 1),
+        |cell AS (SELECT doc_id, idx, sum(gval) AS bs, count(*) AS cn
+        |  FROM v GROUP BY 1, 2),
+        |bits AS (SELECT c.doc_id, c.idx,
+        |    CASE WHEN c.bs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS b
+        |  FROM cell c JOIN tot t USING (doc_id)),
+        |hs AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN idx < 32
+        |      THEN b * (CAST(1 AS BIGINT) << (31 - idx)) ELSE 0 END)
+        |      AS BIGINT) AS ahash_hi,
+        |    CAST(sum(CASE WHEN idx >= 32
+        |      THEN b * (CAST(1 AS BIGINT) << (63 - idx)) ELSE 0 END)
+        |      AS BIGINT) AS ahash_lo
+        |  FROM bits GROUP BY 1),
+        |ok AS (SELECT d.doc_id, 'ok' AS status,
+        |    CAST(d.w AS INTEGER) AS in_w, CAST(d.h AS INTEGER) AS in_h,
+        |    h.ahash_hi, h.ahash_lo
+        |  FROM d JOIN hs h USING (doc_id) WHERE NOT d.bad),
+        |bd AS (SELECT doc_id, 'corrupt' AS status,
+        |    CAST(0 AS INTEGER) AS in_w, CAST(0 AS INTEGER) AS in_h,
+        |    CAST(0 AS BIGINT) AS ahash_hi, CAST(0 AS BIGINT) AS ahash_lo
+        |  FROM d WHERE bad)
+        |SELECT * FROM ok UNION ALL SELECT * FROM bd
+        |ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- Hamming-banded near-duplicate image pairs ---------------------
+    // The SimHash pigeonhole construction over the aHash: four 16-bit
+    // bands generate candidates on ONE keyed exchange, two popcounts
+    // verify. Contract pinned in both engines: pairs that share >= 1
+    // band AND sit within Hamming distance 6. The oracle self-joins
+    // exhaustively (its candidate step must replicate the band
+    // semantics, or banding bugs would hide behind matching outputs).
+    "mm_phash_near_pairs" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val g = expr("doc_id div 3")
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (lit(16) + (g % 12) * 2).cast("int").as("w"),
+          (lit(16) + (g % 9) * 2).cast("int").as("h"),
+          ((g * 19) % 250 + col("doc_id") % 3).cast("int").as("shade")
+        ).as[Multimodal.PatternImageSpec]
+        val bin = Multimodal.synthesizePatternImages(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 17 === 5, col("payload").substr(1, 20))
+              .otherwise(col("payload")).as("payload"))
+        val hashes = Multimodal.perceptualHash(s, bin).toDF()
+        Multimodal.perceptualNearPairs(hashes, maxHamming = 6)
+          .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+          .orderBy("id_a", "id_b")
+      },
+      """WITH s AS (
+        |  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS rep,
+        |    doc_id % 17 = 5 AS bad
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, bad,
+        |    16 + (g % 12) * 2 AS w, 16 + (g % 9) * 2 AS h,
+        |    (g * 19) % 250 + rep AS shade
+        |  FROM s),
+        |px AS (SELECT doc_id, w, h, shade, unnest(range(0, w)) AS x
+        |  FROM d WHERE NOT bad),
+        |pxy AS (SELECT *, unnest(range(0, h)) AS y FROM px),
+        |v AS (SELECT doc_id,
+        |    (y * 8 // h) * 8 + (x * 8 // w) AS idx,
+        |    (x * 7 + y * 13 + shade) % 256 AS gval
+        |  FROM pxy),
+        |tot AS (SELECT doc_id, sum(gval) AS ts, count(*) AS tn
+        |  FROM v GROUP BY 1),
+        |cell AS (SELECT doc_id, idx, sum(gval) AS bs, count(*) AS cn
+        |  FROM v GROUP BY 1, 2),
+        |bits AS (SELECT c.doc_id, c.idx,
+        |    CASE WHEN c.bs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS b
+        |  FROM cell c JOIN tot t USING (doc_id)),
+        |hs AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN idx < 32
+        |      THEN b * (CAST(1 AS BIGINT) << (31 - idx)) ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN idx >= 32
+        |      THEN b * (CAST(1 AS BIGINT) << (63 - idx)) ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |    AS BIGINT) AS hamming
+        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |WHERE ((a.hi >> 16) = (b.hi >> 16)
+        |    OR (a.hi & 65535) = (b.hi & 65535)
+        |    OR (a.lo >> 16) = (b.lo >> 16)
+        |    OR (a.lo & 65535) = (b.lo & 65535))
+        |  AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin
+    ),
+
     // ---- frame-sampling plumbing (every 3rd 64-byte "frame"). The Spark
     // side slices BINARY at byte offsets (the real media semantics); the
     // oracle slices VARCHAR, which is byte-exact because the synthetic

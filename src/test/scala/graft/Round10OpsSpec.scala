@@ -700,4 +700,79 @@ class Round10OpsSpec extends SparkSpec {
     assert(q.getLong(0) == 9L && q.getLong(1) == -1L &&
       q.getString(9) == "unsupported")
   }
+
+  // ---- perceptual aHash -----------------------------------------------
+
+  private def patternDs(specs: (Long, Int, Int, Int)*) = {
+    import spark.implicits._
+    specs.map { case (id, w, h, s) =>
+      Multimodal.PatternImageSpec(id, w, h, s) }.toDS()
+  }
+
+  /** Independent replay of the aHash contract from the pattern formula —
+    * per-pixel accumulate with the cross-multiplied mean compare.
+    */
+  private def expectedHash(w: Int, h: Int, shade: Int): (Long, Long) = {
+    val cs = new Array[Long](64); val cn = new Array[Long](64)
+    var tot = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x * 7 + y * 13 + shade) % 256
+      val idx = (y * 8 / h) * 8 + x * 8 / w
+      cs(idx) += g; cn(idx) += 1; tot += g
+    }
+    var hi = 0L; var lo = 0L
+    for (i <- 0 until 64)
+      if (cs(i) * (w.toLong * h) >= tot * cn(i)) {
+        if (i < 32) hi |= 1L << (31 - i) else lo |= 1L << (63 - i)
+      }
+    (hi, lo)
+  }
+
+  test("perceptualHash: decoded-pixel aHash matches the formula replay; " +
+      "identical rasters collide; quarantine rows are stable") {
+    import spark.implicits._
+    val bin = Multimodal.synthesizePatternImages(spark,
+      patternDs((1L, 20, 16, 40), (2L, 20, 16, 40), (3L, 20, 16, 41),
+        (4L, 33, 25, 200)))
+    val cut = bin.select(col("doc_id"),
+      when(col("doc_id") === 4L, col("payload").substr(1, 20))
+        .otherwise(col("payload")).as("payload"))
+    val small = Seq(Multimodal.BinaryDoc(5L, {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB), "png", out)
+      out.toByteArray
+    })).toDF("doc_id", "payload")
+    val rows = Multimodal.perceptualHash(spark, cut.unionByName(small))
+      .orderBy("doc_id").collect()
+    val (hi1, lo1) = expectedHash(20, 16, 40)
+    assert(rows(0).status == "ok" && rows(0).ahash_hi == hi1 &&
+      rows(0).ahash_lo == lo1)
+    assert(rows(0).ahash_hi >= 0L && rows(0).ahash_lo >= 0L) // 32-bit halves
+    assert(rows(1).ahash_hi == hi1 && rows(1).ahash_lo == lo1) // identical raster
+    val (hi3, lo3) = expectedHash(20, 16, 41)
+    assert(rows(2).ahash_hi == hi3 && rows(2).ahash_lo == lo3)
+    // +1 shade: near-identical raster, hash within a few bits
+    val ham = java.lang.Long.bitCount(hi1 ^ hi3) +
+      java.lang.Long.bitCount(lo1 ^ lo3)
+    assert(ham <= 6, s"shade+1 drifted $ham bits")
+    assert(rows(3).status == "corrupt" && rows(3).err.contains("decode_failed"))
+    assert(rows(4).status == "too_small" && rows(4).ahash_hi == 0L)
+  }
+
+  test("perceptualNearPairs: band candidates + popcount verify, bounded " +
+      "distance, no self/dup pairs") {
+    import spark.implicits._
+    val hashes = Seq(
+      (1L, 0x12345678L, 0x0000FFFFL, "ok"),
+      (2L, 0x12345678L, 0x0000FFFFL, "ok"), // distance 0 from 1
+      (3L, 0x12345678L, 0x0000FF0FL, "ok"), // distance 4 from 1/2, shares 3 bands
+      (4L, 0x87654321L, 0xFFFF0000L, "ok"), // far from everything
+      (5L, 0x12345678L, 0x0000FFFFL, "corrupt") // quarantined: excluded
+    ).toDF("doc_id", "ahash_hi", "ahash_lo", "status")
+    val pairs = Multimodal.perceptualNearPairs(hashes, maxHamming = 6)
+      .orderBy("id_a", "id_b").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((1L, 2L, 0), (1L, 3L, 4), (2L, 3L, 4)))
+  }
 }
