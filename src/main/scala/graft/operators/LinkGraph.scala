@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for web-corpus curation: PageRank (Page et al.
+  * 1999) as the host-level quality / crawl-priority signal large web
+  * corpora weight their sampling by (the Common-Crawl-style host ranking).
+  *
+  * Arithmetic is INTEGER FIXED-POINT throughout — ranks are longs scaled
+  * by `scale`, every division is floor division, and every per-iteration
+  * reduction is a commutative integer sum — so the result is bit-exact
+  * regardless of partitioning or merge order, and a relational oracle can
+  * replay all `iters` rounds. The damping split is rational
+  * (`dampNum`/`dampDen`, default 85/100); dangling-node mass is dropped
+  * (the classic simplification — documented, identical in the oracle).
+  *
+  * Scale posture: the edge list is deduped, annotated with out-degree,
+  * hash-partitioned by `src` ONCE and checkpoint-materialized; each
+  * iteration is one co-located join on that partitioning plus one keyed
+  * aggregation on `dst` — two exchanges per round on rank-sized rows
+  * only, never on the corpus. Iterations are lineage-cut (reliable
+  * checkpoint when a checkpoint dir is set, localCheckpoint otherwise)
+  * and each round's predecessor blocks are freed, the
+  * [[IdentityResolution.connectedComponents]] contract. Small graphs
+  * (≤ `smallGraphMaxEdges`) take a driver power-iteration fast path with
+  * the IDENTICAL integer arithmetic — the size-adaptive CC precedent:
+  * at host-graph sizes that fit one task, O(iters) shuffle rounds are
+  * pure fixed job overhead.
+  */
+object LinkGraph {
+
+  /** Above this edge count the distributed iteration runs; below it the
+    * driver fast path does (bounded collect — the edge list, not the
+    * corpus).
+    */
+  val SmallGraphMaxEdges: Long = 1000000L
+
+  /** PageRank over `edges(srcCol, dstCol)` (any integral node id type;
+    * duplicate edges collapse). Returns (node BIGINT, rank BIGINT) with
+    * Σ rank ≈ scale (minus floor-division and dangling leakage).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"pageRank: iters must be 1..100, got $iters")
+    require(scale >= 1000L, s"pageRank: scale too small for fixed-point ($scale)")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"pageRank: damping $dampNum/$dampDen is not in [0, 1]")
+
+    val spark = edges.sparkSession
+    val useReliable = spark.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (useReliable) df.checkpoint() else df.localCheckpoint()
+    def releaseBlocks(df: DataFrame): Unit =
+      if (!useReliable)
+        df.queryExecution.logical.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(blocking = false))
+
+    val e = cut(edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct())
+    val ne = e.count() // reads the just-materialized blocks, no recompute
+    require(ne > 0, "pageRank: empty edge list")
+
+    if (ne <= smallGraphMaxEdges) {
+      val result = smallGraphPageRank(spark, e, iters, scale, dampNum, dampDen)
+      releaseBlocks(e)
+      return result
+    }
+
+    val od = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // one partitioning, reused by every iteration's src-join
+    val ec = cut(e.join(od, "src").repartition(col("src")))
+    val nodes = cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    releaseBlocks(e)
+    val n = nodes.count()
+    val r0 = scale / n
+    val base = r0 * (dampDen - dampNum) / dampDen
+
+    var ranks = cut(nodes.select(col("node"), lit(r0).as("rank")))
+    var i = 0
+    while (i < iters) {
+      val mass = ec.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("mass"))
+      val next = cut(nodes.join(mass, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("mass"), lit(0L)).as("mass"))
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * mass) div $dampDen")).as("rank")))
+      releaseBlocks(ranks)
+      ranks = next
+      i += 1
+    }
+    releaseBlocks(ec)
+    releaseBlocks(nodes)
+    // the returned frame is backed by the final round's checkpoint blocks
+    ranks
+  }
+
+  /** Driver power iteration — IDENTICAL integer arithmetic to the
+    * distributed loop (exact longs, commutative sums ⇒ same result), for
+    * graphs whose edge list fits one task. Bounded by smallGraphMaxEdges.
+    */
+  private def smallGraphPageRank(spark: org.apache.spark.sql.SparkSession,
+      e: DataFrame, iters: Int, scale: Long,
+      dampNum: Long, dampDen: Long): DataFrame = {
+    val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val outdeg = new Array[Long](nodes.length)
+    pairs.foreach { case (s, _) => outdeg(idx(s)) += 1 }
+    val n = nodes.length.toLong
+    val r0 = scale / n
+    val base = r0 * (dampDen - dampNum) / dampDen
+    var ranks = Array.fill(nodes.length)(r0)
+    for (_ <- 0 until iters) {
+      val mass = new Array[Long](nodes.length)
+      pairs.foreach { case (s, d) =>
+        mass(idx(d)) += ranks(idx(s)) / outdeg(idx(s))
+      }
+      ranks = mass.zipWithIndex.map { case (m, j) =>
+        base + dampNum * m / dampDen
+      }
+    }
+    import spark.implicits._
+    spark.sparkContext.parallelize(
+      nodes.zip(ranks).map { case (node, r) => (node, r) }.toSeq,
+      spark.sparkContext.defaultParallelism.min(8))
+      .toDF("node", "rank")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.Fns
-import graft.operators.{Ann, Contamination, Dedup, Multimodal, SuffixArray, TextAnalysis, IdentityResolution, WebCuration}
+import graft.operators.{Ann, Contamination, Dedup, LinkGraph, Multimodal, SuffixArray, TextAnalysis, IdentityResolution, WebCuration}
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
   * text analysis) as verifiable queries over `documents`/`embeddings`.
@@ -761,6 +761,52 @@ object TrainingDataOps {
       """SELECT doc_id, 'site' || (doc_id % 5) || '.com' AS registered_domain
         |FROM documents WHERE doc_id % 5 NOT IN (1, 3)
         |ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- host-graph PageRank ------------------------------------------
+    // The Common-Crawl-style host quality signal: a 37-host link graph
+    // synthesized from doc_id arithmetic (two outlink families per doc,
+    // deduped), ranked by 5 rounds of integer fixed-point power
+    // iteration (scale 1e12, damping 85/100, floor division, dangling
+    // mass dropped). Every operation is an exact commutative integer
+    // op, so the oracle unrolls all 5 rounds as CTEs and must agree on
+    // every rank to the last unit — any drift in the damping split, the
+    // div order, or a lost edge breaks the hash.
+    "web_pagerank" -> QuerySpec(
+      (s, dir) => {
+        val d = col("doc_id")
+        val docs = t(s, dir, "documents")
+        val edges = docs.select((d % 37).as("src"), ((d * 3 + 1) % 37).as("dst"))
+          .unionByName(
+            docs.select((d % 37).as("src"), ((d * 7 + 5) % 37).as("dst")))
+        LinkGraph.pageRank(edges, "src", "dst", iters = 5)
+          .select(col("node").as("host"), col("rank"))
+          .orderBy("host")
+      },
+      {
+        val iterCte = (i: Int) => {
+          val prev = s"r${i - 1}"
+          s"""s$i AS (SELECT e.dst AS node, sum(r.rank // o.outdeg) AS mass
+             |  FROM e0 e JOIN $prev r ON e.src = r.node
+             |  JOIN od o ON e.src = o.src GROUP BY 1),
+             |r$i AS (SELECT n.node,
+             |    ((1000000000000 // nn.n) * 15) // 100
+             |      + (85 * COALESCE(s.mass, 0)) // 100 AS rank
+             |  FROM nodes n LEFT JOIN s$i s ON n.node = s.node, nn)""".stripMargin
+        }
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT doc_id % 37 AS src, (doc_id * 3 + 1) % 37 AS dst
+           |  FROM documents
+           |  UNION
+           |  SELECT doc_id % 37, (doc_id * 7 + 5) % 37 FROM documents),
+           |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |od AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY 1),
+           |r0 AS (SELECT node, 1000000000000 // nn.n AS rank FROM nodes, nn),
+           |${(1 to 5).map(iterCte).mkString(",\n")}
+           |SELECT node AS host, CAST(rank AS BIGINT) AS rank FROM r5
+           |ORDER BY host""".stripMargin
+      }
     ),
 
     // ---- DSIR hashed n-gram importance weights ------------------------

@@ -760,6 +760,37 @@ class Round10OpsSpec extends SparkSpec {
     assert(rows(4).status == "too_small" && rows(4).ahash_hi == 0L)
   }
 
+  // ---- PageRank -------------------------------------------------------
+
+  test("pageRank: distributed loop == driver fast path == hand arithmetic") {
+    import spark.implicits._
+    import graft.operators.LinkGraph
+    // 3-node cycle with one extra edge 0->2: hand-checkable
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (0L, 1L))
+      .toDF("src", "dst") // duplicate edge must collapse
+    val fast = LinkGraph.pageRank(edges, "src", "dst", iters = 3,
+        scale = 1000000L)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dist = LinkGraph.pageRank(edges, "src", "dst", iters = 3,
+        scale = 1000000L, smallGraphMaxEdges = 0L)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.toSeq == dist.toSeq,
+      s"driver ${fast.toSeq} != distributed ${dist.toSeq}")
+    // hand replay: n=3, r0=333333, base=333333*15/100=49999
+    var r = Map(0L -> 333333L, 1L -> 333333L, 2L -> 333333L)
+    val od = Map(0L -> 2L, 1L -> 1L, 2L -> 1L)
+    val es = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L))
+    for (_ <- 1 to 3) {
+      val mass = es.groupBy(_._2).map { case (d, g) =>
+        d -> g.map { case (s, _) => r(s) / od(s) }.sum }
+      r = r.keys.map(k => k -> (49999L + 85L * mass.getOrElse(k, 0L) / 100L)).toMap
+    }
+    assert(fast.toMap == r, s"engine ${fast.toMap} != hand $r")
+    // mass conservation (minus floor loss): total stays within n*dampDen
+    // units of scale*(converging series) — sanity: all ranks positive
+    assert(fast.forall(_._2 > 0))
+  }
+
   test("perceptualNearPairs: band candidates + popcount verify, bounded " +
       "distance, no self/dup pairs") {
     import spark.implicits._
