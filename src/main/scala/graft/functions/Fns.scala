@@ -78,6 +78,13 @@ object Fns {
   def countMin(key: Column, d: Int, w: Int): Column =
     ofExpr(CountMin(toExpr(key.cast("string")), d, w).toAggregateExpression())
 
+  /** HyperLogLog register-vector aggregate: m registers as array<int>
+    * (see [[HllRegisters]] — deterministic content, elementwise-max
+    * merge, portable-hash replayable).
+    */
+  def hllRegisters(key: Column, m: Int): Column =
+    ofExpr(HllRegisters(toExpr(key.cast("string")), m).toAggregateExpression())
+
   /** Bloom bitset build aggregate over a BIGINT key column (see
     * [[BloomFilterAgg]]).
     */

@@ -120,6 +120,103 @@ object ExtendedAnalytics {
         |ORDER BY key""".stripMargin
     ),
 
+    // ---- HyperLogLog registers: exact content replication ---------------
+    // The cardinality member of the sketch family (MG = heavy hitters,
+    // CMS = point frequency). Register content is an elementwise MAX of
+    // portable-hash ranks — commutative AND idempotent, so the vector is
+    // deterministic under any partitioning/merge order and duplicate
+    // arrivals, and the oracle replays every register from the distinct
+    // key set alone. Empty buckets pin the range join (left join against
+    // range(m)), not just the touched ones.
+    "agg_hll_registers" -> QuerySpec(
+      (s, dir) => {
+        val stream = t(s, dir, "events").select(
+          when(col("user_id") % 10 < 3,
+            concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+            .otherwise(concat(lit("cold_"), col("user_id").cast("string")))
+            .as("key"))
+        stream.agg(graft.functions.Fns.hllRegisters(col("key"), 64).as("regs"))
+          .select(posexplode(col("regs")).as(Seq("bucket", "register")))
+          .orderBy("bucket")
+      },
+      """WITH s AS (
+        |  SELECT CASE WHEN user_id % 10 < 3
+        |    THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+        |    ELSE 'cold_' || CAST(user_id AS VARCHAR) END AS key
+        |  FROM events),
+        |k AS (SELECT DISTINCT key FROM s),
+        |hh AS (SELECT key, CASE WHEN key = '' THEN 0 ELSE list_reduce(
+        |    list_transform(string_split(key, ''),
+        |      x -> CAST(ascii(x) AS BIGINT)),
+        |    (a, b) -> (a*31 + b) % 1000000007) END AS bh
+        |  FROM k),
+        |r AS (SELECT bh % 64 AS bucket,
+        |    CASE WHEN (3*bh + 43) % 1000000007 = 0 THEN 31
+        |      ELSE bit_count((((3*bh + 43) % 1000000007)
+        |        & (-((3*bh + 43) % 1000000007))) - 1) + 1 END AS rank
+        |  FROM hh),
+        |agg AS (SELECT bucket, max(rank) AS register FROM r GROUP BY 1)
+        |SELECT CAST(b.bucket AS INTEGER) AS bucket,
+        |  CAST(COALESCE(a.register, 0) AS INTEGER) AS register
+        |FROM (SELECT unnest(range(0, 64)) AS bucket) b
+        |LEFT JOIN agg a ON b.bucket = a.bucket
+        |ORDER BY bucket""".stripMargin
+    ),
+
+    // ---- HLL estimate core: integer-exact harmonic denominator ----------
+    // The estimator's deterministic parts — Σ 2^(30 − register) (the
+    // harmonic-mean denominator before the alpha/float correction) and
+    // the zero-register count (the linear-counting branch trigger) —
+    // against the exact distinct count they approximate. The float
+    // division itself is not hash-portable across engines and stays out
+    // (the approx_distinct / Misra-Gries precedent).
+    "agg_hll_estimate" -> QuerySpec(
+      (s, dir) => {
+        val stream = t(s, dir, "events").select(
+          when(col("user_id") % 10 < 3,
+            concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+            .otherwise(concat(lit("cold_"), col("user_id").cast("string")))
+            .as("key"))
+        val regs = stream
+          .agg(graft.functions.Fns.hllRegisters(col("key"), 64).as("regs"),
+            count_distinct(col("key")).as("n_exact"))
+          .select(col("n_exact"), explode(col("regs")).as("register"))
+        regs.groupBy("n_exact")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 30 - register)"))
+              .as("est_denom"),
+            sum(when(col("register") === 0, 1).otherwise(0)).cast("int")
+              .as("n_zero"))
+          .select(col("n_exact"), col("est_denom"), col("n_zero"))
+      },
+      """WITH s AS (
+        |  SELECT CASE WHEN user_id % 10 < 3
+        |    THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+        |    ELSE 'cold_' || CAST(user_id AS VARCHAR) END AS key
+        |  FROM events),
+        |k AS (SELECT DISTINCT key FROM s),
+        |hh AS (SELECT key, CASE WHEN key = '' THEN 0 ELSE list_reduce(
+        |    list_transform(string_split(key, ''),
+        |      x -> CAST(ascii(x) AS BIGINT)),
+        |    (a, b) -> (a*31 + b) % 1000000007) END AS bh
+        |  FROM k),
+        |r AS (SELECT bh % 64 AS bucket,
+        |    CASE WHEN (3*bh + 43) % 1000000007 = 0 THEN 31
+        |      ELSE bit_count((((3*bh + 43) % 1000000007)
+        |        & (-((3*bh + 43) % 1000000007))) - 1) + 1 END AS rank
+        |  FROM hh),
+        |agg AS (SELECT bucket, max(rank) AS register FROM r GROUP BY 1),
+        |full_regs AS (
+        |  SELECT COALESCE(a.register, 0) AS register
+        |  FROM (SELECT unnest(range(0, 64)) AS bucket) b
+        |  LEFT JOIN agg a ON b.bucket = a.bucket)
+        |SELECT (SELECT count(DISTINCT key) FROM s) AS n_exact,
+        |  CAST(sum(CAST(1 AS BIGINT) << (30 - register)) AS BIGINT)
+        |    AS est_denom,
+        |  CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS n_zero
+        |FROM full_regs""".stripMargin
+    ),
+
     // ---- as-of join: each event ↔ user's most recent prior signup ------
     "join_asof_prior" -> QuerySpec(
       (s, dir) => {

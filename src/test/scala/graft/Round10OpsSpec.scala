@@ -676,6 +676,40 @@ class Round10OpsSpec extends SparkSpec {
       assert(cm.slice(i * 32, (i + 1) * 32).sum == 3000L))
   }
 
+  // ---- HyperLogLog registers ----------------------------------------------
+
+  test("HllRegisters content is bit-identical across partitionings and " +
+      "duplicate-insensitive; registers replay from the portable hash") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val stream = (0 until 4000).map(_ => s"u${rnd.nextInt(800)}")
+    val vectors = Seq(1, 4, 13).map { parts =>
+      stream.toDF("key").repartition(parts)
+        .agg(functions.Fns.hllRegisters(col("key"), 64))
+        .collect().head.getSeq[Int](0)
+    }
+    assert(vectors.distinct.size == 1) // max merge: partition-independent
+    val regs = vectors.head
+    // idempotence: the distinct key set yields the identical vector
+    val dedup = stream.distinct.toDF("key")
+      .agg(functions.Fns.hllRegisters(col("key"), 64))
+      .collect().head.getSeq[Int](0)
+    assert(dedup == regs)
+    // replay every register from the hash contract
+    val expected = new Array[Int](64)
+    stream.distinct.foreach { k =>
+      val h = functions.CountMin.baseHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k))
+      val perm = (3L * h + 43L) % functions.CountMin.P
+      val rank = if (perm == 0L) 31
+        else java.lang.Long.numberOfTrailingZeros(perm) + 1
+      val b = (h % 64).toInt
+      if (rank > expected(b)) expected(b) = rank
+    }
+    assert(regs == expected.toSeq)
+    assert(regs.forall(r => r >= 0 && r <= 31))
+  }
+
   // ---- keyframe-aligned clip extraction ----------------------------------
 
   test("keyframeClips aggregates GOPs exactly and quarantines corrupt docs") {
