@@ -78,6 +78,13 @@ object Fns {
   def countMin(key: Column, d: Int, w: Int): Column =
     ofExpr(CountMin(toExpr(key.cast("string")), d, w).toAggregateExpression())
 
+  /** Single-pass Aho–Corasick blocklist hit count over a plan-time
+    * pattern list (see [[MultiPatternCount]] — word-boundary contract,
+    * multi-word phrases allowed).
+    */
+  def multiPatternCount(text: Column, patterns: Seq[String]): Column =
+    ofExpr(MultiPatternCount(toExpr(text), patterns))
+
   /** HyperLogLog register-vector aggregate: m registers as array<int>
     * (see [[HllRegisters]] — deterministic content, elementwise-max
     * merge, portable-hash replayable).

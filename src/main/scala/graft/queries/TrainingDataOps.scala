@@ -763,6 +763,36 @@ object TrainingDataOps {
         |ORDER BY doc_id""".stripMargin
     ),
 
+    // ---- badword/blocklist content gate (Aho–Corasick) -----------------
+    // The C4 banned-word filter as ONE automaton pass per document
+    // instead of one regex per pattern. The pattern list pins all the
+    // contract edges: "slow"/"dup" (present words), "table hash" (a
+    // multi-word phrase), "art" (a SUBSTRING of the corpus word "part" —
+    // counts 0 unless word boundaries are enforced), "badword" (absent).
+    // The oracle runs five independent \b-regexes; the automaton must
+    // agree with their sum on every document.
+    "tx_badword_filter" -> QuerySpec(
+      (s, dir) => {
+        val pats = Seq("slow", "dup", "table hash", "art", "badword")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            Fns.multiPatternCount(col("text"), pats).as("n_blocked"))
+          .select(col("doc_id"), col("n_blocked"),
+            (col("n_blocked") > 0).as("blocked"))
+          .orderBy("doc_id")
+      },
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    length(regexp_extract_all(text, '\bslow\b'))
+        |    + length(regexp_extract_all(text, '\bdup\b'))
+        |    + length(regexp_extract_all(text, '\btable hash\b'))
+        |    + length(regexp_extract_all(text, '\bart\b'))
+        |    + length(regexp_extract_all(text, '\bbadword\b')) AS nb
+        |  FROM documents)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_blocked, nb > 0 AS blocked
+        |FROM c ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- host-graph PageRank ------------------------------------------
     // The Common-Crawl-style host quality signal: a 37-host link graph
     // synthesized from doc_id arithmetic (two outlink families per doc,

@@ -676,6 +676,43 @@ class Round10OpsSpec extends SparkSpec {
       assert(cm.slice(i * 32, (i + 1) * 32).sum == 3000L))
   }
 
+  // ---- Aho–Corasick multi-pattern blocklist --------------------------------
+
+  test("AhoMatcher: boundaries, phrases, case fold, overlap, edge positions") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val m = new functions.AhoMatcher(Seq("art", "slow", "table hash", "b"))
+    // substring of a word must NOT count; standalone must
+    assert(m.countIn(u("part of art")) == 1L)
+    assert(m.countIn(u("art")) == 1L) // both boundaries at string edges
+    assert(m.countIn(u("artful art smart")) == 1L)
+    // phrase + its overlap with single-word patterns
+    assert(m.countIn(u("table hash b")) == 2L) // phrase + 'b'
+    assert(m.countIn(u("tablehash b_x")) == 0L) // no space, b followed by _
+    // case-insensitive
+    assert(m.countIn(u("SLOW Slow sLoW")) == 3L)
+    // patterns sharing suffixes: 'b' inside word 'ab' must not count
+    assert(m.countIn(u("ab b a b")) == 2L)
+    assert(m.countIn(u("")) == 0L)
+    assert(m.countIn(null) == 0L)
+    // non-ASCII bytes reset the automaton and act as non-word boundaries
+    assert(m.countIn(u("café slow éart")) == 2L)
+  }
+
+  test("MultiPatternCount stays inside whole-stage codegen and matches " +
+      "interpreted eval") {
+    // spark.range (not a LocalRelation, which ConvertToLocalRelation
+    // would fold away before any codegen happens)
+    val docs = spark.range(3).select(element_at(
+      array(lit("slow table hash"), lit("part art"), lit("nothing here")),
+      (col("id") + 1).cast("int")).as("text"))
+    val out = docs.select(functions.Fns.multiPatternCount(col("text"),
+      Seq("slow", "art", "table hash")).as("n"))
+    // the `*(n)` prefix marks a WholeStageCodegen stage in the compact form
+    assert(out.queryExecution.executedPlan.toString.contains("*(1) Project"),
+      s"projection fell out of codegen:\n${out.queryExecution.executedPlan}")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L))
+  }
+
   // ---- HyperLogLog registers ----------------------------------------------
 
   test("HllRegisters content is bit-identical across partitionings and " +
