@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.Fns
-import graft.operators.{Ann, Contamination, Dedup, LinkGraph, Multimodal, SuffixArray, TextAnalysis, IdentityResolution, WebCuration}
+import graft.operators.{Ann, Contamination, Dedup, LinkGraph, Multimodal, Retrieval, SuffixArray, TextAnalysis, IdentityResolution, WebCuration}
 
 /** Training-data pipeline operators (dedup, similarity search, multimodal,
   * text analysis) as verifiable queries over `documents`/`embeddings`.
@@ -761,6 +761,46 @@ object TrainingDataOps {
       """SELECT doc_id, 'site' || (doc_id % 5) || '.com' AS registered_domain
         |FROM documents WHERE doc_id % 5 NOT IN (1, 3)
         |ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- inverted-index TF-IDF retrieval -------------------------------
+    // Sparse lexical top-k: integer-exact idf surrogate (N*1e6 div df,
+    // the log-free pattern), tf*idf summed per (query, doc), bounded
+    // TopKByScore ranking (ties -> ascending doc_id). Query 2 carries an
+    // absent term ('zzz_absent') — it must contribute nothing while the
+    // query's other term still retrieves.
+    "tx_tfidf_topk" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          (0, "slow"), (0, "key"),
+          (1, "table"), (1, "hash"), (1, "merge"),
+          (2, "vector"), (2, "zzz_absent")).toDF("query_id", "term")
+        Retrieval.tfIdfTopK(t(s, dir, "documents"), "doc_id", "text",
+            queries, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |p AS (SELECT term, doc_id, count(*) AS tf FROM toks
+        |  WHERE term != '' GROUP BY 1, 2),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |dfq AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+        |q(query_id, term) AS (VALUES (0, 'slow'), (0, 'key'),
+        |  (1, 'table'), (1, 'hash'), (1, 'merge'),
+        |  (2, 'vector'), (2, 'zzz_absent')),
+        |sc AS (SELECT q.query_id, p.doc_id,
+        |    sum(p.tf * ((nd.n * 1000000) // dfq.df)) AS score
+        |  FROM q JOIN p USING (term) JOIN dfq USING (term), nd
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        |  FROM sc)
+        |SELECT CAST(query_id AS INTEGER) AS query_id,
+        |  CAST(rnk AS INTEGER) AS rank, doc_id,
+        |  CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
     ),
 
     // ---- badword/blocklist content gate (Aho–Corasick) -----------------

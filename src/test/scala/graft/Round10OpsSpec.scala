@@ -676,6 +676,30 @@ class Round10OpsSpec extends SparkSpec {
       assert(cm.slice(i * 32, (i + 1) * 32).sum == 3000L))
   }
 
+  // ---- TF-IDF retrieval ----------------------------------------------------
+
+  test("tfIdfTopK: hand-exact integer scores, tie-break by id, absent and " +
+      "duplicate query terms") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (1L, "cat dog cat"), // tf(cat)=2
+      (2L, "cat fish"),
+      (3L, "dog dog dog"),
+      (4L, "fish")
+    ).toDF("doc_id", "text")
+    // df: cat=2, dog=2, fish=2; N=4; idf = 4*1000000 div 2 = 2000000 each
+    val q = Seq((0, "cat"), (0, "cat"), (0, "dog"), (1, "ghost"))
+      .toDF("query_id", "term") // duplicate 'cat' must collapse; q1 empty
+    val rows = Retrieval.tfIdfTopK(docs, "doc_id", "text", q, k = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // q0 scores: d1 = 2*2e6 + 1*2e6 = 6e6; d3 = 3*2e6 = 6e6 (tie -> d1
+    // first by id); d2 = 2e6
+    assert(rows.toSeq == Seq(
+      (0, 1, 1L, 6000000L), (0, 2, 3L, 6000000L), (0, 3, 2L, 2000000L)))
+  }
+
   // ---- Aho–Corasick multi-pattern blocklist --------------------------------
 
   test("AhoMatcher: boundaries, phrases, case fold, overlap, edge positions") {
