@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{ConcatWs, CreateNamedStruct, E
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AdcScore, CommonPrefixLen, CosineSim, CountMin, Fns, L2Dist, MisraGries, RollingHash, TopKByScore}
+import graft.functions.{AdcScore, CommonPrefixLen, CosineSim, CountMin, Fns, HllRegisters, L2Dist, MisraGries, MultiPatternCount, RollingHash, TopKByScore}
 
 /** Engine SQL-surface registration (SURVEY §2.12):
   *
@@ -129,7 +129,24 @@ object GraftExtensions {
       (args: Seq[Expression]) => stripMarkup(args.head)),
     ("line_key128",
       new ExpressionInfo("graft.functions.Fns", "line_key128"),
-      (args: Seq[Expression]) => lineKey128(args.head))
+      (args: Seq[Expression]) => lineKey128(args.head)),
+    ("hll_registers",
+      new ExpressionInfo(classOf[HllRegisters].getName, "hll_registers"),
+      (args: Seq[Expression]) => HllRegisters(args(0),
+        litInt(args(1), "hll_registers(key, m): m must be an integer " +
+          "literal")).toAggregateExpression()),
+    // pattern list as one comma-separated string literal (patterns with
+    // commas are not expressible here -- use Fns.multiPatternCount)
+    ("multi_pattern_count",
+      new ExpressionInfo(classOf[MultiPatternCount].getName,
+        "multi_pattern_count"),
+      (args: Seq[Expression]) => MultiPatternCount(args(0), args(1).eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          s.toString.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        case _ => throw new IllegalArgumentException(
+          "multi_pattern_count(text, patterns): patterns must be a " +
+            "comma-separated string literal")
+      }))
   )
 
   /** Idempotent runtime registration on an existing session. Skips names

@@ -170,6 +170,35 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sqlArr.slice(0, 16).sum == sqlArr.slice(16, 32).sum)
   }
 
+  test("hll_registers SQL aggregate matches the column API bit-for-bit") {
+    Tables.tune(spark)
+    val ev = "parquet.`/root/testdata/sf0.001/events.parquet`"
+    val sqlRegs = spark.sql(
+      s"SELECT hll_registers(CAST(user_id AS STRING), 32) FROM $ev")
+      .head().getSeq[Int](0)
+    val colRegs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .agg(graft.functions.Fns.hllRegisters(col("user_id"), 32))
+      .head().getSeq[Int](0)
+    assert(sqlRegs == colRegs && sqlRegs.length == 32)
+    assert(sqlRegs.forall(r => r >= 0 && r <= 31))
+  }
+
+  test("multi_pattern_count SQL function parses its CSV pattern literal " +
+      "and matches the column API") {
+    Tables.tune(spark)
+    import spark.implicits._
+    val got = spark.sql(
+      """SELECT multi_pattern_count('slow art part table hash',
+        |  'slow, art, table hash') AS n""".stripMargin)
+      .as[Long].head()
+    assert(got == 3L) // slow + standalone art + phrase; 'part' no
+    val err = intercept[Exception] {
+      spark.sql("SELECT multi_pattern_count('x', 7)").collect()
+    }
+    assert(err.getMessage.contains("comma-separated string literal") ||
+      err.getMessage.toLowerCase.contains("cannot resolve"))
+  }
+
   test("misra_gries SQL aggregate honors the summary guarantees") {
     Tables.tune(spark)
     // events' user_id stream: ~150 uniform keys vs k=4 counters — pure

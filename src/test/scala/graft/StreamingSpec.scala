@@ -266,6 +266,62 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming HLL registers merge across batches to the batch vector") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val keys = (0 until 300).map(i => s"k${i % 97}")
+    val mem = MemoryStream[String]
+    val agg = mem.toDF().toDF("key")
+      .agg(graft.functions.Fns.hllRegisters(col("key"), 32).as("regs"))
+    val q = agg.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    val (a, b) = keys.splitAt(120) // two batches with overlapping keys
+    mem.addData(a: _*); q.processAllAvailable()
+    mem.addData(b: _*); q.processAllAvailable()
+    val streamed = spark.table("hll_stream").head().getSeq[Int](0)
+    val batch = keys.toDF("key")
+      .agg(graft.functions.Fns.hllRegisters(col("key"), 32))
+      .head().getSeq[Int](0)
+    // max-merge is order/batching-independent: stream == batch bit-for-bit
+    assert(streamed == batch)
+    q.stop()
+  }
+
+  test("streaming perceptual hash quarantines mid-stream, hashes match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val good = {
+      val out = new java.io.ByteArrayOutputStream()
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16)
+        img.setRGB(x, y, ((x * 7 + y * 13) % 256) * 0x010101)
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val mem = MemoryStream[Multimodal.BinaryDoc]
+    val out = Multimodal.perceptualHash(spark, mem.toDF())
+    val q = out.writeStream.format("memory").queryName("phash_stream")
+      .outputMode("append").start()
+    mem.addData(Multimodal.BinaryDoc(1L, good))
+    q.processAllAvailable()
+    mem.addData(Multimodal.BinaryDoc(2L, good.take(20))) // mid-stream corrupt
+    q.processAllAvailable()
+    mem.addData(Multimodal.BinaryDoc(3L, good))
+    q.processAllAvailable()
+    val rows = spark.table("phash_stream").orderBy("doc_id")
+      .select("doc_id", "status", "ahash_hi", "ahash_lo").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    import spark.implicits._
+    val batchRow = Multimodal.perceptualHash(spark,
+      Seq(Multimodal.BinaryDoc(9L, good)).toDF("doc_id", "payload")).head()
+    assert(rows(0)._2 == "ok" && rows(1)._2 == "corrupt" && rows(2)._2 == "ok")
+    assert(rows(0)._3 == batchRow.ahash_hi && rows(0)._4 == batchRow.ahash_lo)
+    assert(rows(2)._3 == rows(0)._3 && rows(2)._4 == rows(0)._4)
+    q.stop()
+  }
+
   test("streaming EXECUTED audio decode quarantines mid-stream corruption, stats match batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
