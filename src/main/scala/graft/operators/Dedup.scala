@@ -677,6 +677,39 @@ object Dedup {
     * the same bucket with high probability. Fully deterministic, so
     * oracle-verifiable.
     */
+  /** Incremental (snapshot-over-corpus) dedup — the shape every periodic
+    * crawl refresh runs: keep each NEW doc whose content key appears
+    * neither in the existing corpus nor earlier in its own batch.
+    *
+    * Scale posture: within-batch first-wins is one keyed aggregation
+    * ([[exactFirstWins]]); the corpus side is summarized as a BOUNDED
+    * bloom bitset (numBits/8 bytes, built in one aggregation over hashed
+    * keys) that routes the batch: bloom-negative rows are DEFINITELY new
+    * and skip the anti-join entirely, bloom-positive rows (true dups +
+    * false-positive rate) go through an exact left_anti join for
+    * confirmation. The anti-join shuffle therefore carries only
+    * ~dup_rate + FP mass, not the batch — and never the corpus text,
+    * only its distinct keys. The two branches share the first-wins
+    * exchange (identical subplans → ReusedExchange).
+    */
+  def incrementalDedup(newDocs: DataFrame, corpusKeys: DataFrame,
+      keyCol: String, idCol: String,
+      numBits: Int = BloomPrefilterJoin.DefaultNumBits,
+      numHashes: Int = BloomPrefilterJoin.DefaultNumHashes): DataFrame = {
+    val batchUnique = exactFirstWins(newDocs.select(col(idCol), col(keyCol)),
+      Seq(keyCol), Seq(idCol))
+    val ck = corpusKeys.select(col(keyCol)).distinct()
+    val bloom = BloomPrefilterJoin.buildBloom(
+      ck.select(xxhash64(col(keyCol)).as("__kh")), "__kh",
+      numBits, numHashes)
+    val probe = graft.functions.Fns.bloomMightContain(
+      xxhash64(col(keyCol)), bloom, numHashes)
+    val definitelyNew = batchUnique.filter(!probe)
+    val confirmed = batchUnique.filter(probe)
+      .join(ck, Seq(keyCol), "left_anti")
+    definitelyNew.unionByName(confirmed)
+  }
+
   def embeddingCosinePairsBlocked(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int): DataFrame = {
     val buckets = Ann.hyperplaneBuckets(emb, idCol, vecCol, numPlanes)

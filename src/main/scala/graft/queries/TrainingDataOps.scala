@@ -763,6 +763,37 @@ object TrainingDataOps {
         |ORDER BY doc_id""".stripMargin
     ),
 
+    // ---- incremental snapshot-over-corpus dedup ------------------------
+    // The periodic-crawl-refresh shape: the src0 slice arrives as a NEW
+    // batch and dedups against the rest of the corpus by content key.
+    // Bloom-negative rows skip the anti-join entirely; bloom-positive
+    // rows are exactly confirmed — the oracle is the plain first-wins +
+    // NOT-IN formulation, so any bloom false-NEGATIVE (which the bitset
+    // contract forbids) or sloppy confirm breaks the hash.
+    "dd_incremental" -> QuerySpec(
+      (s, dir) => {
+        val keyed = t(s, dir, "documents")
+          .withColumn("pkey", Dedup.prefixKey(col("text"), 10))
+        val batch = keyed.filter(col("source") === "src0")
+        val corpus = keyed.filter(col("source") =!= "src0")
+        Dedup.incrementalDedup(batch, corpus.select("pkey"), "pkey", "doc_id")
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      s"""WITH k AS (
+         |  SELECT doc_id, source,
+         |    array_to_string(($duckToks)[1:10], ' ') AS pkey
+         |  FROM documents),
+         |fw AS (
+         |  SELECT doc_id, pkey, row_number() OVER (
+         |    PARTITION BY pkey ORDER BY doc_id) AS rn
+         |  FROM k WHERE source = 'src0')
+         |SELECT doc_id FROM fw
+         |WHERE rn = 1 AND pkey NOT IN (
+         |  SELECT pkey FROM k WHERE source != 'src0')
+         |ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- inverted-index TF-IDF retrieval -------------------------------
     // Sparse lexical top-k: integer-exact idf surrogate (N*1e6 div df,
     // the log-free pattern), tf*idf summed per (query, doc), bounded
@@ -1564,6 +1595,68 @@ object TrainingDataOps {
         |  FROM d WHERE bad)
         |SELECT * FROM ok UNION ALL SELECT * FROM bd
         |ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- perceptual-dup collapse: keep-best per hash bucket ------------
+    // Exact-perceptual dedup as ONE min(struct) aggregation over the
+    // (hi, lo) hash key (the keep-best contract — no window, no sort):
+    // canonical winner = lowest doc_id, group size rides the same agg.
+    "mm_phash_keep_best" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val g = expr("doc_id div 3")
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (lit(16) + (g % 12) * 2).cast("int").as("w"),
+          (lit(16) + (g % 9) * 2).cast("int").as("h"),
+          ((g * 19) % 250 + col("doc_id") % 3).cast("int").as("shade")
+        ).as[Multimodal.PatternImageSpec]
+        val bin = Multimodal.synthesizePatternImages(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 17 === 5, col("payload").substr(1, 20))
+              .otherwise(col("payload")).as("payload"))
+        val hashes = Multimodal.perceptualHash(s, bin).toDF()
+          .filter(col("status") === "ok")
+        Dedup.keepBestPerKey(hashes, Seq("ahash_hi", "ahash_lo"),
+            Seq(col("doc_id")), Seq("doc_id"), countAs = Some("n_imgs"))
+          .select(col("ahash_hi"), col("ahash_lo"),
+            col("doc_id").as("keep_id"), col("n_imgs"))
+          .orderBy("ahash_hi", "ahash_lo")
+      },
+      """WITH s AS (
+        |  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS rep,
+        |    doc_id % 17 = 5 AS bad
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, bad,
+        |    16 + (g % 12) * 2 AS w, 16 + (g % 9) * 2 AS h,
+        |    (g * 19) % 250 + rep AS shade
+        |  FROM s),
+        |px AS (SELECT doc_id, w, h, shade, unnest(range(0, w)) AS x
+        |  FROM d WHERE NOT bad),
+        |pxy AS (SELECT *, unnest(range(0, h)) AS y FROM px),
+        |v AS (SELECT doc_id,
+        |    (y * 8 // h) * 8 + (x * 8 // w) AS idx,
+        |    (x * 7 + y * 13 + shade) % 256 AS gval
+        |  FROM pxy),
+        |tot AS (SELECT doc_id, sum(gval) AS ts, count(*) AS tn
+        |  FROM v GROUP BY 1),
+        |cell AS (SELECT doc_id, idx, sum(gval) AS bs, count(*) AS cn
+        |  FROM v GROUP BY 1, 2),
+        |bits AS (SELECT c.doc_id, c.idx,
+        |    CASE WHEN c.bs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS b
+        |  FROM cell c JOIN tot t USING (doc_id)),
+        |hs AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN idx < 32
+        |      THEN b * (CAST(1 AS BIGINT) << (31 - idx)) ELSE 0 END)
+        |      AS BIGINT) AS ahash_hi,
+        |    CAST(sum(CASE WHEN idx >= 32
+        |      THEN b * (CAST(1 AS BIGINT) << (63 - idx)) ELSE 0 END)
+        |      AS BIGINT) AS ahash_lo
+        |  FROM bits GROUP BY 1)
+        |SELECT ahash_hi, ahash_lo, min(doc_id) AS keep_id,
+        |  count(*) AS n_imgs
+        |FROM hs GROUP BY 1, 2 ORDER BY ahash_hi, ahash_lo""".stripMargin
     ),
 
     // ---- Hamming-banded near-duplicate image pairs ---------------------

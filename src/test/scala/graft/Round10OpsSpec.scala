@@ -676,6 +676,28 @@ class Round10OpsSpec extends SparkSpec {
       assert(cm.slice(i * 32, (i + 1) * 32).sum == 3000L))
   }
 
+  // ---- incremental dedup ---------------------------------------------------
+
+  test("incrementalDedup: batch first-wins + corpus anti, exact under " +
+      "heavy bloom false positives") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val batch = Seq((10L, "a"), (11L, "a"), (12L, "b"), (13L, "c"), (14L, "d"))
+      .toDF("doc_id", "pkey")
+    val corpus = Seq("b", "e").toDF("pkey")
+    val expected = Seq(10L, 13L, 14L) // a first-wins, b in corpus, c/d new
+    // normal bloom
+    val got = Dedup.incrementalDedup(batch, corpus, "pkey", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected)
+    // 64-bit bloom with 1 hash: false positives near-certain — the exact
+    // confirm join must still produce the identical result
+    val gotFp = Dedup.incrementalDedup(batch, corpus, "pkey", "doc_id",
+        numBits = 64, numHashes = 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotFp == expected)
+  }
+
   // ---- TF-IDF retrieval ----------------------------------------------------
 
   test("tfIdfTopK: hand-exact integer scores, tie-break by id, absent and " +
