@@ -62,4 +62,79 @@ object Packing {
       .withColumn("byte_offset",
         coalesce(sum(col("entry_bytes")).over(w), lit(0L)))
   }
+
+  /** Sliding-window chunking with overlap — the long-document training
+    * prep that [[graft.operators.TextAnalysis.chunkByTokens]]' disjoint
+    * chunks cannot express: windows of `window` tokens every `stride`
+    * tokens (stride < window ⇒ overlap carries context across chunk
+    * boundaries, the standard long-context recipe).
+    *
+    * Window-count contract (identical in the oracle): a doc with n ≥ 1
+    * tokens emits `1 + max(ceil((n − window) / stride), 0)` windows;
+    * window k starts at token k·stride and takes `min(window, n − start)`
+    * tokens — only the LAST window may be short. Zero-token docs emit
+    * nothing. Pure projection + per-row generator: no shuffle, no state,
+    * linear in output volume.
+    */
+  def slidingWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"slidingWindows needs 0 < stride <= window, got window=$window stride=$stride")
+    val toks = graft.functions.Fns.tokens(col(textCol))
+    df.select(col(idCol), toks.as("__t"))
+      .withColumn("__n", size(filter(col("__t"), t => t =!= "")))
+      .filter(col("__n") > 0)
+      .withColumn("__nw",
+        lit(1) + greatest(lit(0L),
+          expr(s"(__n - $window + ${stride - 1}) div $stride")))
+      .select(col(idCol), col("__t"), col("__n"),
+        explode(sequence(lit(0L), col("__nw") - 1)).as("win_idx"))
+      .select(col(idCol), col("win_idx"),
+        (col("win_idx") * stride).as("start_tok"),
+        least(lit(window), col("__n") - col("win_idx") * stride)
+          .cast("int").as("n_tokens"),
+        concat_ws(" ", slice(col("__t"),
+          (col("win_idx") * stride + 1).cast("int"),
+          least(lit(window), col("__n") - col("win_idx") * stride).cast("int")))
+          .as("window_text"))
+  }
+
+  /** Deterministic span-corruption masks (the T5 denoising objective's
+    * data-prep step, Raffel et al. 2020 §3.1.4): every `every`-th token
+    * position starts a masked span of `spanLen` tokens, phase-shifted per
+    * doc by `doc_id mod every` so spans do not align across documents.
+    * The published recipe samples spans at random; this is the engine's
+    * REPRODUCIBLE analog (the deterministic-hash-keep precedent from
+    * [[Sampling]]) — rerunning the prep yields byte-identical masks, and
+    * a relational oracle can replay every span.
+    *
+    * Emits one row per span: (id, span_idx, start_tok, span_tokens,
+    * sentinel_id) with sentinel_id = span_idx (the <extra_id_k>
+    * numbering); spans clip at the doc end, zero-length clips drop.
+    * `every > spanLen` keeps spans disjoint. Projection + generator,
+    * no shuffle.
+    */
+  def spanCorruptionMask(df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int, every: Int): DataFrame = {
+    require(spanLen > 0 && every > spanLen,
+      s"spanCorruptionMask needs every > spanLen > 0, got span=$spanLen every=$every")
+    val toks = graft.functions.Fns.tokens(col(textCol))
+    df.select(col(idCol), size(filter(toks, t => t =!= "")).as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__phase", (col(idCol) % every).cast("long"))
+      // span starts: phase, phase+every, ... while < n
+      .withColumn("__ns",
+        greatest(lit(0L),
+          expr(s"(__n - __phase + ${every - 1}) div $every")))
+      .filter(col("__ns") > 0)
+      .select(col(idCol), col("__n"), col("__phase"),
+        explode(sequence(lit(0L), col("__ns") - 1)).as("span_idx"))
+      .select(col(idCol), col("span_idx"),
+        (col("__phase") + col("span_idx") * every).as("start_tok"),
+        least(lit(spanLen),
+          col("__n") - (col("__phase") + col("span_idx") * every))
+          .cast("int").as("span_tokens"),
+        col("span_idx").cast("int").as("sentinel_id"))
+      .filter(col("span_tokens") > 0)
+  }
 }

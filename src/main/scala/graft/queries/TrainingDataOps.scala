@@ -834,6 +834,56 @@ object TrainingDataOps {
         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
     ),
 
+    // ---- sliding-window chunking with overlap --------------------------
+    // Long-context prep: 16-token windows every 8 tokens (50% overlap);
+    // only the last window may be short. Window hashes pin the exact
+    // token content of every window, not just the geometry.
+    "tx_sliding_windows" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Packing.slidingWindows(
+            t(s, dir, "documents"), "doc_id", "text",
+            window = 16, stride = 8)
+          .select(col("doc_id"), col("win_idx"), col("start_tok"),
+            col("n_tokens"), md5(col("window_text")).as("win_hash"))
+          .orderBy("doc_id", "win_idx"),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |d AS (SELECT doc_id, len(ts) AS n, ts FROM toks WHERE len(ts) > 0),
+         |w AS (SELECT doc_id, n, ts,
+         |  1 + greatest(0, (n - 16 + 7) // 8) AS nw FROM d),
+         |e AS (SELECT doc_id, n, ts, unnest(range(0, nw)) AS win_idx FROM w)
+         |SELECT doc_id, win_idx, win_idx*8 AS start_tok,
+         |  CAST(least(16, n - win_idx*8) AS INTEGER) AS n_tokens,
+         |  md5(array_to_string(ts[CAST(win_idx*8 + 1 AS INTEGER):
+         |    CAST(win_idx*8 + least(16, n - win_idx*8) AS INTEGER)], ' '))
+         |    AS win_hash
+         |FROM e ORDER BY doc_id, win_idx""".stripMargin
+    ),
+
+    // ---- deterministic span-corruption masks (T5 denoising prep) -------
+    // 3-token spans every 11 tokens, phase-shifted per doc by
+    // doc_id mod 11 — the reproducible analog of T5's random span
+    // sampling; spans clip at the doc end; sentinel numbering follows
+    // span order (<extra_id_k>).
+    "tx_span_corruption" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Packing.spanCorruptionMask(
+            t(s, dir, "documents"), "doc_id", "text",
+            spanLen = 3, every = 11)
+          .orderBy("doc_id", "span_idx"),
+      s"""WITH toks AS (SELECT doc_id, len($duckToks) AS n FROM documents),
+         |d AS (SELECT doc_id, n, doc_id % 11 AS phase FROM toks WHERE n > 0),
+         |sp AS (SELECT doc_id, n, phase,
+         |  greatest(0, (n - phase + 10) // 11) AS ns FROM d),
+         |e AS (SELECT doc_id, n, phase, unnest(range(0, ns)) AS span_idx
+         |  FROM sp WHERE ns > 0)
+         |SELECT doc_id, span_idx, phase + span_idx*11 AS start_tok,
+         |  CAST(least(3, n - (phase + span_idx*11)) AS INTEGER)
+         |    AS span_tokens,
+         |  CAST(span_idx AS INTEGER) AS sentinel_id
+         |FROM e WHERE least(3, n - (phase + span_idx*11)) > 0
+         |ORDER BY doc_id, span_idx""".stripMargin
+    ),
+
     // ---- badword/blocklist content gate (Aho–Corasick) -----------------
     // The C4 banned-word filter as ONE automaton pass per document
     // instead of one regex per pattern. The pattern list pins all the

@@ -676,6 +676,60 @@ class Round10OpsSpec extends SparkSpec {
       assert(cm.slice(i * 32, (i + 1) * 32).sum == 3000L))
   }
 
+  // ---- sliding windows + span corruption -----------------------------------
+
+  test("slidingWindows: overlap content, short last window, sub-window doc") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val docs = Seq((1L, (0 until 11).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"), (3L, "  ")).toDF("doc_id", "text")
+    val rows = Packing.slidingWindows(docs, "doc_id", "text",
+        window = 4, stride = 2)
+      .orderBy("doc_id", "win_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getString(4)))
+    // doc 1: n=11 -> nw = 1 + ceil(7/2) = 5; starts 0,2,4,6,8
+    val d1 = rows.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+    assert(d1.map(_._4).toSeq == Seq(4, 4, 4, 4, 3)) // last short
+    assert(d1(1)._5 == "t2 t3 t4 t5") // overlap window content
+    assert(d1(4)._5 == "t8 t9 t10")
+    // doc 2: n=2 < window -> single short window
+    assert(rows.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0L, 0L, 2, "a b")))
+    // blank doc emits nothing
+    assert(!rows.exists(_._1 == 3L))
+  }
+
+  test("spanCorruptionMask: phase shift, disjoint spans, end clipping") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val docs = Seq((0L, (0 until 10).map(_ => "w").mkString(" ")),
+      (3L, (0 until 10).map(_ => "w").mkString(" ")),
+      (9L, "w w")).toDF("doc_id", "text")
+    val rows = Packing.spanCorruptionMask(docs, "doc_id", "text",
+        spanLen = 2, every = 4)
+      .orderBy("doc_id", "span_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4)))
+    // doc 0 phase 0: starts 0,4,8; last span clips to 2 (10-8)
+    assert(rows.filter(_._1 == 0L).toSeq == Seq(
+      (0L, 0L, 0L, 2, 0), (0L, 1L, 4L, 2, 1), (0L, 2L, 8L, 2, 2)))
+    // doc 3 phase 3: starts 3,7; span at 11 would exceed n=10
+    assert(rows.filter(_._1 == 3L).toSeq == Seq(
+      (3L, 0L, 3L, 2, 0), (3L, 1L, 7L, 2, 1)))
+    // doc 9 phase 1, n=2: start 1 -> clipped to 1 token
+    assert(rows.filter(_._1 == 9L).toSeq == Seq((9L, 0L, 1L, 1, 0)))
+    // spans disjoint within every doc
+    rows.groupBy(_._1).values.foreach { g =>
+      val spans = g.map(r => (r._3, r._3 + r._4))
+      spans.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(e1 <= s2)
+        case _ =>
+      }
+    }
+  }
+
   // ---- incremental dedup ---------------------------------------------------
 
   test("incrementalDedup: batch first-wins + corpus anti, exact under " +
