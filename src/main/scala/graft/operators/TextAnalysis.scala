@@ -348,6 +348,50 @@ object TextAnalysis {
           .cast("double")./(lit(10000.0)).as("avg_logprob"))
   }
 
+  /** Per-domain unigram KL divergence against the whole corpus —
+    * KL(P_domain ‖ P_corpus) — the data-recipe drift diagnostic (which
+    * sources' token distributions deviate most; feeds mixture-weight
+    * decisions). Micro-nat integer output via the engine's rounded-ln
+    * exactness pattern ([[bigramLmScore]]): the per-TYPE log ratio
+    * ln((c_d·N) / (n_d·c)) is rounded to 6 decimals ONCE, scaled to an
+    * integer, weighted by the exact count c_d, summed as exact integers,
+    * and divided by n_d at the very end — so nothing order-dependent
+    * ever accumulates in floating point. Every domain type also occurs
+    * in the corpus (c ≥ c_d > 0): no zero ratios.
+    *
+    * Product bound: c_d·N must stay under 2^53 for the double quotient
+    * to be exact — holds to ~petatoken corpora per domain type; beyond
+    * that, pre-scale counts (documented contract, loud to revisit).
+    *
+    * Plan: one tokenize pass → one (domain, type) aggregation; the type
+    * and domain marginals reduce FROM that table (never a second corpus
+    * pass); N is a 1-row broadcast scalar.
+    */
+  def domainKl(docs: DataFrame, textCol: String, domainCol: String): DataFrame = {
+    val toks = docs.select(col(domainCol).as("domain"),
+        explode(Fns.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val cs = toks.groupBy("domain", "w").agg(count(lit(1)).as("c_d"))
+    val ns = cs.groupBy("domain").agg(sum("c_d").as("n_d"))
+    val cc = cs.groupBy("w").agg(sum("c_d").as("c"))
+    val nTot = cc.agg(sum("c").as("n_tot"))
+    cs.join(cc, "w").join(ns, "domain").crossJoin(broadcast(nTot))
+      .withColumn("iln",
+        (round(log((col("c_d") * col("n_tot")).cast("double") /
+            (col("n_d") * col("c")).cast("double")), 6)
+          .cast("decimal(28,6)") * 1000000).cast("long"))
+      .groupBy("domain")
+      .agg(max("n_d").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c_d") * col("iln")).as("num"))
+      .select(col("domain"), col("n_tokens"), col("n_types"),
+        // num is ≥ 0 in exact math (KL ≥ 0) but micro-rounding can push
+        // it a hair negative: divide |num| and reapply the sign so both
+        // engines' integer division agrees (floor == trunc on positives)
+        (when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("abs(num) div n_tokens")).as("kl_micro"))
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al., NeurIPS
     * 2023, "Data Selection for Language Models via Importance
     * Resampling"): features are unigram + bigram occurrences hashed into

@@ -834,6 +834,38 @@ object TrainingDataOps {
         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
     ),
 
+    // ---- per-domain unigram KL vs corpus --------------------------------
+    // Data-recipe drift diagnostic in exact micro-nats: per-TYPE rounded
+    // ln ratio (the bigram-LM DECIMAL pattern) weighted by exact counts,
+    // integer-summed, divided once at the end.
+    "tx_domain_kl" -> QuerySpec(
+      (s, dir) =>
+        TextAnalysis.domainKl(t(s, dir, "documents"), "text", "source")
+          .orderBy("domain"),
+      s"""WITH toks AS (
+         |  SELECT source AS domain, unnest($duckToks) AS w FROM documents),
+         |cs AS (SELECT domain, w, count(*) AS c_d FROM toks
+         |  WHERE w != '' GROUP BY 1, 2),
+         |ns AS (SELECT domain, sum(c_d) AS n_d FROM cs GROUP BY 1),
+         |cc AS (SELECT w, sum(c_d) AS c FROM cs GROUP BY 1),
+         |nt AS (SELECT sum(c) AS n_tot FROM cc),
+         |term AS (
+         |  SELECT cs.domain, ns.n_d, cs.c_d,
+         |    CAST(CAST(round(ln((cs.c_d * nt.n_tot)::DOUBLE
+         |      / (ns.n_d * cc.c)::DOUBLE), 6) AS DECIMAL(28,6)) * 1000000
+         |      AS BIGINT) AS iln
+         |  FROM cs JOIN cc USING (w) JOIN ns USING (domain), nt),
+         |agg AS (
+         |  SELECT domain, max(n_d) AS n_tokens, count(*) AS n_types,
+         |    sum(c_d * iln) AS num
+         |  FROM term GROUP BY 1)
+         |SELECT domain, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  n_types,
+         |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+         |    * (abs(num) // n_tokens) AS BIGINT) AS kl_micro
+         |FROM agg ORDER BY domain""".stripMargin
+    ),
+
     // ---- sliding-window chunking with overlap --------------------------
     // Long-context prep: 16-token windows every 8 tokens (50% overlap);
     // only the last window may be short. Window hashes pin the exact
