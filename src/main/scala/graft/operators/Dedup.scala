@@ -677,6 +677,24 @@ object Dedup {
     * the same bucket with high probability. Fully deterministic, so
     * oracle-verifiable.
     */
+  /** Cross-group content-overlap matrix — the dedup AUDIT that tells a
+    * corpus owner which source pairs ship the same documents (mirror
+    * sites, re-crawls, syndication): for every pair of groups, the
+    * count of distinct content keys present in both. One distinct
+    * projection + one self-equi-join on the key + one keyed agg; the
+    * join output is bounded by Σ_key (groups-per-key choose 2) —
+    * groups-per-key ≤ |groups|, so the exchange never exceeds
+    * |distinct keys|·|groups|²/2 and is in practice ≈ the dup mass.
+    */
+  def sourceOverlap(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
+    val ks = df.select(col(groupCol).as("grp"), col(keyCol).as("k")).distinct()
+    ks.select(col("grp").as("src_a"), col("k"))
+      .join(ks.select(col("grp").as("src_b"), col("k")), "k")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Incremental (snapshot-over-corpus) dedup — the shape every periodic
     * crawl refresh runs: keep each NEW doc whose content key appears
     * neither in the existing corpus nor earlier in its own batch.

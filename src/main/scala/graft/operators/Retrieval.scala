@@ -35,6 +35,79 @@ object Retrieval {
       .filter(col("term") =!= "")
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
 
+  /** Positional inverted index: (term, doc_id, pos) — one exploded
+    * projection, no aggregation (positions ARE the payload).
+    */
+  def positionalIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(Fns.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+
+  /** Exact phrase search over the positional index — decontamination's
+    * verbatim-quote detector. The relational formulation needs ONE join
+    * and ONE aggregation for ANY phrase length (no per-term join chain):
+    * each phrase explodes to (phrase_id, offset, term); a posting
+    * (term, doc, pos) joined on term votes for candidate start
+    * `pos − offset`; a start with ALL `plen` DISTINCT offsets present is
+    * a match (count(DISTINCT offset) handles phrases with repeated
+    * terms). Returns (phrase_id, doc_id, n_matches ≥ 1).
+    *
+    * Scale: the join shuffles postings by term — only terms that occur
+    * in some phrase survive (the join prunes first via the broadcast
+    * phrase side), so the exchange carries the matched posting mass,
+    * not the corpus.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Map[Int, String]): DataFrame = {
+    require(phrases.nonEmpty)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pt = phrases.toSeq.flatMap { case (pid, p) =>
+      val ts = p.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      require(ts.nonEmpty, s"empty phrase $pid")
+      ts.zipWithIndex.map { case (t, off) => (pid, off, t, ts.length) }
+    }.toDF("phrase_id", "offset", "term", "plen")
+    positionalIndex(docs, idCol, textCol)
+      .join(broadcast(pt), "term")
+      .select(col("phrase_id"), col("plen"), col("doc_id"),
+        (col("pos") - col("offset")).as("start"), col("offset"))
+      .filter(col("start") >= 0)
+      .groupBy("phrase_id", "plen", "doc_id", "start")
+      .agg(count_distinct(col("offset")).as("n_off"))
+      .filter(col("n_off") === col("plen"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** Posting-list compression accounting — the index-sizing audit an IR
+    * deployment runs before choosing a posting codec: per term, the
+    * Elias-gamma cost of the doc-id delta (d-gap) stream vs raw 64-bit
+    * ids. gamma(g) costs `2·⌊log2 g⌋ + 1` bits; ⌊log2 g⌋ + 1 is exactly
+    * `length(bin(g))` in BOTH engines (binary string without leading
+    * zeros), so the whole computation is integer-exact. First gap =
+    * doc_id + 1 (ids are 0-based).
+    *
+    * One term-partitioned window (ordered by doc_id) computes the gaps —
+    * partition size = df(term), the posting list itself; stopword-heavy
+    * terms are the known skew and exactly the lists a deployment would
+    * chunk — then one keyed agg. ratio_ppm = gamma_bits·1e6 div raw_bits.
+    */
+  def indexCompressionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    invertedIndex(docs, idCol, textCol)
+      .select(col("term"), col("doc_id"))
+      .withColumn("gap",
+        col("doc_id") - coalesce(lag("doc_id", 1).over(w), lit(-1L)))
+      .withColumn("gamma_bits", length(bin(col("gap"))) * 2 - 1)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(col("gamma_bits").cast("long")).as("gamma_bits"),
+        (count(lit(1)) * 64).as("raw_bits"))
+      .select(col("term"), col("df"), col("gamma_bits"), col("raw_bits"),
+        expr("(gamma_bits * 1000000) div raw_bits").as("ratio_ppm"))
+  }
+
   /** Top-`k` docs per query by integer TF-IDF. `queries` is
     * (query_id INT, term STRING) with DISTINCT terms per query (duplicate
     * terms collapse — each distinct query term contributes once).

@@ -834,6 +834,87 @@ object TrainingDataOps {
         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
     ),
 
+    // ---- exact phrase search (positional index) ------------------------
+    // Decontamination's verbatim-quote detector: ONE join + ONE agg for
+    // any phrase length — postings vote for start = pos - offset, a
+    // start with all plen DISTINCT offsets is a match. Phrase 4 ("a a",
+    // repeated term, self-overlapping) pins both the distinct-offset
+    // rule and overlapping-start counting; the oracle replays the SAME
+    // relational construction (a regex could not count overlaps).
+    "tx_phrase_search" -> QuerySpec(
+      (s, dir) =>
+        Retrieval.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+            Map(1 -> "table hash", 2 -> "slow key", 3 -> "key agg row",
+              4 -> "a a"))
+          .orderBy("phrase_id", "doc_id"),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |pz AS (SELECT doc_id, unnest(range(len(ts))) AS pos, ts
+         |  FROM toks),
+         |p AS (SELECT doc_id, pos,
+         |    ts[CAST(pos + 1 AS INTEGER)] AS term
+         |  FROM pz WHERE ts[CAST(pos + 1 AS INTEGER)] != ''),
+         |ph(phrase_id, off, term, plen) AS (VALUES
+         |  (1, 0, 'table', 2), (1, 1, 'hash', 2),
+         |  (2, 0, 'slow', 2), (2, 1, 'key', 2),
+         |  (3, 0, 'key', 3), (3, 1, 'agg', 3), (3, 2, 'row', 3),
+         |  (4, 0, 'a', 2), (4, 1, 'a', 2)),
+         |cand AS (SELECT ph.phrase_id, ph.plen, p.doc_id,
+         |    p.pos - ph.off AS strt, ph.off
+         |  FROM p JOIN ph ON p.term = ph.term
+         |  WHERE p.pos - ph.off >= 0),
+         |m AS (SELECT phrase_id, plen, doc_id, strt,
+         |    count(DISTINCT off) AS n_off
+         |  FROM cand GROUP BY 1, 2, 3, 4)
+         |SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches
+         |FROM m WHERE n_off = plen GROUP BY 1, 2
+         |ORDER BY phrase_id, doc_id""".stripMargin
+    ),
+
+    // ---- cross-source content-overlap matrix ---------------------------
+    // Which source pairs ship the same documents (mirrors, re-crawls):
+    // distinct (source, key) self-joined on key, one keyed agg.
+    "dd_source_overlap" -> QuerySpec(
+      (s, dir) =>
+        Dedup.sourceOverlap(
+            t(s, dir, "documents")
+              .withColumn("pkey", Dedup.prefixKey(col("text"), 10)),
+            "pkey", "source")
+          .orderBy("src_a", "src_b"),
+      s"""WITH k AS (
+         |  SELECT DISTINCT source,
+         |    array_to_string(($duckToks)[1:10], ' ') AS pkey
+         |  FROM documents)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM k a JOIN k b ON a.pkey = b.pkey AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ),
+
+    // ---- posting-list compression accounting ---------------------------
+    // Elias-gamma d-gap cost vs raw 64-bit ids per term — integer-exact
+    // via length(bin(gap)) = floor(log2)+1 in both engines. First gap =
+    // doc_id + 1 (0-based ids).
+    "tx_index_compression" -> QuerySpec(
+      (s, dir) =>
+        Retrieval.indexCompressionStats(t(s, dir, "documents"),
+            "doc_id", "text")
+          .orderBy("term"),
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |p AS (SELECT DISTINCT term, doc_id FROM toks WHERE term != ''),
+         |g AS (SELECT term, doc_id,
+         |    doc_id - coalesce(lag(doc_id) OVER (
+         |      PARTITION BY term ORDER BY doc_id), -1) AS gap
+         |  FROM p),
+         |s AS (SELECT term, count(*) AS df,
+         |    CAST(sum(2 * length(bin(gap)) - 1) AS BIGINT) AS gamma_bits,
+         |    count(*) * 64 AS raw_bits
+         |  FROM g GROUP BY 1)
+         |SELECT term, df, gamma_bits, raw_bits,
+         |  CAST((gamma_bits * 1000000) // raw_bits AS BIGINT) AS ratio_ppm
+         |FROM s ORDER BY term""".stripMargin
+    ),
+
     // ---- per-domain unigram KL vs corpus --------------------------------
     // Data-recipe drift diagnostic in exact micro-nats: per-TYPE rounded
     // ln ratio (the bigram-LM DECIMAL pattern) weighted by exact counts,

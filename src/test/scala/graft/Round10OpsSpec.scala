@@ -730,6 +730,38 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- phrase search + index compression -----------------------------------
+
+  test("phraseSearch: overlap counting, repeated terms, phrase length > 2") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (1L, "a a a b c"),   // "a a" matches at starts 0 AND 1 (overlap)
+      (2L, "x a b a a x"), // "a a" at 3; "a b a" at 1
+      (3L, "b c")
+    ).toDF("doc_id", "text")
+    val rows = Retrieval.phraseSearch(docs, "doc_id", "text",
+        Map(1 -> "a a", 2 -> "a b a", 3 -> "zz"))
+      .orderBy("phrase_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1, 1L, 2L), (1, 2L, 1L), (2, 2L, 1L)))
+  }
+
+  test("indexCompressionStats: hand-exact gamma bits and gaps") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // term 'q' in docs 0, 1, 5: gaps 1, 1, 4 -> gamma bits 1 + 1 + 5 = 7
+    val docs = Seq((0L, "q"), (1L, "q"), (5L, "q"), (3L, "r"))
+      .toDF("doc_id", "text")
+    val rows = Retrieval.indexCompressionStats(docs, "doc_id", "text")
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // 'r' in doc 3: first gap 4 -> bits 5; raw 64
+    assert(rows.toSeq == Seq(
+      ("q", 3L, 7L, 192L, 36458L), ("r", 1L, 5L, 64L, 78125L)))
+  }
+
   // ---- incremental dedup ---------------------------------------------------
 
   test("incrementalDedup: batch first-wins + corpus anti, exact under " +
