@@ -433,6 +433,76 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** Burst-modulated PCM fixture: the [[synthesizeWavPcm]] waveform
+    * gated into loud/loud/QUIET stretches of `burst_frames` frames
+    * (`(k div burst) mod 3 == 2` ⇒ amplitude ±4 instead of ±2048) — the
+    * deterministic fixture a silence-detection oracle can replay.
+    * 16-bit mono/stereo only.
+    */
+  case class WavPcmBurstSpec(doc_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Int, seed: Int, burst_frames: Int)
+
+  def synthesizeWavPcmBursts(spark: SparkSession,
+      specs: Dataset[WavPcmBurstSpec]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureMinParallelism(specs.toDF()).as[WavPcmBurstSpec]
+      .mapPartitions { it =>
+        it.map { s =>
+          require(s.burst_frames > 0)
+          val blockAlign = s.channels * 2
+          val dataSize = s.n_frames * blockAlign
+          val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+          bb.put("fmt ".getBytes).putInt(16)
+            .putShort(1).putShort(s.channels.toShort)
+            .putInt(s.sample_rate).putInt(s.sample_rate * blockAlign)
+            .putShort(blockAlign.toShort).putShort(16)
+          bb.put("data".getBytes).putInt(dataSize)
+          var k = 0
+          while (k < s.n_frames) {
+            val quiet = (k / s.burst_frames) % 3 == 2
+            var c = 0
+            while (c < s.channels) {
+              val base = s.seed + 31 * k + 17 * c
+              val v = if (quiet) base % 9 - 4 else base % 4096 - 2048
+              bb.putShort(v.toShort)
+              c += 1
+            }
+            k += 1
+          }
+          BinaryDoc(s.doc_id, bb.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Silence segmentation over [[audioEnergy]] windows — the
+    * voice-activity-style trim step an audio-curation pipeline runs
+    * before transcription: maximal runs of consecutive windows whose
+    * peak |sample| is below `peakThreshold`, as
+    * (doc_id, start_window, n_windows, n_frames, max_peak).
+    *
+    * The classic gaps-and-islands formulation: silent windows ranked
+    * within their doc, island key = window_idx − rank (constant within
+    * a run), one keyed agg per island. The rank window partitions BY
+    * DOC — bounded by windows-per-doc, never corpus-wide.
+    */
+  def silenceSegments(windows: DataFrame, peakThreshold: Int): DataFrame = {
+    require(peakThreshold > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("window_idx")
+    windows
+      .filter(col("status") === "ok" && col("peak") < peakThreshold)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__grp", col("window_idx") - col("__rn"))
+      .groupBy("doc_id", "__grp")
+      .agg(min("window_idx").as("start_window"),
+        count(lit(1)).as("n_windows"),
+        sum(col("n_frames").cast("long")).as("n_frames"),
+        max("peak").as("max_peak"))
+      .drop("__grp")
+  }
+
   /** One decoded-audio analysis window: frames `[window_idx·W,
     * window_idx·W + n_frames)`, with integer-exact signal statistics —
     * `sum_sq` = Σ s² over every (frame, channel) sample in the window,

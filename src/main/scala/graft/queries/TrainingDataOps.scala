@@ -834,6 +834,97 @@ object TrainingDataOps {
         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
     ),
 
+    // ---- eval-split leakage detection ----------------------------------
+    // The eval-hygiene check a benchmark owner runs AFTER splitting:
+    // near-duplicate pairs (the MinHash-LSH detector) that STRADDLE the
+    // train/test hash split are leakage — test items whose near-copy is
+    // trained on. Composes hashSplit + minhashLshPairs; the oracle
+    // replays both contracts and must agree on every leaked pair.
+    "sp_split_leakage" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val split = graft.operators.Sampling.hashSplit(docs, "doc_id",
+            Seq("train" -> 0.9, "test" -> 0.1))
+          .select(col("doc_id"), col("split"))
+        Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+            numHashes = NumHashes, bandSize = BandSize, threshold = 0.8)
+          .join(split.select(col("doc_id").as("id_a"),
+            col("split").as("split_a")), "id_a")
+          .join(split.select(col("doc_id").as("id_b"),
+            col("split").as("split_b")), "id_b")
+          .filter(col("split_a") =!= col("split_b"))
+          .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+            col("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      s"""WITH ${duckMinhashCtes()},
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN (((${duckHash("CAST(doc_id AS VARCHAR)")})*1315423911
+         |      + 2654435761) % 1000000007)*1.0/1000000007 < 0.9
+         |    THEN 'train' ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT j.id_a, j.id_b, sa.split AS split_a, sb.split AS split_b,
+         |  round(j.jaccard, 4) AS jaccard
+         |FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |JOIN sp sa ON sa.doc_id = j.id_a
+         |JOIN sp sb ON sb.doc_id = j.id_b
+         |WHERE j.jaccard >= 0.8 AND sa.split != sb.split
+         |ORDER BY j.id_a, j.id_b""".stripMargin
+    ),
+
+    // ---- audio silence segmentation (gaps-and-islands) -----------------
+    // Burst-modulated real PCM (loud/loud/QUIET stretches of 160 frames)
+    // decoded by the executed-audio tier into 80-frame windows, then
+    // maximal silent runs (peak < 8) as islands. Every 19th payload is
+    // truncated -> quarantined out before segmentation.
+    "mm_silence_segments" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          lit(8000).as("sample_rate"),
+          (lit(1) + col("doc_id") % 2).cast("int").as("channels"),
+          (lit(320) + (col("doc_id") % 4) * 80).cast("int").as("n_frames"),
+          ((col("doc_id") * 7) % 256).cast("int").as("seed"),
+          lit(160).as("burst_frames")
+        ).as[Multimodal.WavPcmBurstSpec]
+        val bin = Multimodal.synthesizeWavPcmBursts(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 19 === 3, col("payload").substr(1, 50))
+              .otherwise(col("payload")).as("payload"))
+        val windows = Multimodal.audioEnergy(s, bin, windowFrames = 80).toDF()
+        Multimodal.silenceSegments(windows, peakThreshold = 8)
+          .orderBy("doc_id", "start_window")
+      },
+      """WITH s AS (
+        |  SELECT doc_id, 320 + (doc_id % 4) * 80 AS n,
+        |    1 + doc_id % 2 AS ch, (doc_id * 7) % 256 AS seed,
+        |    doc_id % 19 = 3 AS bad
+        |  FROM documents),
+        |fr AS (SELECT doc_id, n, ch, seed, unnest(range(0, n)) AS k
+        |  FROM s WHERE NOT bad),
+        |sm AS (SELECT doc_id, n, ch, seed, k, unnest(range(0, ch)) AS c
+        |  FROM fr),
+        |v AS (SELECT doc_id, n, k // 80 AS w,
+        |    CASE WHEN (k // 160) % 3 = 2
+        |      THEN abs((seed + 31*k + 17*c) % 9 - 4)
+        |      ELSE abs((seed + 31*k + 17*c) % 4096 - 2048) END AS av
+        |  FROM sm),
+        |wn AS (SELECT doc_id, w, max(av) AS peak,
+        |    CAST(least(80, max(n) - 80*w) AS BIGINT) AS nf
+        |  FROM v GROUP BY doc_id, w),
+        |sil AS (SELECT doc_id, w, nf, peak FROM wn WHERE peak < 8),
+        |isl AS (SELECT doc_id, w, nf, peak,
+        |    w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+        |  FROM sil)
+        |SELECT doc_id, CAST(min(w) AS BIGINT) AS start_window,
+        |  CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(nf) AS BIGINT) AS n_frames,
+        |  CAST(max(peak) AS INTEGER) AS max_peak
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, start_window""".stripMargin
+    ),
+
     // ---- exact phrase search (positional index) ------------------------
     // Decontamination's verbatim-quote detector: ONE join + ONE agg for
     // any phrase length — postings vote for start = pos - offset, a

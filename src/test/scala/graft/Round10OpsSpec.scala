@@ -730,6 +730,28 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- silence segmentation ------------------------------------------------
+
+  test("silenceSegments: islands split on loud windows, quarantine excluded") {
+    import spark.implicits._
+    val windows = Seq(
+      // doc 1: silent 0,1 | loud 2 | silent 3 -> two islands
+      (1L, 0L, 80, 100L, 3, 0, "ok"), (1L, 1L, 80, 90L, 5, 0, "ok"),
+      (1L, 2L, 80, 99999L, 2000, 3, "ok"), (1L, 3L, 40, 10L, 7, 0, "ok"),
+      // doc 2: all loud -> no islands
+      (2L, 0L, 80, 99999L, 1500, 2, "ok"),
+      // doc 3: quarantined -> excluded entirely
+      (3L, -1L, 0, 0L, 0, 0, "corrupt")
+    ).toDF("doc_id", "window_idx", "n_frames", "sum_sq", "peak", "zcross",
+      "status")
+    val segs = Multimodal.silenceSegments(windows, peakThreshold = 8)
+      .orderBy("doc_id", "start_window").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(segs.toSeq == Seq(
+      (1L, 0L, 2L, 160L, 5), (1L, 3L, 1L, 40L, 7)))
+  }
+
   // ---- phrase search + index compression -----------------------------------
 
   test("phraseSearch: overlap counting, repeated terms, phrase length > 2") {
