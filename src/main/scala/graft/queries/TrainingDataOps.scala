@@ -834,6 +834,96 @@ object TrainingDataOps {
         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
     ),
 
+    // ---- flagship 5: the dedup funnel ----------------------------------
+    // The stage-by-stage removal report every curation run logs: raw ->
+    // exact (prefix-key first-wins) -> near-dup (MinHash clusters on the
+    // exact survivors, min-id winner kept) -> blocklist gate (the
+    // Aho-Corasick pass). One row per stage with in/out/removed counts;
+    // the oracle chains every stage's contract, so a drift anywhere in
+    // the funnel shifts a count and breaks the hash.
+    "pipeline_dedup_funnel" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val keyed = docs.withColumn("pkey", Dedup.prefixKey(col("text"), 10))
+        val s1 = Dedup.exactFirstWins(keyed, Seq("pkey"), Seq("doc_id"))
+          .select("doc_id", "text")
+        val pairs = Dedup.minhashLshPairs(s1, "doc_id", "text", n = 3,
+          numHashes = NumHashes, bandSize = BandSize, threshold = 0.8)
+        // min-id winner: a node survives unless its component label is
+        // someone else's id
+        val losers = Dedup.nearDupClusters(pairs)
+          .filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id"))
+        val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
+        val s3 = s2.filter(Fns.multiPatternCount(col("text"),
+          Seq("slow", "dup", "table hash", "art", "badword")) === 0)
+        // four 1-row scalars, broadcast-joined into one row, then
+        // exploded to funnel rows — no window (the corpus-wide sweep
+        // forbids partition-less windows, even 4-row ones) and no
+        // cartesian (1-row broadcast nested-loop, the sketch-scalar
+        // pattern)
+        def cnt(df: org.apache.spark.sql.DataFrame, as: String) =
+          broadcast(df.agg(count(lit(1)).cast("long").as(as)))
+        docs.agg(count(lit(1)).cast("long").as("n0"))
+          .crossJoin(cnt(s1, "n1"))
+          .crossJoin(cnt(s2, "n2"))
+          .crossJoin(cnt(s3, "n3"))
+          .select(explode(array(
+            struct(lit("01_raw").as("stage"), col("n0").as("docs_in"),
+              col("n0").as("docs_out"), lit(0L).as("removed")),
+            struct(lit("02_exact").as("stage"), col("n0").as("docs_in"),
+              col("n1").as("docs_out"), (col("n0") - col("n1")).as("removed")),
+            struct(lit("03_neardup").as("stage"), col("n1").as("docs_in"),
+              col("n2").as("docs_out"), (col("n1") - col("n2")).as("removed")),
+            struct(lit("04_blocklist").as("stage"), col("n2").as("docs_in"),
+              col("n3").as("docs_out"), (col("n2") - col("n3")).as("removed"))
+          )).as("r"))
+          .select(col("r.stage").as("stage"), col("r.docs_in").as("docs_in"),
+            col("r.docs_out").as("docs_out"), col("r.removed").as("removed"))
+          .orderBy("stage")
+      },
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, text,
+         |    array_to_string(($duckToks)[1:10], ' ') AS pkey
+         |  FROM documents),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY pkey),
+         |exact AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN ex ON d.doc_id = ex.doc_id),
+         |${duckMinhashCtes("exact")},
+         |np AS (
+         |  SELECT j.id_a AS a, j.id_b AS b
+         |  FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |  WHERE j.jaccard >= 0.8),
+         |edges AS (SELECT a, b FROM np UNION SELECT b AS a, a AS b FROM np),
+         |comp(node, label) AS (
+         |  SELECT DISTINCT a AS node, a AS label FROM edges
+         |  UNION
+         |  SELECT e.a, c.label FROM edges e JOIN comp c ON c.node = e.b),
+         |losers AS (
+         |  SELECT node FROM (SELECT node, min(label) AS cluster
+         |    FROM comp GROUP BY node) WHERE cluster != node),
+         |s2 AS (SELECT doc_id, text FROM exact
+         |  WHERE doc_id NOT IN (SELECT node FROM losers)),
+         |s3 AS (SELECT doc_id FROM s2 WHERE
+         |  length(regexp_extract_all(text, '\\bslow\\b'))
+         |  + length(regexp_extract_all(text, '\\bdup\\b'))
+         |  + length(regexp_extract_all(text, '\\btable hash\\b'))
+         |  + length(regexp_extract_all(text, '\\bart\\b'))
+         |  + length(regexp_extract_all(text, '\\bbadword\\b')) = 0),
+         |counts AS (
+         |  SELECT '01_raw' AS stage, (SELECT count(*) FROM documents) AS n
+         |  UNION ALL SELECT '02_exact', (SELECT count(*) FROM exact)
+         |  UNION ALL SELECT '03_neardup', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT '04_blocklist', (SELECT count(*) FROM s3))
+         |SELECT stage,
+         |  CAST(coalesce(lag(n) OVER (ORDER BY stage), n) AS BIGINT)
+         |    AS docs_in,
+         |  CAST(n AS BIGINT) AS docs_out,
+         |  CAST(coalesce(lag(n) OVER (ORDER BY stage), n) - n AS BIGINT)
+         |    AS removed
+         |FROM counts ORDER BY stage""".stripMargin
+    ),
+
     // ---- eval-split leakage detection ----------------------------------
     // The eval-hygiene check a benchmark owner runs AFTER splitting:
     // near-duplicate pairs (the MinHash-LSH detector) that STRADDLE the
