@@ -217,6 +217,58 @@ object ExtendedAnalytics {
         |FROM full_regs""".stripMargin
     ),
 
+    // ---- ordered funnel conversion -------------------------------------
+    // view -> click -> purchase with first-qualifying semantics: step
+    // i's time is the earliest step-i event STRICTLY AFTER the user's
+    // step-(i-1) time. Per-step keyed joins on per-user rows; counts
+    // assemble as broadcast scalars (no window, no cartesian).
+    "a7_funnel_conversion" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Funnels.funnelCounts(t(s, dir, "events"),
+            "user_id", "event_type", epochS(col("ts")),
+            Seq("view", "click", "purchase"))
+          .orderBy("step_idx"),
+      """WITH e AS (SELECT user_id AS u, event_type AS et,
+        |    epoch_ms(ts)//1000 AS t FROM events),
+        |s0 AS (SELECT u, min(t) AS t FROM e WHERE et = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.u, min(e.t) AS t FROM e
+        |  JOIN s0 ON e.u = s0.u AND e.t > s0.t
+        |  WHERE e.et = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.u, min(e.t) AS t FROM e
+        |  JOIN s1 ON e.u = s1.u AND e.t > s1.t
+        |  WHERE e.et = 'purchase' GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s0) AS n0,
+        |  (SELECT count(*) FROM s1) AS n1,
+        |  (SELECT count(*) FROM s2) AS n2)
+        |SELECT * FROM (
+        |  SELECT 1 AS step_idx, 'view' AS step,
+        |    CAST(n0 AS BIGINT) AS n_users,
+        |    CAST((n0*1000000)//n0 AS BIGINT) AS conv_ppm FROM c
+        |  UNION ALL SELECT 2, 'click', CAST(n1 AS BIGINT),
+        |    CAST((n1*1000000)//n0 AS BIGINT) FROM c
+        |  UNION ALL SELECT 3, 'purchase', CAST(n2 AS BIGINT),
+        |    CAST((n2*1000000)//n0 AS BIGINT) FROM c)
+        |ORDER BY step_idx""".stripMargin
+    ),
+
+    // ---- cohort retention matrix ---------------------------------------
+    // Cohort = epoch-day of a user's first event; cell (cohort, offset)
+    // counts users active offset days later. Two aggregations + one
+    // keyed join at any scale.
+    "a8_cohort_retention" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Funnels.cohortRetention(t(s, dir, "events"),
+            "user_id", epochS(col("ts")), bucketSeconds = 86400L)
+          .orderBy("cohort", "bucket_offset"),
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |    (epoch_ms(ts)//1000)//86400 AS bucket FROM events),
+        |c AS (SELECT u, min(bucket) AS cohort FROM a GROUP BY 1)
+        |SELECT c.cohort, a.bucket - c.cohort AS bucket_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN c ON a.u = c.u GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
+    ),
+
     // ---- as-of join: each event ↔ user's most recent prior signup ------
     "join_asof_prior" -> QuerySpec(
       (s, dir) => {

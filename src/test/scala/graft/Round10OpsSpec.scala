@@ -730,6 +730,41 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- funnels + retention -------------------------------------------------
+
+  test("funnelCounts: strict ordering, re-entry ignored, ppm exact") {
+    import spark.implicits._
+    import graft.operators.Funnels
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full
+      (2L, "view", 10L), (2L, "click", 5L),                         // click BEFORE view: not converted
+      (3L, "view", 10L), (3L, "click", 15L),                        // no purchase
+      (4L, "click", 10L), (4L, "purchase", 20L)                     // never viewed: not in funnel
+    ).toDF("user_id", "event_type", "t")
+    val rows = Funnels.funnelCounts(ev, "user_id", "event_type", col("t"),
+        Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1, "view", 3L, 1000000L), (2, "click", 2L, 666666L),
+      (3, "purchase", 1L, 333333L)))
+  }
+
+  test("cohortRetention: first-bucket cohorts, offsets, distinct users") {
+    import spark.implicits._
+    import graft.operators.Funnels
+    val ev = Seq(
+      (1L, 0L), (1L, 86410L), (1L, 86420L), // cohort 0, active days 0,1 (dup day-1 rows collapse)
+      (2L, 86400L), (2L, 172800L),          // cohort 1, days 1,2
+      (3L, 10L)                             // cohort 0, day 0 only
+    ).toDF("user_id", "t")
+    val rows = Funnels.cohortRetention(ev, "user_id", col("t"), 86400L)
+      .orderBy("cohort", "bucket_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
   // ---- silence segmentation ------------------------------------------------
 
   test("silenceSegments: islands split on loud windows, quarantine excluded") {
