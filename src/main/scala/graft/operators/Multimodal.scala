@@ -433,6 +433,131 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** Hand-written PNG with STORED-deflate IDAT — every chunk length and
+    * offset is closed-form arithmetic of (w, h), which is what lets a
+    * relational oracle predict the whole chunk inventory without
+    * decompressing anything: raw scanlines are h·(w+1) bytes (filter
+    * byte + w gray bytes), the zlib stream wraps them in one stored
+    * block (2-byte header + 5-byte block header + raw + 4-byte adler),
+    * and the file is signature ‖ IHDR(13) ‖ IDAT ‖ IEND with the
+    * standard 12 bytes of framing per chunk. CRCs are REAL (CRC32 of
+    * type‖data); `corrupt_crc` flips the last IDAT data byte after the
+    * CRC is computed — a valid container whose checksum lies, the case
+    * an integrity audit exists for.
+    */
+  case class PngChunkSpec(doc_id: Long, w: Int, h: Int, shade: Int,
+      corrupt_crc: Boolean)
+
+  def synthesizePngChunked(spark: SparkSession,
+      specs: Dataset[PngChunkSpec]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureMinParallelism(specs.toDF()).as[PngChunkSpec]
+      .mapPartitions { it =>
+        it.map { s =>
+          require(s.w >= 1 && s.h >= 1 && s.h * (s.w + 1) <= 60000,
+            "stored-deflate fixture needs one block")
+          val raw = new Array[Byte](s.h * (s.w + 1))
+          var i = 0
+          for (y <- 0 until s.h) {
+            raw(i) = 0; i += 1 // filter: None
+            for (x <- 0 until s.w) {
+              raw(i) = ((x * 7 + y * 13 + s.shade) % 256).toByte; i += 1
+            }
+          }
+          val adler = { val a = new java.util.zip.Adler32(); a.update(raw); a.getValue }
+          val idat = java.nio.ByteBuffer.allocate(2 + 5 + raw.length + 4)
+          idat.put(0x78.toByte).put(0x01.toByte)
+            .put(0x01.toByte) // BFINAL=1, BTYPE=00 (stored)
+            .put((raw.length & 0xff).toByte).put(((raw.length >> 8) & 0xff).toByte)
+            .put(((~raw.length) & 0xff).toByte).put((((~raw.length) >> 8) & 0xff).toByte)
+            .put(raw)
+            .putInt(adler.toInt)
+          val ihdr = java.nio.ByteBuffer.allocate(13)
+            .putInt(s.w).putInt(s.h)
+            .put(8.toByte).put(0.toByte) // 8-bit grayscale
+            .put(0.toByte).put(0.toByte).put(0.toByte)
+          def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+            val crc = new java.util.zip.CRC32()
+            crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
+            java.nio.ByteBuffer.allocate(12 + data.length)
+              .putInt(data.length).put(tpe.getBytes("US-ASCII"))
+              .put(data).putInt(crc.getValue.toInt).array()
+          }
+          val idatBytes = chunk("IDAT", idat.array())
+          if (s.corrupt_crc) // flip last DATA byte, after the CRC
+            idatBytes(idatBytes.length - 5) =
+              (idatBytes(idatBytes.length - 5) ^ 0x01).toByte
+          val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+            .map(_.toByte)
+          BinaryDoc(s.doc_id,
+            sig ++ chunk("IHDR", ihdr.array()) ++ idatBytes ++
+              chunk("IEND", Array.emptyByteArray))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One PNG chunk inventory row; quarantine rows carry chunk_idx −1. */
+  case class PngChunk(doc_id: Long, chunk_idx: Int, chunk_type: String,
+      data_len: Long, byte_offset: Long, crc_ok: Boolean, status: String)
+
+  /** Real PNG container walk with EXECUTED CRC verification — the image
+    * sibling of the MP4 stbl demux and RIFF audio parse: signature
+    * check, then (length, type, data, crc) frames walked with strict
+    * bounds; `crc_ok` recomputes CRC32 over type‖data and compares to
+    * the stored value (a container whose structure parses but whose
+    * checksum lies is exactly what an ingest audit must flag, not
+    * decode). Truncated/garbled payloads quarantine as a single
+    * 'corrupt' row; the walk stops cleanly at IEND. mapPartitions,
+    * zero shuffles, streaming-safe.
+    */
+  def pngChunks(spark: SparkSession, binDocs: DataFrame): Dataset[PngChunk] = {
+    import spark.implicits._
+    val base =
+      if (binDocs.isStreaming) binDocs
+      else graft.Tables.ensureMinParallelism(binDocs)
+    base.as[BinaryDoc].flatMap { d =>
+      val b = d.payload
+      def bad(status: String) =
+        Seq(PngChunk(d.doc_id, -1, "", 0L, 0L, crc_ok = false, status))
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      if (b.length < 8 || !sig.indices.forall(i => b(i) == sig(i).toByte))
+        bad("unsupported")
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[PngChunk]
+        var off = 8
+        var idx = 0
+        var done = false
+        var corrupt = false
+        while (!done && !corrupt) {
+          if (off + 8 > b.length) corrupt = true
+          else {
+            val len = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+              ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+            if (len < 0 || off + 12 + len > b.length) corrupt = true
+            else {
+              val tpe = new String(b, off + 4, 4, "US-ASCII")
+              if (!tpe.forall(c => c.isLetter)) corrupt = true
+              else {
+                val crc = new java.util.zip.CRC32()
+                crc.update(b, off + 4, 4 + len)
+                val stored = ((b(off + 8 + len) & 0xffL) << 24) |
+                  ((b(off + 9 + len) & 0xffL) << 16) |
+                  ((b(off + 10 + len) & 0xffL) << 8) |
+                  (b(off + 11 + len) & 0xffL)
+                out += PngChunk(d.doc_id, idx, tpe, len.toLong, off.toLong,
+                  crc_ok = (crc.getValue & 0xffffffffL) == stored, "ok")
+                if (tpe == "IEND") done = true
+                off += 12 + len
+                idx += 1
+              }
+            }
+          }
+        }
+        if (corrupt) bad("corrupt") else out.toSeq
+      }
+    }
+  }
+
   /** Burst-modulated PCM fixture: the [[synthesizeWavPcm]] waveform
     * gated into loud/loud/QUIET stretches of `burst_frames` frames
     * (`(k div burst) mod 3 == 2` ⇒ amplitude ±4 instead of ±2048) — the

@@ -834,6 +834,57 @@ object TrainingDataOps {
         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
     ),
 
+    // ---- PNG chunk inventory with EXECUTED CRC verification ------------
+    // Real container walk (the image sibling of the MP4 stbl demux):
+    // hand-written stored-deflate PNGs make every chunk length/offset
+    // closed-form, so the oracle predicts the whole inventory; CRC32 is
+    // recomputed over type||data per chunk. Every 13th doc carries a
+    // VALID structure with a LYING checksum (data byte flipped after
+    // CRC) -> crc_ok false on exactly the IDAT row; every 23rd has a
+    // broken signature -> quarantined 'unsupported'.
+    "mm_png_chunks" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (lit(8) + col("doc_id") % 9).cast("int").as("w"),
+          (lit(5) + col("doc_id") % 7).cast("int").as("h"),
+          ((col("doc_id") * 11) % 256).cast("int").as("shade"),
+          (col("doc_id") % 13 === 4).as("corrupt_crc")
+        ).as[Multimodal.PngChunkSpec]
+        val bin = Multimodal.synthesizePngChunked(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 23 === 6,
+              concat(lit(Array(0x00.toByte)),
+                expr("substring(payload, 2, 2147483647)")))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.pngChunks(s, bin).toDF()
+          .orderBy("doc_id", "chunk_idx")
+      },
+      """WITH s AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h,
+        |    doc_id % 13 = 4 AS badcrc, doc_id % 23 = 6 AS badsig
+        |  FROM documents),
+        |d AS (SELECT doc_id, badcrc, badsig, h*(w+1) AS rawlen FROM s),
+        |ok AS (
+        |  SELECT doc_id, 0 AS chunk_idx, 'IHDR' AS chunk_type,
+        |    CAST(13 AS BIGINT) AS data_len, CAST(8 AS BIGINT) AS byte_offset,
+        |    TRUE AS crc_ok, 'ok' AS status FROM d WHERE NOT badsig
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'IDAT', CAST(11 + rawlen AS BIGINT),
+        |    CAST(33 AS BIGINT), NOT badcrc, 'ok' FROM d WHERE NOT badsig
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'IEND', CAST(0 AS BIGINT),
+        |    CAST(56 + rawlen AS BIGINT), TRUE, 'ok' FROM d WHERE NOT badsig),
+        |bd AS (
+        |  SELECT doc_id, -1 AS chunk_idx, '' AS chunk_type,
+        |    CAST(0 AS BIGINT) AS data_len, CAST(0 AS BIGINT) AS byte_offset,
+        |    FALSE AS crc_ok, 'unsupported' AS status
+        |  FROM d WHERE badsig)
+        |SELECT * FROM ok UNION ALL SELECT * FROM bd
+        |ORDER BY doc_id, chunk_idx""".stripMargin
+    ),
+
     // ---- flagship 5: the dedup funnel ----------------------------------
     // The stage-by-stage removal report every curation run logs: raw ->
     // exact (prefix-key first-wins) -> near-dup (MinHash clusters on the

@@ -730,6 +730,39 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- PNG chunk walk ------------------------------------------------------
+
+  test("synthesizePngChunked writes REAL PNGs (ImageIO decodes the exact " +
+      "raster); pngChunks verifies CRCs and quarantines") {
+    import spark.implicits._
+    val specs = Seq(
+      Multimodal.PngChunkSpec(1L, 10, 6, 40, corrupt_crc = false),
+      Multimodal.PngChunkSpec(2L, 10, 6, 40, corrupt_crc = true)).toDS()
+    val bin = Multimodal.synthesizePngChunked(spark, specs)
+    // the stored-deflate PNG is a real PNG: ImageIO decodes the pattern
+    val good = bin.filter(col("doc_id") === 1L)
+      .head().getAs[Array[Byte]]("payload")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(good))
+    assert(img.getWidth == 10 && img.getHeight == 6)
+    // raw raster samples (getRGB would gray->sRGB-convert the values)
+    for (y <- 0 until 6; x <- 0 until 10)
+      assert(img.getRaster.getSample(x, y, 0) == (x * 7 + y * 13 + 40) % 256)
+    // chunk walk: geometry + CRC flags
+    val truncated = Seq(Multimodal.BinaryDoc(3L, good.take(40))).toDF("doc_id", "payload")
+    val rows = Multimodal.pngChunks(spark, bin.unionByName(truncated))
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = rows.filter(_.doc_id == 1L)
+    assert(d1.map(c => (c.chunk_type, c.crc_ok)).toSeq ==
+      Seq(("IHDR", true), ("IDAT", true), ("IEND", true)))
+    assert(d1(1).data_len == 11L + 6 * 11 && d1(2).byte_offset == 56L + 66)
+    val d2 = rows.filter(_.doc_id == 2L)
+    assert(d2.map(c => (c.chunk_type, c.crc_ok)).toSeq ==
+      Seq(("IHDR", true), ("IDAT", false), ("IEND", true)))
+    val d3 = rows.filter(_.doc_id == 3L)
+    assert(d3.length == 1 && d3.head.status == "corrupt" &&
+      d3.head.chunk_idx == -1)
+  }
+
   // ---- funnels + retention -------------------------------------------------
 
   test("funnelCounts: strict ordering, re-entry ignored, ppm exact") {
