@@ -119,6 +119,48 @@ object CoreAnalytics {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
     ),
 
+    // ---- TPC-H Q7-like: bidirectional nation-pair trade volume ---------
+    // Two broadcast copies of the nation dim (supplier side + customer
+    // side), the nation-pair predicate applied post-join, revenue by
+    // (supp_nation, cust_nation, ship year). Exercises the self-dim
+    // double-broadcast shape q5's single-region filter does not.
+    "q7_volume_shipping" -> QuerySpec(
+      (s, dir) => {
+        val n1 = t(s, dir, "nation")
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation")
+          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("sk"))
+          .join(broadcast(n2), col("c_nationkey") === col("ck"))
+          .filter((col("supp_nation") === "NATION_1" &&
+              col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" &&
+              col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(QuerySpec.sumMoney(QuerySpec.dec4(col("l_extendedprice")) *
+            (lit(1) - QuerySpec.dec4(col("l_discount")))).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    *(1-CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    ),
+
     // ---- TPC-H Q6-like: pure filter+agg — every predicate reaches the
     // parquet scan (PushedFilters), no shuffle beyond the final 1-row agg
     "q6_forecast_revenue" -> QuerySpec(

@@ -217,6 +217,52 @@ object ExtendedAnalytics {
         |FROM full_regs""".stripMargin
     ),
 
+    // ---- RFM segmentation ----------------------------------------------
+    // Recency/frequency/monetary user segments: the anchor 'now' is the
+    // corpus max timestamp (a broadcast scalar, deterministic), recency
+    // in whole days via integer div, monetary summed in DECIMAL end to
+    // end (per-user AND per-segment) so no double ever accumulates.
+    "a9_rfm_segments" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"),
+          epochS(col("ts")).as("t"), col("value"))
+        val ref = broadcast(ev.agg(max("t").as("t_ref")))
+        ev.groupBy("user_id")
+          .agg(max("t").as("t_last"), count(lit(1)).as("freq"),
+            sum(QuerySpec.dec4(col("value"))).as("mon"))
+          .crossJoin(ref)
+          .withColumn("recency_d", expr("(t_ref - t_last) div 86400"))
+          .withColumn("r_bucket",
+            when(col("recency_d") < 1, "r0_recent")
+              .when(col("recency_d") < 2, "r1_warm").otherwise("r2_cold"))
+          .withColumn("f_bucket",
+            when(col("freq") >= 75, "f0_heavy")
+              .when(col("freq") >= 60, "f1_mid").otherwise("f2_light"))
+          .groupBy("r_bucket", "f_bucket")
+          .agg(count(lit(1)).as("n_users"),
+            QuerySpec.money2(sum(col("mon"))).as("monetary"))
+          .orderBy("r_bucket", "f_bucket")
+      },
+      """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS t, value
+        |  FROM events),
+        |ref AS (SELECT max(t) AS t_ref FROM e),
+        |p AS (SELECT user_id, max(t) AS t_last, count(*) AS freq,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS mon
+        |  FROM e GROUP BY 1),
+        |b AS (SELECT
+        |    CASE WHEN (ref.t_ref - t_last)//86400 < 1 THEN 'r0_recent'
+        |         WHEN (ref.t_ref - t_last)//86400 < 2 THEN 'r1_warm'
+        |         ELSE 'r2_cold' END AS r_bucket,
+        |    CASE WHEN freq >= 75 THEN 'f0_heavy'
+        |         WHEN freq >= 60 THEN 'f1_mid'
+        |         ELSE 'f2_light' END AS f_bucket,
+        |    mon
+        |  FROM p, ref)
+        |SELECT r_bucket, f_bucket, count(*) AS n_users,
+        |  CAST(round(sum(mon), 2) AS DOUBLE) AS monetary
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ),
+
     // ---- ordered funnel conversion -------------------------------------
     // view -> click -> purchase with first-qualifying semantics: step
     // i's time is the earliest step-i event STRICTLY AFTER the user's
