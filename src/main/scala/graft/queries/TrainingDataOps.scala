@@ -1066,6 +1066,43 @@ object TrainingDataOps {
         |ORDER BY doc_id, start_window""".stripMargin
     ),
 
+    // ---- n-gram novelty (memorization-risk signal) ---------------------
+    // Per doc: the fraction of its DISTINCT trigrams that occur in NO
+    // other document — the "how much of this doc is unique text" signal
+    // memorization/contamination analyses rank by. One shingle table,
+    // one gram-document-frequency agg reduced FROM it, one per-doc agg;
+    // novelty in exact ppm (integer div).
+    "tx_ngram_novelty" -> QuerySpec(
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(Fns.shingles(col("text"), 3))).as("g"))
+        val gdf = grams.groupBy("g")
+          .agg(count(lit(1)).as("gdf")) // distinct grams per doc -> doc freq
+        grams.join(gdf, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .select(col("doc_id"), col("n_grams"), col("n_unique"),
+            expr("(n_unique * 1000000) div n_grams").as("novelty_ppm"))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(ts[i:i+2], ' ') AS g
+         |  FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)
+         |  WHERE len(ts) >= 3),
+         |gdf AS (SELECT g, count(*) AS gdf FROM sh GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN gdf.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique,
+         |  CAST((sum(CASE WHEN gdf.gdf = 1 THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS novelty_ppm
+         |FROM sh JOIN gdf USING (g) GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- exact phrase search (positional index) ------------------------
     // Decontamination's verbatim-quote detector: ONE join + ONE agg for
     // any phrase length — postings vote for start = pos - offset, a
@@ -2477,6 +2514,47 @@ object TrainingDataOps {
            |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(cos, 4) AS cos
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
       }
+    ),
+
+    // ---- cluster-quality audit: per-list inertia -----------------------
+    // The index-health metric an IVF deployment tracks (unbalanced or
+    // high-inertia lists mean a bad coarse quantizer): per cluster, the
+    // member count and Σ ||v − centroid||² over members. Distances use
+    // the SAME dot-product expansion both engines already share
+    // (ann_ivf_probe's qd shape); each per-vector distance is rounded
+    // once to 6 decimals and summed as DECIMAL — order-independent, so
+    // partitioning can't move the hash.
+    "emb_cluster_inertia" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val (assign, cents) = Ann.ivfAssignments(emb, "vec_id", "embedding", 8)
+        emb.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .join(assign, "vec_id")
+          .join(broadcast(cents), "centroid")
+          .withColumn("dist", Fns.dotProduct(col("v"), col("v")) +
+            Fns.dotProduct(col("center"), col("center")) -
+            lit(2.0) * Fns.dotProduct(col("v"), col("center")))
+          .withColumn("d6", round(col("dist"), 6).cast("decimal(28,6)"))
+          .groupBy("centroid")
+          .agg(count(lit(1)).as("n_vectors"),
+            round(sum(col("d6")), 4).cast("double").as("inertia"))
+          .orderBy("centroid")
+      },
+      s"""WITH ${duckIvfCtes(8)},
+         |m AS (
+         |  SELECT a3.c AS centroid, b.embedding::DOUBLE[] AS v, c2.center
+         |  FROM a3 JOIN embeddings b ON b.vec_id = a3.id
+         |  JOIN c2 ON c2.c = a3.c),
+         |d AS (
+         |  SELECT centroid,
+         |    CAST(round(list_dot_product(v, v)
+         |      + list_dot_product(center, center)
+         |      - 2*list_dot_product(v, center), 6) AS DECIMAL(28,6)) AS d6
+         |  FROM m)
+         |SELECT centroid, count(*) AS n_vectors,
+         |  CAST(round(sum(d6), 4) AS DOUBLE) AS inertia
+         |FROM d GROUP BY 1 ORDER BY centroid""".stripMargin
     ),
 
     // ---- ANN: hyperplane-LSH bucketed top-k ---------------------------
