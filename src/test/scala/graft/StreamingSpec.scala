@@ -322,6 +322,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sliding-window chunking streams as a pure projection, windows match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.Packing.slidingWindows(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      window = 4, stride = 2)
+    val q = out.writeStream.format("memory").queryName("slide_stream")
+      .outputMode("append").start()
+    mem.addData((1L, (0 until 7).map(i => s"w$i").mkString(" ")))
+    q.processAllAvailable()
+    mem.addData((2L, "a b"))
+    q.processAllAvailable()
+    val streamed = spark.table("slide_stream")
+      .orderBy("doc_id", "win_idx")
+      .select("doc_id", "win_idx", "start_tok", "n_tokens", "window_text")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Packing.slidingWindows(
+        Seq((1L, (0 until 7).map(i => s"w$i").mkString(" ")), (2L, "a b"))
+          .toDF("doc_id", "text"), "doc_id", "text", 4, 2)
+      .orderBy("doc_id", "win_idx")
+      .select("doc_id", "win_idx", "start_tok", "n_tokens", "window_text")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.size == 4)
+    q.stop()
+  }
+
   test("streaming EXECUTED audio decode quarantines mid-stream corruption, stats match batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
