@@ -322,6 +322,39 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join matches within the window only, " +
+      "watermarked state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Long, String)] // (user, epoch, ad)
+    val buys = MemoryStream[(Long, Long, Double)]   // (user, epoch, amount)
+    val l = clicks.toDF().toDF("user", "ct", "ad")
+      .withColumn("click_ts", col("ct").cast("timestamp")).drop("ct")
+    val r = buys.toDF().toDF("user", "bt", "amount")
+      .withColumn("buy_ts", col("bt").cast("timestamp")).drop("bt")
+    val joined = graft.streaming.StreamJoins.intervalJoin(
+      l, r, "user", "click_ts", "buy_ts",
+      windowSec = 600, watermarkSec = 60)
+    val q = joined.writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    val t0 = 1700000000L
+    clicks.addData((1L, t0, "adA"), (2L, t0 + 5, "adB"), (3L, t0, "adC"))
+    buys.addData(
+      (1L, t0 + 100, 9.99),   // within 600s -> match
+      (2L, t0 + 700, 5.00),   // beyond window -> no match
+      (3L, t0 - 10, 1.00),    // BEFORE the click -> no match
+      (1L, t0 + 500, 2.50))   // second purchase within window -> match
+    q.processAllAvailable()
+    val rows = spark.table("attr_stream")
+      .select("user", "ad", "amount", "lag_sec")
+      .orderBy("user", "lag_sec").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2), x.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, "adA", 9.99, 100L), (1L, "adA", 2.5, 500L)))
+    q.stop()
+  }
+
   test("sliding-window chunking streams as a pure projection, windows match batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
