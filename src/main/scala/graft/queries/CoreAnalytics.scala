@@ -136,10 +136,10 @@ object CoreAnalytics {
           .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n1), col("s_nationkey") === col("sk"))
           .join(broadcast(n2), col("c_nationkey") === col("ck"))
-          .filter((col("supp_nation") === "NATION_1" &&
-              col("cust_nation") === "NATION_2") ||
-            (col("supp_nation") === "NATION_2" &&
-              col("cust_nation") === "NATION_1"))
+          .filter((col("supp_nation") === "NATION_18" &&
+              col("cust_nation") === "NATION_19") ||
+            (col("supp_nation") === "NATION_19" &&
+              col("cust_nation") === "NATION_18"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).as("l_year"))
           .agg(QuerySpec.sumMoney(QuerySpec.dec4(col("l_extendedprice")) *
@@ -156,8 +156,8 @@ object CoreAnalytics {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     ),
 
