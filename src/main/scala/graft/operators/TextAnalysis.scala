@@ -348,6 +348,28 @@ object TextAnalysis {
           .cast("double")./(lit(10000.0)).as("avg_logprob"))
   }
 
+  /** Per-doc n-gram novelty: the fraction (ppm) of a document's DISTINCT
+    * n-grams that occur in NO other document — the memorization-risk /
+    * uniqueness ranking signal. Uses the relational shingle index (the
+    * PPJoin pipeline's shared subtree — one doc-partitioned lead window,
+    * whole-stage codegen) rather than the per-row HOF shingle lambda,
+    * which is interpreted and measured ~2.5× slower at sf0.1; the gram
+    * table feeds both the gram-df aggregation and the join back, so the
+    * exchange is computed once (ReuseExchange). Docs with fewer than n
+    * tokens emit no row (no grams ⇒ novelty undefined).
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = Dedup.shingleIndex(docs, idCol, textCol, n)
+    val gdf = grams.groupBy("s").agg(count(lit(1)).as("gdf"))
+    grams.join(gdf, "s")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc").as(idCol), col("n_grams"), col("n_unique"),
+        expr("(n_unique * 1000000) div n_grams").as("novelty_ppm"))
+  }
+
   /** Per-domain unigram KL divergence against the whole corpus —
     * KL(P_domain ‖ P_corpus) — the data-recipe drift diagnostic (which
     * sources' token distributions deviate most; feeds mixture-weight

@@ -1073,20 +1073,9 @@ object TrainingDataOps {
     // one gram-document-frequency agg reduced FROM it, one per-doc agg;
     // novelty in exact ppm (integer div).
     "tx_ngram_novelty" -> QuerySpec(
-      (s, dir) => {
-        val grams = t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(array_distinct(Fns.shingles(col("text"), 3))).as("g"))
-        val gdf = grams.groupBy("g")
-          .agg(count(lit(1)).as("gdf")) // distinct grams per doc -> doc freq
-        grams.join(gdf, "g")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("n_unique"))
-          .select(col("doc_id"), col("n_grams"), col("n_unique"),
-            expr("(n_unique * 1000000) div n_grams").as("novelty_ppm"))
-          .orderBy("doc_id")
-      },
+      (s, dir) =>
+        TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", 3)
+          .orderBy("doc_id"),
       s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
          |sh AS (
          |  SELECT DISTINCT doc_id,
