@@ -217,6 +217,29 @@ object ExtendedAnalytics {
         |FROM full_regs""".stripMargin
     ),
 
+    // ---- exact percentiles without a global sort -----------------------
+    // p50/p90/p99 of the value stream as EXACT order statistics: the
+    // distributed ntile (bucket-histogram rank — no partition-less
+    // window anywhere) splits the stream into 100 exact tiles; the
+    // percentile boundary is each target tile's max. The oracle uses
+    // SQL ntile directly, which Ranks.ntile matches tile-for-tile.
+    "agg_exact_percentiles" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_id"), col("value"))
+        Ranks.ntile(ev, 100, Seq("value", "event_id"), "tile")
+          .filter(col("tile").isin(50, 90, 99))
+          .groupBy("tile")
+          .agg(max("value").as("boundary"), count(lit(1)).as("n_rows"))
+          .orderBy("tile")
+      },
+      """WITH r AS (
+        |  SELECT value, ntile(100) OVER (ORDER BY value, event_id) AS tile
+        |  FROM events)
+        |SELECT CAST(tile AS INTEGER) AS tile, max(value) AS boundary,
+        |  count(*) AS n_rows
+        |FROM r WHERE tile IN (50, 90, 99) GROUP BY 1 ORDER BY tile""".stripMargin
+    ),
+
     // ---- RFM segmentation ----------------------------------------------
     // Recency/frequency/monetary user segments: the anchor 'now' is the
     // corpus max timestamp (a broadcast scalar, deterministic), recency

@@ -730,6 +730,23 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- domain KL -----------------------------------------------------------
+
+  test("domainKl: hand-exact micro-nats") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(("A", "x x y"), ("B", "y z")).toDF("source", "text")
+    val rows = TextAnalysis.domainKl(docs, "text", "source")
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // A: x(c=2,ln(10/6)=.510826), y(c=1,ln(5/6)=-.182322)
+    //    num = 2*510826 - 182322 = 839330; kl = 839330 div 3 = 279776
+    // B: y(ln(5/4)=.223144), z(ln(5/2)=.916291)
+    //    num = 1139435; kl = 1139435 div 2 = 569717
+    assert(rows.toSeq == Seq(
+      ("A", 3L, 2L, 279776L), ("B", 2L, 2L, 569717L)))
+  }
+
   // ---- PNG chunk walk ------------------------------------------------------
 
   test("synthesizePngChunked writes REAL PNGs (ImageIO decodes the exact " +
