@@ -8,6 +8,67 @@ import org.apache.spark.sql.functions._
   */
 object StreamJoins {
 
+  /** One user's funnel progress: the highest step reached so far (0 =
+    * none), the event time at which each step was reached (ascending —
+    * the strict-ordering invariant), and the observed-event count.
+    */
+  case class FunnelProgress(user: Long, step_reached: Int,
+      step_times: Seq[Long], n_events: Long)
+
+  /** INCREMENTAL funnel tracking over a stream — the stateful sibling of
+    * [[graft.operators.Funnels.funnelCounts]]: per user, a
+    * mapGroupsWithState fold advances the funnel step whenever the NEXT
+    * step's event type arrives with an event time strictly after the
+    * time the current step was reached (same first-qualifying
+    * semantics; steps can span batches). State per user is O(steps):
+    * the reached-step times only — never buffered events. Emits the
+    * user's current [[FunnelProgress]] each batch (update mode).
+    *
+    * Within-batch events are folded in event-time order, so for
+    * time-ordered arrival (each batch's events no earlier than the
+    * last's) a batch boundary can never change the result — the
+    * batch-split invariance the spec pins. An event arriving with an
+    * earlier time than an already-consumed step cannot retroactively
+    * revise the fold (inherent to single-pass incremental state; the
+    * batch [[graft.operators.Funnels.funnelCounts]] is the
+    * full-revision formulation).
+    */
+  def funnelProgress(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String])
+      : org.apache.spark.sql.Dataset[FunnelProgress] = {
+    require(steps.size >= 2 && steps.size <= 8, "funnel needs 2..8 steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val stepIdx = steps.zipWithIndex.toMap
+    events.select(col(userCol).cast("long").as("user"),
+        col(typeCol).as("et"), col(tsCol).cast("long").as("t"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](
+        GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val prev = state.getOption.getOrElse(
+            FunnelProgress(user, 0, Nil, 0L))
+          var reached = prev.step_reached
+          var times = prev.step_times.toVector
+          var n = prev.n_events
+          // event-time order makes batch boundaries invisible
+          rows.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, et, t) =>
+            n += 1
+            if (reached < steps.size &&
+                stepIdx.get(et).contains(reached) &&
+                (reached == 0 || t > times(reached - 1))) {
+              times = times :+ t
+              reached += 1
+            }
+          }
+          val next = FunnelProgress(user, reached, times, n)
+          state.update(next)
+          next
+      }
+  }
+
   /** Inner interval join of two STREAMS: a left event matches right
     * events with the same `key` whose event time falls in
     * `[left_ts, left_ts + windowSec]`. Both sides carry watermarks, so

@@ -355,6 +355,46 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stateful streaming funnel: steps advance across batches, " +
+      "batch split invisible, strict ordering enforced") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Long)]
+    val out = graft.streaming.StreamJoins.funnelProgress(
+      mem.toDF().toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+    val q = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    // batch 1: user 1 views+clicks; user 2's click arrives BEFORE any view
+    mem.addData((1L, "view", 10L), (1L, "click", 20L), (2L, "click", 5L))
+    q.processAllAvailable()
+    // batch 2: user 1 purchases (step spans the batch boundary); user 2
+    // views then clicks — the earlier batch-1 click must NOT count
+    mem.addData((1L, "purchase", 30L), (2L, "view", 40L), (2L, "click", 50L))
+    q.processAllAvailable()
+    val last = spark.table("funnel_stream")
+      .groupBy("user").agg(max("step_reached").as("s"), max("n_events").as("n"))
+      .orderBy("user").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(last.toSeq == Seq((1L, 3, 3L), (2L, 2, 3L)))
+    // batch-split invariance: one batch with all events yields the same
+    val mem2 = MemoryStream[(Long, String, Long)]
+    val out2 = graft.streaming.StreamJoins.funnelProgress(
+      mem2.toDF().toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+    val q2 = out2.writeStream.format("memory").queryName("funnel_stream2")
+      .outputMode("update").start()
+    mem2.addData((1L, "view", 10L), (1L, "click", 20L), (2L, "click", 5L),
+      (1L, "purchase", 30L), (2L, "view", 40L), (2L, "click", 50L))
+    q2.processAllAvailable()
+    val once = spark.table("funnel_stream2")
+      .select("user", "step_reached").orderBy("user").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(once.toSeq == Seq((1L, 3), (2L, 2)))
+    q.stop(); q2.stop()
+  }
+
   test("sliding-window chunking streams as a pure projection, windows match batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
