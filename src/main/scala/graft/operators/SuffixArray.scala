@@ -47,9 +47,11 @@ import graft.functions.{CommonPrefixLen, Fns}
   * Round count is DETERMINISTIC: one cheap max(length) job upfront, then
   * ceil(log4(maxLen/initWidth)) rounds — once the window covers the
   * longest doc, rank classes are exactly the byte-identical-suffix
-  * classes and a final row_number pass (ties by (doc, pos)) emits the
-  * permutation. 100 TB posture: a 1M-char max doc is 7 rounds; rounds
-  * checkpoint-cut lineage and release predecessor blocks (the
+  * classes, and the LAST rank pass emits the permutation directly
+  * (row_number with (doc, pos) ties fused into its one window — no
+  * separate globalRowNumber pass). 100 TB posture: a 1M-char max doc is
+  * 6 rounds at the default initWidth=256; rounds checkpoint-cut lineage
+  * and release predecessor blocks (the
   * [[IdentityResolution.connectedComponents]] loop contract).
   *
   * Ordering contract: UTF-8 byte order (Spark and DuckDB string
@@ -74,10 +76,18 @@ object SuffixArray {
     * ≤ `maxBuckets` distinct values; rank() ties inside the bucket window
     * give every class member its head's position, so no per-class
     * aggregation or join-back is needed.
+    *
+    * With `tieCols` set the pass instead emits the TOTAL order
+    * `row_number() OVER (ORDER BY keyCols, tieCols) - 1`: because equal
+    * keyCols classes get equal rank() and tieCols break ties within a
+    * class, this is exactly classRank-then-row_number fused into the one
+    * window the rank pass already pays — the final suffix-array pass
+    * rides it instead of running [[Ranks.globalRowNumber]] afterwards.
     */
   private def classRankPass(df: DataFrame, keyCols: Seq[String],
       bucketOf: Column, out: String,
-      maxBuckets: Int = MaxInitBuckets): (DataFrame, Long) = {
+      maxBuckets: Int = MaxInitBuckets,
+      tieCols: Seq[String] = Nil): (DataFrame, Long) = {
     val b = s"__crp_$out"
     val withB = df.withColumn(b, bucketOf.cast("long"))
     val hist = withB.groupBy(col(b)).agg(count(lit(1)).as("__n")).collect()
@@ -89,9 +99,10 @@ object SuffixArray {
     else {
       val total = hist.map(_._2).sum
       val offs = hist.map(_._1).zip(hist.map(_._2).scanLeft(0L)(_ + _).init).toMap
-      val w = Window.partitionBy(b).orderBy(keyCols.map(col): _*)
+      val w = Window.partitionBy(b).orderBy((keyCols ++ tieCols).map(col): _*)
+      val inBucket = if (tieCols.isEmpty) rank().over(w) else row_number().over(w)
       (withB.withColumn(out,
-        Ranks.offsetLookup(col(b), offs) + rank().over(w) - 1L).drop(b),
+        Ranks.offsetLookup(col(b), offs) + inBucket - 1L).drop(b),
         total)
     }
   }
@@ -101,8 +112,18 @@ object SuffixArray {
     * full suffix, ties (byte-identical suffixes, e.g. from exact-copy
     * docs) broken by (doc, pos).
     */
+  /** `wideCap`: adaptive short-corpus fast path. When the one upfront
+    * max(length) probe shows EVERY doc fits in `wideCap` chars, round 0
+    * ranks by the full (≤ wideCap-char) suffix and the quadrupling loop
+    * never runs — the whole SA is ONE fused rank pass. This does
+    * materialize suffixes in that pass's shuffle, but the per-row bytes
+    * are bounded by the cap the caller chose, which is exactly the
+    * "never materialize an UNBOUNDED suffix" contract; corpora with any
+    * doc past the cap take the initWidth + quadrupling path unchanged.
+    */
   def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
-      initWidth: Int = 64, buckets: Int = 256): DataFrame = {
+      initWidth: Int = 256, buckets: Int = 256,
+      wideCap: Int = 1024): DataFrame = {
     require(initWidth >= 4, s"initWidth must be >= 4, got $initWidth")
     val spark = docs.sparkSession
     val useReliable = spark.sparkContext.getCheckpointDir.isDefined
@@ -123,6 +144,18 @@ object SuffixArray {
       return spark.emptyDataFrame
         .select(lit(0L).as("doc"), lit(0L).as("pos"), lit(0L).as("sa_pos"))
         .limit(0)
+    // Deterministic round schedule, known before any pass runs: round 0
+    // covers initWidth chars, each later round quadruples. The LAST pass
+    // (possibly round 0 itself) fuses the final row_number in via tieCols
+    // — ordering by (roundKey, doc, pos) equals ordering by (classRank,
+    // doc, pos), so the separate globalRowNumber pass the <=r10 shape
+    // paid is pure overhead.
+    val effInitWidth =
+      if (maxLen <= math.max(wideCap, initWidth)) maxLen else initWidth
+    val nRounds = {
+      var w = effInitWidth.toLong; var k = 0
+      while (w < maxLen) { w *= 4; k += 1 }; k
+    }
 
     // round 0: rank by the leading initWidth chars — generator + substr
     // pipeline in one narrow stage, so the per-row cost is the capped key,
@@ -133,7 +166,7 @@ object SuffixArray {
           .as("pos"),
         col("__txt"))
       .select(col("doc"), col("pos"),
-        col("__txt").substr((col("pos") + 1L).cast("int"), lit(initWidth))
+        col("__txt").substr((col("pos") + 1L).cast("int"), lit(effInitWidth))
           .as("__k"))
     // two-byte monotone bucketer: first two chars' code points capped at
     // 255 (capping coarsens balance only; a 1-char key's missing second
@@ -141,12 +174,21 @@ object SuffixArray {
     val bucket0 =
       least(coalesce(ascii(substring(col("__k"), 1, 1)), lit(0)), lit(255)) * 256 +
         least(coalesce(ascii(substring(col("__k"), 2, 1)), lit(0)), lit(255))
+    if (nRounds == 0)
+      // initWidth already covers the longest doc: round 0 IS the final
+      // pass — row_number by (key, doc, pos) in its one window
+      return classRankPass(suf0, Seq("__k"), bucket0, "sa_pos",
+        tieCols = Seq("doc", "pos"))._1
+        .select(col("doc"), col("pos"), col("sa_pos"))
+
     val (ranked0, n) = classRankPass(suf0, Seq("__k"), bucket0, "r")
     var cur = cut(ranked0.select(col("doc"), col("pos"), col("r")))
     var prev = cur
 
-    var width = initWidth.toLong
-    while (width < maxLen) {
+    var width = effInitWidth.toLong
+    var round = 1
+    var out: DataFrame = null
+    while (round <= nRounds) {
       // multicast: each (doc, q, r) serves as the width-w rank for the
       // four positions q, q-w, q-2w, q-3w; ONE exchange pivots all four
       val tagged = cur.select(col("doc"), col("pos"), col("r"),
@@ -159,23 +201,31 @@ object SuffixArray {
         coalesce(max(when(col("__t") === 1L, col("r"))), lit(-1L)).as("__r1"),
         coalesce(max(when(col("__t") === 2L, col("r"))), lit(-1L)).as("__r2"),
         coalesce(max(when(col("__t") === 3L, col("r"))), lit(-1L)).as("__r3"))
+      val last = round == nRounds
       val g = cut(gathered)
-      val (ranked, _) = classRankPass(g, Seq("__r0", "__r1", "__r2", "__r3"),
-        expr(s"CAST(__r0 * $buckets AS BIGINT) div ${math.max(n, 1L)}"), "__nr",
-        maxBuckets = buckets + 1)
-      val next = cut(ranked.select(col("doc"), col("pos"),
-        col("__nr").as("r")))
-      releaseBlocks(prev)
-      releaseBlocks(g)
-      prev = next
-      cur = next
+      val rKeys = Seq("__r0", "__r1", "__r2", "__r3")
+      val rBucket =
+        expr(s"CAST(__r0 * $buckets AS BIGINT) div ${math.max(n, 1L)}")
+      if (last) {
+        // fused final pass: equal 4-tuples after the covering round are
+        // byte-identical suffixes; (doc, pos) ties give the total order
+        out = classRankPass(g, rKeys, rBucket, "sa_pos",
+          maxBuckets = buckets + 1, tieCols = Seq("doc", "pos"))._1
+          .select(col("doc"), col("pos"), col("sa_pos"))
+      } else {
+        val (ranked, _) = classRankPass(g, rKeys, rBucket, "__nr",
+          maxBuckets = buckets + 1)
+        val next = cut(ranked.select(col("doc"), col("pos"),
+          col("__nr").as("r")))
+        releaseBlocks(prev)
+        releaseBlocks(g)
+        prev = next
+        cur = next
+      }
       width *= 4
+      round += 1
     }
-    // final total order: rank, ties by (doc, pos) — equal classes after
-    // the last round are byte-identical suffixes
-    Ranks.globalRowNumber(cur, Seq("r", "doc", "pos"),
-      expr(s"CAST(r * $buckets AS BIGINT) div ${math.max(n, 1L)}"), "sa_pos")
-      .select(col("doc"), col("pos"), col("sa_pos"))
+    out
   }
 
   /** Per-doc suffix-array verification summary: suffix count, min/max
@@ -203,33 +253,74 @@ object SuffixArray {
     * implies an adjacent LCP at least that long). Output per doc: suffix
     * count, dup-start count, longest capped span.
     *
-    * Shape: suffix prefixes re-materialize only `cap` chars per row
-    * (never the suffix); rank-adjacency is a keyed self-join on
-    * consecutive sa_pos; LCPs are one codegen'd [[CommonPrefixLen]] per
-    * edge; two keyed left joins fold each position's prev/next edge.
+    * Shape: suffix prefixes re-materialize only `cap` chars per row —
+    * never the suffix, and never a re-shuffle of the corpus: the doc
+    * table is the small side of a broadcast join against the SA, so the
+    * substr is a pipelined projection. Rank adjacency exploits sa_pos
+    * being a DENSE 0..n-1 permutation (n = total chars, one tiny agg on
+    * the doc table): bucket `sa_pos * B div n` is perfectly balanced
+    * with ANALYTIC offsets — no histogram job — so neighbors come from
+    * ONE ~1x-volume exchange + lead/lag inside bucket windows. Bucket
+    * edges are exact, not approximated: each boundary row also emits a
+    * GHOST copy into its rank-neighbor's bucket (≤ 2 extra rows per
+    * bucket), supplying the missing lead/lag there; ghosts are dropped
+    * after the window. This replaced an r10→r11-draft shape whose 3x
+    * multicast + n-group hash gather spilled at sf1 (102 s cold rep).
+    * LCPs are codegen'd [[CommonPrefixLen]] calls on the window output.
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 20, cap: Int = 64): DataFrame = {
     require(minLen >= 1 && minLen <= cap,
       s"need 1 <= minLen <= cap, got minLen=$minLen cap=$cap")
+    val filtered = docs
+      .filter(col(idCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("doc"), col(textCol).as("__txt"))
+    val n = filtered.agg(sum(length(col("__txt")))).collect()(0).get(0) match {
+      case null => 0L
+      case l: Long => l
+    }
+    val nSafe = math.max(n, 1L)
+    // bucket count: analytic offsets cost the driver nothing, so size for
+    // ~4k rows/bucket, clamped to the usual driver-histogram bound
+    val B = math.max(256L, math.min(65536L, nSafe / 4096L))
     val sa = suffixRanks(docs, idCol, textCol)
-    val pfx = sa.join(
-        docs.select(col(idCol).as("doc"), col(textCol).as("__txt")), Seq("doc"))
+    val pfx = sa.join(broadcast(filtered), Seq("doc"))
       .select(col("doc"), col("pos"), col("sa_pos"),
         col("__txt").substr((col("pos") + 1L).cast("int"), lit(cap)).as("pfx"))
-    val edges = pfx
-      .join(pfx.select((col("sa_pos") - 1L).as("sa_pos"),
-        col("pfx").as("__pfx2")), Seq("sa_pos"))
-      .select(col("sa_pos"),
-        Fns.ofExpr(CommonPrefixLen(
-          Fns.toExpr(col("pfx")), Fns.toExpr(col("__pfx2")), cap)).as("lcp"))
-    pfx
-      .join(edges.withColumnRenamed("lcp", "__lcp_next"), Seq("sa_pos"), "left")
-      .join(edges.select((col("sa_pos") + 1L).as("sa_pos"),
-        col("lcp").as("__lcp_prev")), Seq("sa_pos"), "left")
+    def bktOf(s: Column): Column =
+      Fns.ofExpr(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        Fns.toExpr(s * B), Fns.toExpr(lit(nSafe))))
+    val bkt = bktOf(col("sa_pos"))
+    val nextB = bktOf(col("sa_pos") + 1L)
+    val prevB = bktOf(col("sa_pos") - 1L)
+    val isLast = nextB =!= bkt // global last ghosts into an all-ghost
+    // bucket that the post-window filter drops; harmless
+    val isFirst = col("sa_pos") === 0L || prevB =!= bkt
+    // null entries mark "no ghost here"; explode emits them and a
+    // RELATIONAL isNotNull filter drops them — an array-filter HOF here
+    // would run interpreted per row, the exact pathology the r10
+    // tx_ngram_novelty reroute removed
+    val targets = array(
+      struct(bkt.as("b"), lit(false).as("g")),
+      when(isLast, struct(nextB.as("b"), lit(true).as("g"))),
+      when(isFirst && col("sa_pos") =!= 0L,
+        struct(prevB.as("b"), lit(true).as("g"))))
+    val rel = pfx
+      .select(col("doc"), col("pos"), col("sa_pos"), col("pfx"),
+        explode(targets).as("__bg"))
+      .filter(col("__bg").isNotNull)
+      .select(col("doc"), col("pos"), col("sa_pos"), col("pfx"),
+        col("__bg.b").as("__b"), col("__bg.g").as("__g"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("sa_pos"))
+    def lcpWith(other: Column): Column =
+      when(other.isNull, 0).otherwise(Fns.ofExpr(CommonPrefixLen(
+        Fns.toExpr(col("pfx")), Fns.toExpr(other), cap)))
+    rel
+      .withColumn("__pn", lead(col("pfx"), 1).over(w))
+      .withColumn("__pp", lag(col("pfx"), 1).over(w))
+      .filter(!col("__g"))
       .withColumn("__dup_len",
-        greatest(coalesce(col("__lcp_next"), lit(0)),
-          coalesce(col("__lcp_prev"), lit(0))))
+        greatest(lcpWith(col("__pn")), lcpWith(col("__pp"))))
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_suffixes"),
         sum(when(col("__dup_len") >= minLen, 1L).otherwise(0L)).as("n_dup_pos"),
