@@ -2600,6 +2600,54 @@ object TrainingDataOps {
         |FROM g GROUP BY 1, 2 ORDER BY i, j""".stripMargin
     ),
 
+    // ---- OPQ Procrustes-step cross moments -----------------------------
+    // The distributed half of ONE true-OPQ alternation (Ge et al. 2013,
+    // non-parametric): PQ books fit on the mean-centered corpus (the
+    // R=identity first-alternation state — training fully unrolled in
+    // SQL via duckPqCtes on a centered source), each vector reconstructed
+    // from its assigned centroids, and the d×d cross-moment matrix
+    // A[i][j] = Σ x_i·y_j aggregated decimal-exact. The driver-side
+    // SVD/Procrustes solve (R = V·Uᵀ) is bounded d×d and property-tested
+    // (Round11OpsSpec: orthogonality, determinism, recall ≥ PCA-RR), not
+    // oracle-gated — the emb_covariance precedent.
+    "emb_opq_cross_moments" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val (mu, _, books) = Ann.opqTrain(emb, "vec_id", "embedding",
+          m = 4, k = 8, iterations = 1, initRotation = "identity")
+        Ann.opqCrossMoments(emb, "vec_id", "embedding", mu, null, books)
+          .orderBy("i", "j")
+      },
+      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |rd AS (SELECT vec_id, unnest(range(1, len(v)+1)) AS d, unnest(v) AS x
+         |  FROM raw),
+         |mus AS (SELECT d,
+         |  CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE)/count(*) AS mu
+         |  FROM rd GROUP BY d),
+         |centered AS (SELECT vec_id, list(x - mu ORDER BY d) AS v
+         |  FROM rd JOIN mus USING (d) GROUP BY vec_id),
+         |${duckPqCtes(4, 8, 64, srcTable = "centered", srcId = "vec_id",
+             srcVec = "v")},
+         |recon AS (SELECT a3_0.id,
+         |  c20.center || c21.center || c22.center || c23.center AS y
+         |  FROM a3_0
+         |  JOIN c2_0 c20 ON c20.c = a3_0.c
+         |  JOIN a3_1 ON a3_1.id = a3_0.id JOIN c2_1 c21 ON c21.c = a3_1.c
+         |  JOIN a3_2 ON a3_2.id = a3_0.id JOIN c2_2 c22 ON c22.c = a3_2.c
+         |  JOIN a3_3 ON a3_3.id = a3_0.id JOIN c2_3 c23 ON c23.c = a3_3.c),
+         |xy AS (SELECT c.v AS x, r.y AS y
+         |  FROM centered c JOIN recon r ON r.id = c.vec_id),
+         |e1 AS (SELECT x, unnest(range(1, len(x)+1)) AS i, unnest(x) AS xi, y
+         |  FROM xy),
+         |e2 AS (SELECT i, xi, unnest(range(1, len(y)+1)) AS j, unnest(y) AS yj
+         |  FROM e1)
+         |SELECT CAST(i-1 AS INTEGER) AS i, CAST(j-1 AS INTEGER) AS j,
+         |  count(*) AS n,
+         |  CAST(round(sum(CAST(xi*yj AS DECIMAL(38,18))), 12) AS DOUBLE)
+         |    AS sxy
+         |FROM e2 GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+    ),
+
     "emb_quantize_int8" -> QuerySpec(
       (s, dir) =>
         Ann.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
