@@ -294,8 +294,14 @@ object Ann {
     * literal arrays, so the corpus pass is a zero-join, zero-shuffle
     * projection. Output: (id, codes, deq).
     */
-  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+  /** The int8 quantizer's per-dimension (min, range) table — the
+    * driver-held "trained" state of the scalar quantizer, exposed so a
+    * serving path can build the code table ONCE, persist only codes +
+    * this table, and dequantize on read ([[int8Dequantize]]).
+    */
+  def int8Ranges(emb: DataFrame, idCol: String, vecCol: String)
+      : (Array[Double], Array[Double]) = {
+    val v = emb.select(col(vecCol).cast("array<double>").as("v"))
     // CHEAP width precheck before any corpus work: "refuses to
     // materialize" must mean refusing BEFORE the full posexplode
     // aggregation runs, not after — one LIMIT-1 probe of the array size
@@ -313,8 +319,27 @@ object Ann {
     require(ranges.length <= MaxQuantDims,
       s"refusing to quantize ${ranges.length}-dim vectors (> $MaxQuantDims): " +
         "not an embedding-shaped column — ragged arrays wider than the probe row")
-    val mnLit = array(ranges.map(r => lit(r._2)): _*)
-    val rgLit = array(ranges.map(r => lit(r._3 - r._2)): _*)
+    (ranges.map(_._2), ranges.map(r => r._3 - r._2))
+  }
+
+  /** Dequantized double view of a MATERIALIZED int8 code table — the
+    * serving-side read path: `mn + code·range/255` as a zero-shuffle
+    * projection over (id, codes), appended as `deq`.
+    */
+  def int8Dequantize(coded: DataFrame, mins: Array[Double],
+      ranges: Array[Double]): DataFrame = {
+    val mnLit = array(mins.map(lit(_)): _*)
+    val rgLit = array(ranges.map(lit(_)): _*)
+    coded.withColumn("deq", transform(col("codes"), (c, i) =>
+      element_at(mnLit, i + 1) +
+        c.cast("double") * element_at(rgLit, i + 1) / lit(255.0)))
+  }
+
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val (mins, rgs) = int8Ranges(emb, idCol, vecCol)
+    val mnLit = array(mins.map(lit(_)): _*)
+    val rgLit = array(rgs.map(lit(_)): _*)
     def mn(i: Column) = element_at(mnLit, i + 1)
     def rg(i: Column) = element_at(rgLit, i + 1)
     v.select(col("id"),

@@ -41,10 +41,122 @@ object BenchOnlyOps {
       })
     }
 
+  // r11: the other quantization tiers' build/serve splits — every oracle
+  // row for int8/binary/flat-PQ/OPQ pays quantizer training in-query
+  // (the harness shape); these rows pin the STEADY-STATE serving cost of
+  // each tier against a pre-materialized code table, like ann_ivfpq_serve
+  // did for IVF-PQ in r10.
+
+  private case class Int8Table(coded: DataFrame,
+      mins: Array[Double], ranges: Array[Double])
+  private val int8Cache =
+    scala.collection.mutable.HashMap.empty[String, Int8Table]
+  private def servedInt8(s: SparkSession, dir: String): Int8Table =
+    int8Cache.synchronized {
+      int8Cache.getOrElseUpdate(dir, {
+        val d = "/tmp/graft_bench_int8"
+        val emb = t(s, dir, "embeddings")
+        val (mins, rgs) = Ann.int8Ranges(emb, "vec_id", "embedding")
+        Ann.quantizeInt8(emb, "vec_id", "embedding").select("id", "codes")
+          .write.mode("overwrite").parquet(s"$d/codes")
+        Int8Table(s.read.parquet(s"$d/codes"), mins, rgs)
+      })
+    }
+
+  private val binCache =
+    scala.collection.mutable.HashMap.empty[String, DataFrame]
+  private def servedBinary(s: SparkSession, dir: String): DataFrame =
+    binCache.synchronized {
+      binCache.getOrElseUpdate(dir, {
+        val d = "/tmp/graft_bench_bin"
+        Ann.binaryQuantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$d/words")
+        s.read.parquet(s"$d/words")
+      })
+    }
+
+  private case class PqTable(encoded: DataFrame,
+      books: Seq[Seq[(Int, Seq[Double])]])
+  private val pqCache =
+    scala.collection.mutable.HashMap.empty[String, PqTable]
+  private def servedPq(s: SparkSession, dir: String): PqTable =
+    pqCache.synchronized {
+      pqCache.getOrElseUpdate(dir, {
+        val d = "/tmp/graft_bench_pq"
+        val emb = t(s, dir, "embeddings")
+        val books = Ann.pqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+        Ann.pqEncode(emb, "vec_id", "embedding", books)
+          .write.mode("overwrite").parquet(s"$d/codes")
+        PqTable(s.read.parquet(s"$d/codes"), books)
+      })
+    }
+
+  private case class OpqTable(encoded: DataFrame, mu: Array[Double],
+      rot: Array[Array[Double]], books: Seq[Seq[(Int, Seq[Double])]])
+  private val opqCache =
+    scala.collection.mutable.HashMap.empty[String, OpqTable]
+  private def servedOpq(s: SparkSession, dir: String): OpqTable =
+    opqCache.synchronized {
+      opqCache.getOrElseUpdate(dir, {
+        val d = "/tmp/graft_bench_opq"
+        val emb = t(s, dir, "embeddings")
+        val (mu, rot, books) =
+          Ann.opqTrain(emb, "vec_id", "embedding", m = 8, k = 16)
+        Ann.pqEncode(
+            Ann.pcaProject(emb, "vec_id", "embedding", mu, rot)
+              .select(col("vec_id"), col("rotated")),
+            "vec_id", "rotated", books)
+          .write.mode("overwrite").parquet(s"$d/codes")
+        OpqTable(s.read.parquet(s"$d/codes"), mu, rot, books)
+      })
+    }
+
   def specs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfpq_serve" -> ((s, dir) =>
       Ann.ivfPqSearch(servedIndex(s, dir),
         t(s, dir, "embeddings").filter(col("vec_id") < 100),
-        "vec_id", "embedding", nprobe = 8, topK = 10))
+        "vec_id", "embedding", nprobe = 8, topK = 10)),
+
+    // int8 serve: corpus scan reads 1-byte codes, dequantizes as a
+    // projection, exact cosine against the raw 100-query batch
+    "emb_int8_serve" -> ((s, dir) => {
+      val tbl = servedInt8(s, dir)
+      val deq = Ann.int8Dequantize(tbl.coded, tbl.mins, tbl.ranges)
+        .select(col("id").as("vec_id"), col("deq").as("embedding"))
+      Ann.bruteForceTopK(deq,
+        t(s, dir, "embeddings").filter(col("vec_id") < 100),
+        "vec_id", "embedding", 10)
+    }),
+
+    // Hamming serve: corpus scan reads 8 bytes/vector; the query batch
+    // re-packs per call (sign bits — no trained state)
+    "ann_hamming_serve" -> ((s, dir) => {
+      val words = servedBinary(s, dir)
+      val q = Ann.binaryQuantize(
+        t(s, dir, "embeddings").filter(col("vec_id") < 100),
+        "vec_id", "embedding")
+      Ann.hammingTopK(words, q, d = 64, k = 10)
+    }),
+
+    // flat-PQ ADC serve: LUT per query + m lookups per corpus vector
+    // against the materialized (id, codes) table
+    "ann_pq_adc_serve" -> ((s, dir) => {
+      val tbl = servedPq(s, dir)
+      Ann.pqAdcTopK(tbl.encoded, tbl.books, k = 16,
+        t(s, dir, "embeddings").filter(col("vec_id") < 100),
+        "vec_id", "embedding", topK = 10)
+    }),
+
+    // OPQ-ADC serve: rotate the query batch with the LEARNED rotation,
+    // then flat ADC against the rotated-space code table
+    "ann_opq_adc_serve" -> ((s, dir) => {
+      val tbl = servedOpq(s, dir)
+      val q = Ann.pcaProject(
+          t(s, dir, "embeddings").filter(col("vec_id") < 100),
+          "vec_id", "embedding", tbl.mu, tbl.rot)
+        .select(col("vec_id"), col("rotated"))
+      Ann.pqAdcTopK(tbl.encoded, tbl.books, k = 16, q, "vec_id", "rotated",
+        topK = 10)
+    })
   )
 }
