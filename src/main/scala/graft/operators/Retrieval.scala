@@ -43,6 +43,34 @@ object Retrieval {
         posexplode(Fns.tokens(col(textCol))).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
 
+  /** Materialized lexical index artifact — the build/serve split for the
+    * retrieval family, mirroring [[Ann.IvfPqIndex]]: build ONCE (persist
+    * the three relations to parquet; raw text gone from the serving
+    * scan), then serve any number of phrase / TF-IDF query batches
+    * against the reads. `positional` = (term, doc_id, pos); `postings` =
+    * (term, doc_id, tf); `idf` = (term, idf) with the integer-rational
+    * idf already folded in (so serving never recomputes N or df).
+    */
+  final case class LexIndex(positional: DataFrame, postings: DataFrame,
+      idf: DataFrame)
+
+  /** Build the [[LexIndex]]: two keyed aggregations + the df/idf table.
+    * The one-shot [[phraseSearch]]/[[tfIdfTopK]] overloads delegate to
+    * the served forms through this, so build-once/serve-many equality
+    * holds by construction (and is spec-proven over a parquet
+    * round-trip).
+    */
+  def lexIndexBuild(docs: DataFrame, idCol: String, textCol: String,
+      idfScale: Long = 1000000L): LexIndex = {
+    require(idfScale > 0)
+    val postings = invertedIndex(docs, idCol, textCol)
+    val nDocs = docs.agg(count_distinct(col(idCol)).as("n_docs"))
+    val idf = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), expr(s"(n_docs * $idfScale) div df").as("idf"))
+    LexIndex(positionalIndex(docs, idCol, textCol), postings, idf)
+  }
+
   /** Exact phrase search over the positional index — decontamination's
     * verbatim-quote detector. The relational formulation needs ONE join
     * and ONE aggregation for ANY phrase length (no per-term join chain):
@@ -58,16 +86,23 @@ object Retrieval {
     * not the corpus.
     */
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
-      phrases: Map[Int, String]): DataFrame = {
+      phrases: Map[Int, String]): DataFrame =
+    phraseSearch(lexIndexBuild(docs, idCol, textCol), phrases)
+
+  /** Serving form of [[phraseSearch]]: same plan from the broadcast
+    * phrase table down, but the posting side is the PRE-BUILT index —
+    * no tokenize/explode of the corpus per query batch.
+    */
+  def phraseSearch(index: LexIndex, phrases: Map[Int, String]): DataFrame = {
     require(phrases.nonEmpty)
-    val spark = docs.sparkSession
+    val spark = index.positional.sparkSession
     import spark.implicits._
     val pt = phrases.toSeq.flatMap { case (pid, p) =>
       val ts = p.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
       require(ts.nonEmpty, s"empty phrase $pid")
       ts.zipWithIndex.map { case (t, off) => (pid, off, t, ts.length) }
     }.toDF("phrase_id", "offset", "term", "plen")
-    positionalIndex(docs, idCol, textCol)
+    index.positional
       .join(broadcast(pt), "term")
       .select(col("phrase_id"), col("plen"), col("doc_id"),
         (col("pos") - col("offset")).as("start"), col("offset"))
@@ -115,18 +150,20 @@ object Retrieval {
     * ascending doc_id.
     */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, k: Int, idfScale: Long = 1000000L): DataFrame = {
-    require(k > 0 && idfScale > 0)
-    val postings = invertedIndex(docs, idCol, textCol)
-    val nDocs = docs.agg(count_distinct(col(idCol)).as("n_docs"))
-    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = dfs.crossJoin(broadcast(nDocs))
-      .select(col("term"), expr(s"(n_docs * $idfScale) div df").as("idf"))
+      queries: DataFrame, k: Int, idfScale: Long = 1000000L): DataFrame =
+    tfIdfTopK(lexIndexBuild(docs, idCol, textCol, idfScale), queries, k)
+
+  /** Serving form of [[tfIdfTopK]]: postings and the folded idf table
+    * come from the PRE-BUILT index — per batch the plan is one posting
+    * join + one idf join + the bounded top-k aggregate.
+    */
+  def tfIdfTopK(index: LexIndex, queries: DataFrame, k: Int): DataFrame = {
+    require(k > 0)
     val q = broadcast(queries.select(col("query_id").cast("int").as("query_id"),
       col("term")).distinct())
-    val scored = postings
+    val scored = index.postings
       .join(q, "term")
-      .join(idf, "term")
+      .join(index.idf, "term")
       .groupBy("query_id", "doc_id")
       .agg(sum(col("tf") * col("idf")).as("score"))
     scored.groupBy("query_id")

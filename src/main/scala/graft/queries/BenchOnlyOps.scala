@@ -111,7 +111,43 @@ object BenchOnlyOps {
       })
     }
 
+  private val lexCache =
+    scala.collection.mutable.HashMap.empty[String, graft.operators.Retrieval.LexIndex]
+  private def servedLex(s: SparkSession, dir: String)
+      : graft.operators.Retrieval.LexIndex =
+    lexCache.synchronized {
+      lexCache.getOrElseUpdate(dir, {
+        val d = "/tmp/graft_bench_lex"
+        val idx = graft.operators.Retrieval.lexIndexBuild(
+          t(s, dir, "documents"), "doc_id", "text")
+        idx.positional.write.mode("overwrite").parquet(s"$d/positional")
+        idx.postings.write.mode("overwrite").parquet(s"$d/postings")
+        idx.idf.write.mode("overwrite").parquet(s"$d/idf")
+        graft.operators.Retrieval.LexIndex(
+          s.read.parquet(s"$d/positional"),
+          s.read.parquet(s"$d/postings"),
+          s.read.parquet(s"$d/idf"))
+      })
+    }
+
   def specs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // lexical-index serving: phrase + TF-IDF batches against the
+    // pre-materialized LexIndex (oracle rows tx_phrase_search /
+    // tx_tfidf_topk pay tokenize+index build per query — same phrase /
+    // query sets here so the serve delta is read off directly)
+    "tx_phrase_serve" -> ((s, dir) =>
+      graft.operators.Retrieval.phraseSearch(servedLex(s, dir),
+        Map(1 -> "table hash", 2 -> "slow key", 3 -> "key agg row",
+          4 -> "a a"))),
+    "tx_tfidf_serve" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0, "slow"), (0, "key"),
+        (1, "table"), (1, "hash"), (1, "merge"),
+        (2, "vector"), (2, "zzz_absent")).toDF("query_id", "term")
+      graft.operators.Retrieval.tfIdfTopK(servedLex(s, dir), queries, k = 5)
+    }),
+
     "ann_ivfpq_serve" -> ((s, dir) =>
       Ann.ivfPqSearch(servedIndex(s, dir),
         t(s, dir, "embeddings").filter(col("vec_id") < 100),

@@ -167,4 +167,30 @@ class Round11OpsSpec extends SparkSpec {
     assert(rOpq >= rPca,
       s"OPQ recall $rOpq below round-robin-PCA recall $rPca")
   }
+
+  test("LexIndex: build-once/serve-many equals the one-shot forms across a parquet round-trip") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val docs = Tables.t(spark, sfDir, "documents").limit(300)
+    val idx = Retrieval.lexIndexBuild(docs, "doc_id", "text")
+    val d = java.nio.file.Files.createTempDirectory("lexidx").toString
+    idx.positional.write.mode("overwrite").parquet(s"$d/positional")
+    idx.postings.write.mode("overwrite").parquet(s"$d/postings")
+    idx.idf.write.mode("overwrite").parquet(s"$d/idf")
+    val served = Retrieval.LexIndex(
+      spark.read.parquet(s"$d/positional"),
+      spark.read.parquet(s"$d/postings"),
+      spark.read.parquet(s"$d/idf"))
+    val phrases = Map(1 -> "table hash", 2 -> "slow key", 3 -> "a a")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Retrieval.phraseSearch(served, phrases)) ==
+      rows(Retrieval.phraseSearch(docs, "doc_id", "text", phrases)),
+      "served phrase search diverged from the one-shot form")
+    val queries = Seq((0, "slow"), (0, "key"), (1, "table"), (1, "hash"))
+      .toDF("query_id", "term")
+    assert(rows(Retrieval.tfIdfTopK(served, queries, 5)) ==
+      rows(Retrieval.tfIdfTopK(docs, "doc_id", "text", queries, 5)),
+      "served TF-IDF diverged from the one-shot form")
+  }
 }
