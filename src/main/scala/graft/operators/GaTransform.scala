@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Model.MpEvent
 
@@ -226,7 +226,49 @@ object GaTransform {
   /** GA profiles: one per session with a usable id; $set from the P5
     * default maps (gaToMixpanel.js:104-109).
     */
+  /** P5 profiles — RELATIONAL tier (r11): the r10 typed flatMap
+    * deserialized the full nested GaSession (16-field hit structs and
+    * all) per row just to read four id strings and three maps, which
+    * made it GC-noisy at sf1 (rep spreads 3.5–20 s, SCALE.md:465). This
+    * projection reads ONLY the needed columns, builds the pair-rename
+    * map with [[graft.functions.Fns.mapMergeLastWins]] (LAST_WIN =
+    * exactly `toMap`'s later-binding-wins), and stays in whole-stage
+    * codegen; [[profilesTyped]] keeps the reference-loop rendering and
+    * the spec pins them equal.
+    */
   def profiles(spark: SparkSession, sessions: DataFrame): DataFrame = {
+    def usableC(v: Column): Column =
+      v.isNotNull && v =!= "" && lower(v) =!= "na"
+    def entries(m: Column, pairs: Seq[(String, String)]): Seq[Column] =
+      pairs.map { case (from, to) =>
+        val v = element_at(m, from)
+        when(usableC(v), map(lit(to), v))
+          .otherwise(map().cast("map<string,string>"))
+      }
+    val chan = when(usableC(col("channelGrouping")),
+        map(lit("UTM Channel"), col("channelGrouping")))
+      .otherwise(map().cast("map<string,string>"))
+    val allEntries = entries(col("device"), devicePairs) ++
+      entries(col("geoNetwork"), geoPairs) ++
+      entries(col("trafficSource"), trafficPairs) :+ chan
+    val ds = graft.Tables.ensureMinParallelism(sessions).select(
+        graft.functions.Fns.coalesceNonEmpty(col("userId"),
+          col("fullVisitorId"), col("visitorId"), col("client_id"),
+          col("visitId")).as("distinct_id"),
+        coalesce(col("visitStartTime").cast("long"), lit(0L)).as("t"),
+        coalesce(col("visitId"), lit("")).as("vid"),
+        graft.functions.Fns.mapMergeLastWins(allEntries: _*).as("set"))
+      .filter(col("distinct_id").isNotNull)
+    // first session (by start time, then visitId) wins — deterministic
+    Dedup.exactFirstWins(ds, Seq("distinct_id"), Seq("t", "vid"))
+      .drop("t", "vid")
+  }
+
+  /** The r10 typed-flatMap rendering of [[profiles]] (the reference's
+    * sequential per-session loop) — kept as the semantic baseline the
+    * relational tier is spec-pinned against.
+    */
+  def profilesTyped(spark: SparkSession, sessions: DataFrame): DataFrame = {
     import spark.implicits._
     val ds = graft.Tables.ensureMinParallelism(sessions).as[GaSession].flatMap { s =>
       val did = (Seq(s.userId, s.fullVisitorId, s.visitorId, s.client_id)

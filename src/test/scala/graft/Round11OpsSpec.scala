@@ -193,4 +193,21 @@ class Round11OpsSpec extends SparkSpec {
       rows(Retrieval.tfIdfTopK(docs, "doc_id", "text", queries, 5)),
       "served TF-IDF diverged from the one-shot form")
   }
+
+  test("relational GA profiles equal the typed-flatMap tier on the full fixture") {
+    import graft.operators.GaTransform
+    val sessions = graft.queries.VendorPackOps.gaFixture(spark, sfDir,
+      withHit = false)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("distinct_id"),
+          map_entries(col("set")).as("es"))
+        .selectExpr("distinct_id",
+          "array_sort(es, (a, b) -> CASE WHEN a.key < b.key THEN -1 " +
+            "WHEN a.key > b.key THEN 1 ELSE 0 END) AS es")
+        .collect().map(r => (r.getString(0), r.getSeq[Any](1))).toMap
+    val rel = canon(GaTransform.profiles(spark, sessions))
+    val typed = canon(GaTransform.profilesTyped(spark, sessions))
+    assert(rel.size == typed.size && rel == typed,
+      s"relational profiles diverged: ${rel.size} vs ${typed.size} rows")
+  }
 }
