@@ -648,4 +648,74 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Seq(("aab", "a ab"), ("abab", "ab ab"), ("zb", "[UNK]")))
     q.stop()
   }
+
+  test("multiPatternCount blocklist gate streams: counts identical to batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the Aho–Corasick automaton is a plan-time reference object and the
+    // count a pure codegen projection — the SAME expression serves the
+    // batch filter tier and a live stream gate
+    val pats = Seq("bad word", "spamx")
+    val docs = Seq((1L, "a Bad Word here and spamx twice spamx"),
+      (2L, "clean text"), (3L, "badword no boundary hit"))
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.functions.Fns.multiPatternCount(col("text"), pats).as("n_blocked"))
+    val mem = MemoryStream[(Long, String)]
+    val out = gate(mem.toDF().toDF("doc_id", "text"))
+    assert(out.isStreaming, "multiPatternCount must not break the streaming plan")
+    val q = out.writeStream.format("memory").queryName("mp_stream")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("mp_stream").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = gate(docs.toDF("doc_id", "text")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq((1L, 3L), (2L, 0L), (3L, 0L)))
+    q.stop()
+  }
+
+  test("streaming phrase gate (AC phrase patterns) matches batch phraseSearch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // phraseSearch's corpus-index form needs two chained aggregations
+    // (start votes, then matches) — not a streaming shape. The streaming
+    // rendering of the SAME gate: each phrase is a multi-word AC pattern
+    // (spaces are ordinary bytes to the automaton), evaluated per doc as
+    // a pure projection. Identity: a doc passes the streamed gate for
+    // phrase p iff batch phraseSearch reports (p, doc) with n_matches>=1.
+    val phrases = Map(1 -> "table hash", 2 -> "slow key")
+    val docs = Seq(
+      (10L, "the table hash join uses a slow key probe"),
+      (11L, "hash table inverted order never matches"),
+      (12L, "slow key slow key twice"),
+      (13L, "nothing relevant"))
+    val mem = MemoryStream[(Long, String)]
+    val hitCols = phrases.toSeq.sortBy(_._1).map { case (pid, p) =>
+      (graft.functions.Fns.multiPatternCount(col("text"), Seq(p)) >= 1L)
+        .as(s"hit_$pid")
+    }
+    val streamGate = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id") +: hitCols: _*)
+    assert(streamGate.isStreaming)
+    val q = streamGate.writeStream.format("memory").queryName("phrase_stream")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("phrase_stream").collect().flatMap { r =>
+      phrases.keys.toSeq.sorted.zipWithIndex.collect {
+        case (pid, i) if r.getBoolean(i + 1) => (pid, r.getLong(0))
+      }
+    }.toSet
+    val batch = graft.operators.Retrieval.phraseSearch(
+        docs.toDF("doc_id", "text"), "doc_id", "text", phrases)
+      .filter(col("n_matches") >= 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"stream gate $streamed != batch phraseSearch $batch")
+    assert(streamed == Set((1, 10L), (2, 10L), (2, 12L)))
+    q.stop()
+  }
 }
