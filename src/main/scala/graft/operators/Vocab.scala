@@ -140,9 +140,34 @@ object Vocab {
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
       maxWordTypes: Long = MaxDriverWordTypes): DataFrame = {
     require(nMerges >= 1, s"bad nMerges $nMerges")
-    if (nMerges <= MaxJobPerMergeRounds) bpeTrainDistributed(docs, textCol, nMerges)
-    else bpeTrainIncremental(docs, textCol, nMerges, maxWordTypes)
+    if (nMerges > MaxJobPerMergeRounds)
+      bpeTrainIncremental(docs, textCol, nMerges, maxWordTypes)
+    else if (fitsDriverTier(docs, textCol, maxWordTypes))
+      // size-adaptive (r11, the IdentityResolution/LinkGraph fast-path
+      // contract): even at few merges, a word-type table under the auto
+      // budget trains faster on the driver (zero per-round jobs — the
+      // distributed tier pays ~2 scheduler round-trips per merge). The
+      // tiers are property-tested equivalent.
+      bpeTrainIncremental(docs, textCol, nMerges, maxWordTypes)
+    else bpeTrainDistributed(docs, textCol, nMerges)
   }
+
+  /** Auto-route probe shared by [[bpeTrain]]/[[wordpieceTrain]]: ONE
+    * word-type-count job, true when the type table fits comfortably
+    * under the driver tier's budget. [[AutoDriverWordTypes]] is a
+    * conservative fraction of [[MaxDriverWordTypes]] so auto-routing
+    * never flirts with the loud cap — at 100 TB a real web corpus has
+    * tens of millions of types and takes the distributed tier.
+    */
+  private def fitsDriverTier(docs: DataFrame, textCol: String,
+      maxWordTypes: Long): Boolean =
+    docs.select(explode(Fns.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .agg(count_distinct(col("token")).as("n"))
+      .collect()(0).getLong(0) <= math.min(AutoDriverWordTypes, maxWordTypes)
+
+  /** See [[fitsDriverTier]]. */
+  val AutoDriverWordTypes: Long = 2000000L
 
   /** Merge count up to which [[bpeTrain]] runs one Spark job per round
     * (count → argmax → merge). Each round is a full pair recount over the
@@ -401,8 +426,13 @@ object Vocab {
   def wordpieceTrain(docs: DataFrame, textCol: String, nMerges: Int,
       maxWordTypes: Long = MaxDriverWordTypes): DataFrame = {
     require(nMerges >= 1, s"bad nMerges $nMerges")
-    if (nMerges <= MaxJobPerMergeRounds) wordpieceTrainDistributed(docs, textCol, nMerges)
-    else wordpieceTrainIncremental(docs, textCol, nMerges, maxWordTypes)
+    if (nMerges > MaxJobPerMergeRounds)
+      wordpieceTrainIncremental(docs, textCol, nMerges, maxWordTypes)
+    else if (fitsDriverTier(docs, textCol, maxWordTypes))
+      // size-adaptive — see [[bpeTrain]]; for wordpiece the per-round
+      // cost is even higher (symbol-table probe + scored argmax jobs)
+      wordpieceTrainIncremental(docs, textCol, nMerges, maxWordTypes)
+    else wordpieceTrainDistributed(docs, textCol, nMerges)
   }
 
   /** WordPiece-delimited word-type table: first symbol bare, continuations
