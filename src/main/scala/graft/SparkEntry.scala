@@ -18,7 +18,8 @@ object SparkEntry {
     TrainingDataOps.specs,
     ExtendedAnalytics.specs,
     ScalarOps.specs,
-    VendorPackOps.specs
+    VendorPackOps.specs,
+    DssOps.specs
   )
 
   private lazy val allSpecs: Map[String, QuerySpec] = {

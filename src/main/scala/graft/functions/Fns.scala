@@ -56,6 +56,13 @@ object Fns {
   def adcScore(codes: Column, lut: Column): Column =
     ofExpr(AdcScore(toExpr(codes), toExpr(lut)))
 
+  /** Codegen'd literal-matrix rotation `R·(v − μ)` (see [[MatVec]] —
+    * per-dim ascending fold, bit-identical to the HOF form it replaces).
+    */
+  def matVec(v: Column, mean: Array[Double],
+      rot: Array[Array[Double]]): Column =
+    ofExpr(MatVec(toExpr(v), mean, rot))
+
   /** The 128-bit line key of line-level dedup: `struct(h1, h2)` of two
     * independent xxhash64 seeds — 16-byte shuffle keys so line TEXT never
     * shuffles in the winner aggregation, with the collision contract of

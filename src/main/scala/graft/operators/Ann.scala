@@ -631,6 +631,51 @@ object Ann {
     IvfPqIndex(enc, centroids, books, k, byResidual)
   }
 
+  /** Append a new vector batch to a built [[IvfPqIndex]] WITHOUT
+    * retraining — the FAISS `add()` contract for a growing corpus: each
+    * new vector is assigned to its nearest EXISTING coarse centroid (a
+    * pure broadcast projection over the batch), PQ-coded with the
+    * EXISTING books (displaced against its centroid when the index is
+    * residual-coded), and unioned into `encoded`. The quantizers are
+    * frozen, so (a) appended code rows are bit-identical to what the
+    * same vectors would get from any other append order — append is
+    * associative (Round11bOpsSpec proves append(append(i,B1),B2) ==
+    * append(i, B1∪B2)) — and (b) [[ivfPqSearch]] serves old + new rows
+    * through the identical plan.
+    *
+    * Scale shape: cost is one projection + one codebook-literal encode
+    * over the NEW batch only; the existing corpus rows are untouched (no
+    * rebuild, no shuffle of old rows — union is plan-level). The
+    * centroid collect is bounded by nLists (the ivfAssignments
+    * driver-bounded contract). Periodic retraining when drift accumulates
+    * is a policy decision layered on [[ivfPqBuild]].
+    */
+  def ivfPqAppend(index: IvfPqIndex, batch: DataFrame, idCol: String,
+      vecCol: String): IvfPqIndex = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents: Seq[(Int, Seq[Double])] = index.centroids
+      .select(col("centroid").cast("int"), col("center"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val centArr = Seq(Tuple1(cents)).toDF("cents")
+      .select(transform(col("cents"), s =>
+        struct(s.getField("_1").as("c"), s.getField("_2").as("center"))).as("cents"))
+    val assigned = batch
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(centArr))
+      .select(col("id"), col("v"), centArgmin(col("cents"), col("v")).as("centroid"))
+    val codeSrc =
+      if (!index.byResidual) assigned.withColumnRenamed("v", "fv")
+      else assigned.join(broadcast(index.centroids), "centroid")
+        .select(col("id"), zip_with(col("v"), col("center"), _ - _).as("fv"),
+          col("centroid"))
+    val enc = pqEncode(codeSrc, "id", "fv", index.books)
+      .join(codeSrc.select(col("id"), col("centroid")), "id")
+    val cols = index.encoded.columns.map(col).toSeq
+    index.copy(encoded = index.encoded.unionByName(enc.select(cols: _*)))
+  }
+
   /** Serve one query batch against a built [[IvfPqIndex]]: nprobe
     * nearest coarse centroids per query (bounded nLists-per-query
     * window), per-(query, probed-list) ADC LUTs broadcast, the pruned
@@ -839,19 +884,9 @@ object Ann {
     * deterministic doubles.
     */
   def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
-      mean: Array[Double], rot: Array[Array[Double]]): DataFrame = {
-    val muLit = array(mean.map(lit(_)): _*)
-    val rows = rot.map(r => array(r.map(lit(_)): _*))
-    val outCols = rows.map { rl =>
-      aggregate(
-        zip_with(zip_with(col("__v"), muLit, (x, m) => x - m), rl,
-          (c, w) => c * w),
-        lit(0.0), (acc, t) => acc + t)
-    }
-    emb.withColumn("__v", col(vecCol).cast("array<double>"))
-      .withColumn("rotated", array(outCols: _*))
-      .drop("__v")
-  }
+      mean: Array[Double], rot: Array[Array[Double]]): DataFrame =
+    emb.withColumn("rotated",
+      Fns.matVec(col(vecCol).cast("array<double>"), mean, rot))
 
   /** PQ reconstruction of a (rotated/centered) vector column: per
     * subspace, the ASSIGNED centroid, concatenated back to full width.
@@ -894,15 +929,27 @@ object Ann {
     val centered = emb
       .select(col(vecCol).cast("array<double>").as("__v0"))
       .select(zip_with(col("__v0"), muLit, (x, mu) => x - mu).as("x"))
-    val rotated =
-      if (rot == null) col("x")
-      else array(rot.map { r =>
-        val rl = array(r.map(lit(_)): _*)
-        aggregate(zip_with(col("x"), rl, (c, w) => c * w),
-          lit(0.0), (acc, t) => acc + t)
-      }: _*)
-    centered
-      .withColumn("y", pqReconstruct(rotated, books))
+    // The rotation rides the codegen'd [[graft.functions.MatVec]] kernel
+    // (NOT the per-dim HOF form): Catalyst freely inlines non-cheap array
+    // aliases into consumers — centArgmin's fold evaluates its argument
+    // once per centroid and the pair-Generate once per exploded row — so
+    // the interpreted O(d²) tree re-executed 16·m× per row (measured:
+    // 335 s at sf0.1, a 17 MiB task binary; sub-second with the kernel).
+    val staged =
+      if (rot == null) centered.select(col("x"), col("x").as("xr"))
+      else centered.select(col("x"),
+        Fns.matVec(col("x"),
+          Array.fill(mean.length)(0.0), rot).as("xr"))
+    // Rotated path only: re-spread the (single-split at bench scale)
+    // corpus before the d² pair explode so the reconstruct + explode
+    // work uses every core — the ensureMinParallelism contract; a no-op
+    // when the scan is already as parallel as the cluster. Decimal sums
+    // above are order-independent, so the result is bit-identical. The
+    // identity path keeps its original zero-shuffle plan — it backs the
+    // SQL-expressible oracle row (emb_opq_cross_moments).
+    val withY = staged.withColumn("y", pqReconstruct(col("xr"), books))
+    val src = if (rot == null) withY else graft.Tables.ensureMinParallelism(withY)
+    src
       .select(posexplode(col("x")).as(Seq("i", "xi")), col("y"))
       .select(col("i"), col("xi"), posexplode(col("y")).as(Seq("j", "yj")))
       .groupBy("i", "j")

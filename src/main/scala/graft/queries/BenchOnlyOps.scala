@@ -153,6 +153,16 @@ object BenchOnlyOps {
         t(s, dir, "embeddings").filter(col("vec_id") < 100),
         "vec_id", "embedding", nprobe = 8, topK = 10)),
 
+    // IVF-PQ append: incremental index maintenance — a 10% batch is
+    // assigned + PQ-coded against the FROZEN quantizers and unioned with
+    // the materialized code table (the FAISS add() shape). The measured
+    // scan = one cheap codes-parquet read of the old rows + the encode
+    // projection of the batch; no retrain, no shuffle of old rows.
+    "ann_ivfpq_append" -> ((s, dir) =>
+      Ann.ivfPqAppend(servedIndex(s, dir),
+        t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding").encoded),
+
     // int8 serve: corpus scan reads 1-byte codes, dequantizes as a
     // projection, exact cosine against the raw 100-query batch
     "emb_int8_serve" -> ((s, dir) => {

@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{t, epochS}
+
+/** Decision-support plan shapes (the TPC-H forms expressible on this star
+  * schema — no partsupp/shipmode columns exist in the test tables, so Q2/
+  * Q9/Q11/Q12/Q19/Q20/Q21 are out of reach and the rest are adapted) plus
+  * the remaining event-analytics reports (stickiness, Markov transitions,
+  * activity histogram) in the reference's product domain (Mixpanel-style
+  * engagement metrics over the `events` stream table).
+  *
+  * Scale notes (100 TB posture):
+  *  - every scalar subquery (Q15 max revenue, Q17 per-part avg, Q22
+  *    balance threshold, activity-histogram total) is a 1-row or
+  *    dim-sized aggregate joined back via broadcast — no recomputation
+  *    per probe row, no correlated re-execution;
+  *  - Q18's HAVING runs as a partial-aggregated groupBy on the fact table
+  *    BEFORE the join back to orders/customer, so the join input is the
+  *    (tiny) qualifying-order set, not the fact table;
+  *  - windows are all user-partitioned (a11) — no partition-less window
+  *    anywhere (QueriesSpec tree-walks and rejects them);
+  *  - money math follows the QuerySpec.dec4 contract: decimal sums
+  *    (order-independent), one final cast to double.
+  */
+object DssOps {
+
+  private def disc(priceCol: String = "l_extendedprice"): org.apache.spark.sql.Column =
+    QuerySpec.dec4(col(priceCol)) * (lit(1) - QuerySpec.dec4(col("l_discount")))
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // ---- TPC-H Q8-like: national market share within a region ----------
+    // Two nation copies (customer region gate vs supplier nationality),
+    // conditional-sum share per order year. The share is a ratio of two
+    // decimal sums cast to double only at the end.
+    "q8_market_share" -> QuerySpec(
+      (s, dir) => {
+        val n2 = t(s, dir, "nation")
+          .select(col("n_nationkey").as("ck"), col("n_regionkey").as("crk"))
+        val ns = t(s, dir, "nation")
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part").filter(col("p_type") === "PROMO"),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("ck"))
+          .join(broadcast(reg), col("crk") === col("r_regionkey"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(ns), col("s_nationkey") === col("sk"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(round(
+            sum(when(col("supp_nation") === "NATION_7", disc()).otherwise(lit(0)))
+              .cast("double") /
+              sum(disc()).cast("double"), 4).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | round(CAST(sum(CASE WHEN ns.n_name = 'NATION_7'
+        |     THEN CAST(l_extendedprice AS DECIMAL(18,4))*(1-CAST(l_discount AS DECIMAL(18,4)))
+        |     ELSE 0 END) AS DOUBLE)
+        |   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1-CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+        |   4) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
+    // ---- TPC-H Q14-like: promo revenue share for one ship month --------
+    "q14_promo_revenue" -> QuerySpec(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+          .agg(round(lit(100) *
+            sum(when(col("p_type") === "PROMO", disc()).otherwise(lit(0)))
+              .cast("double") /
+            sum(disc()).cast("double"), 4).as("promo_revenue"))
+      },
+      """SELECT round(100 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |     THEN CAST(l_extendedprice AS DECIMAL(18,4))*(1-CAST(l_discount AS DECIMAL(18,4)))
+        |     ELSE 0 END) AS DOUBLE)
+        |   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1-CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+        |   4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin
+    ),
+
+    // ---- TPC-H Q15-like: supplier(s) with the quarter's max revenue ----
+    // Agg → 1-row max → broadcast equality join back (the view+subquery
+    // shape without re-running the agg twice).
+    "q15_top_supplier" -> QuerySpec(
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(QuerySpec.sumMoney(disc()).as("total_revenue"))
+        val top = rev.agg(max("total_revenue").as("mr"))
+        rev.join(broadcast(top), col("total_revenue") === col("mr"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select("s_suppkey", "s_name", "total_revenue")
+          .orderBy("s_suppkey")
+      },
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1-CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin
+    ),
+
+    // ---- TPC-H Q16-like: supplier variety per part segment -------------
+    // count-distinct over a dim-filtered join; the distinct shuffles the
+    // (brand,type,size,suppkey) projection only.
+    "q16_supplier_variety" -> QuerySpec(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#5" &&
+              col("p_size").isin(1, 4, 7, 10)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      """SELECT p_brand, p_type, p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 4, 7, 10)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+    ),
+
+    // ---- TPC-H Q17-like: small-quantity-order revenue ------------------
+    // The correlated `0.2 * avg(l_quantity)` subquery becomes a per-part
+    // aggregate joined back (AQE broadcasts it while it fits); quantities
+    // are integer-valued so the avg is order-exact in both engines.
+    "q17_small_qty_revenue" -> QuerySpec(
+      (s, dir) => {
+        val lim = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("pk"))
+          .agg((lit(0.2) * avg("l_quantity")).as("qty_lim"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part").filter(col("p_brand") === "Brand#3"),
+            col("l_partkey") === col("p_partkey"))
+          .join(lim, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < col("qty_lim"))
+          .agg(round(sum(QuerySpec.dec4(col("l_extendedprice"))).cast("double") /
+            lit(7.0), 2).as("avg_yearly"))
+      },
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_lim
+        |      FROM lineitem GROUP BY 1) a ON l_partkey = pk
+        |WHERE p_brand = 'Brand#3' AND l_quantity < qty_lim""".stripMargin
+    ),
+
+    // ---- TPC-H Q18-like: large-quantity orders -------------------------
+    // HAVING on the fact-side partial agg first; only qualifying orders
+    // join back to orders/customer.
+    "q18_large_orders" -> QuerySpec(
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum("l_quantity").as("sum_qty"))
+          .filter(col("sum_qty") > 200)
+        big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(50)
+      },
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200) b
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50""".stripMargin
+    ),
+
+    // ---- TPC-H Q22-like: well-funded dormant customers -----------------
+    // Scalar threshold (decimal-exact avg of positive balances) broadcast
+    // to every row; dormancy via left-anti against recent orders.
+    "q22_dormant_customers" -> QuerySpec(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val thr = cust.filter(col("c_acctbal") > 0)
+          .agg((sum(QuerySpec.dec4(col("c_acctbal"))).cast("double") /
+            count(lit(1))).as("thr"))
+        val recent = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey"))
+        cust.crossJoin(broadcast(thr))
+          .filter(col("c_acctbal") > col("thr"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            QuerySpec.sumMoney(QuerySpec.dec4(col("c_acctbal"))).as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      """SELECT c_nationkey, count(*) AS numcust,
+        | CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))),2) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |                   FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
+    // ---- stickiness: avg daily actives / weekly actives per week -------
+    // Integer epoch-day buckets (the a8 cohort convention) — no calendar
+    // semantics to disagree on; two keyed aggs joined on the week key.
+    "a10_stickiness" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("day", floor(epochS(col("ts")) / 86400).cast("long"))
+          .withColumn("week", floor(col("day") / 7).cast("long"))
+        val daily = ev.groupBy("week", "day")
+          .agg(countDistinct("user_id").as("dau"))
+        val avgDau = daily.groupBy("week")
+          .agg(round(avg("dau"), 4).as("avg_dau"))
+        val weekly = ev.groupBy(col("week").as("wk"))
+          .agg(countDistinct("user_id").as("wau"))
+        avgDau.join(weekly, col("week") === col("wk"))
+          .withColumn("stickiness", round(col("avg_dau") / col("wau"), 4))
+          .select("week", "avg_dau", "wau", "stickiness")
+          .orderBy("week")
+      },
+      """WITH e AS (SELECT (epoch_ms(ts)//1000)//86400 AS day, user_id FROM events),
+        |d AS (SELECT day//7 AS week, day, count(DISTINCT user_id) AS dau
+        |      FROM e GROUP BY 1, 2),
+        |a AS (SELECT week, round(avg(dau), 4) AS avg_dau FROM d GROUP BY 1),
+        |w AS (SELECT day//7 AS week, count(DISTINCT user_id) AS wau
+        |      FROM e GROUP BY 1)
+        |SELECT a.week AS week, avg_dau, wau,
+        |  round(avg_dau / wau, 4) AS stickiness
+        |FROM a JOIN w ON a.week = w.week
+        |ORDER BY a.week""".stripMargin
+    ),
+
+    // ---- Markov transition counts: (prev event → next event) -----------
+    // User-partitioned lag window (bounded per-user state), then a keyed
+    // count over the ≤|event_types|² transition pairs.
+    "a11_event_transitions" -> QuerySpec(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .select(col("prev_type"), col("event_type").as("next_type"))
+          .groupBy("prev_type", "next_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("prev_type"), col("next_type"))
+      },
+      """WITH x AS (SELECT event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM x WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, prev_type, next_type""".stripMargin
+    ),
+
+    // ---- per-user activity histogram + event share ---------------------
+    // The power-user report without a partition-less ntile: fixed-width
+    // count buckets (keyed agg) + a 1-row broadcast total for the share.
+    "a12_activity_histogram" -> QuerySpec(
+      (s, dir) => {
+        val cnt = t(s, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        val tot = cnt.agg(sum("cnt").cast("double").as("total"))
+        cnt.withColumn("bucket", (floor(col("cnt") / 10) * 10).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_users"), sum("cnt").as("n_events"))
+          .crossJoin(broadcast(tot))
+          .withColumn("event_share", round(col("n_events") / col("total"), 4))
+          .select("bucket", "n_users", "n_events", "event_share")
+          .orderBy("bucket")
+      },
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM events)
+        |SELECT (cnt//10)*10 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(cnt) AS BIGINT) AS n_events,
+        |  round(CAST(sum(cnt) AS DOUBLE) / any_value(total), 4) AS event_share
+        |FROM c, t
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    )
+  )
+}

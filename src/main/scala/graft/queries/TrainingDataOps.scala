@@ -3175,6 +3175,57 @@ object TrainingDataOps {
          |FROM sel WHERE rn = 1 ORDER BY cluster""".stripMargin
     ),
 
+    // ---- leakage-safe split: hash the near-dup CLUSTER, not the doc ----
+    // A plain doc-id hash split leaks near-duplicates across train/test
+    // (sp_split_leakage measures exactly that); splitting on the cluster
+    // representative (component label for clustered docs, own id for
+    // singletons) makes cross-split near-dup leakage zero BY CONSTRUCTION.
+    // Scale shape: the cluster map is the (small) LSH-pair component
+    // output left-joined onto the corpus; the split itself stays the
+    // stateless unitHash projection.
+    "sp_cluster_split" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, numHashes = NumHashes, bandSize = BandSize, threshold = 0.8)
+        val clusters = Dedup.nearDupClusters(pairs)
+        val withRep = docs.select(col("doc_id"))
+          .join(clusters, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("rep"))
+        graft.operators.Sampling.hashSplit(withRep, "rep",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("rep").as("n_clusters"),
+            sum("doc_id").cast("long").as("id_checksum"))
+          .orderBy("split")
+      },
+      s"""WITH RECURSIVE ${duckMinhashCtes()},
+         |np AS (
+         |  SELECT j.id_a AS a, j.id_b AS b
+         |  FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |  WHERE j.jaccard >= 0.8),
+         |edges AS (SELECT a, b FROM np UNION SELECT b AS a, a AS b FROM np),
+         |comp(node, label) AS (
+         |  SELECT DISTINCT a AS node, a AS label FROM edges
+         |  UNION
+         |  SELECT e.a, c.label FROM edges e JOIN comp c ON c.node = e.b),
+         |cl AS (SELECT node, min(label) AS cluster FROM comp GROUP BY node),
+         |r AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN cl ON cl.node = d.doc_id),
+         |h AS (
+         |  SELECT doc_id, rep,
+         |    (((${duckHash("CAST(rep AS VARCHAR)")})*1315423911 + 2654435761)
+         |      % 1000000007)*1.0/1000000007 AS u
+         |  FROM r)
+         |SELECT CASE WHEN u < 0.8 THEN 'train'
+         |            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, count(DISTINCT rep) AS n_clusters,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
     // ---- sequence packing: docs → fixed-token-budget training sequences
     "sp_sequence_packing" -> QuerySpec(
       (s, dir) => {
