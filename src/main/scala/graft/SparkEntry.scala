@@ -19,7 +19,8 @@ object SparkEntry {
     ExtendedAnalytics.specs,
     ScalarOps.specs,
     VendorPackOps.specs,
-    DssOps.specs
+    DssOps.specs,
+    AnalysisOps.specs
   )
 
   private lazy val allSpecs: Map[String, QuerySpec] = {

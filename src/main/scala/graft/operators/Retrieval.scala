@@ -153,6 +153,64 @@ object Retrieval {
       queries: DataFrame, k: Int, idfScale: Long = 1000000L): DataFrame =
     tfIdfTopK(lexIndexBuild(docs, idCol, textCol, idfScale), queries, k)
 
+  /** BM25 top-`k` — the saturating, length-normalized upgrade of
+    * [[tfIdfTopK]] (Robertson–Spärck Jones; the default ranking of every
+    * production lexical engine). Same integer-exactness contract as the
+    * rest of the family: k1/b arrive milli-scaled (1200/750 = the
+    * textbook 1.2/0.75), avgdl is the ppm-scaled rational
+    * `(Σdl · 1e6) div N`, and a hit contributes
+    *
+    *   (idf · tf · (1000 + k1m)) div
+    *     (tf·1000 + (k1m · ((1000 − bm) + (bm·dl·1e6) div avgdl_ppm)) div 1000)
+    *
+    * — floor-division rationals only (no float log, no float division),
+    * so per-hit contributions are exact integers and the per-(query,doc)
+    * sum is order-independent. The idf surrogate is the index's monotone
+    * `(N·scale) div df` table (same ranking family as BM25's log-idf for
+    * df ≪ N; documented engine-wide).
+    *
+    * Scale shape: doc lengths are ONE keyed aggregation over the index's
+    * posting relation (df-bounded, no raw text touched); avgdl is a 1-row
+    * broadcast scalar; the dl join keys on doc_id against the
+    * query-matched posting mass only. Ranking is the bounded
+    * [[graft.functions.TopKByScore]] aggregate — no corpus-wide sort.
+    */
+  def bm25TopK(index: LexIndex, queries: DataFrame, k: Int,
+      k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    require(k > 0 && k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000)
+    val dl = index.postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val avgdl = dl
+      .agg((sum(col("dl")) * lit(1000000L)).as("tot"), count(lit(1)).as("nd"))
+      .select(expr("tot div nd").as("avgdl_ppm"))
+    val q = broadcast(queries.select(col("query_id").cast("int").as("query_id"),
+      col("term")).distinct())
+    val scored = index.postings
+      .join(q, "term")
+      .join(index.idf, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .select(col("query_id"), col("doc_id"),
+        expr(s"""(idf * tf * (1000 + $k1Milli)) div
+                |  (tf * 1000 + ($k1Milli * ((1000 - $bMilli) +
+                |    ($bMilli * dl * 1000000) div avgdl_ppm)) div 1000)"""
+          .stripMargin.replace('\n', ' ')).as("contrib"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("score"))
+    scored.groupBy("query_id")
+      .agg(Fns.topKByScore(col("score").cast("double"), col("doc_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("doc_id"), col("hit.score").cast("long").as("score"))
+  }
+
+  /** One-shot [[bm25TopK]] — builds the index inline (delegates, so
+    * build-once/serve-many equality holds by construction).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int): DataFrame =
+    bm25TopK(lexIndexBuild(docs, idCol, textCol), queries, k)
+
   /** Serving form of [[tfIdfTopK]]: postings and the folded idf table
     * come from the PRE-BUILT index — per batch the plan is one posting
     * join + one idf join + the bounded top-k aggregate.

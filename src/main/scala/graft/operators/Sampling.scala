@@ -106,6 +106,37 @@ object Sampling {
       .drop("__hk", "__b")
   }
 
+  /** Weighted sampling WITHOUT replacement of exactly `k` rows —
+    * sequential Poisson sampling (Ohlsson 1998, the πps scheme official
+    * statistics uses): every row draws priority `u/w` (u uniform from its
+    * key hash, w its positive integer weight) and the k SMALLEST
+    * priorities win, so inclusion probability is ≈ proportional to
+    * weight. INTEGER-EXACT by construction: the priority is the scaled
+    * rational `(h · 1e9) div w` on the integer hash h ∈ [0, 1e9+7) — no
+    * float pow/log anywhere, so the selected SET (ties broken by key) is
+    * bit-identical across engines, partitionings, and runs, and an SQL
+    * oracle replays it verbatim.
+    *
+    * Scale shape: priority is a stateless projection; selection is
+    * `ORDER BY ... LIMIT k` — Spark plans TakeOrderedAndProject
+    * (per-partition bounded top-k, merge of k·P rows on the driver),
+    * NEVER a global sort. Weights ≤ 1e9 (pre-scale upstream if larger);
+    * rows with weight ≤ 0 are excluded (standard πps domain).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0)
+    val h = (Fns.rollingHash(col(keyCol).cast("string")) * lit(1315423911L)
+      + lit(2654435761L)) % lit(Fns.HashMod)
+    df.withColumn("__w", weight.cast("long"))
+      .filter(col("__w") > 0 && col("__w") <= 1000000000L)
+      .withColumn("__h", h)
+      .withColumn("priority", expr("(__h * 1000000000) div __w"))
+      .drop("__w", "__h")
+      .orderBy(col("priority"), col(keyCol))
+      .limit(k)
+  }
+
   /** Importance sampling with a per-ROW continuous weight ∈ [0,1] (the
     * data-mixing generalization of [[stratifiedSample]]'s per-stratum
     * constants): keep a row iff its key's unit hash is below its weight.

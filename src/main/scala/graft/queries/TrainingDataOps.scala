@@ -1412,6 +1412,56 @@ object TrainingDataOps {
          |WHERE j.jaccard >= 0.8 ORDER BY j.id_a, j.id_b""".stripMargin
     ),
 
+    // ---- edit-distance verification of LSH candidates ------------------
+    // The exact-similarity confirmation tier character-level dedup wants
+    // when shingle Jaccard is too coarse (near-identical docs with small
+    // in-place edits): LSH candidates at a LOW threshold (0.5), then true
+    // Levenshtein on the pair — keep pairs with edit similarity
+    // (max_len − lev)/max_len ≥ 0.8. Levenshtein is O(len²) per pair, so
+    // it ONLY ever runs on the LSH-pruned candidate mass (never all
+    // pairs), behind a free length-difference gate (|len_a − len_b| > 20%
+    // of max_len already caps similarity below 0.8 — pairs it drops
+    // cannot pass the final filter, so the gate is semantics-free).
+    "dd_edit_verify" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, numHashes = NumHashes, bandSize = BandSize, threshold = 0.5)
+        val ta = docs.select(col("doc_id").as("id_a"),
+          col("text").as("text_a"), length(col("text")).as("len_a"))
+        val tb = docs.select(col("doc_id").as("id_b"),
+          col("text").as("text_b"), length(col("text")).as("len_b"))
+        pairs.join(ta, "id_a").join(tb, "id_b")
+          .filter((greatest(col("len_a"), col("len_b"))
+              - least(col("len_a"), col("len_b"))).cast("bigint") * 1000000L
+            <= lit(200000L) * greatest(col("len_a"), col("len_b")).cast("bigint"))
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 4).as("jaccard"),
+            levenshtein(col("text_a"), col("text_b")).cast("long").as("lev"),
+            greatest(col("len_a"), col("len_b")).cast("long").as("max_len"))
+          .withColumn("sim_ppm", expr("((max_len - lev) * 1000000) div max_len"))
+          .filter(col("sim_ppm") >= 800000L)
+          .orderBy("id_a", "id_b")
+      },
+      s"""WITH ${duckMinhashCtes()},
+         |cp AS (
+         |  SELECT j.id_a, j.id_b, j.jaccard
+         |  FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |  WHERE j.jaccard >= 0.5),
+         |x AS (
+         |  SELECT cp.id_a, cp.id_b, round(cp.jaccard, 4) AS jaccard,
+         |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+         |    CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len
+         |  FROM cp
+         |  JOIN documents da ON cp.id_a = da.doc_id
+         |  JOIN documents db ON cp.id_b = db.doc_id)
+         |SELECT id_a, id_b, jaccard, lev, max_len,
+         |  ((max_len - lev) * 1000000) // max_len AS sim_ppm
+         |FROM x
+         |WHERE ((max_len - lev) * 1000000) // max_len >= 800000
+         |ORDER BY id_a, id_b""".stripMargin
+    ),
+
     // ---- SimHash signatures -------------------------------------------
     "dd_simhash" -> QuerySpec(
       (s, dir) =>
