@@ -20,7 +20,8 @@ object SparkEntry {
     ScalarOps.specs,
     VendorPackOps.specs,
     DssOps.specs,
-    AnalysisOps.specs
+    AnalysisOps.specs,
+    QualityOps.specs
   )
 
   private lazy val allSpecs: Map[String, QuerySpec] = {

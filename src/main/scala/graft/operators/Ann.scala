@@ -34,6 +34,23 @@ object Ann {
       .select(col("query_id"), (col("r") + 1).cast("int").as("rank"),
         col("t.id").as("neighbor_id"), round(col("t.score"), 4).as("cos"))
 
+  /** Range search: every corpus vector within a cosine radius of each
+    * query (`cos ≥ minCos`), the fixed-threshold dual of top-k — the
+    * primitive behind "find all near-duplicates of this document" and
+    * radius-bounded retrieval. Same broadcast-queries single corpus scan
+    * as [[bruteForceTopK]]; output size is selectivity-bounded by the
+    * threshold, not k. Output: (query_id, neighbor_id, cos round-4).
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Fns.cosineSim(col("qv"), col("cv")))
+      .filter(col("cos") >= lit(minCos))
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Exact top-k neighbors by cosine for each query vector.
     * Output: (query_id, rank, neighbor_id, cos).
     */
@@ -170,7 +187,29 @@ object Ann {
     * centroid lists. Output: (query_id, rank, neighbor_id, cos).
     */
   def ivfTopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
-      vecCol: String, k: Int, nLists: Int, nprobe: Int): DataFrame = {
+      vecCol: String, k: Int, nLists: Int, nprobe: Int): DataFrame =
+    rankTopK(ivfScoredCandidates(corpus, queryIds, idCol, vecCol, nLists, nprobe), k)
+
+  /** IVF range search: every probed-list vector with `cos ≥ minCos` — the
+    * fixed-radius dual of [[ivfTopK]] and the scale path for
+    * [[rangeSearch]] (same recall contract as IVF top-k: only the nprobe
+    * nearest lists are scanned, so candidates outside them are unseen by
+    * construction). Output: (query_id, neighbor_id, cos round-4);
+    * selectivity-bounded, no ranker at all — the threshold replaces it.
+    */
+  def ivfRange(corpus: DataFrame, queryIds: DataFrame, idCol: String,
+      vecCol: String, minCos: Double, nLists: Int, nprobe: Int): DataFrame =
+    ivfScoredCandidates(corpus, queryIds, idCol, vecCol, nLists, nprobe)
+      .filter(col("cos") >= lit(minCos))
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+
+  /** Shared IVF probe pipeline: train the coarse quantizer, pick each
+    * query's `nprobe` nearest lists, cosine-score only those lists'
+    * members. Returns the scored candidate stream
+    * (query_id, neighbor_id, cos, …) for a ranker or threshold to finish.
+    */
+  private def ivfScoredCandidates(corpus: DataFrame, queryIds: DataFrame,
+      idCol: String, vecCol: String, nLists: Int, nprobe: Int): DataFrame = {
     val (assign, centroids) = ivfAssignments(corpus, idCol, vecCol, nLists)
     val withList = corpus.select(col(idCol), col(vecCol)).join(assign, idCol)
     // query → its nprobe nearest centroids. This window is NOT a scale
@@ -189,10 +228,9 @@ object Ann {
     // score only the probed lists
     val cands = withList.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), col("centroid"))
-    val scored = cands.join(broadcast(probes), Seq("centroid"))
+    cands.join(broadcast(probes), Seq("centroid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Fns.cosineSim(col("qv"), col("cv")))
-    rankTopK(scored, k)
   }
 
   /** k-NN self-join: EVERY corpus vector gets its top-k neighbors (the

@@ -132,4 +132,96 @@ object LinkGraph {
       spark.sparkContext.defaultParallelism.min(8))
       .toDF("node", "rank")
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) in deterministic
+    * fixed-point integer arithmetic — the PageRank sibling for directed
+    * endorsement graphs. Each half-iteration L1-normalizes its raw score
+    * vector to `scale` with floor division, replacing the float L2 norm:
+    * exact longs, commutative sums, partitioning-invariant.
+    *
+    * Overflow contract (loud, not silent): normalization computes
+    * `raw·scale` where `raw ≤ maxDegree·scale`, so `maxDegree·scale²`
+    * must fit a long — the default ppm scale admits degrees to ~9·10⁶.
+    * Per iteration: two keyed join+agg passes over the edge list and two
+    * 1-row broadcast sums; no window, no collect.
+    *
+    * Returns (node, hub, auth) for every node.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"hits: iters must be 1..50, got $iters")
+    require(scale >= 1000L && scale <= 3000000000L,
+      s"hits: scale must be in [1e3, 3e9] (maxDegree·scale² must fit a long), got $scale")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+
+    def normalize(raw: DataFrame, out: String): DataFrame = {
+      val s = raw.agg(sum("raw").as("s"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(s))
+        .select(col("node"),
+          coalesce(expr(s"(raw * $scale) div s"), lit(0L)).as(out))
+    }
+
+    var h = nodes.select(col("node"), lit(scale).as("h"))
+    var a = nodes.select(col("node"), lit(0L).as("a"))
+    var i = 0
+    while (i < iters) {
+      a = normalize(
+        e.join(h.select(col("node").as("src"), col("h").as("hv")), "src")
+          .groupBy(col("dst").as("node")).agg(sum("hv").as("raw")), "a")
+      h = normalize(
+        e.join(a.select(col("node").as("dst"), col("a").as("av")), "dst")
+          .groupBy(col("src").as("node")).agg(sum("av").as("raw")), "h")
+      i += 1
+    }
+    h.join(a, "node").select(col("node"), col("h").as("hub"), col("a").as("auth"))
+  }
+
+  /** Exact triangle count by degree-ordered edge orientation (the
+    * classic distributed-counting shape, cf. Suri & Vassilvitskii,
+    * WWW 2011): every undirected edge is directed from its lower
+    * (degree, id) endpoint to the higher one, which bounds every
+    * out-list by O(√m) even on power-law graphs. Wedges — pairs of
+    * out-neighbors of one apex — are joined against the undirected edge
+    * set on their (min, max) endpoint pair; each triangle closes exactly
+    * once (its degree-order-minimum vertex is the unique apex).
+    *
+    * The join volume is Σ_u d_out(u)² ≤ m·O(√m), NOT the Σ_u deg(u)² a
+    * naive wedge join pays — the orientation is what makes a star
+    * vertex (degree 10⁶ at web scale) harmless.
+    *
+    * Returns one row: (n_vertices, n_edges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+        .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("o"))
+      .select(col("o.u").as("u"), col("o.w").as("w"))
+    // wedges (v, x): unordered out-neighbor pairs of u, canonical by id —
+    // the closing edge is then exactly the undirected edge (v, x).
+    val wedges = oriented.select(col("u"), col("w").as("va"))
+      .join(oriented.select(col("u"), col("w").as("vb")), "u")
+      .filter(col("va") < col("vb"))
+      .select(col("va").as("a"), col("vb").as("b"))
+    val nTri = wedges.join(e, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nV = deg.agg(count(lit(1)).as("n_vertices"))
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    nV.crossJoin(nE).crossJoin(nTri)
+  }
 }

@@ -579,4 +579,39 @@ object TextAnalysis {
     if (misclassified(w).count() < bestErr) pocket = w
     (pocket, feat)
   }
+
+  /** PMI-style collocation mining: adjacent-token bigrams scored by
+    * integer-rational lift — `c_xy · N · 10⁶ div (c_x · c_y)` (N = total
+    * token count), the point-wise mutual information exponentiated and
+    * ppm-scaled so no float log appears in any compared column. Bigrams
+    * below `minCount` are dropped before scoring (the classic sparsity
+    * gate); the result is the bounded top-`k` by (lift, w1, w2).
+    *
+    * One corpus pass builds the positional token table; bigrams are a
+    * doc-partitioned lead window (no self-join); both unigram joins carry
+    * only the ≥minCount bigram mass; N is a 1-row broadcast scalar.
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5, k: Int = 20): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(Fns.tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    val bg = toks
+      .withColumn("w2",
+        lead(col("w"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    bg.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        expr("(c_xy * n * 1000000) div (c1 * c2)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

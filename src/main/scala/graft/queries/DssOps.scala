@@ -236,6 +236,115 @@ object DssOps {
         |GROUP BY 1 ORDER BY 1""".stripMargin
     ),
 
+    // ---- TPC-H Q4-like: order priority checking (EXISTS semi-join) -----
+    // Orders in the window with at least one line shipped >60 days after
+    // order date (the test tables carry no commit/receipt dates, so the
+    // lateness predicate is adapted). The EXISTS compiles to a LEFT SEMI
+    // join — one pass over lineitem, no per-order re-execution.
+    "q4_order_priority" -> QuerySpec(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+          .withColumn("ord_t", epochS(col("o_orderdate")))
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), epochS(col("l_shipdate")).as("ship_t"))
+        o.join(l, col("l_orderkey") === col("o_orderkey") &&
+            col("ship_t") > col("ord_t") + lit(60L * 86400), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |    AND epoch_ms(l_shipdate)//1000 > epoch_ms(o_orderdate)//1000 + 60*86400)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
+    // ---- TPC-H Q10-like: top returned-item customers -------------------
+    // Revenue lost to returns per customer over a half-year window,
+    // bounded top-20 (TakeOrderedAndProject — no global sort) with a
+    // deterministic (revenue DESC, custkey) tie-break; nation broadcast.
+    "q10_returned_items" -> QuerySpec(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(QuerySpec.sumMoney(disc()).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1-CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+    ),
+
+    // ---- TPC-H Q13-like: customer order-count distribution -------------
+    // LEFT join with the exclusion predicate in the join condition (the
+    // Q13 o_comment analog, adapted to o_orderpriority) so excluded-only
+    // customers still count at c_count = 0; then the double aggregation.
+    "q13_order_distribution" -> QuerySpec(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"))
+        t(s, dir, "customer")
+          .join(o, col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT", "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM co
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+    ),
+
+    // ---- TPC-H Q19-like: disjunctive-predicate join revenue ------------
+    // OR-of-ANDs across both join sides (brand/size × quantity bands) —
+    // the planner keeps the equi-key (partkey) for the join and evaluates
+    // the disjunction as a residual filter; one fact-table pass.
+    "q19_disjunctive_revenue" -> QuerySpec(
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 30)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 50) &&
+              col("l_quantity").between(20, 40))))
+          .agg(count(lit(1)).as("n_lines"),
+            QuerySpec.sumMoney(disc()).as("revenue"))
+      },
+      """SELECT count(*) AS n_lines,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))*(1-CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+    ),
+
     // ---- stickiness: avg daily actives / weekly actives per week -------
     // Integer epoch-day buckets (the a8 cohort convention) — no calendar
     // semantics to disagree on; two keyed aggs joined on the week key.

@@ -1,0 +1,354 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.{t, epochS}
+import graft.operators.{Ann, DataQuality, LinkGraph, TextAnalysis, TimeSeries}
+
+/** Dataset-health, time-series, and graph-analytics operators: exact
+  * column profiling, robust (median/MAD) outlier detection, LOCF
+  * gap-fill resampling, SCD-2 run-length version history, PMI
+  * collocations, degree-ordered triangle counting, and cosine range
+  * search — the audit/reshape tier a curation pipeline runs around its
+  * transforms.
+  *
+  * House contracts: exact order statistics (no interpolation — every
+  * median/MAD is an element pick, partitioning-invariant), key-
+  * partitioned windows only, integer-rational scores (no float log),
+  * decimal money sums, broadcast scalars for corpus-level constants.
+  */
+object QualityOps {
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // ---- exact one-pass column profile ---------------------------------
+    // Null counts, EXACT distinct counts, numeric/temporal min-max for
+    // every lineitem column from one scan + one aggregate (the
+    // count-distinct expand is map-side partial-aggregated). The oracle
+    // recomputes per column with UNION ALL — same rows.
+    "dq_profile" -> QuerySpec(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        DataQuality.profile(li, li.columns.toSeq).orderBy("col_name")
+      },
+      {
+        val num = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val numSel = num.map(c =>
+          s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS DOUBLE) AS min_val,
+             |  CAST(max($c) AS DOUBLE) AS max_val FROM lineitem""".stripMargin)
+        val strSel = Seq("l_returnflag", "l_linestatus").map(c =>
+          s"""SELECT '$c', count(*) - count($c), count(DISTINCT $c),
+             |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem""".stripMargin)
+        val tsSel = Seq(
+          s"""SELECT 'l_shipdate', count(*) - count(l_shipdate),
+             |  count(DISTINCT l_shipdate),
+             |  CAST(min(epoch_ms(l_shipdate)//1000) AS DOUBLE),
+             |  CAST(max(epoch_ms(l_shipdate)//1000) AS DOUBLE) FROM lineitem""".stripMargin)
+        (numSel ++ strSel ++ tsSel).mkString("", " UNION ALL ", " ORDER BY col_name")
+      }
+    ),
+
+    // ---- robust outliers: exact median + MAD per event type ------------
+    // Lower medians as deterministic element picks (rank ⌈n/2⌉); the
+    // outlier gate |v − med| > 3·MAD compares doubles both engines
+    // compute from identical inputs with identical IEEE ops.
+    "dq_mad_outliers" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        DataQuality.madOutliers(ev, "event_type", "value", "event_id", k = 3.0)
+          .withColumnRenamed("g", "event_type")
+          .orderBy("event_type")
+      },
+      """WITH e AS (SELECT event_type, value, event_id FROM events),
+        |rk AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |med AS (SELECT event_type, value AS med FROM rk WHERE rn = (n+1)//2),
+        |dv AS (SELECT e.event_type, e.value, e.event_id, m.med,
+        |    abs(e.value - m.med) AS dev
+        |  FROM e JOIN med m ON e.event_type = m.event_type),
+        |rk2 AS (SELECT event_type, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev, value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM dv),
+        |mad AS (SELECT event_type, dev AS mad FROM rk2 WHERE rn = (n+1)//2)
+        |SELECT d.event_type, d.med, m.mad, count(*) AS n_rows,
+        |  count(*) FILTER (d.dev > 3*m.mad) AS n_outliers
+        |FROM dv d JOIN mad m ON d.event_type = m.event_type
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+    ),
+
+    // ---- LOCF gap-fill resample (hourly) -------------------------------
+    // Per-user hourly grid over the user's own [min, max] span; gaps
+    // carry the last observation forward. The compared surface is the
+    // per-user fill accounting (bucket/observed/imputed counts + the
+    // decimal-exact sum of imputed values), which pins every filled cell.
+    "ts_gap_fill" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), epochS(col("ts")).as("t"),
+            col("event_id"), col("value"))
+        TimeSeries.gapFillLocf(ev, "user_id", "t", "event_id", "value", 3600L)
+          .groupBy(col("key").as("user_id"))
+          .agg(count(lit(1)).as("n_buckets"),
+            count(col("value")).as("n_observed"),
+            (count(lit(1)) - count(col("value"))).as("n_imputed"),
+            QuerySpec.money2(sum(when(col("value").isNull,
+              QuerySpec.dec4(col("filled")))
+              .otherwise(lit(0).cast("decimal(18,4)")))).as("imputed_sum"))
+          .orderBy("user_id")
+      },
+      """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS t, event_id, value FROM events),
+        |b AS (SELECT user_id, t//3600 AS bkt, t, event_id, value FROM e),
+        |obs AS (SELECT user_id, bkt, value FROM (
+        |  SELECT user_id, bkt, value,
+        |    row_number() OVER (PARTITION BY user_id, bkt ORDER BY t DESC, event_id DESC) AS rn
+        |  FROM b) WHERE rn = 1),
+        |rng AS (SELECT user_id, min(bkt) AS lo, max(bkt) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(lo, hi+1)) AS bkt FROM rng),
+        |j AS (SELECT g.user_id, g.bkt, o.value,
+        |    last_value(o.value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.bkt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bkt = o.bkt)
+        |SELECT user_id, count(*) AS n_buckets, count(value) AS n_observed,
+        |  count(*) - count(value) AS n_imputed,
+        |  CAST(round(sum(CASE WHEN value IS NULL THEN CAST(filled AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS imputed_sum
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
+    // ---- SCD-2 run-length version history ------------------------------
+    // Event-type change points per user (run-length collapse in (t,
+    // event_id) order) aggregated to the dimension-history summary: how
+    // many versions, when the first opened, when the last opened, and
+    // the current state (max_by on the same scalar order key in both
+    // engines — t·10⁸ + event_id, overflow-free for epoch seconds).
+    "scd2_user_versions" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), epochS(col("ts")).as("t"),
+            col("event_id"), col("event_type"))
+        TimeSeries.runLengthVersions(ev, "user_id", "t", "event_id", "event_type")
+          .groupBy(col("key").as("user_id"))
+          .agg(count(lit(1)).as("n_versions"),
+            min(col("t")).as("first_t"),
+            max(col("t")).as("last_change_t"),
+            max_by(col("state"), col("t") * lit(100000000L) + col("tie"))
+              .as("current_state"))
+          .orderBy("user_id")
+      },
+      """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS t, event_id, event_type FROM events),
+        |lg AS (SELECT user_id, t, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev FROM e),
+        |chg AS (SELECT * FROM lg WHERE prev IS NULL OR event_type <> prev)
+        |SELECT user_id, count(*) AS n_versions, min(t) AS first_t,
+        |  max(t) AS last_change_t,
+        |  max_by(event_type, t*100000000 + event_id) AS current_state
+        |FROM chg GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
+    // ---- PMI collocations ----------------------------------------------
+    // Integer-rational bigram lift over the documents corpus, bounded
+    // top-20 with a ≥5-count sparsity gate.
+    "tx_pmi_bigrams" -> QuerySpec(
+      (s, dir) =>
+        TextAnalysis.pmiCollocations(t(s, dir, "documents"), "doc_id", "text",
+          minCount = 5, k = 20),
+      """WITH lst AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+        |toks AS (SELECT doc_id, unnest(range(1, len(l)+1)) AS pos, unnest(l) AS w FROM lst),
+        |tk AS (SELECT * FROM toks WHERE w <> ''),
+        |uni AS (SELECT w, count(*) AS c FROM tk GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM tk),
+        |bg AS (SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tk),
+        |bgc AS (SELECT w1, w2, count(*) AS c_xy FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |sc AS (SELECT w1, w2, c_xy, (c_xy * tot.n * 1000000) // (u1.c * u2.c) AS lift_ppm
+        |  FROM bgc JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w, tot
+        |  WHERE c_xy >= 5)
+        |SELECT w1, w2, c_xy, lift_ppm FROM sc
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 20""".stripMargin
+    ),
+
+    // ---- degree-ordered triangle count ---------------------------------
+    // Parts co-ordered in the same order (≥30-quantity lines) form the
+    // co-occurrence graph; the engine counts triangles with the oriented
+    // wedge join (out-lists bounded O(√m)); the oracle uses the naive
+    // three-way edge join — same exact count, different plan.
+    "graph_triangle_count" -> QuerySpec(
+      (s, dir) => {
+        val pr = t(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 30)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = pr.join(pr.select(col("o"), col("p").as("p2")), "o")
+          .filter(col("p") < col("p2"))
+          .select(col("p").as("src"), col("p2").as("dst"))
+        LinkGraph.triangleCount(edges, "src", "dst")
+      },
+      """WITH pr AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_quantity >= 30),
+        |e AS (SELECT DISTINCT a.p AS a, b.p AS b
+        |  FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p),
+        |v AS (SELECT count(DISTINCT x) AS nv FROM
+        |  (SELECT a AS x FROM e UNION SELECT b AS x FROM e)),
+        |ne AS (SELECT count(*) AS ne FROM e),
+        |tri AS (SELECT count(*) AS nt FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT v.nv AS n_vertices, ne.ne AS n_edges, tri.nt AS n_triangles
+        |FROM v, ne, tri""".stripMargin
+    ),
+
+    // ---- referential-integrity / key-uniqueness audit ------------------
+    // Every FK edge of the star schema as a LEFT ANTI orphan count plus
+    // the two primary-key uniqueness checks — the constraint audit a
+    // lakehouse ingest runs (parquet enforces none of them). All-zero
+    // violations on healthy data IS the assertion.
+    "dq_fk_orphans" -> QuerySpec(
+      (s, dir) => {
+        import graft.operators.DataQuality.{dupKeyCount, orphanCount}
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer")
+        def chk(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(name).as("check_name"), col("n_rows"), col("n_violations"))
+        Seq(
+          chk("fk_customer_nation", orphanCount(cust, Seq("c_nationkey"),
+            t(s, dir, "nation"), Seq("n_nationkey"))),
+          chk("fk_lineitem_orders", orphanCount(li, Seq("l_orderkey"),
+            ord, Seq("o_orderkey"))),
+          chk("fk_lineitem_part", orphanCount(li, Seq("l_partkey"),
+            t(s, dir, "part"), Seq("p_partkey"))),
+          chk("fk_lineitem_supplier", orphanCount(li, Seq("l_suppkey"),
+            t(s, dir, "supplier"), Seq("s_suppkey"))),
+          chk("fk_orders_customer", orphanCount(ord, Seq("o_custkey"),
+            cust, Seq("c_custkey"))),
+          chk("pk_lineitem", dupKeyCount(li, Seq("l_orderkey", "l_linenumber"))),
+          chk("pk_orders", dupKeyCount(ord, Seq("o_orderkey"))))
+          .reduce(_ unionByName _)
+          .orderBy("check_name")
+      },
+      """SELECT 'fk_customer_nation' AS check_name,
+        |  (SELECT count(*) FROM customer) AS n_rows,
+        |  (SELECT count(*) FROM customer
+        |    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_violations
+        |UNION ALL SELECT 'fk_lineitem_orders', (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem
+        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |UNION ALL SELECT 'fk_lineitem_part', (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem
+        |    WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |UNION ALL SELECT 'fk_lineitem_supplier', (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem
+        |    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |UNION ALL SELECT 'fk_orders_customer', (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders
+        |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |UNION ALL SELECT 'pk_lineitem', (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem)
+        |UNION ALL SELECT 'pk_orders', (SELECT count(*) FROM orders),
+        |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        |ORDER BY check_name""".stripMargin
+    ),
+
+    // ---- trailing 7-day moving average ---------------------------------
+    // Daily per-user decimal sums, then a RANGE frame over the integer
+    // day key ([day−6, day] — gap-aware, unlike a ROWS frame) divided by
+    // the fixed window width. Key-partitioned window; decimal sums cast
+    // to double only for the final division.
+    "ts_moving_avg" -> QuerySpec(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, dir, "events")
+          .select(col("user_id"), (epochS(col("ts")) / 86400).cast("long").as("day"),
+            col("value"))
+          .groupBy("user_id", "day")
+          .agg(sum(QuerySpec.dec4(col("value"))).as("dsum"))
+        val w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+        daily.select(col("user_id"), col("day"),
+            count(lit(1)).over(w).as("n_active_7d"),
+            round(sum(col("dsum")).over(w).cast("double") / 7, 4).as("ma7"))
+          .orderBy("user_id", "day")
+      },
+      """WITH daily AS (
+        |  SELECT user_id, (epoch_ms(ts)//1000)//86400 AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS dsum
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day,
+        |  count(*) OVER w AS n_active_7d,
+        |  round(CAST(sum(dsum) OVER w AS DOUBLE) / 7, 4) AS ma7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin
+    ),
+
+    // ---- HITS hubs & authorities ---------------------------------------
+    // Kleinberg's endorsement scores on the synthetic 37-host link graph
+    // (web_pagerank's edge set) — fixed-point integer halves with L1
+    // floor-normalization; the oracle unrolls both iterations' four
+    // normalize passes as CTEs, so any drift in any half-step breaks
+    // the hash.
+    "graph_hits" -> QuerySpec(
+      (s, dir) => {
+        val d = col("doc_id")
+        val docs = t(s, dir, "documents")
+        val edges = docs.select((d % 37).as("src"), ((d * 3 + 1) % 37).as("dst"))
+          .unionByName(
+            docs.select((d % 37).as("src"), ((d * 7 + 5) % 37).as("dst")))
+        LinkGraph.hits(edges, "src", "dst", iters = 2, scale = 1000000L)
+          .orderBy("node")
+      },
+      {
+        val iterCte = (i: Int) => {
+          val prevH = if (i == 1) "h0" else s"h${i - 1}"
+          s"""a${i}r AS (SELECT e.dst AS node, sum(h.h) AS raw
+             |  FROM e0 e JOIN $prevH h ON e.src = h.node GROUP BY 1),
+             |a${i}s AS (SELECT sum(raw) AS s FROM a${i}r),
+             |a$i AS (SELECT n.node, COALESCE((r.raw * 1000000) // a${i}s.s, 0) AS a
+             |  FROM nodes n LEFT JOIN a${i}r r ON n.node = r.node, a${i}s),
+             |h${i}r AS (SELECT e.src AS node, sum(a.a) AS raw
+             |  FROM e0 e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+             |h${i}s AS (SELECT sum(raw) AS s FROM h${i}r),
+             |h$i AS (SELECT n.node, COALESCE((r.raw * 1000000) // h${i}s.s, 0) AS h
+             |  FROM nodes n LEFT JOIN h${i}r r ON n.node = r.node, h${i}s)""".stripMargin
+        }
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT doc_id % 37 AS src, (doc_id * 3 + 1) % 37 AS dst
+           |  FROM documents
+           |  UNION
+           |  SELECT doc_id % 37, (doc_id * 7 + 5) % 37 FROM documents),
+           |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+           |h0 AS (SELECT node, 1000000 AS h FROM nodes),
+           |${(1 to 2).map(iterCte).mkString(",\n")}
+           |SELECT h2.node, CAST(h2.h AS BIGINT) AS hub, CAST(a2.a AS BIGINT) AS auth
+           |FROM h2 JOIN a2 ON h2.node = a2.node
+           |ORDER BY h2.node""".stripMargin
+      }
+    ),
+
+    // ---- cosine range search -------------------------------------------
+    // All corpus vectors within cos ≥ 0.30 of the 10-query batch — the
+    // fixed-radius dual of ann_topk_bruteforce, same broadcast-queries
+    // scan, output bounded by threshold selectivity.
+    "ann_range_search" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Ann.rangeSearch(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", minCos = 0.30)
+          .orderBy("query_id", "neighbor_id")
+      },
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.30
+        |ORDER BY 1, 2""".stripMargin
+    )
+  )
+}

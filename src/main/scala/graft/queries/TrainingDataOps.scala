@@ -2555,6 +2555,43 @@ object TrainingDataOps {
       }
     ),
 
+    // ---- ANN: IVF range search (fixed radius over probed lists) --------
+    // The radius dual of ann_ivf_probe: same trained coarse quantizer,
+    // same nprobe-list candidate stream, but a cos ≥ 0.25 threshold
+    // replaces the ranker — the scale path for "all near-duplicates of
+    // these queries" (output bounded by selectivity, not k).
+    "ann_ivf_range" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Ann.ivfRange(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          minCos = 0.25, nLists = 8, nprobe = 3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      {
+        s"""WITH ${duckIvfCtes(8)},
+           |cent AS (SELECT c, center FROM c2),
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |qd AS (
+           |  SELECT query_id, c,
+           |    list_dot_product(qv, qv) + list_dot_product(center, center)
+           |      - 2*list_dot_product(qv, center) AS dist
+           |  FROM q CROSS JOIN cent),
+           |probes AS (SELECT query_id, c FROM (
+           |  SELECT query_id, c, row_number() OVER (PARTITION BY query_id ORDER BY dist, c) AS rn
+           |  FROM qd) WHERE rn <= 3),
+           |sc AS (
+           |  SELECT p.query_id, b.vec_id AS neighbor_id, $duckCosine AS cos
+           |  FROM probes p
+           |  JOIN a3 ON a3.c = p.c
+           |  JOIN embeddings a ON a.vec_id = p.query_id
+           |  JOIN embeddings b ON b.vec_id = a3.id
+           |  WHERE a3.id <> p.query_id)
+           |SELECT query_id, neighbor_id, round(cos, 4) AS cos
+           |FROM sc WHERE cos >= 0.25 ORDER BY 1, 2""".stripMargin
+      }
+    ),
+
     // ---- cluster-quality audit: per-list inertia -----------------------
     // The index-health metric an IVF deployment tracks (unbalanced or
     // high-inertia lists mean a bad coarse quantizer): per cluster, the
