@@ -214,6 +214,48 @@ object LinkGraph {
     h.join(a, "node").select(col("node"), col("h").as("hub"), col("a").as("auth"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) with fully
+    * deterministic tie-breaks — the lightweight community detector. Every
+    * node starts labeled with its own id; each round it adopts the most
+    * frequent label among its neighbors, ties to the SMALLEST label, and
+    * isolated nodes keep their own. Synchronous rounds + deterministic
+    * ties make the result partitioning-invariant (classic async LPA is
+    * run-order-dependent — useless under a hash-compare contract).
+    *
+    * Per round: one keyed join edge⨝labels, one (node,label) count, one
+    * node-partitioned pick window (partition size ≤ the node's distinct
+    * neighbor labels ≤ its degree). Labels are cut per round (blocks
+    * released when superseded) — same retention contract as [[hits]].
+    *
+    * Returns (node, label).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"labelPropagation: iters must be 1..50, got $iters")
+    val dir = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val und = cut(dir.union(dir.select(col("b").as("a"), col("a").as("b"))).distinct())
+    val nodes = cut(und.select(col("a").as("node")).distinct())
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    var i = 0
+    while (i < iters) {
+      val cnt = und
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("c").desc, col("label"))
+      val pick = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("node"), col("label"))
+      val next = cut(nodes.join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label")))
+      if (i > 0) releaseBlocks(labels)
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Exact triangle count by degree-ordered edge orientation (the
     * classic distributed-counting shape, cf. Suri & Vassilvitskii,
     * WWW 2011): every undirected edge is directed from its lower

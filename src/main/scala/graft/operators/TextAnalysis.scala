@@ -591,6 +591,48 @@ object TextAnalysis {
     * doc-partitioned lead window (no self-join); both unigram joins carry
     * only the ≥minCount bigram mass; N is a 1-row broadcast scalar.
     */
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; each word scores deg/freq (deg =
+    * Σ phrase length over its occurrences — co-occurrence degree
+    * including self); a phrase scores the sum of its words' scores. All
+    * integer-rational (score_ppm = deg·10⁶ div freq). Returns the top-`k`
+    * distinct phrases by (score, phrase) with occurrence counts.
+    *
+    * Phrase segmentation is a doc-partitioned stopword prefix-sum (one
+    * window, no self-join); phrases longer than `maxPhraseLen` are
+    * dropped (the RAKE length cap — also bounds the phrase-string agg).
+    * Word/phrase tables are vocabulary-sized; top-k is bounded.
+    */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      maxPhraseLen: Int = 8, k: Int = 15): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(Fns.tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .withColumn("stop", when(col("w").isin(StopWords: _*), 1).otherwise(0))
+    val seg = toks.withColumn("phrase_id",
+      sum("stop").over(Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pw = seg.filter(col("stop") === 0)
+      .select(col("doc_id"), col("phrase_id"), col("pos"), col("w"))
+    val ph = pw.groupBy("doc_id", "phrase_id")
+      .agg(count(lit(1)).as("plen"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"))
+      .filter(col("plen") <= maxPhraseLen)
+    val occ = pw.join(ph, Seq("doc_id", "phrase_id"))
+    val wscore = occ.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("w"), expr("(deg * 1000000) div freq").as("wsc"))
+    occ.join(wscore, "w")
+      .groupBy("doc_id", "phrase_id", "phrase")
+      .agg(sum("wsc").as("score"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"), min("score").as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
+
   def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5, k: Int = 20): DataFrame = {
     val toks = docs

@@ -328,6 +328,79 @@ object QualityOps {
       }
     ),
 
+    // ---- RAKE keyword extraction ---------------------------------------
+    // Stopword-delimited candidate phrases scored by Σ deg/freq of their
+    // words, integer-rational throughout; the oracle rebuilds the
+    // prefix-sum segmentation, the word degree table, and the phrase
+    // ranking in SQL.
+    "tx_rake_keywords" -> QuerySpec(
+      (s, dir) =>
+        TextAnalysis.rakeKeywords(t(s, dir, "documents"), "doc_id", "text",
+          maxPhraseLen = 8, k = 15),
+      {
+        val stops = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+        s"""WITH lst AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS l FROM documents),
+           |toks AS (SELECT doc_id, unnest(range(1, len(l)+1)) AS pos, unnest(l) AS w FROM lst),
+           |tk AS (SELECT * FROM toks WHERE w <> ''),
+           |fl AS (SELECT doc_id, pos, w,
+           |  CASE WHEN w IN ($stops) THEN 1 ELSE 0 END AS stop FROM tk),
+           |seg AS (SELECT doc_id, pos, w, stop,
+           |    sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+           |  FROM fl),
+           |pw AS (SELECT doc_id, phrase_id, pos, w FROM seg WHERE stop = 0),
+           |ph AS (SELECT doc_id, phrase_id, count(*) AS plen,
+           |    string_agg(w, ' ' ORDER BY pos) AS phrase
+           |  FROM pw GROUP BY 1, 2),
+           |phok AS (SELECT * FROM ph WHERE plen <= 8),
+           |occ AS (SELECT p.doc_id, p.phrase_id, p.plen, p.phrase, w.w
+           |  FROM phok p JOIN pw w ON p.doc_id = w.doc_id AND p.phrase_id = w.phrase_id),
+           |ws AS (SELECT w, count(*) AS freq, sum(plen) AS deg FROM occ GROUP BY 1),
+           |wscore AS (SELECT w, (deg * 1000000) // freq AS wsc FROM ws),
+           |psc AS (SELECT o.doc_id, o.phrase_id, o.phrase, sum(s.wsc) AS score
+           |  FROM occ o JOIN wscore s ON o.w = s.w GROUP BY 1, 2, 3)
+           |SELECT phrase, count(*) AS n_occ, CAST(min(score) AS BIGINT) AS score
+           |FROM psc GROUP BY 1 ORDER BY score DESC, phrase LIMIT 15""".stripMargin
+      }
+    ),
+
+    // ---- synchronous label propagation ---------------------------------
+    // Deterministic LPA communities on the undirected 37-host graph:
+    // most-frequent neighbor label, ties to the smallest, synchronous
+    // rounds — the oracle unrolls both rounds' count/pick/coalesce.
+    "graph_label_prop" -> QuerySpec(
+      (s, dir) => {
+        val d = col("doc_id")
+        val docs = t(s, dir, "documents")
+        val edges = docs.select((d % 37).as("src"), ((d * 3 + 1) % 37).as("dst"))
+          .unionByName(
+            docs.select((d % 37).as("src"), ((d * 7 + 5) % 37).as("dst")))
+        LinkGraph.labelPropagation(edges, "src", "dst", iters = 2)
+          .orderBy("node")
+      },
+      {
+        val iterCte = (i: Int) => {
+          val prev = s"l${i - 1}"
+          s"""c$i AS (SELECT u.a AS node, l.label, count(*) AS c
+             |  FROM und u JOIN $prev l ON u.b = l.node GROUP BY 1, 2),
+             |p$i AS (SELECT node, label FROM (SELECT node, label,
+             |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+             |  FROM c$i) WHERE rn = 1),
+             |l$i AS (SELECT n.node, COALESCE(p.label, n.node) AS label
+             |  FROM nodes n LEFT JOIN p$i p ON n.node = p.node)""".stripMargin
+        }
+        s"""WITH e0 AS (
+           |  SELECT doc_id % 37 AS src, (doc_id * 3 + 1) % 37 AS dst FROM documents
+           |  UNION SELECT doc_id % 37, (doc_id * 7 + 5) % 37 FROM documents),
+           |und AS (SELECT src AS a, dst AS b FROM e0 UNION SELECT dst, src FROM e0),
+           |nodes AS (SELECT DISTINCT a AS node FROM und),
+           |l0 AS (SELECT node, node AS label FROM nodes),
+           |${(1 to 2).map(iterCte).mkString(",\n")}
+           |SELECT node, label FROM l2 ORDER BY node""".stripMargin
+      }
+    ),
+
     // ---- cosine range search -------------------------------------------
     // All corpus vectors within cos ≥ 0.30 of the 10-query batch — the
     // fixed-radius dual of ann_topk_bruteforce, same broadcast-queries

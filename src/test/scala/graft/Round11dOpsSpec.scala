@@ -151,6 +151,29 @@ class Round11dOpsSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: disjoint triangles converge to their min ids") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val r = LinkGraph.labelPropagation(edges, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(r(_) === 1L))
+    assert(Seq(10L, 11L, 12L).forall(r(_) === 10L))
+  }
+
+  test("rakeKeywords: degree/frequency scoring on a known corpus") {
+    import spark.implicits._
+    // 'of' splits phrases; "red apple" repeats, "banana" is a singleton.
+    val docs = Seq((0L, "red apple of banana"), (1L, "red apple"))
+      .toDF("id", "text")
+    val r = TextAnalysis.rakeKeywords(docs, "id", "text").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // red/apple: freq 2, deg 2+2=4 → 2e6 each → phrase 4e6, 2 occurrences
+    assert(r("red apple") === ((2L, 4000000L)))
+    // banana: freq 1, deg 1 → 1e6
+    assert(r("banana") === ((1L, 1000000L)))
+  }
+
   test("rangeSearch: agrees with bruteForceTopK above the threshold") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
