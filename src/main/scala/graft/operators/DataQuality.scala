@@ -91,6 +91,32 @@ object DataQuality {
         count(when(col("dev") > lit(k) * col("mad"), 1)).as("n_outliers"))
   }
 
+  /** 2×2 chi-square independence test in exact integer arithmetic — the
+    * A/B experiment gate. Input: one row per unit with a binary
+    * `groupCol` (0/1 variant) and binary `flagCol` (0/1 outcome). Uses
+    * the contingency form χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)),
+    * evaluated as staged ppm floor divisions (identical association
+    * order on both engines); degenerate margins yield 0 instead of
+    * dividing by zero. Documented bound: per-cell counts ≲ 10⁵ keep
+    * every intermediate in a long.
+    *
+    * Returns one row: (conv_a, noconv_a, conv_b, noconv_b, chi2_ppm).
+    */
+  def chiSquare2x2(df: DataFrame, groupCol: String, flagCol: String): DataFrame = {
+    val g = col(groupCol)
+    val f = col(flagCol)
+    df.agg(
+        sum(when(g === 0 && f === 1, 1).otherwise(0)).as("a"),
+        sum(when(g === 0 && f === 0, 1).otherwise(0)).as("b"),
+        sum(when(g === 1 && f === 1, 1).otherwise(0)).as("c"),
+        sum(when(g === 1 && f === 0, 1).otherwise(0)).as("d"))
+      .select(col("a").as("conv_a"), col("b").as("noconv_a"),
+        col("c").as("conv_b"), col("d").as("noconv_b"),
+        expr("""CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) = 0 THEN CAST(0 AS BIGINT) ELSE
+          ((((a*d - b*c)*(a*d - b*c) * 1000000) div ((a+b)*(c+d))) * (a+b+c+d))
+            div ((a+c)*(b+d)) END""").as("chi2_ppm"))
+  }
+
   /** One referential-integrity check: child rows whose key tuple has no
     * match in the parent — a keyed LEFT ANTI join (no correlated probe,
     * one shuffle on the FK; broadcast when the parent is a dim).

@@ -62,4 +62,24 @@ object TimeSeries {
       .filter(col("prev").isNull || col("state") =!= col("prev"))
       .drop("prev")
   }
+
+  /** Exact least-squares trend slope per key over integer points:
+    * `slope_micro = ((n·Σxy − Σx·Σy) · 10⁶) div (n·Σx² − (Σx)²)` — the
+    * closed form in pure long arithmetic (callers pre-scale `y` to an
+    * integer, e.g. decimal·10⁴, and zero-base `x` to keep the products
+    * small). Keys with fewer than 2 points are dropped (degenerate
+    * denominator). One keyed aggregate — no window, no per-key fit loop.
+    *
+    * Returns (key, n, slope_micro).
+    */
+  def trendSlope(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame =
+    df.select(col(keyCol).as("key"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x*y")).as("sxy"), sum(expr("x*x")).as("sxx"))
+      .filter(col("n") >= 2)
+      .select(col("key"), col("n"),
+        expr("((n*sxy - sx*sy) * 1000000) div (n*sxx - sx*sx)").as("slope_micro"))
 }

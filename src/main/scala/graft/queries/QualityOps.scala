@@ -328,6 +328,107 @@ object QualityOps {
       }
     ),
 
+    // ---- per-user trend slope ------------------------------------------
+    // Exact least-squares slope of each user's daily spend (decimal·10⁴
+    // integer y, zero-based day x): one keyed aggregate, closed-form long
+    // arithmetic, no per-key fit loop. slope_micro is in 10⁻⁴-value units
+    // per day, ×10⁶.
+    "ts_trend_slope" -> QuerySpec(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, dir, "events")
+          .select(col("user_id"), (epochS(col("ts")) / 86400).cast("long").as("day"),
+            col("value"))
+          .groupBy("user_id", "day")
+          .agg((sum(QuerySpec.dec4(col("value"))) * 10000).cast("long").as("y"))
+        val base = daily.withColumn("x",
+          col("day") - min("day").over(Window.partitionBy("user_id")))
+        TimeSeries.trendSlope(base, "user_id", "x", "y")
+          .withColumnRenamed("key", "user_id")
+          .orderBy("user_id")
+      },
+      """WITH daily AS (SELECT user_id, (epoch_ms(ts)//1000)//86400 AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT user_id, day - min(day) OVER (PARTITION BY user_id) AS x, y
+        |  FROM daily),
+        |s AS (SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  FROM base GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT user_id, n,
+        |  CAST(((n*sxy - sx*sy) * 1000000) // (n*sxx - sx*sx) AS BIGINT) AS slope_micro
+        |FROM s ORDER BY user_id""".stripMargin
+    ),
+
+    // ---- A/B chi-square gate -------------------------------------------
+    // Hash-split variants (user_id parity), conversion = ≥14 purchase
+    // events; the 2×2 independence statistic in exact staged-integer
+    // form (contingency χ² — no float, no normal approximation table).
+    "ab_chi_square" -> QuerySpec(
+      (s, dir) => {
+        val u = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(when(sum(when(col("event_type") === "purchase", 1).otherwise(0)) >= 14,
+            1).otherwise(0).as("conv"))
+          .withColumn("variant", (col("user_id") % 2).cast("int"))
+        DataQuality.chiSquare2x2(u, "variant", "conv")
+      },
+      """WITH u AS (SELECT user_id, user_id % 2 AS variant,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |      THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |ct AS (SELECT
+        |    sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END) AS b,
+        |    sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS c,
+        |    sum(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END) AS d
+        |  FROM u)
+        |SELECT CAST(a AS BIGINT) AS conv_a, CAST(b AS BIGINT) AS noconv_a,
+        |  CAST(c AS BIGINT) AS conv_b, CAST(d AS BIGINT) AS noconv_b,
+        |  CAST(CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) = 0 THEN 0 ELSE
+        |    ((((a*d - b*c)*(a*d - b*c) * 1000000) // ((a+b)*(c+d))) * (a+b+c+d))
+        |      // ((a+c)*(b+d)) END AS BIGINT) AS chi2_ppm
+        |FROM ct""".stripMargin
+    ),
+
+    // ---- Benford first-digit audit -------------------------------------
+    // First significant digit of order totals vs the Benford expectation
+    // (ppm literals — the only logs in the op are compile-time
+    // constants); deviation in ppm flags synthetic/fabricated columns.
+    // Digit extraction is string-based (both engines print these plain).
+    "dq_benford" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val exp = Seq((1, 301030L), (2, 176091L), (3, 124939L), (4, 96910L),
+          (5, 79181L), (6, 66947L), (7, 57992L), (8, 51153L), (9, 45757L))
+          .toDF("digit", "exp_ppm")
+        val fd = t(s, dir, "orders")
+          .select(substring(col("o_totalprice").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+        val n = fd.agg(count(lit(1)).as("n"))
+        fd.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+          .crossJoin(broadcast(n))
+          .join(broadcast(exp), Seq("digit"))
+          .select(col("digit"), col("n_obs"),
+            expr("(n_obs * 1000000) div n").as("obs_ppm"),
+            col("exp_ppm"),
+            expr("abs((n_obs * 1000000) div n - exp_ppm)").as("dev_ppm"))
+          .orderBy("digit")
+      },
+      """WITH fd AS (SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |n AS (SELECT count(*) AS n FROM fd),
+        |exp(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        |obs AS (SELECT digit, count(*) AS n_obs FROM fd GROUP BY 1)
+        |SELECT obs.digit, n_obs,
+        |  CAST((n_obs * 1000000) // n.n AS BIGINT) AS obs_ppm,
+        |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+        |  CAST(abs((n_obs * 1000000) // n.n - exp_ppm) AS BIGINT) AS dev_ppm
+        |FROM obs JOIN exp ON obs.digit = exp.digit, n
+        |ORDER BY obs.digit""".stripMargin
+    ),
+
     // ---- RAKE keyword extraction ---------------------------------------
     // Stopword-delimited candidate phrases scored by Σ deg/freq of their
     // words, integer-rational throughout; the oracle rebuilds the

@@ -151,6 +151,27 @@ class Round11dOpsSpec extends SparkSpec {
     }
   }
 
+  test("trendSlope: exact slope on a perfect line; singletons dropped") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 0L), (1L, 1L, 3L), (1L, 2L, 6L), (1L, 3L, 9L),
+      (2L, 5L, 7L)).toDF("k", "x", "y")
+    val r = TimeSeries.trendSlope(df, "k", "x", "y").collect()
+    assert(r.length === 1, "single-point key must be dropped")
+    assert(r(0).getLong(0) === 1L && r(0).getLong(2) === 3000000L)
+  }
+
+  test("chiSquare2x2: perfect association and degenerate margins") {
+    import spark.implicits._
+    // a=10, d=10, b=c=0: chi-square = N = 20 → 20e6 ppm exactly
+    val perfect = (Seq.fill(10)((0, 1)) ++ Seq.fill(10)((1, 0))).toDF("g", "f")
+    val p = DataQuality.chiSquare2x2(perfect, "g", "f").collect()(0)
+    assert(p.getLong(0) === 10L && p.getLong(3) === 10L)
+    assert(p.getLong(4) === 20000000L)
+    // everyone converts → a zero margin → 0, not a division error
+    val degen = Seq((0, 1), (1, 1)).toDF("g", "f")
+    assert(DataQuality.chiSquare2x2(degen, "g", "f").collect()(0).getLong(4) === 0L)
+  }
+
   test("labelPropagation: disjoint triangles converge to their min ids") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
