@@ -95,4 +95,52 @@ object StreamJoins {
       .withColumn("lag_sec",
         unix_timestamp(col(rightTs)) - unix_timestamp(col(leftTs)))
   }
+
+  /** One key's SCD-2 version summary: how many distinct state versions
+    * opened so far, when the first opened, when the latest opened, and
+    * the current state value.
+    */
+  case class VersionSummary(key: Long, n_versions: Long, first_t: Long,
+      last_change_t: Long, current_state: String)
+
+  /** INCREMENTAL SCD-2 version tracking over a stream — the stateful
+    * sibling of [[graft.operators.TimeSeries.runLengthVersions]]: per
+    * key, a mapGroupsWithState fold opens a new version whenever the
+    * observed state differs from the current one, collapsing consecutive
+    * repeats exactly like the batch run-length pass. State per key is
+    * O(1): the four summary fields — never buffered events. Emits the
+    * key's current [[VersionSummary]] each batch (update mode).
+    *
+    * Within-batch rows are folded in (t, tie) order — the batch
+    * operator's sort key — so for time-ordered arrival a batch boundary
+    * can never change the result (the spec pins stream-vs-batch
+    * identity against the runLengthVersions aggregate).
+    */
+  def versionTracker(events: DataFrame, keyCol: String, tCol: String,
+      tieCol: String, stateCol: String)
+      : org.apache.spark.sql.Dataset[VersionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col(keyCol).cast("long").as("key"),
+        col(tCol).cast("long").as("t"), col(tieCol).cast("long").as("tie"),
+        col(stateCol).as("state"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[VersionSummary, VersionSummary](
+        GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          var cur = state.getOption.orNull
+          rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, t, _, s) =>
+            cur =
+              if (cur == null) VersionSummary(key, 1L, t, t, s)
+              else if (s != cur.current_state)
+                cur.copy(n_versions = cur.n_versions + 1,
+                  last_change_t = t, current_state = s)
+              else cur
+          }
+          state.update(cur)
+          cur
+      }
+  }
 }

@@ -718,4 +718,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set((1, 10L), (2, 10L), (2, 12L)))
     q.stop()
   }
+
+  test("streaming SCD-2 version tracker: changes span batches, repeats " +
+      "collapse, summary matches the batch runLengthVersions aggregate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // (key, t, tie, state): key 1 changes a→b across the batch boundary
+    // and repeats b (must collapse); key 2 never changes.
+    val batch1 = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), (2L, 5L, 3L, "x"))
+    val batch2 = Seq((1L, 30L, 4L, "b"), (1L, 40L, 5L, "b"), (2L, 50L, 6L, "x"))
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val out = graft.streaming.StreamJoins.versionTracker(
+      mem.toDF().toDF("k", "t", "tie", "s"), "k", "t", "tie", "s")
+    val q = out.writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("update").start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    val streamed = spark.table("scd2_stream")
+      .groupBy("key").agg(max(struct(col("n_versions"), col("last_change_t"),
+        col("first_t"), col("current_state"))).as("m"))
+      .select(col("key"), col("m.n_versions"), col("m.first_t"),
+        col("m.last_change_t"), col("m.current_state"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    // batch formulation: runLengthVersions + the scd2_user_versions agg
+    val allRows = (batch1 ++ batch2).toDF("k", "t", "tie", "s")
+    val batch = graft.operators.TimeSeries
+      .runLengthVersions(allRows, "k", "t", "tie", "s")
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_versions"), min("t").as("first_t"),
+        max("t").as("last_change_t"),
+        max_by(col("state"), col("t") * lit(100000000L) + col("tie"))
+          .as("current_state"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed == Set((1L, 2L, 10L, 30L, "b"), (2L, 1L, 5L, 5L, "x")))
+    q.stop()
+  }
 }
