@@ -328,6 +328,33 @@ object QualityOps {
       }
     ),
 
+    // ---- day-of-week seasonality profile -------------------------------
+    // Per (weekday, event_type): event count, exact decimal value total,
+    // and the mean in 10⁻⁴ units via integer division. Weekday is pure
+    // integer arithmetic on epoch days ((d+3) mod 7, 0 = Monday; the
+    // epoch anchor 1970-01-01 is a Thursday) — no calendar/locale
+    // semantics to disagree on.
+    "ts_dow_profile" -> QuerySpec(
+      (s, dir) => {
+        t(s, dir, "events")
+          .select(col("event_type"),
+            (((epochS(col("ts")) / 86400).cast("long") + 3) % 7).as("dow"),
+            col("value"))
+          .groupBy("dow", "event_type")
+          .agg(count(lit(1)).as("n_events"),
+            QuerySpec.money2(sum(QuerySpec.dec4(col("value")))).as("total_value"),
+            (sum(QuerySpec.dec4(col("value"))) * 10000).cast("long").as("sv"))
+          .select(col("dow"), col("event_type"), col("n_events"),
+            col("total_value"), expr("sv div n_events").as("avg_e4"))
+          .orderBy("dow", "event_type")
+      },
+      """SELECT ((epoch_ms(ts)//1000)//86400 + 3) % 7 AS dow, event_type,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) // count(*) AS BIGINT) AS avg_e4
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ),
+
     // ---- per-user trend slope ------------------------------------------
     // Exact least-squares slope of each user's daily spend (decimal·10⁴
     // integer y, zero-based day x): one keyed aggregate, closed-form long

@@ -1331,6 +1331,71 @@ object TrainingDataOps {
       }
     ),
 
+    // ---- TextRank keywords: PageRank over word co-occurrence -----------
+    // Mihalcea & Tarau 2004 composed from owned parts: adjacent-token
+    // co-occurrence edges (both directions — TextRank's undirected
+    // random walk as a symmetric directed graph) over rolling-hash word
+    // ids, ranked by the SAME integer fixed-point PageRank web_pagerank
+    // uses (identical damping/base arithmetic, 5 unrolled oracle
+    // iterations), joined back to words for the bounded top-20.
+    "tx_textrank" -> QuerySpec(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(graft.functions.Fns.tokens(col("text"))).as(Seq("pos", "w")))
+          .filter(col("w") =!= "")
+        val bg = toks.withColumn("w2",
+            lead(col("w"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+          .filter(col("w2").isNotNull && col("w") =!= col("w2"))
+        val h1 = graft.functions.Fns.rollingHash(col("w"))
+        val h2 = graft.functions.Fns.rollingHash(col("w2"))
+        val edges = bg.select(h1.as("src"), h2.as("dst"))
+          .unionByName(bg.select(h2.as("src"), h1.as("dst")))
+        val words = toks
+          .select(graft.functions.Fns.rollingHash(col("w")).as("node"),
+            col("w").as("word"))
+          .distinct()
+        LinkGraph.pageRank(edges, "src", "dst", iters = 5)
+          .join(words, "node")
+          .select(col("word"), col("rank"))
+          .orderBy(col("rank").desc, col("word"))
+          .limit(20)
+      },
+      {
+        val iterCte = (i: Int) => {
+          val prev = s"r${i - 1}"
+          s"""s$i AS (SELECT e.dst AS node, sum(r.rank // o.outdeg) AS mass
+             |  FROM e0 e JOIN $prev r ON e.src = r.node
+             |  JOIN od o ON e.src = o.src GROUP BY 1),
+             |r$i AS (SELECT n.node,
+             |    ((1000000000000 // nn.n) * 15) // 100
+             |      + (85 * COALESCE(s.mass, 0)) // 100 AS rank
+             |  FROM nodes n LEFT JOIN s$i s ON n.node = s.node, nn)""".stripMargin
+        }
+        s"""WITH lst AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS l FROM documents),
+           |toks AS (SELECT doc_id, unnest(range(1, len(l)+1)) AS pos, unnest(l) AS w FROM lst),
+           |tk AS (SELECT * FROM toks WHERE w <> ''),
+           |bg AS (SELECT doc_id, w AS w1,
+           |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tk),
+           |pairs AS (SELECT w1, w2 FROM bg WHERE w2 IS NOT NULL AND w1 <> w2),
+           |e0 AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT ${duckHash("w1")} AS src, ${duckHash("w2")} AS dst FROM pairs
+           |  UNION ALL
+           |  SELECT ${duckHash("w2")}, ${duckHash("w1")} FROM pairs)),
+           |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |od AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY 1),
+           |r0 AS (SELECT node, 1000000000000 // nn.n AS rank FROM nodes, nn),
+           |${(1 to 5).map(iterCte).mkString(",\n")},
+           |words AS (SELECT DISTINCT ${duckHash("w")} AS node, w AS word FROM tk)
+           |SELECT w.word, CAST(r.rank AS BIGINT) AS rank
+           |FROM r5 r JOIN words w ON r.node = w.node
+           |ORDER BY rank DESC, word LIMIT 20""".stripMargin
+      }
+    ),
+
     // ---- DSIR hashed n-gram importance weights ------------------------
     // Target = src0 docs; every doc scored by its hashed unigram+bigram
     // buckets' target-vs-source frequency ratios (fixed-point integer —

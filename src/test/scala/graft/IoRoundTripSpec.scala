@@ -38,6 +38,22 @@ class IoRoundTripSpec extends SparkSpec {
     assert(Option(r2.getAs[Map[String, String]]("properties")).forall(_.isEmpty))
   }
 
+  test("orc round trip preserves schema and values (columnar interop)") {
+    val dir = Files.createTempDirectory("rt-orc").toString
+    canonical().write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      canonical().schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("insert_id").collect().toSeq ==
+      canonical().orderBy("insert_id").collect().toSeq)
+    // predicate pushdown reaches the ORC scan (the interop point of the
+    // format: another engine's bucketed ORC lake stays cheap to probe)
+    val plan = back.filter(col("event") === "click")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("pushedFilters"),
+      s"no pushed filters in ORC scan plan:\n$plan")
+  }
+
   test("csv export surface: maps serialize to JSON strings and parse back") {
     val dir = Files.createTempDirectory("rt-csv").toString
     canonical()
