@@ -328,6 +328,125 @@ object QualityOps {
       }
     ),
 
+    // ---- schema/profile drift between two slices -----------------------
+    // The profile op applied to an early and a late shipment slice and
+    // joined per column — the ingest-monitoring report that catches a
+    // column whose distinct cardinality or numeric range moved between
+    // loads. Two single-scan profiles + one #columns-sized join.
+    "dq_schema_drift" -> QuerySpec(
+      (s, dir) => {
+        import graft.operators.DataQuality
+        val li = t(s, dir, "lineitem")
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_returnflag")
+        val cutoff = lit("1997-06-01").cast("timestamp")
+        def side(df: org.apache.spark.sql.DataFrame, sfx: String) =
+          DataQuality.profile(df, cols)
+            .select(col("col_name"), col("n_distinct").as(s"n_distinct_$sfx"),
+              col("min_val").as(s"min_$sfx"), col("max_val").as(s"max_$sfx"))
+        side(li.filter(col("l_shipdate") < cutoff), "a")
+          .join(side(li.filter(col("l_shipdate") >= cutoff), "b"), "col_name")
+          .select(col("col_name"), col("n_distinct_a"), col("n_distinct_b"),
+            (col("n_distinct_b") - col("n_distinct_a")).as("distinct_delta"),
+            (col("min_b") - col("min_a")).as("min_delta"),
+            (col("max_b") - col("max_a")).as("max_delta"))
+          .orderBy("col_name")
+      },
+      {
+        val num = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        def block(pred: String) =
+          (num.map(c =>
+            s"""SELECT '$c' AS col_name, count(DISTINCT $c) AS n_distinct,
+               |  CAST(min($c) AS DOUBLE) AS min_val, CAST(max($c) AS DOUBLE) AS max_val
+               |  FROM lineitem WHERE $pred""".stripMargin) :+
+            s"""SELECT 'l_returnflag', count(DISTINCT l_returnflag),
+               |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+               |  FROM lineitem WHERE $pred""".stripMargin)
+            .mkString(" UNION ALL ")
+        s"""WITH a AS (${block("l_shipdate < TIMESTAMP '1997-06-01'")}),
+           |b AS (${block("l_shipdate >= TIMESTAMP '1997-06-01'")})
+           |SELECT a.col_name, a.n_distinct AS n_distinct_a,
+           |  b.n_distinct AS n_distinct_b,
+           |  b.n_distinct - a.n_distinct AS distinct_delta,
+           |  b.min_val - a.min_val AS min_delta,
+           |  b.max_val - a.max_val AS max_delta
+           |FROM a JOIN b ON a.col_name = b.col_name
+           |ORDER BY a.col_name""".stripMargin
+      }
+    ),
+
+    // ---- full-outer reconciliation report ------------------------------
+    // Daily order revenue vs daily shipped revenue, FULL OUTER on the
+    // epoch day so days present on only one side still report (the
+    // completeness join type the engine had not yet declared): keyed
+    // equi-join of two pre-aggregated day tables — fact tables are
+    // reduced BEFORE the join, so the join input is days, not rows.
+    "join_full_outer_recon" -> QuerySpec(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .groupBy((epochS(col("o_orderdate")) / 86400).cast("long").as("day"))
+          .agg(count(lit(1)).as("n_orders"),
+            QuerySpec.money2(sum(QuerySpec.dec4(col("o_totalprice")))).as("order_rev"))
+        val l = t(s, dir, "lineitem")
+          .groupBy((epochS(col("l_shipdate")) / 86400).cast("long").as("day"))
+          .agg(count(lit(1)).as("n_ship_lines"),
+            QuerySpec.money2(sum(QuerySpec.dec4(col("l_extendedprice")))).as("ship_rev"))
+        o.join(l, Seq("day"), "full_outer")
+          .select(col("day"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("order_rev"), lit(0.0)).as("order_rev"),
+            coalesce(col("n_ship_lines"), lit(0L)).as("n_ship_lines"),
+            coalesce(col("ship_rev"), lit(0.0)).as("ship_rev"))
+          .orderBy("day")
+      },
+      """WITH o AS (SELECT (epoch_ms(o_orderdate)//1000)//86400 AS day,
+        |    count(*) AS n_orders,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS order_rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT (epoch_ms(l_shipdate)//1000)//86400 AS day,
+        |    count(*) AS n_ship_lines,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS ship_rev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(o.day, l.day) AS day,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(order_rev, 0.0) AS order_rev,
+        |  COALESCE(n_ship_lines, 0) AS n_ship_lines,
+        |  COALESCE(ship_rev, 0.0) AS ship_rev
+        |FROM o FULL OUTER JOIN l ON o.day = l.day
+        |ORDER BY day""".stripMargin
+    ),
+
+    // ---- percent-rank / cume-dist in ppm integers ----------------------
+    // The remaining rank-family members, integer-rational: with the
+    // tie-broken (value, event_id) order every rank is distinct, so
+    // percent_rank = (rn−1)/(n−1) and cume_dist = rn/n become exact ppm
+    // floor divisions. Event-type-partitioned windows only.
+    "window_cume_dist" -> QuerySpec(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir, "events").filter(col("user_id") < 10)
+          .select(col("event_type"), col("event_id"), col("value"))
+        val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        val wAll = Window.partitionBy("event_type")
+        ev.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .select(col("event_type"), col("event_id"),
+            expr("((rn - 1) * 1000000) div (n - 1)").as("pr_ppm"),
+            expr("(rn * 1000000) div n").as("cd_ppm"))
+          .orderBy("event_type", "event_id")
+      },
+      """WITH e AS (SELECT event_type, event_id, value FROM events WHERE user_id < 10),
+        |r AS (SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e)
+        |SELECT event_type, event_id,
+        |  CAST(((rn - 1) * 1000000) // (n - 1) AS BIGINT) AS pr_ppm,
+        |  CAST((rn * 1000000) // n AS BIGINT) AS cd_ppm
+        |FROM r ORDER BY event_type, event_id""".stripMargin
+    ),
+
     // ---- day-of-week seasonality profile -------------------------------
     // Per (weekday, event_type): event count, exact decimal value total,
     // and the mean in 10⁻⁴ units via integer division. Weekday is pure
