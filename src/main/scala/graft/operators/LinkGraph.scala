@@ -308,4 +308,42 @@ object LinkGraph {
     val nE = e.agg(count(lit(1)).as("n_edges"))
     nV.crossJoin(nE).crossJoin(nTri)
   }
+
+  /** k-core decomposition by synchronous peeling: `rounds` rounds of
+    * "drop every node whose current degree < k, then drop the edges
+    * touching a dropped node". Synchronous rounds make the result
+    * partitioning- and run-order-invariant (async peeling is
+    * order-dependent); callers pin `rounds` (an exactness oracle unrolls
+    * the same count) and can assert the fixed point from the returned
+    * degrees — no surviving node below k ⟺ converged.
+    *
+    * Each round is one keyed degree aggregate plus two semi-joins of the
+    * edge list against the ≥k node set — linear in surviving edges, no
+    * per-node driver loop; rounds are checkpoint-cut so the lineage stays
+    * O(1) deep (the [[pageRank]] contract).
+    *
+    * Returns (node, degree) for nodes surviving all rounds.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 50, s"kCore: rounds must be 1..50, got $rounds")
+    val dir = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    var und = cut(dir.union(dir.select(col("b").as("a"), col("a").as("b"))).distinct())
+    var i = 0
+    while (i < rounds) {
+      val keep = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("node")
+      val next = cut(und
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select("a", "b"))
+      releaseBlocks(und)
+      und = next
+      i += 1
+    }
+    und.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+  }
 }

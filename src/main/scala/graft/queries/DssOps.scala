@@ -658,6 +658,101 @@ object DssOps {
         |  round(CAST(sum(cnt) AS DOUBLE) / any_value(total), 4) AS event_share
         |FROM c, t
         |GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
+    // ---- growth accounting: new / retained / resurrected / churned -----
+    // The standard DAU decomposition on epoch-day grain. Events reduce to
+    // distinct (user, day) FIRST (the 100 TB → user-days contraction);
+    // one user-partitioned lag/lead window classifies each active day and
+    // emits the churn day, and two day-keyed aggregates FULL OUTER on the
+    // day. Quick ratio = (new + resurrected)/churned as a guarded ppm
+    // integer division — all-integer output.
+    "a13_growth_accounting" -> QuerySpec(
+      (s, dir) => {
+        val ud = t(s, dir, "events")
+          .select(col("user_id"),
+            floor(epochS(col("ts")) / 86400).cast("long").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val c = ud
+          .withColumn("prev", lag(col("day"), 1).over(w))
+          .withColumn("nxt", lead(col("day"), 1).over(w))
+        val act = c.groupBy("day").agg(
+          sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("prev") === col("day") - 1, 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("prev").isNotNull && col("prev") < col("day") - 1, 1L)
+            .otherwise(0L)).as("n_resurrected"))
+        val churn = c.filter(col("nxt").isNull || col("nxt") > col("day") + 1)
+          .groupBy((col("day") + 1).as("day"))
+          .agg(count(lit(1)).as("n_churned"))
+        act.join(churn, Seq("day"), "full_outer")
+          .na.fill(0L, Seq("n_new", "n_retained", "n_resurrected", "n_churned"))
+          .withColumn("quick_ratio_ppm",
+            when(col("n_churned") > 0,
+              expr("((n_new + n_resurrected) * 1000000) div n_churned")))
+          .orderBy("day")
+      },
+      """WITH ud AS (SELECT DISTINCT user_id, (epoch_ms(ts)//1000)//86400 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, day,
+        |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+        |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+        |  FROM ud),
+        |act AS (SELECT day,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev < day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM c GROUP BY 1),
+        |ch AS (SELECT day + 1 AS day, count(*) AS n_churned
+        |  FROM c WHERE nxt IS NULL OR nxt > day + 1 GROUP BY 1)
+        |SELECT COALESCE(act.day, ch.day) AS day,
+        |  COALESCE(n_new, 0) AS n_new,
+        |  COALESCE(n_retained, 0) AS n_retained,
+        |  COALESCE(n_resurrected, 0) AS n_resurrected,
+        |  COALESCE(n_churned, 0) AS n_churned,
+        |  CASE WHEN COALESCE(n_churned, 0) > 0
+        |    THEN CAST(((COALESCE(n_new,0) + COALESCE(n_resurrected,0)) * 1000000)
+        |      // n_churned AS BIGINT) END AS quick_ratio_ppm
+        |FROM act FULL OUTER JOIN ch ON act.day = ch.day
+        |ORDER BY day""".stripMargin
+    ),
+
+    // ---- first/last-touch conversion attribution -----------------------
+    // Every purchase attributed to the user's first and most recent
+    // preceding non-purchase touch (IGNORE NULLS first/last over the
+    // unbounded-preceding frame — one user-partitioned window, bounded
+    // per-user state), grouped into the (first, last) channel matrix so
+    // both attribution models read off one report. Value sums in DECIMAL.
+    "a14_attribution" -> QuerySpec(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = when(col("event_type") =!= "purchase", col("event_type"))
+        t(s, dir, "events")
+          .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+          .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(
+            coalesce(col("first_touch"), lit("(direct)")).as("first_touch"),
+            coalesce(col("last_touch"), lit("(direct)")).as("last_touch"))
+          .agg(count(lit(1)).as("n_conversions"),
+            QuerySpec.sumMoney(QuerySpec.dec4(col("value"))).as("attributed_value"))
+          .orderBy("first_touch", "last_touch")
+      },
+      """WITH x AS (SELECT event_type, value,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM events)
+        |SELECT COALESCE(ft, '(direct)') AS first_touch,
+        |  COALESCE(lt, '(direct)') AS last_touch,
+        |  count(*) AS n_conversions,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS attributed_value
+        |FROM x WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
   )
 }

@@ -648,6 +648,77 @@ object QualityOps {
       }
     ),
 
+    // ---- k-core decomposition ------------------------------------------
+    // Synchronous peeling on a deterministic doc-derived graph (13 chains
+    // of length 6 hanging off a 13-node core cycle — the periphery peels
+    // one hop per round, the cycle is the 2-core fixed point). 7 rounds
+    // ≥ the 6 the cascade needs; the oracle unrolls the same 7, and the
+    // returned degrees prove the fixed point (all ≥ k).
+    "graph_kcore" -> QuerySpec(
+      (s, dir) => {
+        val d = col("doc_id")
+        val docs = t(s, dir, "documents")
+        val c = d % 13
+        val p = d % 5
+        val edges = docs.select((c * 10 + p).as("src"), (c * 10 + p + 1).as("dst"))
+          .unionByName(docs.select((lit(900) + c).as("src"),
+            (lit(900) + (c + 1) % 13).as("dst")))
+          .unionByName(docs.select((lit(900) + c).as("src"), (c * 10).as("dst")))
+        LinkGraph.kCore(edges, "src", "dst", k = 2, rounds = 7)
+          .orderBy("node")
+      },
+      {
+        val roundCte = (i: Int) => {
+          val prev = s"e${i - 1}"
+          s"""k$i AS (SELECT a AS node FROM $prev GROUP BY 1 HAVING count(*) >= 2),
+             |e$i AS (SELECT e.a, e.b FROM $prev e
+             |  JOIN k$i x ON e.a = x.node JOIN k$i y ON e.b = y.node)""".stripMargin
+        }
+        s"""WITH raw AS (
+           |  SELECT (doc_id % 13)*10 + doc_id % 5 AS src,
+           |         (doc_id % 13)*10 + doc_id % 5 + 1 AS dst FROM documents
+           |  UNION SELECT 900 + doc_id % 13, 900 + (doc_id % 13 + 1) % 13 FROM documents
+           |  UNION SELECT 900 + doc_id % 13, (doc_id % 13)*10 FROM documents),
+           |dir AS (SELECT src, dst FROM raw WHERE src <> dst),
+           |e0 AS (SELECT src AS a, dst AS b FROM dir UNION SELECT dst, src FROM dir),
+           |${(1 to 7).map(roundCte).mkString(",\n")}
+           |SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+           |FROM e7 GROUP BY 1 ORDER BY node""".stripMargin
+      }
+    ),
+
+    // ---- compaction planner: next-fit small-file binning ----------------
+    // The small-files problem at ingest scale: documents stand in for the
+    // file manifest (n_chars = file bytes); per source, files pack in
+    // (source, doc_id) order into ~64 KiB bins by running-total next-fit
+    // — bin = floor(preceding bytes / target), one source-partitioned
+    // prefix-sum window, then a (source, bin)-keyed rollup. The plan a
+    // compaction job would execute, derived without any driver loop.
+    "opt_compaction_bins" -> QuerySpec(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("bytes"))
+          .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+          .withColumn("bin", expr("cum_before div 65536"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_files"), sum("bytes").as("bin_bytes"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("source", "bin")
+      },
+      """WITH f AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes,
+        |    COALESCE(sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM documents)
+        |SELECT source, CAST(cum_before // 65536 AS BIGINT) AS bin,
+        |  count(*) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ),
+
     // ---- cosine range search -------------------------------------------
     // All corpus vectors within cos ≥ 0.30 of the 10-query batch — the
     // fixed-radius dual of ann_topk_bruteforce, same broadcast-queries
