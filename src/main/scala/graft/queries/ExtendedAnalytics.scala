@@ -591,6 +591,82 @@ object ExtendedAnalytics {
            |  min(ny) AS min_y, max(ny) AS max_y
            |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
       }
+    ),
+
+    // ---- partial-aggregate merge (reaggregability) ---------------------
+    // The incremental-rollup contract a warehouse lives on: day-grain
+    // partial states (count / decimal sum / min / max) MERGE to month
+    // grain — count-of-counts, sum-of-sums, min-of-mins, max-of-maxs —
+    // and the oracle aggregates the months DIRECTLY from rows. A hash
+    // match proves the two-level merge is lossless, which is what makes
+    // map-side partial aggregation and stored daily rollups safe at
+    // 100 TB (never re-scan history to build a month).
+    "agg_rollup_merge" -> QuerySpec(
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"),
+            floor(epochS(col("o_orderdate")) / 86400).cast("long").as("day"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(QuerySpec.dec4(col("o_totalprice"))).as("sum_dec"),
+            min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+        daily.groupBy("ym")
+          .agg(sum("cnt").as("n_orders"),
+            QuerySpec.money2(sum(col("sum_dec"))).as("total_price"),
+            min("mn").as("min_price"), max("mx").as("max_price"))
+          .orderBy("ym")
+      },
+      """SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INTEGER) AS ym,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin
+    ),
+
+    // ---- zone-map pruning: sorted vs arrival layout ---------------------
+    // Quantifies WHY the sorted/z-ordered write path matters: per-file
+    // (bin) min/max zone maps for l_shipdate under (a) arrival order
+    // (orderkey-range files) and (b) shipdate-sorted files (exact
+    // distributed ntile — no partition-less window), then the number of
+    // files a quarter-range predicate must actually read under each. The
+    // sorted layout reads ~1/12 of its files; arrival order reads nearly
+    // all — the data-skipping argument, measured.
+    "opt_zonemap_prune" -> QuerySpec(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate"), epochS(col("l_shipdate")).as("ship_t"))
+        val lo = lit(852076800L)  // 1997-01-01
+        val hi = lit(859852800L)  // 1997-04-01
+        def zoneStats(binned: org.apache.spark.sql.DataFrame, layout: String) =
+          binned.groupBy("bin")
+            .agg(min("ship_t").as("mn"), max("ship_t").as("mx"))
+            .agg(count(lit(1)).as("n_files"),
+              sum(when(col("mx") >= lo && col("mn") < hi, 1L).otherwise(0L))
+                .as("n_read"))
+            .select(lit(layout).as("layout"), col("n_files"), col("n_read"))
+        val arrival = zoneStats(
+          li.withColumn("bin", expr("l_orderkey div 256")), "arrival")
+        val sorted = zoneStats(
+          Ranks.ntile(li, 64, Seq("ship_t", "l_orderkey", "l_linenumber"), "bin"),
+          "sorted")
+        arrival.unionByName(sorted).orderBy("layout")
+      },
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+        |    epoch_ms(l_shipdate)//1000 AS ship_t FROM lineitem),
+        |a AS (SELECT l_orderkey // 256 AS bin, ship_t FROM t),
+        |az AS (SELECT bin, min(ship_t) AS mn, max(ship_t) AS mx FROM a GROUP BY 1),
+        |s AS (SELECT ntile(64) OVER (ORDER BY ship_t, l_orderkey, l_linenumber) AS bin,
+        |    ship_t FROM t),
+        |sz AS (SELECT bin, min(ship_t) AS mn, max(ship_t) AS mx FROM s GROUP BY 1)
+        |SELECT 'arrival' AS layout, count(*) AS n_files,
+        |  CAST(sum(CASE WHEN mx >= 852076800 AND mn < 859852800 THEN 1 ELSE 0 END) AS BIGINT) AS n_read
+        |FROM az
+        |UNION ALL
+        |SELECT 'sorted', count(*),
+        |  CAST(sum(CASE WHEN mx >= 852076800 AND mn < 859852800 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM sz
+        |ORDER BY layout""".stripMargin
     )
   )
 }

@@ -80,6 +80,31 @@ object ScalarOps {
         | round(unnest(embedding::DOUBLE[]), 5) AS x
         |FROM embeddings WHERE vec_id < 5
         |ORDER BY vec_id, pos""".stripMargin
+    ),
+
+    // ---- unpivot / melt (wide → long) ----------------------------------
+    // The relational inverse of p11's pivot: four measure columns melt to
+    // (key, metric, val) rows via Spark's native unpivot (a projection +
+    // generator — no shuffle, values pass through untouched so doubles
+    // hash exactly).
+    "sc_unpivot" -> QuerySpec(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 100)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            "metric", "val")
+          .orderBy("l_orderkey", "l_linenumber", "metric"),
+      """SELECT l_orderkey, l_linenumber, metric, val
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |        l_discount, l_tax
+        |      FROM lineitem WHERE l_orderkey < 100)
+        |UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
     )
   )
 }

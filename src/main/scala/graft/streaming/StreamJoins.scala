@@ -143,4 +143,107 @@ object StreamJoins {
           cur
       }
   }
+
+  /** One classified user-day for [[growthTracker]]: `cls` is `new`,
+    * `retained` (active the previous day too), `resurrected` (returned
+    * after a gap), or `churned` (emitted retroactively for day
+    * `last_active + 1` once a gap is observed).
+    */
+  case class GrowthEvent(user: Long, day: Long, cls: String)
+
+  /** INCREMENTAL growth accounting over a stream — the stateful sibling
+    * of the `a13_growth_accounting` lag/lead classification: per user,
+    * O(1) state (the last active day) classifies each newly observed
+    * active day as new / retained / resurrected, and retroactively emits
+    * the churn day (`last + 1`) the moment a gap proves it. A user's
+    * final churn (no successor activity ever) is inherently
+    * unknowable to an incremental fold without a timeout policy — the
+    * batch formulation closes over the full horizon; the spec compares
+    * on the common domain.
+    *
+    * Input rows are (user, day) observations (duplicates collapse —
+    * a day ≤ the last active day is a no-op). Within-batch days fold in
+    * ascending order, so batch boundaries never change the output for
+    * day-ordered arrival. Emits via flatMapGroupsWithState in update
+    * mode: one row per newly classified day plus any proven churn day.
+    */
+  def growthTracker(userDays: DataFrame, userCol: String, dayCol: String)
+      : org.apache.spark.sql.Dataset[GrowthEvent] = {
+    val spark = userDays.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    userDays.select(col(userCol).cast("long").as("user"),
+        col(dayCol).cast("long").as("day"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, GrowthEvent](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val first = !state.exists
+          var out = Vector.empty[GrowthEvent]
+          rows.map(_._2).toSeq.distinct.sorted.foreach { day =>
+            if (day > last) {
+              val cls =
+                if (last == Long.MinValue) "new"
+                else if (day == last + 1) "retained"
+                else "resurrected"
+              if (last != Long.MinValue && day > last + 1)
+                out :+= GrowthEvent(user, last + 1, "churned")
+              out :+= GrowthEvent(user, day, cls)
+              last = day
+            }
+          }
+          if (first || out.nonEmpty) state.update(last)
+          out.iterator
+      }
+  }
+
+  /** One attributed conversion for [[touchAttribution]]: the user's
+    * first and most recent non-conversion touch at conversion time
+    * (`(direct)` when the conversion had no preceding touch).
+    */
+  case class Conversion(user: Long, t: Long, first_touch: String,
+      last_touch: String, value: Double)
+
+  /** INCREMENTAL first/last-touch attribution over a stream — the
+    * stateful sibling of the `a14_attribution` IGNORE-NULLS window pair:
+    * per user, O(1) state (two strings) tracks the first and latest
+    * non-conversion touch; every conversion event emits a [[Conversion]]
+    * attributed to the state as of strictly-earlier events (the
+    * window's `1 PRECEDING` frame bound). Within-batch events fold in
+    * (t, tie) order, so batch boundaries never change the output for
+    * time-ordered arrival — the spec pins stream-vs-batch identity.
+    */
+  def touchAttribution(events: DataFrame, userCol: String, typeCol: String,
+      tCol: String, tieCol: String, valueCol: String, convType: String)
+      : org.apache.spark.sql.Dataset[Conversion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col(userCol).cast("long").as("user"),
+        col(typeCol).as("et"), col(tCol).cast("long").as("t"),
+        col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, String), Conversion](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          var (firstT, lastT) = state.getOption.getOrElse((null: String, null: String))
+          var out = Vector.empty[Conversion]
+          rows.toSeq.sortBy(e => (e._3, e._4)).foreach { case (_, et, t, _, v) =>
+            if (et == convType) {
+              out :+= Conversion(user, t,
+                if (firstT == null) "(direct)" else firstT,
+                if (lastT == null) "(direct)" else lastT, v)
+            } else {
+              if (firstT == null) firstT = et
+              lastT = et
+            }
+          }
+          state.update((firstT, lastT))
+          out.iterator
+      }
+  }
 }

@@ -759,4 +759,90 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set((1L, 2L, 10L, 30L, "b"), (2L, 1L, 5L, 5L, "x")))
     q.stop()
   }
+
+  test("streaming growth tracker: classifications span batches, gap-proven " +
+      "churn emits retroactively, matches the batch lag/lead classification") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // user 1: days 10,11 then 14 (gap ⇒ churned@12 + resurrected@14);
+    // user 2: day 5 twice (duplicate collapses); user 3 appears late.
+    val batch1 = Seq((1L, 10L), (1L, 11L), (2L, 5L))
+    val batch2 = Seq((1L, 14L), (2L, 5L), (3L, 7L))
+    val mem = MemoryStream[(Long, Long)]
+    val out = graft.streaming.StreamJoins.growthTracker(
+      mem.toDF().toDF("u", "d"), "u", "d")
+    val q = out.writeStream.format("memory").queryName("growth_stream")
+      .outputMode("update").start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    val streamed = spark.table("growth_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // batch formulation (the a13 lag/lead classification), restricted to
+    // the incremental fold's common domain: churn only when gap-proven.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("d")
+    val ud = (batch1 ++ batch2).toDF("u", "d").distinct()
+      .withColumn("prev", lag(col("d"), 1).over(w))
+      .withColumn("nxt", lead(col("d"), 1).over(w))
+    val actB = ud.select(col("u"), col("d"),
+      when(col("prev").isNull, "new")
+        .when(col("prev") === col("d") - 1, "retained")
+        .otherwise("resurrected").as("cls"))
+    val churnB = ud.filter(col("nxt") > col("d") + 1)
+      .select(col("u"), (col("d") + 1).as("d"), lit("churned").as("cls"))
+    val batch = actB.unionByName(churnB).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed == Set(
+      (1L, 10L, "new"), (1L, 11L, "retained"),
+      (1L, 12L, "churned"), (1L, 14L, "resurrected"),
+      (2L, 5L, "new"), (3L, 7L, "new")))
+    q.stop()
+  }
+
+  test("streaming touch attribution: conversions attribute to strictly " +
+      "preceding touches across batches, matches the batch window pair") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // user 1: view, click, purchase | signup, purchase — second conversion
+    // sees first=view (sticky) and last=signup (batch-spanning state);
+    // user 2 converts cold → (direct).
+    val batch1 = Seq((1L, "view", 1L, 1L, 0.0), (1L, "click", 2L, 2L, 0.0),
+      (1L, "purchase", 3L, 3L, 10.0))
+    val batch2 = Seq((1L, "signup", 4L, 4L, 0.0),
+      (1L, "purchase", 5L, 5L, 5.0), (2L, "purchase", 1L, 6L, 2.0))
+    val mem = MemoryStream[(Long, String, Long, Long, Double)]
+    val out = graft.streaming.StreamJoins.touchAttribution(
+      mem.toDF().toDF("u", "et", "t", "tie", "v"),
+      "u", "et", "t", "tie", "v", "purchase")
+    val q = out.writeStream.format("memory").queryName("attr_stream")
+      .outputMode("update").start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    val streamed = spark.table("attr_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getDouble(4))).toSet
+    // batch formulation: the a14 IGNORE-NULLS window pair
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("t", "tie")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touch = when(col("et") =!= "purchase", col("et"))
+    val batch = (batch1 ++ batch2).toDF("u", "et", "t", "tie", "v")
+      .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col("et") === "purchase")
+      .select(col("u"), col("t"), coalesce(col("ft"), lit("(direct)")),
+        coalesce(col("lt"), lit("(direct)")), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getDouble(4))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed == Set(
+      (1L, 3L, "view", "click", 10.0),
+      (1L, 5L, "view", "signup", 5.0),
+      (2L, 1L, "(direct)", "(direct)", 2.0)))
+    q.stop()
+  }
 }
