@@ -68,4 +68,41 @@ class IoRoundTripSpec extends SparkSpec {
     assert(back.filter(col("insert_id") === "i1").head()
       .getAs[Map[String, String]]("properties") == Map("a" -> "1", "b" -> "2"))
   }
+
+  test("hive-partitioned write: day filter prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("rt-part").toString
+    // three event-days; the partition column is derived, the layout is
+    // the standard day=<epoch-day> lake layout a 100 TB store would use
+    val df = Seq(
+      ("i1", 86400L * 100 + 10, "click"), ("i2", 86400L * 100 + 20, "view"),
+      ("i3", 86400L * 101 + 5, "click"), ("i4", 86400L * 102 + 1, "view"))
+      .toDF("insert_id", "time", "event")
+      .withColumn("day", col("time") / 86400 cast "long")
+    df.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val back = spark.read.parquet(dir)
+    // round trip: partition column comes back (as a read-side column)
+    assert(back.count() == 4)
+    val q = back.filter(col("day") === 101)
+    assert(q.collect().map(_.getAs[String]("insert_id")).toSeq == Seq("i3"))
+    // the day predicate must land in PartitionFilters (directory pruning),
+    // NOT as a data filter — the difference between listing one directory
+    // and scanning every file at scale
+    val exec = q.queryExecution.executedPlan.toString
+    assert(exec.contains("PartitionFilters") &&
+      exec.split("PartitionFilters", 2)(1).split("]", 2)(0).contains("day"),
+      s"day filter not in PartitionFilters:\n$exec")
+    // dynamic partition overwrite: rewriting ONE day leaves others intact
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq(("i5", 86400L * 101 + 9, "click"))
+        .toDF("insert_id", "time", "event")
+        .withColumn("day", col("time") / 86400 cast "long")
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
+      val after = spark.read.parquet(dir)
+      assert(after.count() == 4, "only day=101 replaced")
+      assert(after.filter(col("day") === 101).collect()
+        .map(_.getAs[String]("insert_id")).toSeq == Seq("i5"))
+      assert(after.filter(col("day") === 100).count() == 2, "day=100 untouched")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
 }
