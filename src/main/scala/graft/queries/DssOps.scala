@@ -753,6 +753,40 @@ object DssOps {
         |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS attributed_value
         |FROM x WHERE event_type = 'purchase'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ),
+
+    // ---- top conversion paths (the Flows report) -----------------------
+    // The last three touches before each purchase as a `a>b>c` path via
+    // three lags over ONE user-partitioned window (no self-joins, no
+    // collect); concat_ws skips the nulls a short history leaves, so cold
+    // purchases collapse to '(start)'. Bounded top-25.
+    "a15_conversion_paths" -> QuerySpec(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .withColumn("p1", lag(col("event_type"), 1).over(w))
+          .withColumn("p2", lag(col("event_type"), 2).over(w))
+          .withColumn("p3", lag(col("event_type"), 3).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(when(concat_ws(">", col("p3"), col("p2"), col("p1")) === "",
+            "(start)").otherwise(concat_ws(">", col("p3"), col("p2"), col("p1")))
+            .as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n_conversions"))
+          .orderBy(col("n_conversions").desc, col("path"))
+          .limit(25)
+      },
+      """WITH x AS (SELECT event_type,
+        |    lag(event_type, 1) OVER w AS p1,
+        |    lag(event_type, 2) OVER w AS p2,
+        |    lag(event_type, 3) OVER w AS p3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |pp AS (SELECT CASE WHEN concat_ws('>', p3, p2, p1) = '' THEN '(start)'
+        |    ELSE concat_ws('>', p3, p2, p1) END AS path
+        |  FROM x WHERE event_type = 'purchase')
+        |SELECT path, count(*) AS n_conversions
+        |FROM pp GROUP BY 1
+        |ORDER BY n_conversions DESC, path LIMIT 25""".stripMargin
     )
   )
 }

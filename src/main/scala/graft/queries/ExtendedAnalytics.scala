@@ -593,6 +593,54 @@ object ExtendedAnalytics {
       }
     ),
 
+    // ---- point-in-time (feature-store) join ----------------------------
+    // The leakage-free training-data join: each purchase fact picks up
+    // the user's channel state (SCD-2 versions run-length-folded from the
+    // NON-purchase stream) as of purchase time — never a later version.
+    // AsofJoin.priorJoin's union-and-carry does it in one key shuffle
+    // (no inequality-join explosion); the report groups purchases by
+    // their as-of state with total state staleness in seconds.
+    "join_point_in_time" -> QuerySpec(
+      (s, dir) => {
+        import graft.operators.TimeSeries
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), epochS(col("ts")).as("t"),
+            col("event_id"), col("event_type"))
+        val versions = TimeSeries.runLengthVersions(
+            ev.filter(col("event_type") =!= "purchase"),
+            "user_id", "t", "event_id", "event_type")
+          .select(col("key").as("user_id"), col("t"),
+            col("tie").as("event_id"), col("state"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "t", "event_id")
+        AsofJoin.priorJoin(purchases, versions,
+            "user_id", "t", "event_id", "state")
+          .groupBy(coalesce(col("asof_state"), lit("(none)")).as("prior_state"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("t") - col("asof_time")).as("staleness_sum"))
+          .orderBy("prior_state")
+      },
+      """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS t, event_id, event_type
+        |  FROM events),
+        |np AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+        |v AS (SELECT user_id, t, event_id, event_type FROM (
+        |    SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+        |    FROM np) WHERE prev IS NULL OR event_type <> prev),
+        |p AS (SELECT user_id, t, event_id FROM e WHERE event_type = 'purchase'),
+        |u AS (SELECT user_id, t, 0 AS side, event_id AS tie, event_type AS rv, t AS rt FROM v
+        |  UNION ALL SELECT user_id, t, 1, event_id, NULL, NULL FROM p),
+        |c AS (SELECT user_id, t, side,
+        |    last_value(rv IGNORE NULLS) OVER w AS st,
+        |    last_value(rt IGNORE NULLS) OVER w AS vt
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY t, side, tie
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT COALESCE(st, '(none)') AS prior_state,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(t - vt) AS BIGINT) AS staleness_sum
+        |FROM c WHERE side = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
     // ---- partial-aggregate merge (reaggregability) ---------------------
     // The incremental-rollup contract a warehouse lives on: day-grain
     // partial states (count / decimal sum / min / max) MERGE to month

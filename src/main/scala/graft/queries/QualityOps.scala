@@ -648,6 +648,50 @@ object QualityOps {
       }
     ),
 
+    // ---- right-to-be-forgotten cascade audit ---------------------------
+    // GDPR deletion planning: a customer tombstone list (every 97th key)
+    // cascades customer → orders → lineitem; the audit reports purge vs
+    // keep counts per table BEFORE any delete runs. Lineitem reaches the
+    // list through the orders semi-join (no custkey on the fact table) —
+    // two semi-joins and three keyed counts, no row ever widened.
+    "dq_deletion_audit" -> QuerySpec(
+      (s, dir) => {
+        val del = t(s, dir, "customer")
+          .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+        val cust = t(s, dir, "customer")
+        val ords = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val ordsHit = ords.join(del, col("o_custkey") === col("c_custkey"), "left_semi")
+        def report(name: String, total: org.apache.spark.sql.DataFrame,
+            hit: org.apache.spark.sql.DataFrame) =
+          total.agg(count(lit(1)).as("n_total")).crossJoin(
+            broadcast(hit.agg(count(lit(1)).as("n_purge"))))
+            .select(lit(name).as("table_name"), col("n_purge"),
+              (col("n_total") - col("n_purge")).as("n_keep"))
+        report("customer", cust,
+            cust.join(del, Seq("c_custkey"), "left_semi"))
+          .unionByName(report("orders", ords, ordsHit))
+          .unionByName(report("lineitem", li,
+            li.join(ordsHit.select(col("o_orderkey")),
+              col("l_orderkey") === col("o_orderkey"), "left_semi")))
+          .orderBy("table_name")
+      },
+      """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |oh AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del))
+        |SELECT 'customer' AS table_name,
+        |  (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT c_custkey FROM del)) AS n_purge,
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM del)) AS n_keep
+        |UNION ALL
+        |SELECT 'orders',
+        |  (SELECT count(*) FROM oh),
+        |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM oh)
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM oh)),
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM oh))
+        |ORDER BY table_name""".stripMargin
+    ),
+
     // ---- k-core decomposition ------------------------------------------
     // Synchronous peeling on a deterministic doc-derived graph (13 chains
     // of length 6 hanging off a 13-node core cycle — the periphery peels
