@@ -523,7 +523,7 @@ object DssOps {
           .filter(col("qty_ps") * 5 > col("qty_p"))
           .select(col("l_suppkey"))
         t(s, dir, "supplier")
-          .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_5")),
+          .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_12")),
             col("s_nationkey") === col("n_nationkey"))
           .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
           .select("s_suppkey", "s_name")
@@ -539,7 +539,7 @@ object DssOps {
         |p AS (SELECT l_partkey AS pk, sum(qty_ps) AS qty_p FROM q GROUP BY 1)
         |SELECT s_suppkey, s_name
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_name = 'NATION_5' AND s_suppkey IN
+        |WHERE n_name = 'NATION_12' AND s_suppkey IN
         |  (SELECT l_suppkey FROM q JOIN p ON l_partkey = pk
         |   WHERE qty_ps * 5 > qty_p)
         |ORDER BY s_suppkey""".stripMargin
