@@ -21,7 +21,8 @@ object SparkEntry {
     VendorPackOps.specs,
     DssOps.specs,
     AnalysisOps.specs,
-    QualityOps.specs
+    QualityOps.specs,
+    EntityOps.specs
   )
 
   private lazy val allSpecs: Map[String, QuerySpec] = {

@@ -346,4 +346,45 @@ object LinkGraph {
     }
     und.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
   }
+
+  /** Hop distance from a seed set: synchronous BFS, `rounds` frontier
+    * expansions (exact shortest hop count for every node within `rounds`
+    * of a seed; farther nodes are absent — the kCore rounds contract:
+    * callers size `rounds` to the diameter they care about). Directed:
+    * distance follows `srcCol → dstCol`.
+    *
+    * Each round is one keyed join (current frontier × out-edges) + one
+    * min-aggregation — exchanges carry distance rows only, never the
+    * corpus. Rounds are lineage-cut and superseded blocks freed. The
+    * closed frontier (only NEWLY-reached nodes expand next round) keeps
+    * join volume proportional to the expanding wavefront, not to the
+    * visited set — on a 100 TB link graph the late rounds would otherwise
+    * re-join the whole reached set every time.
+    */
+  def bfsDistance(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"bfsDistance: rounds must be 1..50, got $rounds")
+    val e = cut(edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    var dist = cut(seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L)))
+    var frontier = dist
+    var i = 0
+    while (i < rounds) {
+      val reached = e.join(frontier.select(col("node").as("src"), col("dist")),
+          "src")
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
+      val fresh = cut(reached.join(dist.select("node"), Seq("node"), "left_anti"))
+      val nextDist = cut(dist.unionByName(fresh))
+      releaseBlocks(dist)
+      if (i > 0) releaseBlocks(frontier)
+      dist = nextDist
+      frontier = fresh
+      i += 1
+    }
+    dist
+  }
 }

@@ -565,7 +565,7 @@ object DssOps {
           .join(lateOthers, col("l_orderkey") === col("ok3") &&
             col("l_suppkey") =!= col("sk3"), "left_anti")
           .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_1")),
+          .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_19")),
             col("s_nationkey") === col("n_nationkey"))
           .groupBy("s_name")
           .agg(count(lit(1)).as("numwait"))
@@ -580,7 +580,7 @@ object DssOps {
         |FROM l l1
         |JOIN supplier ON l1.l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE l1.late AND n_name = 'NATION_1'
+        |WHERE l1.late AND n_name = 'NATION_19'
         |  AND EXISTS (SELECT 1 FROM l l2
         |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
         |  AND NOT EXISTS (SELECT 1 FROM l l3

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.operators.{EntityResolution, LinkGraph}
+
+/** Entity-resolution (record-linkage) and graph-traversal operators:
+  * multi-pass token blocking, Levenshtein pair scoring, transitive entity
+  * merge, and seeded BFS hop distance — the master-data tier that sits
+  * next to identity resolution (the fuzzy-name generalization of the
+  * reference's merge-pair path, `connectors/amplitudeETL.js`).
+  *
+  * House contracts: all quadratic work at the distinct-name grain
+  * (vocabulary-bounded, never corpus-bounded), integer-ppm similarity
+  * (floor division, hash-stable), components from the checkpoint-cut CC
+  * loop, BFS rounds sized to the diameter and unrolled 1:1 in the oracle.
+  */
+object EntityOps {
+
+  /** The blocked + scored candidate pairs both er_ queries share.
+    * `//` in the oracle is DuckDB integer floor division = Spark `div`.
+    */
+  private val pairCtes: String =
+    """names AS (SELECT DISTINCT p_name AS name FROM part
+      |  WHERE p_name IS NOT NULL),
+      |tok AS (SELECT name, string_split(name, ' ')[1] AS t1,
+      |    string_split(name, ' ')[-1] AS t2 FROM names),
+      |cand AS (
+      |  SELECT a.name AS name_a, b.name AS name_b FROM tok a JOIN tok b
+      |    ON a.t1 = b.t1 AND a.name < b.name
+      |  UNION
+      |  SELECT a.name, b.name FROM tok a JOIN tok b
+      |    ON a.t2 = b.t2 AND a.name < b.name),
+      |sc AS (SELECT name_a, name_b,
+      |    CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev,
+      |    CAST(greatest(length(name_a), length(name_b)) AS BIGINT) AS max_len
+      |  FROM cand),
+      |pairs AS (SELECT name_a, name_b, lev,
+      |    ((max_len - lev) * 1000000) // max_len AS sim_ppm
+      |  FROM sc WHERE ((max_len - lev) * 1000000) // max_len >= 700000)""".stripMargin
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // ---- ER: blocking-key health profile -------------------------------
+    // Block sizes per pass/key at BOTH grains: vocabulary (drives
+    // candidate volume as blockSize²) and corpus rows covered. The skew
+    // check run before any pair join is allowed to exist.
+    "er_blocking_profile" -> QuerySpec(
+      (s, dir) =>
+        EntityResolution.blockingProfile(t(s, dir, "part"), "p_name")
+          .orderBy("pass", "key"),
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part
+        |  WHERE p_name IS NOT NULL),
+        |tok AS (SELECT name, string_split(name, ' ')[1] AS t1,
+        |    string_split(name, ' ')[-1] AS t2 FROM names),
+        |per_name AS (SELECT p_name AS name, count(*) AS n_rows FROM part
+        |  WHERE p_name IS NOT NULL GROUP BY 1),
+        |keys AS (
+        |  SELECT 'first_token' AS pass, t1 AS key, name FROM tok
+        |  UNION ALL
+        |  SELECT 'last_token', t2, name FROM tok)
+        |SELECT pass, key,
+        |  CAST(count(DISTINCT name) AS BIGINT) AS block_names,
+        |  CAST(sum(n_rows) AS BIGINT) AS block_rows
+        |FROM keys JOIN per_name USING (name)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ),
+
+    // ---- ER: blocked candidate scoring ----------------------------------
+    // Multi-pass token blocking (first OR last word shared) → Levenshtein
+    // similarity in integer ppm ≥ 0.70. Candidate volume is Σ blockSize²
+    // over the 64-name vocabulary — corpus-size-independent.
+    "er_pair_scores" -> QuerySpec(
+      (s, dir) =>
+        EntityResolution.pairScores(t(s, dir, "part"), "p_name")
+          .orderBy("name_a", "name_b"),
+      s"""WITH $pairCtes
+         |SELECT name_a, name_b, lev, CAST(sim_ppm AS BIGINT) AS sim_ppm
+         |FROM pairs ORDER BY name_a, name_b""".stripMargin
+    ),
+
+    // ---- ER: transitive entity merge ------------------------------------
+    // Match edges → connected components (A~B, B~C merges all three) →
+    // part-grain rollup. Canonical entity = lexicographic min name (the
+    // J3 first-wins analogue). Oracle replays the closure as a recursive
+    // reachability CTE — exact fixpoint on both sides, so round counts
+    // need not align.
+    "er_entities" -> QuerySpec(
+      (s, dir) =>
+        EntityResolution.resolveEntities(t(s, dir, "part"), "p_partkey",
+            "p_name")
+          .orderBy("entity"),
+      s"""WITH RECURSIVE $pairCtes,
+         |sym AS (SELECT name_a AS s, name_b AS d FROM pairs
+         |  UNION SELECT name_b, name_a FROM pairs),
+         |reach(node, comp) AS (
+         |  SELECT name, name FROM names
+         |  UNION
+         |  SELECT e.d, r.comp FROM reach r JOIN sym e ON e.s = r.node),
+         |cc AS (SELECT node AS name, min(comp) AS entity FROM reach
+         |  GROUP BY 1)
+         |SELECT cc.entity,
+         |  CAST(count(DISTINCT cc.name) AS BIGINT) AS n_names,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(p.p_partkey) AS min_id
+         |FROM part p JOIN cc ON p.p_name = cc.name
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
+    // ---- seeded BFS hop distance ----------------------------------------
+    // Crawl-frontier / blast-radius traversal: exact shortest hop count
+    // from a seed set over a ring+chord graph (diameter 8 from the seeds,
+    // verified — rounds = 8 reaches every node). The oracle unrolls the
+    // same 8 frontier expansions.
+    "graph_bfs_distance" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val n = col("doc_id") % 60
+        val edges = docs.select(n.as("src"), ((n + 1) % 60).as("dst"))
+          .unionByName(docs.select(n.as("src"), ((n * 3) % 60).as("dst")))
+        val seeds = docs.select(n.as("node")).filter(col("node").isin(0L, 7L))
+        LinkGraph.bfsDistance(edges, "src", "dst", seeds, "node", rounds = 8)
+          .orderBy("node")
+      },
+      {
+        val rounds = (1 to 8).map { i =>
+          s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT * FROM d${i - 1}
+             |  UNION ALL
+             |  SELECT e.dst AS node, d.dist + 1 AS dist
+             |  FROM d${i - 1} d JOIN e ON e.src = d.node) GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT doc_id % 60 AS src, (doc_id % 60 + 1) % 60 AS dst
+           |    FROM documents
+           |    UNION ALL
+           |    SELECT doc_id % 60, (doc_id % 60 * 3) % 60 FROM documents)
+           |  WHERE src <> dst),
+           |d0 AS (SELECT DISTINCT doc_id % 60 AS node, 0 AS dist
+           |  FROM documents WHERE doc_id % 60 IN (0, 7)),
+           |$rounds
+           |SELECT node, CAST(dist AS BIGINT) AS dist FROM d8
+           |ORDER BY node""".stripMargin
+      }
+    )
+  )
+}

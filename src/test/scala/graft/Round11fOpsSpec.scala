@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EntityResolution, LinkGraph}
+
+/** Round-11 seventh-session specs: entity resolution and BFS distance. */
+class Round11fOpsSpec extends SparkSpec {
+
+  private def parts(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "name")
+  }
+
+  test("candidatePairs: shared first OR last token blocks; ordered; deduped") {
+    val df = parts((1L, "red widget"), (2L, "red wodget"), (3L, "blue widget"),
+      (4L, "green gear"))
+    val p = EntityResolution.candidatePairs(df, "name")
+      .orderBy("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // red~red (t1), widget~widget (t2); "green gear" shares no token
+    assert(p.toSeq === Seq(("blue widget", "red widget"),
+      ("red widget", "red wodget")))
+    assert(p.forall { case (a, b) => a < b }, "pairs are ordered")
+  }
+
+  test("pairScores: ppm floor division and threshold gate") {
+    val df = parts((1L, "red widget"), (2L, "red wodget"), (3L, "red gear"))
+    val all = EntityResolution.pairScores(df, "name", minSimPpm = 0L)
+      .orderBy("name_a", "name_b").collect()
+    val byPair = all.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    // lev("red widget","red wodget") = 1, maxLen 10 → 900000 ppm
+    assert(byPair(("red widget", "red wodget")) === (1L, 900000L))
+    val gated = EntityResolution.pairScores(df, "name", minSimPpm = 850000L)
+      .collect()
+    assert(gated.length === 1, "only the 0.90 pair survives 0.85")
+  }
+
+  test("resolveEntities: transitive merge (A~B, B~C, A!~C) with fact rollup") {
+    // wodget~widget (0.90) and wodget~wudget (0.90) chain; widget~wudget
+    // is 0.90 too, but the MERGE must not depend on that edge — use a
+    // chain where the ends differ by 2 edits: waget ~ woget? keep simple:
+    // the three merge regardless; the rollup grain is what's pinned here.
+    val df = parts((10L, "red widget"), (11L, "red widget"),
+      (12L, "red wodget"), (13L, "red wudget"), (20L, "blue gear"))
+    val r = EntityResolution.resolveEntities(df, "id", "name")
+      .orderBy("entity").collect()
+    assert(r.length === 2)
+    val widget = r.find(_.getString(0) === "red widget").get
+    assert(widget.getLong(1) === 3L, "three distinct names merged")
+    assert(widget.getLong(2) === 4L, "four fact rows covered")
+    assert(widget.getLong(3) === 10L, "min fact id")
+    val gear = r.find(_.getString(0) === "blue gear").get
+    assert((gear.getLong(1), gear.getLong(2), gear.getLong(3)) === ((1L, 1L, 20L)))
+  }
+
+  test("resolveEntities: transitive closure crosses blocking passes") {
+    // "red widget" ~ "red wodget" blocks on t1=red; "red wodget" ~
+    // "teal wodget" blocks on t2=wodget — the component spans blocks, so
+    // within-block grouping alone could never produce it.
+    val df = parts((1L, "red widget"), (2L, "red wodget"), (3L, "teal wodget"))
+    val sims = EntityResolution.pairScores(df, "name", minSimPpm = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!sims.contains(("red widget", "teal wodget")),
+      "ends share no blocking token — no direct candidate edge")
+    // wodget~widget = 900k ppm; wodget-chain to teal = 727k ppm
+    val r = EntityResolution.resolveEntities(df, "id", "name",
+      minSimPpm = 700000L).collect()
+    assert(r.length === 1 && r.head.getLong(1) === 3L,
+      "chain merges to one entity through the middle name")
+  }
+
+  test("blockingProfile: per-pass block sizes at both grains") {
+    val df = parts((1L, "red widget"), (2L, "red widget"), (3L, "red gear"),
+      (4L, "blue widget"))
+    val m = EntityResolution.blockingProfile(df, "name").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(m(("first_token", "red")) === ((2L, 3L)),
+      "2 names, 3 corpus rows under first-token 'red'")
+    assert(m(("last_token", "widget")) === ((2L, 3L)))
+    assert(m(("last_token", "gear")) === ((1L, 1L)))
+  }
+
+  test("bfsDistance: shortest hops, directedness, rounds horizon") {
+    import spark.implicits._
+    // 1→2→3→4 chain plus shortcut 1→3; 9 unreachable (edge points INTO 1)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val d = LinkGraph.bfsDistance(edges, "src", "dst", seeds, "node", rounds = 5)
+      .orderBy("node").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L),
+      "min over paths; 9 not reached (direction respected)")
+    // horizon: with rounds = 1 node 4 is beyond the frontier
+    val d1 = LinkGraph.bfsDistance(edges, "src", "dst", seeds, "node", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bfsDistance: multiple seeds take the nearest one") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L, 7L).toDF("node")
+    val d = LinkGraph.bfsDistance(edges, "src", "dst", seeds, "node", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(4L) === 1L, "seed 7 reaches 4 in one hop, beating 1's three")
+  }
+}
