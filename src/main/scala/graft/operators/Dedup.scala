@@ -172,6 +172,57 @@ object Dedup {
     verifyJaccard(cand, sh, cnt, threshold)
   }
 
+  /** Directed n-gram CONTAINMENT pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    * ≥ τ — the asymmetric near-dup measure resemblance (Jaccard) misses:
+    * a snippet quoted inside a much larger doc has high containment but
+    * tiny Jaccard (Broder 1997's two measures). Curation uses it to drop
+    * subset documents whose content already rides inside a kept superset.
+    *
+    * Candidate generation is the asymmetric prefix filter: if C(A→B) ≥ τ
+    * then A misses at most n_a − ceil(τ·n_a) shingles of its own set, so
+    * A's `n_a − ceil(τ·n_a) + 1` globally-rarest shingles cannot ALL be
+    * absent from B — joining only A's prefix against the FULL index is
+    * lossless. No length filter applies (B may be arbitrarily larger —
+    * that asymmetry is the point). Thresholds are integer ppm; the ceil
+    * is exact integer arithmetic ((n·τppm + 999999) div 1e6), and the
+    * verified score is floor-division ppm — hash-stable.
+    *
+    * `maxShingleFreq` caps candidate fan-out on adversarial corpora
+    * (drops pairs whose overlap is only stop-shingles — leave None for
+    * oracle-exact runs; same contract as [[ngramJaccardPairs]]).
+    *
+    * Output: (id_a, id_b, containment_ppm), directed — id_a is the
+    * contained side. Both directions of a mutual near-dup both appear.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, thresholdPpm: Long, maxShingleFreq: Option[Int] = None): DataFrame = {
+    require(thresholdPpm >= 1L && thresholdPpm <= 1000000L,
+      s"containmentPairs: thresholdPpm must be in [1, 1e6], got $thresholdPpm")
+    val sh = shingleIndex(docs, idCol, textCol, n)
+    val cnt = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val freq0 = sh.groupBy("s").agg(count(lit(1)).as("f"))
+    val freq = maxShingleFreq.fold(freq0)(cap => freq0.filter(col("f") <= cap))
+    val ranked = sh.join(freq, "s")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc").orderBy("f", "s")))
+    val prefix = ranked.join(cnt, "doc")
+      .filter(col("rn") <=
+        col("n_sh") - expr(s"(n_sh * ${thresholdPpm}L + 999999L) div 1000000L") + 1)
+      .select(col("doc").as("id_a"), col("s"))
+    val cand = prefix
+      .join(sh.select(col("doc").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col("doc").as("id_a"), col("s")), "id_a")
+      .join(sh.select(col("doc").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(cnt.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .withColumn("containment_ppm", expr("(inter * 1000000) div n_a"))
+      .filter(col("containment_ppm") >= thresholdPpm)
+      .select("id_a", "id_b", "containment_ppm")
+  }
+
   /** Transitive near-dup clusters: connected components over a near-dup
     * pair graph ((id_a, id_b) from any of the pair generators), labelling
     * every clustered doc with the smallest doc id reachable. Pairwise

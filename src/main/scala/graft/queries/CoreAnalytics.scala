@@ -181,6 +181,31 @@ object CoreAnalytics {
         |  AND l_quantity < 24""".stripMargin
     ),
 
+    // ---- salted skew join ----------------------------------------------
+    // The hot-key mitigation for when AQE's skew-join split can't apply
+    // (e.g. a broadcast-ineligible build side): scatter the probe side
+    // over `salts` deterministic replicas of the build side. Row-identical
+    // to the direct join — the oracle IS the direct join.
+    "join_skew_salted" -> QuerySpec(
+      (s, dir) => {
+        val left = t(s, dir, "lineitem")
+          .select(col("l_partkey").as("k"), col("l_extendedprice"))
+        val right = t(s, dir, "part")
+          .select(col("p_partkey").as("k"), col("p_brand"))
+        graft.operators.SkewJoin.saltedJoin(left, right, "k", salts = 8)
+          .groupBy("p_brand")
+          .agg(QuerySpec.sumMoney(QuerySpec.dec4(col("l_extendedprice")))
+            .as("revenue"), count(lit(1)).as("n"))
+          .orderBy("p_brand")
+      },
+      """SELECT p_brand,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+    ),
+
     // ---- dim join (AQE picks broadcast while part fits under the
     // autoBroadcastJoinThreshold; part scales linearly, so no forced hint)
     "join_broadcast_dim" -> QuerySpec(

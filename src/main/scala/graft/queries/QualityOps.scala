@@ -284,6 +284,54 @@ object QualityOps {
         |ORDER BY user_id, day""".stripMargin
     ),
 
+    // ---- exact bounded-horizon EWMA --------------------------------------
+    // Exponentially-weighted daily revenue per event type, α = 1/2, horizon
+    // 16 lags: weights 2^(15−k) are exact integers, the daily series is
+    // exact integer cents, and the smoothed value is one floor division —
+    // no float pow anywhere, hash-stable. The 2⁻¹⁶ tail truncation is the
+    // documented horizon contract (beyond 16 days the weight is < 0.002%
+    // of the mass). One key-partitioned window pass evaluates all 16 lags.
+    "ts_ewma" -> QuerySpec(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, dir, "events")
+          .select(col("event_type"), (epochS(col("ts")) / 86400).cast("long").as("day"),
+            col("value"))
+          .groupBy("event_type", "day")
+          .agg((round(sum(QuerySpec.dec4(col("value"))), 2) * 100)
+            .cast("long").as("cents"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val terms = (0 until 16).map { k =>
+          val lv = lag(col("cents"), k).over(w)
+          (when(lv.isNotNull, lv * lit(1L << (15 - k))).otherwise(lit(0L)),
+            when(lv.isNotNull, lit(1L << (15 - k))).otherwise(lit(0L)))
+        }
+        daily
+          .withColumn("wnum", terms.map(_._1).reduce(_ + _))
+          .withColumn("wden", terms.map(_._2).reduce(_ + _))
+          .select(col("event_type"), col("day"),
+            expr("wnum div wden").as("ewma_cents"))
+          .orderBy("event_type", "day")
+      },
+      {
+        val num = (0 until 16).map(k =>
+          s"(CASE WHEN lag(cents, $k) OVER w IS NOT NULL THEN lag(cents, $k) OVER w * ${1L << (15 - k)} ELSE 0 END)")
+          .mkString(" + ")
+        val den = (0 until 16).map(k =>
+          s"(CASE WHEN lag(cents, $k) OVER w IS NOT NULL THEN ${1L << (15 - k)} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH daily AS (
+           |  SELECT event_type, (epoch_ms(ts)//1000)//86400 AS day,
+           |    CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM events GROUP BY 1, 2)
+           |SELECT event_type, day, ($num) // ($den) AS ewma_cents
+           |FROM daily
+           |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+           |ORDER BY event_type, day""".stripMargin
+      }
+    ),
+
     // ---- HITS hubs & authorities ---------------------------------------
     // Kleinberg's endorsement scores on the synthetic 37-host link graph
     // (web_pagerank's edge set) — fixed-point integer halves with L1

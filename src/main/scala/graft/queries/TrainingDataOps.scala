@@ -634,6 +634,30 @@ object TrainingDataOps {
          |FROM jac WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
     ),
 
+    // ---- directed n-gram CONTAINMENT near-dups -------------------------
+    // Broder's second measure: C(A→B) = |A∩B|/|A| catches a snippet
+    // living inside a much larger doc (high containment, low Jaccard).
+    // Spark side candidates via the asymmetric prefix filter (A's rarest
+    // shingles vs the FULL index — lossless); the oracle verifies with
+    // the naive shared-shingle group-by. Directed: id_a is the contained
+    // side, so mutual near-dups appear twice with their own scores.
+    "dd_containment" -> QuerySpec(
+      (s, dir) =>
+        Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+            3, thresholdPpm = 900000L)
+          .orderBy("id_a", "id_b"),
+      s"""WITH ${duckShingleCtes()},
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |ct AS (SELECT id_a, id_b,
+         |    (inter * 1000000) // ca.n_sh AS containment_ppm
+         |  FROM pairs JOIN cnt ca ON ca.doc_id = id_a)
+         |SELECT id_a, id_b, CAST(containment_ppm AS BIGINT) AS containment_ppm
+         |FROM ct WHERE containment_ppm >= 900000
+         |ORDER BY id_a, id_b""".stripMargin
+    ),
+
     // ---- web-curation URL canonicalization ----------------------------
     // Synthesize crawl-shaped URLs from doc_id arithmetic — mixed-case
     // scheme/host, www., default and explicit ports, trailing slashes,

@@ -98,6 +98,25 @@ class Round11fOpsSpec extends SparkSpec {
     assert(d1 === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("containmentPairs: directed — snippet scores 1.0 into its superset, not back") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),             // 3 trigram shingles, all inside doc 2
+      (2L, "a b c d e f g h"),       // 6 shingles
+      (3L, "x y z w v")              // unrelated
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
+        3, thresholdPpm = 900000L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r === Map((1L, 2L) -> 1000000L),
+      "only the contained→superset direction passes (reverse is 0.5)")
+    // lower threshold exposes the reverse direction at exactly 500000 ppm
+    val both = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
+        3, thresholdPpm = 500000L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(both((2L, 1L)) === 500000L)
+  }
+
   test("bfsDistance: multiple seeds take the nearest one") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 4L)).toDF("src", "dst")
