@@ -796,6 +796,110 @@ object DssOps {
         |SELECT path, count(*) AS n_conversions
         |FROM pp GROUP BY 1
         |ORDER BY n_conversions DESC, path LIMIT 25""".stripMargin
+    ),
+
+    // ---- market-basket co-purchase lift --------------------------------
+    // Items co-occurring in the same order, with lift in integer ppm:
+    // lift(a,b) = P(a,b) / (P(a)·P(b)) = sup_ab·N / (sup_a·sup_b). The
+    // pair self-join fans out only WITHIN an order — baskets are ≤13
+    // distinct parts here, ≤78 pairs each, linear in orders at any scale
+    // (the bounded-fanout contract; a degenerate mega-basket corpus would
+    // need a basket-size cap first). Bounded top-25 by support
+    // (TakeOrderedAndProject, no global sort).
+    "a16_market_basket" -> QuerySpec(
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val n = items.select(countDistinct(col("ok")).as("n_orders"))
+        val sup = items.groupBy("pk").agg(count(lit(1)).as("sup"))
+        val pairs = items.select(col("ok"), col("pk").as("pa"))
+          .join(items.select(col("ok"), col("pk").as("pb")), "ok")
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("sup_ab"))
+        pairs
+          .join(sup.select(col("pk").as("pa"), col("sup").as("sup_a")), "pa")
+          .join(sup.select(col("pk").as("pb"), col("sup").as("sup_b")), "pb")
+          .crossJoin(broadcast(n))
+          .withColumn("lift_ppm",
+            expr("(sup_ab * n_orders * 1000000) div (sup_a * sup_b)"))
+          .select("pa", "pb", "sup_ab", "lift_ppm")
+          .orderBy(col("sup_ab").desc, col("pa"), col("pb"))
+          .limit(25)
+      },
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+        |sup AS (SELECT pk, count(*) AS sup FROM items GROUP BY 1),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS sup_ab
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, sup_ab,
+        |  (sup_ab * n.n_orders * 1000000) // (sa.sup * sb.sup) AS lift_ppm
+        |FROM pairs
+        |JOIN sup sa ON sa.pk = pa JOIN sup sb ON sb.pk = pb, n
+        |ORDER BY sup_ab DESC, pa, pb LIMIT 25""".stripMargin
+    ),
+
+    // ---- repeat-purchase cadence per segment ----------------------------
+    // Days between a customer's consecutive orders, rolled up per market
+    // segment with an EXACT median (deterministic element pick — lower
+    // median at rank (n+1) div 2 under a tie-broken total order, the
+    // partitioning-invariant contract of agg_exact_percentiles) and an
+    // exact ppm mean. Two key-partitioned windows, zero global sorts.
+    "a17_purchase_cadence" -> QuerySpec(
+      (s, dir) => {
+        val wCust = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+        val gaps = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            (epochS(col("o_orderdate")) / 86400).cast("long").as("day"))
+          .withColumn("gap", col("day") - lag(col("day"), 1).over(wCust))
+          .filter(col("gap").isNotNull)
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"), col("gap"))
+        // contract the corpus to a (segment, gap) histogram FIRST — the
+        // median is then a cumulative-count bucket pick over ≤ (#segments
+        // × #distinct gap days) rows, so the per-segment windows never see
+        // corpus-sized partitions (5 segments would otherwise funnel
+        // everything through 5 tasks). The element at rank r under any
+        // tie-broken (gap, …) total order has gap = min g with
+        // cum(≤g) ≥ r, so the bucket pick equals the oracle's row pick.
+        val hist = gaps.groupBy("segment", "gap").agg(count(lit(1)).as("cnt"))
+        val wCum = Window.partitionBy("segment").orderBy("gap")
+        val wAll = Window.partitionBy("segment")
+        hist
+          .withColumn("cum", sum("cnt").over(wCum))
+          .withColumn("n_gaps", sum("cnt").over(wAll))
+          .withColumn("gsum", sum(col("gap") * col("cnt")).over(wAll))
+          .withColumn("target", expr("(n_gaps + 1) div 2"))
+          .filter(col("cum") - col("cnt") < col("target") &&
+            col("target") <= col("cum"))
+          .select(col("segment"), col("n_gaps"),
+            col("gap").as("median_gap_days"),
+            expr("(gsum * 1000000) div n_gaps").as("mean_gap_ppm"))
+          .orderBy("segment")
+      },
+      """WITH gaps AS (
+        |  SELECT c_mktsegment AS segment, o_custkey,
+        |    (epoch_ms(o_orderdate)//1000)//86400 AS day,
+        |    (epoch_ms(o_orderdate)//1000)//86400
+        |      - lag((epoch_ms(o_orderdate)//1000)//86400)
+        |        OVER (PARTITION BY o_custkey ORDER BY
+        |          (epoch_ms(o_orderdate)//1000)//86400, o_orderkey) AS gap
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT * FROM gaps WHERE gap IS NOT NULL),
+        |r AS (SELECT segment, gap,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY gap, o_custkey, day) AS rn,
+        |    count(*) OVER (PARTITION BY segment) AS n_gaps,
+        |    sum(gap) OVER (PARTITION BY segment) AS gsum
+        |  FROM g)
+        |SELECT segment, CAST(n_gaps AS BIGINT) AS n_gaps,
+        |  gap AS median_gap_days,
+        |  CAST((gsum * 1000000) // n_gaps AS BIGINT) AS mean_gap_ppm
+        |FROM r WHERE rn = (n_gaps + 1) // 2
+        |ORDER BY segment""".stripMargin
     )
   )
 }
