@@ -51,6 +51,73 @@ object Funnels {
         col("r.n_users").as("n_users"), col("r.conv_ppm").as("conv_ppm"))
   }
 
+  /** Per-user windowed funnel progression: step 1 at the user's earliest
+    * `steps(0)` event (t0); step i at the earliest `steps(i)` event
+    * strictly after step i−1 AND within `windowSec` of t0 — the
+    * conversion-window semantics of product-analytics funnels (a purchase
+    * eight days after the view does NOT convert a 7-day funnel).
+    * Returns the completers' (user, t0, t_last). Same plan shape as
+    * [[funnelCounts]]: k−1 keyed joins on per-user rows, t0 carried
+    * through the chain as a column (no re-join to step 1).
+    */
+  def funnelCompletions(events: DataFrame, userCol: String, typeCol: String,
+      ts: Column, steps: Seq[String], windowSec: Long): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8, "funnel needs 2..8 steps")
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      ts.cast("long").as("t"))
+    steps.zipWithIndex.foldLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val mine = base.filter(col("et") === step)
+        Some(prev match {
+          case None => mine.groupBy("u").agg(min("t").as("t"))
+            .withColumn("t0", col("t"))
+          case Some(p) =>
+            mine.join(p.select(col("u"), col("t").as("tp"), col("t0")), "u")
+              .filter(col("t") > col("tp") &&
+                col("t") <= col("t0") + lit(windowSec))
+              .groupBy("u", "t0").agg(min("t").as("t"))
+        })
+    }.get.select(col("u"), col("t0"), col("t").as("t_last"))
+  }
+
+  /** Windowed funnel step counts (the [[funnelCounts]] report under a
+    * conversion window): one row per step with n_users and conv_ppm
+    * relative to step 1.
+    */
+  def funnelCountsWindowed(events: DataFrame, userCol: String,
+      typeCol: String, ts: Column, steps: Seq[String],
+      windowSec: Long): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8, "funnel needs 2..8 steps")
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      ts.cast("long").as("t"))
+    val stepFrames = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val mine = base.filter(col("et") === step)
+        Some(prev match {
+          case None => mine.groupBy("u").agg(min("t").as("t"))
+            .withColumn("t0", col("t"))
+          case Some(p) =>
+            mine.join(p.select(col("u"), col("t").as("tp"), col("t0")), "u")
+              .filter(col("t") > col("tp") &&
+                col("t") <= col("t0") + lit(windowSec))
+              .groupBy("u", "t0").agg(min("t").as("t"))
+        })
+    }.flatten
+    val counts = stepFrames.zipWithIndex.map { case (df, i) =>
+      broadcast(df.agg(count(lit(1)).cast("long").as(s"n$i")))
+    }
+    val one = counts.tail.foldLeft(counts.head)(_.crossJoin(_))
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(step).as("step"),
+        col(s"n$i").as("n_users"),
+        expr(s"(n$i * 1000000) div n0").as("conv_ppm"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.step_idx").as("step_idx"), col("r.step").as("step"),
+        col("r.n_users").as("n_users"), col("r.conv_ppm").as("conv_ppm"))
+  }
+
   /** Cohort retention: a user's cohort is the bucket (e.g. epoch-day =
     * epoch div `bucketSeconds`) of their first event; a (cohort, offset)
     * cell counts users active in bucket cohort+offset. One distinct

@@ -320,6 +320,68 @@ object ExtendedAnalytics {
         |ORDER BY step_idx""".stripMargin
     ),
 
+    // ---- windowed funnel (conversion-window semantics) -------------------
+    // The product-analytics default a7 deliberately omits: every later
+    // step must land within 7 days of the user's FUNNEL START, so a
+    // purchase eight days after the view does not convert. 150/144/126
+    // at sf0.01 vs a7's 150/150/150 — the window is load-bearing.
+    "a18_funnel_windowed" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Funnels.funnelCountsWindowed(t(s, dir, "events"),
+            "user_id", "event_type", epochS(col("ts")),
+            Seq("view", "click", "purchase"), windowSec = 604800L)
+          .orderBy("step_idx"),
+      """WITH e AS (SELECT user_id AS u, event_type AS et,
+        |    epoch_ms(ts)//1000 AS t FROM events),
+        |s0 AS (SELECT u, min(t) AS t0 FROM e WHERE et = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.u, s0.t0, min(e.t) AS t FROM e
+        |  JOIN s0 ON e.u = s0.u AND e.t > s0.t0 AND e.t <= s0.t0 + 604800
+        |  WHERE e.et = 'click' GROUP BY 1, 2),
+        |s2 AS (SELECT e.u, s1.t0, min(e.t) AS t FROM e
+        |  JOIN s1 ON e.u = s1.u AND e.t > s1.t AND e.t <= s1.t0 + 604800
+        |  WHERE e.et = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT (SELECT count(*) FROM s0) AS n0,
+        |  (SELECT count(*) FROM s1) AS n1,
+        |  (SELECT count(*) FROM s2) AS n2)
+        |SELECT * FROM (
+        |  SELECT 1 AS step_idx, 'view' AS step,
+        |    CAST(n0 AS BIGINT) AS n_users,
+        |    CAST((n0*1000000)//n0 AS BIGINT) AS conv_ppm FROM c
+        |  UNION ALL SELECT 2, 'click', CAST(n1 AS BIGINT),
+        |    CAST((n1*1000000)//n0 AS BIGINT) FROM c
+        |  UNION ALL SELECT 3, 'purchase', CAST(n2 AS BIGINT),
+        |    CAST((n2*1000000)//n0 AS BIGINT) FROM c)
+        |ORDER BY step_idx""".stripMargin
+    ),
+
+    // ---- time-to-convert distribution ------------------------------------
+    // Days from funnel start to completion for the windowed completers —
+    // the "how fast do users convert" histogram next to the funnel. Bands
+    // are integer day buckets of (t_last − t0); counts sum to the
+    // windowed funnel's final step.
+    "a19_time_to_convert" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Funnels.funnelCompletions(t(s, dir, "events"),
+            "user_id", "event_type", epochS(col("ts")),
+            Seq("view", "click", "purchase"), windowSec = 604800L)
+          .select(expr("(t_last - t0) div 86400").as("days_to_convert"))
+          .groupBy("days_to_convert")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("days_to_convert"),
+      """WITH e AS (SELECT user_id AS u, event_type AS et,
+        |    epoch_ms(ts)//1000 AS t FROM events),
+        |s0 AS (SELECT u, min(t) AS t0 FROM e WHERE et = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.u, s0.t0, min(e.t) AS t FROM e
+        |  JOIN s0 ON e.u = s0.u AND e.t > s0.t0 AND e.t <= s0.t0 + 604800
+        |  WHERE e.et = 'click' GROUP BY 1, 2),
+        |s2 AS (SELECT e.u, s1.t0, min(e.t) AS t FROM e
+        |  JOIN s1 ON e.u = s1.u AND e.t > s1.t AND e.t <= s1.t0 + 604800
+        |  WHERE e.et = 'purchase' GROUP BY 1, 2)
+        |SELECT (t - t0) // 86400 AS days_to_convert,
+        |  count(*) AS n_users
+        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
     // ---- cohort retention matrix ---------------------------------------
     // Cohort = epoch-day of a user's first event; cell (cohort, offset)
     // counts users active offset days later. Two aggregations + one

@@ -117,6 +117,30 @@ class Round11fOpsSpec extends SparkSpec {
     assert(both((2L, 1L)) === 500000L)
   }
 
+  test("windowed funnel: step outside the conversion window does not convert") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // u1 converts inside the window; u2's purchase is past t0+window even
+    // though it is after the click; u3 clicks before viewing (no convert)
+    val ev = Seq(
+      (1L, "view", 1000L), (1L, "click", 1500L), (1L, "purchase", 1900L),
+      (2L, "view", 1000L), (2L, "click", 1500L), (2L, "purchase", 2100L),
+      (3L, "click", 900L), (3L, "view", 1000L)
+    ).toDF("user_id", "event_type", "t")
+    val counts = graft.operators.Funnels.funnelCountsWindowed(ev, "user_id",
+        "event_type", col("t"), Seq("view", "click", "purchase"),
+        windowSec = 1000L)
+      .orderBy("step_idx").collect().map(_.getLong(2)).toSeq
+    assert(counts === Seq(3L, 2L, 1L),
+      "u2 dies at purchase (outside window), u3 at click (before view)")
+    val done = graft.operators.Funnels.funnelCompletions(ev, "user_id",
+        "event_type", col("t"), Seq("view", "click", "purchase"),
+        windowSec = 1000L).collect()
+    assert(done.length === 1 && done.head.getLong(0) === 1L)
+    assert(done.head.getLong(1) === 1000L && done.head.getLong(2) === 1900L,
+      "t0 and t_last are the funnel's own step times")
+  }
+
   test("bfsDistance: multiple seeds take the nearest one") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 4L)).toDF("src", "dst")
