@@ -45,4 +45,34 @@ object AsofJoin {
       .filter(col("__side") === 1)
       .drop("__side", "__rt", "__rv")
   }
+
+  /** Forward as-of: the EARLIEST right row at-or-after each left row's
+    * time within the key — the "next event" join (next shipment after an
+    * order, next deploy after a commit). Same union-and-carry shape run
+    * forward: left sorts BEFORE right at equal time (so an equal-time
+    * right row is visible), and `first(ignoreNulls)` carries backward
+    * over the unbounded-FOLLOWING frame. One shuffle on the key.
+    * Output: left's (keyCol, timeCol, tieCol) + `asof_time` +
+    * `asof_<valueCol>` (nulls when no later right row).
+    */
+  def nextJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, tieCol: String, valueCol: String): DataFrame = {
+    val vType = right.schema(valueCol).dataType.catalogString
+    val l = left.select(col(keyCol), col(timeCol), col(tieCol))
+      .withColumn("__side", lit(0))
+      .withColumn("__rt", lit(null).cast("long"))
+      .withColumn("__rv", lit(null).cast(vType))
+    val r = right.select(col(keyCol), col(timeCol), col(tieCol),
+      col(valueCol).as("__rv"))
+      .withColumn("__side", lit(1))
+      .withColumn("__rt", col(timeCol).cast("long"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(timeCol), col("__side"), col(tieCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("asof_time", first("__rt", ignoreNulls = true).over(w))
+      .withColumn(s"asof_$valueCol", first("__rv", ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .drop("__side", "__rt", "__rv")
+  }
 }

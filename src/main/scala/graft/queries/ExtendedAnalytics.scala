@@ -428,6 +428,38 @@ object ExtendedAnalytics {
         |ORDER BY event_id""".stripMargin
     ),
 
+    // ---- forward as-of join: next signup at-or-after each event --------
+    // The "next event" direction (next shipment after an order, next
+    // deploy after a commit): union-and-carry run FORWARD — left sorts
+    // before right at equal time, first(ignoreNulls) over the unbounded-
+    // FOLLOWING frame. One shuffle on the key, like join_asof_prior.
+    "join_asof_next" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("t", epochS(col("ts")))
+        val signups = ev.filter(col("event_type") === "signup")
+          .withColumn("signup_t", col("t"))
+        AsofJoin.nextJoin(ev, signups, "user_id", "t", "event_id", "signup_t")
+          .select(col("event_id"), col("asof_time").as("next_signup_t"))
+          .orderBy("event_id")
+      },
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_ms(ts)//1000 AS t, event_id, 0 AS side,
+        |    CAST(NULL AS BIGINT) AS rt
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(ts)//1000, event_id, 1,
+        |    epoch_ms(ts)//1000
+        |  FROM events WHERE event_type = 'signup'),
+        |carried AS (
+        |  SELECT *, first_value(rt IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY t, side, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_signup_t
+        |  FROM tagged)
+        |SELECT event_id, next_signup_t FROM carried WHERE side = 0
+        |ORDER BY event_id""".stripMargin
+    ),
+
     // ---- range join: lineitems shipped within 60 days of order date ----
     "join_range_window" -> QuerySpec(
       (s, dir) => {

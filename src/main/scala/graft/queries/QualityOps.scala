@@ -284,6 +284,48 @@ object QualityOps {
         |ORDER BY user_id, day""".stripMargin
     ),
 
+    // ---- row-level snapshot diff -----------------------------------------
+    // The reconciliation report between two table versions: added /
+    // removed / changed / unchanged row counts from ONE keyed full-outer
+    // join with per-column comparison (dq_schema_drift diffs the column
+    // PROFILES; this diffs the ROWS). Snapshots are carved
+    // deterministically from orders: B gains the %10==0 keys A lacks,
+    // loses the %13==0 keys, and restates o_totalprice on %7==0.
+    "dq_snapshot_diff" -> QuerySpec(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val snapA = o.filter(col("o_orderkey") % 10 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price_a"),
+            col("o_orderstatus").as("status_a"))
+        val snapB = o.filter(col("o_orderkey") % 13 =!= 0)
+          .select(col("o_orderkey").as("k"),
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")).as("price_b"),
+            col("o_orderstatus").as("status_b"))
+        snapA.join(snapB, Seq("k"), "full_outer")
+          .select(when(col("price_a").isNull, "added")
+            .when(col("price_b").isNull, "removed")
+            .when(col("price_a") =!= col("price_b") ||
+              col("status_a") =!= col("status_b"), "changed")
+            .otherwise("unchanged").as("change_type"))
+          .groupBy("change_type").agg(count(lit(1)).as("n"))
+          .orderBy("change_type")
+      },
+      """WITH a AS (SELECT o_orderkey AS k, o_totalprice AS pa,
+        |    o_orderstatus AS sa FROM orders WHERE o_orderkey % 10 <> 0),
+        |b AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |      ELSE o_totalprice END AS pb,
+        |    o_orderstatus AS sb FROM orders WHERE o_orderkey % 13 <> 0),
+        |d AS (SELECT CASE WHEN pa IS NULL THEN 'added'
+        |    WHEN pb IS NULL THEN 'removed'
+        |    WHEN pa <> pb OR sa <> sb THEN 'changed'
+        |    ELSE 'unchanged' END AS change_type
+        |  FROM a FULL OUTER JOIN b USING (k))
+        |SELECT change_type, count(*) AS n FROM d
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
     // ---- exact bounded-horizon EWMA --------------------------------------
     // Exponentially-weighted daily revenue per event type, α = 1/2, horizon
     // 16 lags: weights 2^(15−k) are exact integers, the daily series is

@@ -141,6 +141,22 @@ class Round11fOpsSpec extends SparkSpec {
       "t0 and t_last are the funnel's own step times")
   }
 
+  test("nextJoin: earliest right at-or-after, equal time visible, null past end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 35L, 102L))
+      .toDF("k", "t", "id")
+    val right = Seq((1L, 20L, 1L, 777L), (1L, 30L, 2L, 888L))
+      .toDF("k", "t", "id", "v")
+    val r = graft.operators.AsofJoin.nextJoin(left, right, "k", "t", "id", "v")
+      .orderBy("t").collect()
+    // t=10 → right@20; t=20 → right@20 (equal time IS visible);
+    // t=35 → nothing later → nulls
+    assert(r(0).getLong(3) === 20L && r(0).getLong(4) === 777L)
+    assert(r(1).getLong(3) === 20L && r(1).getLong(4) === 777L)
+    assert(r(2).isNullAt(3) && r(2).isNullAt(4))
+  }
+
   test("bfsDistance: multiple seeds take the nearest one") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 4L)).toDF("src", "dst")
