@@ -50,6 +50,13 @@ object Fns {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ofExpr(TopKByScore(toExpr(score), toExpr(id), k).toAggregateExpression())
 
+  /** Bounded KMV theta sketch: the k smallest distinct hash values per
+    * group, ascending (see [[KmvSketch]] — map-side partial aggregation,
+    * supports intersection estimates HLL cannot).
+    */
+  def kmvMinima(h: Column, k: Int): Column =
+    ofExpr(KmvSketch(toExpr(h), k).toAggregateExpression())
+
   /** Codegen'd PQ asymmetric-distance fold `Σ_s lut[s][codes[s]]` (see
     * [[AdcScore]] — subspace-ascending, oracle-identical).
     */

@@ -204,6 +204,91 @@ object AnalysisOps {
         |ORDER BY bucket""".stripMargin
     ),
 
+    // ---- KMV theta sketch: audience-overlap estimation -------------------
+    // The distinct-count sketch with SET ALGEBRA: the k smallest distinct
+    // scattered hashes per audience ([[graft.functions.KmvSketch]], a
+    // bounded mergeable aggregate — O(k) state, map-side combined) give
+    // |A|, |B|, |A∪B|, |A∩B| estimates HLL registers cannot (no register
+    // intersection). The scatter is an affine bijection mod p (the raw
+    // rolling hash of short id strings clusters near 0 — measured est
+    // 36.5M for 150 true before the scatter, 147 after). All estimators
+    // are integer floor divisions over the emitted arrays; exact counts
+    // ride along so the row shows the estimate quality. Audiences:
+    // high-value purchasers × late-window error users.
+    "agg_kmv_intersect" -> QuerySpec(
+      (s, dir) => {
+        import graft.Tables.epochS
+        val k = 64
+        val ev = t(s, dir, "events")
+        val day = (epochS(col("ts")) / 86400).cast("long")
+        def scatter(c: org.apache.spark.sql.Column) =
+          (Fns.rollingHash(c.cast("string")) * lit(777767777L) + lit(13L)) %
+            lit(1000000007L)
+        def sketch(df: org.apache.spark.sql.DataFrame, label: String) =
+          broadcast(df.select(col("user_id"), scatter(col("user_id")).as("h"))
+            .agg(Fns.kmvMinima(col("h"), k).as(s"m_$label"),
+              countDistinct(col("user_id")).as(s"exact_$label")))
+        val a = sketch(ev.filter(col("event_type") === "purchase" &&
+          col("value") > 75), "a")
+        val b = sketch(ev.filter(col("event_type") === "error" &&
+          day >= 19745), "b")
+        def est(m: String) = when(size(col(m)) < k, size(col(m)).cast("long"))
+          .otherwise(expr(
+            s"(cast(63 as bigint) * 1000000007) div element_at($m, -1)"))
+        a.crossJoin(b)
+          .withColumn("mu", slice(array_sort(array_union(col("m_a"), col("m_b"))), 1, k))
+          .withColumn("mi", array_intersect(col("m_a"), col("m_b")))
+          .withColumn("est_union", when(size(col("mu")) < k,
+            size(col("mu")).cast("long")).otherwise(expr(
+            "(cast(63 as bigint) * 1000000007) div element_at(mu, -1)")))
+          .withColumn("n_inter",
+            size(array_intersect(col("mu"), col("mi"))).cast("long"))
+          .select(col("exact_a"), col("exact_b"),
+            est("m_a").as("est_a"), est("m_b").as("est_b"),
+            col("est_union"),
+            expr("(n_inter * est_union) div size(mu)").as("est_inter"))
+      },
+      {
+        val h = "CASE WHEN CAST(user_id AS VARCHAR) IS NULL OR " +
+          "CAST(user_id AS VARCHAR) = '' THEN 0 ELSE " +
+          "list_reduce(list_transform(string_split(CAST(user_id AS VARCHAR),''), " +
+          "x -> CAST(ascii(x) AS BIGINT)), (a,b) -> (a*31+b)%1000000007) END"
+        s"""WITH ea AS (SELECT DISTINCT user_id, ($h * 777767777 + 13) % 1000000007 AS h
+           |  FROM events WHERE event_type = 'purchase' AND value > 75),
+           |eb AS (SELECT DISTINCT user_id, ($h * 777767777 + 13) % 1000000007 AS h
+           |  FROM events WHERE event_type = 'error'
+           |    AND (epoch_ms(ts)//1000)//86400 >= 19745),
+           |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+           |  FROM (SELECT DISTINCT h FROM ea)),
+           |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+           |  FROM (SELECT DISTINCT h FROM eb)),
+           |ka AS (SELECT list(h ORDER BY h) AS ma FROM ra WHERE rn <= 64),
+           |kb AS (SELECT list(h ORDER BY h) AS mb FROM rb WHERE rn <= 64),
+           |xa AS (SELECT count(DISTINCT user_id) AS exact_a FROM ea),
+           |xb AS (SELECT count(DISTINCT user_id) AS exact_b FROM eb),
+           |c AS (SELECT * FROM ka, kb, xa, xb),
+           |f AS (SELECT exact_a, exact_b,
+           |    CASE WHEN len(ma) < 64 THEN len(ma)
+           |      ELSE (CAST(63 AS BIGINT) * 1000000007) // ma[-1] END AS est_a,
+           |    CASE WHEN len(mb) < 64 THEN len(mb)
+           |      ELSE (CAST(63 AS BIGINT) * 1000000007) // mb[-1] END AS est_b,
+           |    list_sort(list_distinct(list_concat(ma, mb)))[1:64] AS mu,
+           |    list_intersect(ma, mb) AS mi
+           |  FROM c),
+           |g AS (SELECT exact_a, exact_b, est_a, est_b,
+           |    CASE WHEN len(mu) < 64 THEN len(mu)
+           |      ELSE (CAST(63 AS BIGINT) * 1000000007) // mu[-1] END AS est_union,
+           |    len(list_intersect(mu, mi)) AS n_inter, len(mu) AS m_u
+           |  FROM f)
+           |SELECT CAST(exact_a AS BIGINT) AS exact_a,
+           |  CAST(exact_b AS BIGINT) AS exact_b,
+           |  CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
+           |  CAST(est_union AS BIGINT) AS est_union,
+           |  CAST((n_inter * est_union) // m_u AS BIGINT) AS est_inter
+           |FROM g""".stripMargin
+      }
+    ),
+
     // ---- Count-Min mergeability: per-source matrices + == direct -------
     // The frequency-sketch sibling: CM counters are plain sums, so the
     // union of per-source sketches is the ELEMENTWISE SUM — again no

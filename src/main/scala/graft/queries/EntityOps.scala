@@ -107,6 +107,52 @@ object EntityOps {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     ),
 
+    // ---- personalized PageRank -------------------------------------------
+    // Teleport mass concentrated on seed hosts {3, 11} over the
+    // web_pagerank host graph: ranks measure seed proximity (the
+    // related-entity / seed-biased-crawl score). Same integer fixed-point
+    // replay contract as web_pagerank — the oracle unrolls all 5 rounds
+    // with the seed-gated base term.
+    "graph_ppr" -> QuerySpec(
+      (s, dir) => {
+        val d = col("doc_id")
+        val docs = t(s, dir, "documents")
+        val edges = docs.select((d % 37).as("src"), ((d * 3 + 1) % 37).as("dst"))
+          .unionByName(
+            docs.select((d % 37).as("src"), ((d * 7 + 5) % 37).as("dst")))
+        val seeds = docs.select((d % 37).as("node")).filter(col("node").isin(3L, 11L))
+        LinkGraph.personalizedPageRank(edges, "src", "dst", seeds, "node",
+            iters = 5)
+          .select(col("node").as("host"), col("rank"))
+          .orderBy("host")
+      },
+      {
+        val iterCte = (i: Int) => {
+          val prev = s"r${i - 1}"
+          s"""s$i AS (SELECT e.dst AS node, sum(r.rank // o.outdeg) AS mass
+             |  FROM e0 e JOIN $prev r ON e.src = r.node
+             |  JOIN od o ON e.src = o.src GROUP BY 1),
+             |r$i AS (SELECT n.node,
+             |    (CASE WHEN n.node IN (3, 11)
+             |      THEN ((1000000000000 // 2) * 15) // 100 ELSE 0 END)
+             |      + (85 * COALESCE(s.mass, 0)) // 100 AS rank
+             |  FROM nodes n LEFT JOIN s$i s ON n.node = s.node)""".stripMargin
+        }
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT doc_id % 37 AS src, (doc_id * 3 + 1) % 37 AS dst
+           |  FROM documents
+           |  UNION
+           |  SELECT doc_id % 37, (doc_id * 7 + 5) % 37 FROM documents),
+           |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+           |od AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY 1),
+           |r0 AS (SELECT node, CASE WHEN node IN (3, 11)
+           |    THEN 1000000000000 // 2 ELSE 0 END AS rank FROM nodes),
+           |${(1 to 5).map(iterCte).mkString(",\n")}
+           |SELECT node AS host, CAST(rank AS BIGINT) AS rank FROM r5
+           |ORDER BY host""".stripMargin
+      }
+    ),
+
     // ---- seeded BFS hop distance ----------------------------------------
     // Crawl-frontier / blast-radius traversal: exact shortest hop count
     // from a seed set over a ring+chord graph (diameter 8 from the seeds,

@@ -141,6 +141,24 @@ class Round11fOpsSpec extends SparkSpec {
       "t0 and t_last are the funnel's own step times")
   }
 
+  test("kmvMinima: k smallest DISTINCT values survive shuffle-order merges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Fns
+    // values 100..999 step 7, each duplicated 3x, scattered over partitions
+    val vals = (0 until 129).map(i => 100L + 7L * i)
+    val df = spark.sparkContext
+      .parallelize(vals ++ vals ++ vals, numSlices = 16).toDF("h")
+    val got = df.agg(Fns.kmvMinima(col("h"), 10).as("m"))
+      .collect().head.getSeq[Long](0)
+    assert(got === vals.sorted.take(10),
+      "ascending k smallest, duplicates occupy one slot")
+    // fewer distinct than k: all kept, still ascending
+    val small = Seq(5L, 3L, 5L, 9L).toDF("h")
+      .agg(Fns.kmvMinima(col("h"), 10)).collect().head.getSeq[Long](0)
+    assert(small === Seq(3L, 5L, 9L))
+  }
+
   test("nextJoin: earliest right at-or-after, equal time visible, null past end") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
