@@ -382,6 +382,26 @@ object ExtendedAnalytics {
         |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin
     ),
 
+    // ---- engagement power curve ------------------------------------------
+    // The L28-style frequency histogram: how many users were active on
+    // exactly d distinct days. One distinct (user, day) contraction + two
+    // keyed aggregations — linear at any scale.
+    "a20_power_curve" -> QuerySpec(
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("user_id"),
+            (epochS(col("ts")) / 86400).cast("long").as("day"))
+          .distinct()
+          .groupBy("user_id").agg(count(lit(1)).as("days_active"))
+          .groupBy("days_active").agg(count(lit(1)).as("n_users"))
+          .orderBy("days_active"),
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    (epoch_ms(ts)//1000)//86400 AS day FROM events),
+        |da AS (SELECT user_id, count(*) AS days_active FROM ud GROUP BY 1)
+        |SELECT days_active, count(*) AS n_users FROM da
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
     // ---- cohort retention matrix ---------------------------------------
     // Cohort = epoch-day of a user's first event; cell (cohort, offset)
     // counts users active offset days later. Two aggregations + one

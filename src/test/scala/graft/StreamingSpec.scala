@@ -288,6 +288,30 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming KMV sketch merges across batches to the batch minima") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // scattered ids with repeats split across batches — the bounded
+    // TreeSet state must dedup across the batch boundary too
+    val ids = (0 until 400).map(i => (1000L + (i * 7919L) % 331L))
+    val mem = MemoryStream[Long]
+    val agg = mem.toDF().toDF("h")
+      .agg(graft.functions.Fns.kmvMinima(col("h"), 16).as("mins"))
+    val q = agg.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    val (a, b) = ids.splitAt(150)
+    mem.addData(a: _*); q.processAllAvailable()
+    mem.addData(b: _*); q.processAllAvailable()
+    val streamed = spark.table("kmv_stream").head().getSeq[Long](0)
+    val batch = ids.toDF("h")
+      .agg(graft.functions.Fns.kmvMinima(col("h"), 16))
+      .head().getSeq[Long](0)
+    assert(streamed == batch, "bottom-k union is batching-independent")
+    assert(batch == ids.distinct.sorted.take(16))
+    q.stop()
+  }
+
   test("streaming perceptual hash quarantines mid-stream, hashes match batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
