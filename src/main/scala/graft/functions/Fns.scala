@@ -50,6 +50,13 @@ object Fns {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ofExpr(TopKByScore(toExpr(score), toExpr(id), k).toAggregateExpression())
 
+  /** Banded Levenshtein: exact distance when ≤ bound, else bound + 1 —
+    * O(len·bound) instead of O(len²) (see [[LevenshteinWithin]]; lossless
+    * under any `lev ≤ bound` filter).
+    */
+  def levenshteinWithin(l: Column, r: Column, bound: Column): Column =
+    ofExpr(LevenshteinWithin(toExpr(l), toExpr(r), toExpr(bound)))
+
   /** Bounded KMV theta sketch: the k smallest distinct hash values per
     * group, ascending (see [[KmvSketch]] — map-side partial aggregation,
     * supports intersection estimates HLL cannot).

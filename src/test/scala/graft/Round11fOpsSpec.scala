@@ -159,6 +159,32 @@ class Round11fOpsSpec extends SparkSpec {
     assert(small === Seq(3L, 5L, 9L))
   }
 
+  test("levenshteinWithin: exact within bound, sentinel above, matches built-in") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    import graft.functions.Fns
+    val rnd = new scala.util.Random(42)
+    def word(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val pairs = (0 until 200).map { _ =>
+      (word(3 + rnd.nextInt(30)), word(3 + rnd.nextInt(30)))
+    } :+ (("", "abc")) :+ (("abc", "")) :+ (("same", "same"))
+    val df = pairs.toDF("a", "b")
+      .withColumn("full", levenshtein(col("a"), col("b")).cast("long"))
+    val checked = df
+      .withColumn("within_big", Fns.levenshteinWithin(col("a"), col("b"), lit(100L)))
+      .withColumn("at_exact", Fns.levenshteinWithin(col("a"), col("b"), col("full")))
+      .withColumn("below", Fns.levenshteinWithin(col("a"), col("b"), col("full") - 1))
+      .collect()
+    checked.foreach { r =>
+      val full = r.getLong(2)
+      assert(r.getLong(3) === full, s"bound 100 must be exact for $r")
+      assert(r.getLong(4) === full, s"bound == distance must be exact for $r")
+      if (full > 0)
+        assert(r.getLong(5) === full, // sentinel = (full-1)+1 == full here
+          s"bound just below distance reports bound+1 for $r")
+    }
+  }
+
   test("nextJoin: earliest right at-or-after, equal time visible, null past end") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
