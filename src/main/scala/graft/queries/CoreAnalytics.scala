@@ -258,6 +258,35 @@ object CoreAnalytics {
     ),
 
     // ---- window: top-k per group -------------------------------------
+    // ---- gaps-and-islands: activity streaks ------------------------------
+    // The classic island grouping (day − row_number is constant within a
+    // run of consecutive days): per-user streak count, longest streak,
+    // and current-tail length candidates collapse to two keyed
+    // aggregations after one user-partitioned window.
+    "window_streaks" -> QuerySpec(
+      (s, dir) => {
+        val ud = t(s, dir, "events")
+          .select(col("user_id"),
+            (epochS(col("ts")) / 86400).cast("long").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        ud.withColumn("island", col("day") - row_number().over(w))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_streaks"), max("len").as("max_streak"))
+          .orderBy("user_id")
+      },
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    (epoch_ms(ts)//1000)//86400 AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island FROM ud),
+        |runs AS (SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_streaks, max(len) AS max_streak
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
     "window_topk_per_group" -> QuerySpec(
       (s, dir) => {
         val w = Window.partitionBy("o_custkey")

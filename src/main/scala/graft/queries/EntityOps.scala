@@ -153,6 +153,50 @@ object EntityOps {
       }
     ),
 
+    // ---- link prediction: common neighbors + Jaccard ----------------------
+    // Candidate pairs = nodes sharing a neighbor (the 2-hop join — fan-out
+    // Σdeg², degree-bounded, never all-pairs), scored by common-neighbor
+    // count and neighborhood Jaccard in integer ppm. Bounded top-25
+    // (TakeOrderedAndProject), deterministic tie-break.
+    "graph_common_neighbors" -> QuerySpec(
+      (s, dir) => {
+        val d = col("doc_id")
+        val docs = t(s, dir, "documents")
+        val dir0 = docs.select((d % 37).as("a"), ((d * 3 + 1) % 37).as("b"))
+          .unionByName(docs.select((d % 37).as("a"), ((d * 7 + 5) % 37).as("b")))
+          .filter(col("a") =!= col("b"))
+        val und = dir0.unionByName(dir0.select(col("b").as("a"), col("a").as("b")))
+          .distinct()
+        val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+        val cn = und.select(col("a").as("n"), col("b").as("x"))
+          .join(und.select(col("a").as("n"), col("b").as("y")), "n")
+          .filter(col("x") < col("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+        cn.join(deg.select(col("a").as("x"), col("deg").as("deg_x")), "x")
+          .join(deg.select(col("a").as("y"), col("deg").as("deg_y")), "y")
+          .withColumn("jaccard_ppm",
+            expr("(cn * 1000000) div (deg_x + deg_y - cn)"))
+          .select("x", "y", "cn", "jaccard_ppm")
+          .orderBy(col("cn").desc, col("x"), col("y"))
+          .limit(25)
+      },
+      """WITH dir0 AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT doc_id % 37 AS a, (doc_id * 3 + 1) % 37 AS b FROM documents
+        |    UNION ALL
+        |    SELECT doc_id % 37, (doc_id * 7 + 5) % 37 FROM documents)
+        |  WHERE a <> b),
+        |und AS (SELECT a, b FROM dir0 UNION SELECT b, a FROM dir0),
+        |deg AS (SELECT a, count(*) AS deg FROM und GROUP BY 1),
+        |cn AS (SELECT p.b AS x, q.b AS y, count(*) AS cn
+        |  FROM und p JOIN und q ON p.a = q.a AND p.b < q.b
+        |  GROUP BY 1, 2)
+        |SELECT x, y, cn,
+        |  (cn * 1000000) // (dx.deg + dy.deg - cn) AS jaccard_ppm
+        |FROM cn JOIN deg dx ON dx.a = x JOIN deg dy ON dy.a = y
+        |ORDER BY cn DESC, x, y LIMIT 25""".stripMargin
+    ),
+
     // ---- seeded BFS hop distance ----------------------------------------
     // Crawl-frontier / blast-radius traversal: exact shortest hop count
     // from a seed set over a ring+chord graph (diameter 8 from the seeds,

@@ -284,6 +284,54 @@ object QualityOps {
         |ORDER BY user_id, day""".stripMargin
     ),
 
+    // ---- daily-count anomaly days ------------------------------------------
+    // Ops-monitoring: days whose event volume deviates > 3×MAD from the
+    // per-type median (robust — a burst day cannot drag the threshold the
+    // way a mean/stddev gate would). Exact integer median/MAD as
+    // deterministic element picks over (type, day) counts — the window
+    // partitions carry #days rows per type, calendar-bounded. Flag
+    // comparison is integer cross-multiplied (dev·100 > 300·MAD).
+    "ts_anomaly_days" -> QuerySpec(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, dir, "events")
+          .select(col("event_type").as("et"),
+            (epochS(col("ts")) / 86400).cast("long").as("day"))
+          .groupBy("et", "day").agg(count(lit(1)).as("n"))
+        val wAll = Window.partitionBy("et")
+        def pick(df: org.apache.spark.sql.DataFrame, ord: Seq[String],
+            out: String, src: String) =
+          df.withColumn("rn", row_number().over(
+              Window.partitionBy("et").orderBy(ord.map(col): _*)))
+            .withColumn("cnt", count(lit(1)).over(wAll))
+            .filter(col("rn") === expr("(cnt + 1) div 2"))
+            .select(col("et"), col(src).as(out))
+        val med = pick(daily, Seq("n", "day"), "med", "n")
+        val dv = daily.join(broadcast(med), "et")
+          .withColumn("dev", abs(col("n") - col("med")))
+        val mad = pick(dv, Seq("dev", "n", "day"), "mad", "dev")
+        dv.join(broadcast(mad), "et")
+          .filter(col("dev") * 100 > lit(300) * col("mad"))
+          .select(col("et").as("event_type"), col("day"), col("n"),
+            col("med"), col("mad"))
+          .orderBy("event_type", "day")
+      },
+      """WITH d AS (SELECT event_type AS et, (epoch_ms(ts)//1000)//86400 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY et ORDER BY n, day) AS rn,
+        |    count(*) OVER (PARTITION BY et) AS cnt FROM d),
+        |med AS (SELECT et, n AS med FROM r WHERE rn = (cnt+1)//2),
+        |dv AS (SELECT d.et, d.day, d.n, m.med, abs(d.n - m.med) AS dev
+        |  FROM d JOIN med m ON d.et = m.et),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY et ORDER BY dev, n, day) AS rn,
+        |    count(*) OVER (PARTITION BY et) AS cnt FROM dv),
+        |mad AS (SELECT et, dev AS mad FROM r2 WHERE rn = (cnt+1)//2)
+        |SELECT dv.et AS event_type, dv.day, dv.n, dv.med, mad.mad
+        |FROM dv JOIN mad ON dv.et = mad.et
+        |WHERE dv.dev * 100 > 300 * mad.mad
+        |ORDER BY event_type, day""".stripMargin
+    ),
+
     // ---- row-level snapshot diff -----------------------------------------
     // The reconciliation report between two table versions: added /
     // removed / changed / unchanged row counts from ONE keyed full-outer
