@@ -4957,6 +4957,55 @@ object TrainingDataOps {
     ),
 
     // ---- ANN recall@k: IVF(nprobe=3) vs brute-force ground truth --------
+    // ---- Matryoshka truncation recall -----------------------------------
+    // MRL-style prefix truncation (Kusupati et al. 2022): rank by cosine
+    // over the FIRST 16 of 64 dims and measure recall@5 against the
+    // full-dim exact ranking — the "how much cheaper can serving be"
+    // dial for prefix-truncatable embeddings. Same broadcast-queries
+    // corpus scan; truncation is a pure projection (slice).
+    "ann_matryoshka_recall" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val emb16 = emb.withColumn("embedding", slice(col("embedding"), 1, 16))
+        val q = emb.filter(col("vec_id") < 10)
+        val q16 = emb16.filter(col("vec_id") < 10)
+        Ann.recallEval(
+          Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+          Ann.bruteForceTopK(emb16, q16, "vec_id", "embedding", 5), 5)
+          .orderBy("query_id")
+      },
+      {
+        val cos16 = "list_dot_product(a.v16, b.v16) / " +
+          "(sqrt(list_dot_product(a.v16, a.v16)) * " +
+          "sqrt(list_dot_product(b.v16, b.v16)))"
+        s"""WITH t16 AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v16
+           |  FROM embeddings),
+           |bsc AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $duckCosine AS cos
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+           |bru AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM bsc)
+           |  WHERE rank <= 5),
+           |tsc AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cos16 AS cos
+           |  FROM t16 a JOIN t16 b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+           |m16 AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM tsc)
+           |  WHERE rank <= 5)
+           |SELECT b.query_id,
+           |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_hits,
+           |  round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4)
+           |    AS recall
+           |FROM bru b LEFT JOIN m16 i
+           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+      }
+    ),
+
     "ann_recall_eval" -> QuerySpec(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -141,6 +141,21 @@ class Round11fOpsSpec extends SparkSpec {
       "t0 and t_last are the funnel's own step times")
   }
 
+  test("plan locks: a16 bounded top-k, kmv partial-aggregates map-side") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Fns
+    val basket = graft.SparkEntry.queries("a16_market_basket")(spark, sfDir)
+    val bplan = basket.queryExecution.executedPlan.toString
+    assert(bplan.contains("TakeOrderedAndProject"),
+      "top-25 must compile to bounded top-k, not a global sort")
+    // kmv: partial aggregation appears below the exchange (two-phase agg)
+    val km = spark.range(1000).toDF("h")
+      .agg(Fns.kmvMinima(col("h"), 8))
+    val kplan = km.queryExecution.executedPlan.toString
+    assert(kplan.contains("partial_kmv_minima"),
+      s"kmv must map-side partial-aggregate; plan:\n$kplan")
+  }
+
   test("kmvMinima: k smallest DISTINCT values survive shuffle-order merges") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
