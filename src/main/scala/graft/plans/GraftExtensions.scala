@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{ConcatWs, CreateNamedStruct, E
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AdcScore, CommonPrefixLen, CosineSim, CountMin, Fns, HllRegisters, L2Dist, MisraGries, MultiPatternCount, RollingHash, TopKByScore}
+import graft.functions.{AdcScore, CommonPrefixLen, CosineSim, CountMin, Fns, HllRegisters, KmvSketch, L2Dist, LevenshteinWithin, MisraGries, MultiPatternCount, RollingHash, TopKByScore}
 
 /** Engine SQL-surface registration (SURVEY §2.12):
   *
@@ -29,6 +29,10 @@ import graft.functions.{AdcScore, CommonPrefixLen, CosineSim, CountMin, Fns, Hll
   *                              aggregate (k must be an integer literal)
   *  - `count_min(key, d, w)`  — Count-Min sketch aggregate, d×w counter
   *                              matrix (d, w integer literals)
+  *  - `kmv_minima(hash, k)`   — bottom-k theta sketch aggregate (set
+  *                              algebra: intersect/union estimates)
+  *  - `levenshtein_within(a, b, bound)` — banded edit distance, exact
+  *                              ≤ bound, bound+1 above (per-row bound)
   *
   * Two registration paths: `withExtensions(new GraftExtensions)` at
   * session build, or [[GraftExtensions.register]] on a live session
@@ -124,6 +128,15 @@ object GraftExtensions {
     ("adc_score",
       new ExpressionInfo(classOf[AdcScore].getName, "adc_score"),
       (args: Seq[Expression]) => AdcScore(args(0), args(1))),
+    ("kmv_minima",
+      new ExpressionInfo(classOf[KmvSketch].getName, "kmv_minima"),
+      (args: Seq[Expression]) => KmvSketch(args(0),
+        litInt(args(1), "kmv_minima(hash, k): k must be an integer " +
+          "literal")).toAggregateExpression()),
+    ("levenshtein_within",
+      new ExpressionInfo(classOf[LevenshteinWithin].getName,
+        "levenshtein_within"),
+      (args: Seq[Expression]) => LevenshteinWithin(args(0), args(1), args(2))),
     ("strip_markup",
       new ExpressionInfo("graft.operators.TextAnalysis", "strip_markup"),
       (args: Seq[Expression]) => stripMarkup(args.head)),

@@ -69,6 +69,50 @@ object StreamJoins {
       }
   }
 
+  /** [[funnelProgress]] under a CONVERSION WINDOW — the stateful sibling
+    * of [[graft.operators.Funnels.funnelCountsWindowed]]: step i (i ≥ 2)
+    * only advances when its event lands within `windowSec` of the user's
+    * funnel start t0 (a purchase eight days after the view does not
+    * convert a 7-day funnel). Same O(steps) per-user state — t0 is
+    * `step_times.head`, already carried.
+    */
+  def funnelProgressWindowed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String], windowSec: Long)
+      : org.apache.spark.sql.Dataset[FunnelProgress] = {
+    require(steps.size >= 2 && steps.size <= 8, "funnel needs 2..8 steps")
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val stepIdx = steps.zipWithIndex.toMap
+    events.select(col(userCol).cast("long").as("user"),
+        col(typeCol).as("et"), col(tsCol).cast("long").as("t"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](
+        GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val prev = state.getOption.getOrElse(
+            FunnelProgress(user, 0, Nil, 0L))
+          var reached = prev.step_reached
+          var times = prev.step_times.toVector
+          var n = prev.n_events
+          rows.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, et, t) =>
+            n += 1
+            if (reached < steps.size &&
+                stepIdx.get(et).contains(reached) &&
+                (reached == 0 ||
+                  (t > times(reached - 1) && t <= times.head + windowSec))) {
+              times = times :+ t
+              reached += 1
+            }
+          }
+          val next = FunnelProgress(user, reached, times, n)
+          state.update(next)
+          next
+      }
+  }
+
   /** Inner interval join of two STREAMS: a left event matches right
     * events with the same `key` whose event time falls in
     * `[left_ts, left_ts + windowSec]`. Both sides carry watermarks, so

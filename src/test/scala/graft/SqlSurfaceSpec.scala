@@ -75,6 +75,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(top == ((1L, Seq(11L, 12L))))
   }
 
+  test("kmv_minima / levenshtein_within are callable from SQL, match column API") {
+    Tables.tune(spark)
+    val km = spark.sql(
+      "SELECT kmv_minima(h, 3) AS m FROM VALUES (9L),(2L),(7L),(2L),(5L) t(h)")
+      .head().getSeq[Long](0)
+    assert(km === Seq(2L, 5L, 7L), "k smallest distinct, ascending")
+    val lv = spark.sql(
+      "SELECT levenshtein_within('kitten', 'sitting', 10L) AS d, " +
+        "levenshtein_within('kitten', 'sitting', 2L) AS capped")
+      .as[(Long, Long)].head()
+    assert(lv == ((3L, 3L)), "exact within bound; 2+1 sentinel above")
+  }
+
   test("adc_score SQL function matches the element_at fold and the kernel") {
     Tables.tune(spark)
     // lut: 2 subspaces × 3 slots; codes pick slot 2 then slot 0

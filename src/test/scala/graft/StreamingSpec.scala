@@ -379,6 +379,45 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("windowed stateful funnel: conversion window enforced across batches, " +
+      "stream == batch completions on time-ordered arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fixture = Seq(
+      // u1 completes inside the window (t0=10, window=100)
+      (1L, "view", 10L), (1L, "click", 40L), (1L, "purchase", 90L),
+      // u2's purchase is after the click but PAST t0+window
+      (2L, "view", 10L), (2L, "click", 40L), (2L, "purchase", 130L),
+      // u3 never clicks
+      (3L, "view", 10L), (3L, "purchase", 20L))
+    val mem = MemoryStream[(Long, String, Long)]
+    val out = graft.streaming.StreamJoins.funnelProgressWindowed(
+      mem.toDF().toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+      windowSec = 100L)
+    val q = out.writeStream.format("memory").queryName("wfunnel_stream")
+      .outputMode("update").start()
+    val (b1, b2) = fixture.sortBy(_._3).splitAt(4) // time-ordered batches
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    val last = spark.table("wfunnel_stream")
+      .orderBy(col("user"), col("n_events").desc)
+      .dropDuplicates("user").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(last === Map(1L -> 3, 2L -> 2, 3L -> 1),
+      "u2 stalls at click (purchase outside window), u3 at view")
+    // identity vs the batch windowed funnel: same completers, same times
+    val batch = graft.operators.Funnels.funnelCompletions(
+      fixture.toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", col("ts"),
+      Seq("view", "click", "purchase"), windowSec = 100L).collect()
+    assert(batch.length === 1 && batch.head.getLong(0) === 1L &&
+      batch.head.getLong(1) === 10L && batch.head.getLong(2) === 90L)
+    q.stop()
+  }
+
   test("stateful streaming funnel: steps advance across batches, " +
       "batch split invisible, strict ordering enforced") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
