@@ -284,6 +284,47 @@ object QualityOps {
         |ORDER BY user_id, day""".stripMargin
     ),
 
+    // ---- distribution drift (PSI) ------------------------------------------
+    // Population-stability index of the order-value distribution, early
+    // period vs late: per fixed price bucket, psi_term =
+    // (p−q)·ln(p/q) with Laplace +1 smoothing over the observed bucket
+    // set (PSI = Σ terms; >0.2 = actionable drift). Completes the drift
+    // family: dq_schema_drift diffs column PROFILES, dq_snapshot_diff
+    // diffs ROWS, this diffs the DISTRIBUTION. floor() before the long
+    // cast on both sides (DuckDB's double→BIGINT cast rounds; Spark's
+    // truncates); ln parity per the bigram-LM precedent (round 6).
+    "dq_distribution_drift" -> QuerySpec(
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          floor(col("o_totalprice") / 50000).cast("long").as("bucket"),
+          (epochS(col("o_orderdate")) < lit(883612800L)).as("early"))
+        val h = o.groupBy("bucket").agg(
+          sum(when(col("early"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("early"), 1L).otherwise(0L)).as("cb"))
+        val tot = broadcast(h.agg(sum("ca").as("na"), sum("cb").as("nb"),
+          count(lit(1)).as("b")))
+        h.crossJoin(tot)
+          .withColumn("p", (col("ca") + 1).cast("double") / (col("na") + col("b")))
+          .withColumn("q", (col("cb") + 1).cast("double") / (col("nb") + col("b")))
+          .select(col("bucket"), col("ca"), col("cb"),
+            round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+              .as("psi_term"))
+          .orderBy("bucket")
+      },
+      """WITH o AS (SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |    (epoch_ms(o_orderdate)//1000 < 883612800) AS early FROM orders),
+        |h AS (SELECT bucket,
+        |    CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM o GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb, count(*) AS b FROM h)
+        |SELECT bucket, ca, cb,
+        |  round(((ca + 1.0)/(na + b) - (cb + 1.0)/(nb + b)) *
+        |    ln(((ca + 1.0)/(na + b)) / ((cb + 1.0)/(nb + b))), 6) AS psi_term
+        |FROM h, tot ORDER BY bucket""".stripMargin
+    ),
+
     // ---- daily-count anomaly days ------------------------------------------
     // Ops-monitoring: days whose event volume deviates > 3×MAD from the
     // per-type median (robust — a burst day cannot drag the threshold the
