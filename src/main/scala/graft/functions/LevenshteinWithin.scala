@@ -37,6 +37,18 @@ case class LevenshteinWithin(left: Expression, right: Expression,
     val c = codePoints(r.asInstanceOf[UTF8String].toString)
     val k = math.max(b.asInstanceOf[Number].longValue(), 0L)
       .min(Int.MaxValue - 2).toInt
+    // Ukkonen's doubling schedule: a band of width d suffices when the
+    // true distance is d, so near-duplicates (the common case behind a
+    // similarity gate) finish in O(len·d) instead of O(len·bound). Each
+    // escalation's result is exact when ≤ its band, so the first
+    // in-band hit IS the distance; the final full-bound pass preserves
+    // the exact/sentinel contract.
+    var band = math.min(8, k)
+    while (band < k) {
+      val r = banded(a, c, band)
+      if (r <= band) return r.toLong
+      band = math.min(band * 4, k)
+    }
     banded(a, c, k).toLong
   }
 
