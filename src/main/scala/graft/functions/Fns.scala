@@ -140,6 +140,40 @@ object Fns {
   def permuteHash(h: Column, i: Int): Column =
     (h * lit(2L * i + 1) + lit(1L * i * i + i + 41)) % lit(HashMod)
 
+  /** Classic American Soundex as a chain of codegen'd builtins (upper →
+    * consonant digits → H/W transparency after position 1 → run collapse
+    * → vowel strip → 4-pad). Verified character-identical to Spark's
+    * native `soundex` on the canonical test names (Ashcraft→A261,
+    * Pfister→P236, Tymczak→T522, Honeyman→H555) AND oracle-replicable:
+    * DuckDB has no soundex, but has the identical
+    * translate/regexp_replace/rpad chain. Null/empty pass through null.
+    */
+  def soundexKey(c: Column): Column = {
+    import org.apache.spark.sql.functions.{concat, length, regexp_replace,
+      rpad, substring, translate, upper, when}
+    val u = upper(c)
+    val cAll = translate(u, "BFPVCGJKQSXZDTLMNR", "111122222222334556")
+    val cHw = concat(substring(cAll, 1, 1),
+      translate(substring(cAll, 2, 1000000), "HW", ""))
+    val coll = regexp_replace(cHw, "([1-6])\\1+", "$1")
+    val key0 = concat(substring(u, 1, 1),
+      translate(substring(coll, 2, 1000000), "AEIOUY", ""))
+    when(c.isNotNull && length(u) > 0, rpad(substring(key0, 1, 4), 4, "0"))
+  }
+
+  /** DuckDB SQL fragment computing [[soundexKey]] of the expression `e`
+    * (same chain, `\\1`+`g`-flag replacement syntax).
+    */
+  def duckSoundexSql(e: String): String = {
+    val u = s"upper($e)"
+    val cAll = s"translate($u, 'BFPVCGJKQSXZDTLMNR', '111122222222334556')"
+    val cHw = s"concat(substr($cAll, 1, 1), translate(substr($cAll, 2), 'HW', ''))"
+    val coll = s"regexp_replace($cHw, '([1-6])\\1+', '\\1', 'g')"
+    val key0 = s"concat(substr($u, 1, 1), translate(substr($coll, 2), 'AEIOUY', ''))"
+    s"CASE WHEN $e IS NOT NULL AND length($u) > 0 " +
+      s"THEN rpad(substr($key0, 1, 4), 4, '0') END"
+  }
+
   /** Whitespace tokenization matching DuckDB's
     * `string_split_regex(trim(s), '\s+')`. Lowercases first.
     */

@@ -153,6 +153,39 @@ object EntityOps {
       }
     ),
 
+    // ---- ER: phonetic (Soundex) blocking keys ------------------------------
+    // The third blocking pass real linkage systems run next to token
+    // blocking: classic American Soundex of the head noun, as a chain of
+    // codegen'd builtins (Fns.soundexKey — spec-verified against Spark's
+    // native soundex; DuckDB lacks soundex, so the oracle replays the
+    // identical translate/regexp chain). Misspelled-but-sound-alike
+    // names land in one block even when no token matches exactly.
+    "er_soundex_blocks" -> QuerySpec(
+      (s, dir) => {
+        val toks = split(col("p_name"), " ")
+        val names = t(s, dir, "part")
+          .filter(col("p_name").isNotNull)
+          .select(col("p_name").as("name"),
+            graft.functions.Fns.soundexKey(element_at(toks, -1)).as("key"))
+        val perName = t(s, dir, "part").filter(col("p_name").isNotNull)
+          .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_rows"))
+        names.distinct().join(perName, "name")
+          .groupBy("key")
+          .agg(countDistinct(col("name")).as("block_names"),
+            sum("n_rows").as("block_rows"))
+          .orderBy("key")
+      },
+      s"""WITH names AS (SELECT DISTINCT p_name AS name,
+         |    ${graft.functions.Fns.duckSoundexSql("string_split(p_name, ' ')[-1]")} AS key
+         |  FROM part WHERE p_name IS NOT NULL),
+         |per_name AS (SELECT p_name AS name, count(*) AS n_rows FROM part
+         |  WHERE p_name IS NOT NULL GROUP BY 1)
+         |SELECT key, CAST(count(DISTINCT name) AS BIGINT) AS block_names,
+         |  CAST(sum(n_rows) AS BIGINT) AS block_rows
+         |FROM names JOIN per_name USING (name)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
     // ---- link prediction: common neighbors + Jaccard ----------------------
     // Candidate pairs = nodes sharing a neighbor (the 2-hop join — fan-out
     // Σdeg², degree-bounded, never all-pairs), scored by common-neighbor

@@ -141,6 +141,27 @@ class Round11fOpsSpec extends SparkSpec {
       "t0 and t_last are the funnel's own step times")
   }
 
+  test("soundexKey matches Spark's native soundex, including the H/W rules") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, soundex}
+    import graft.functions.Fns
+    val names = Seq("Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+      "Pfister", "Honeyman", "widget", "wodget", "gear", "anvil", "plate",
+      "bolt", "ring", "rod", "gizmo", "A", "HW", "hot", "cold")
+    val rows = names.toDF("n")
+      .select(col("n"), Fns.soundexKey(col("n")).as("ours"),
+        soundex(col("n")).as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) === r.getString(2),
+        s"${r.getString(0)}: ours=${r.getString(1)} native=${r.getString(2)}")
+    }
+    val canon = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon("Ashcraft") === "A261", "H transparency merges s/c")
+    assert(canon("Pfister") === "P236", "first-code merge drops the f")
+    assert(canon("Robert") === canon("Rupert"))
+  }
+
   test("plan locks: a16 bounded top-k, kmv partial-aggregates map-side") {
     import org.apache.spark.sql.functions.col
     import graft.functions.Fns
