@@ -96,7 +96,11 @@ object EntityResolution {
     * Returns one row per entity: `entity`, `n_names`, `n_rows`,
     * `min_id` (the smallest `idCol` across the entity's fact rows).
     */
-  def resolveEntities(df: DataFrame, idCol: String, nameCol: String,
+  /** name → canonical entity mapping (vocabulary grain): connected
+    * components over the match edges, singletons self-mapped, canonical
+    * id = lexicographic min name in the component.
+    */
+  def nameComponents(df: DataFrame, nameCol: String,
       minSimPpm: Long = 700000L): DataFrame = {
     val names = df.select(col(nameCol).as("name")).filter(col("name").isNotNull)
       .distinct()
@@ -104,10 +108,14 @@ object EntityResolution {
       .select(col("name_a").as("src"), col("name_b").as("dst"))
       // singleton names keep their own component via self-edges
       .union(names.select(col("name").as("src"), col("name").as("dst")))
-    val cc = IdentityResolution.connectedComponentsString(edges)
+    IdentityResolution.connectedComponentsString(edges)
       .select(col("node").as("name"), col("component").as("entity"))
+  }
+
+  def resolveEntities(df: DataFrame, idCol: String, nameCol: String,
+      minSimPpm: Long = 700000L): DataFrame = {
     df.select(col(idCol).as("id"), col(nameCol).as("name"))
-      .join(cc, "name")
+      .join(nameComponents(df, nameCol, minSimPpm), "name")
       .groupBy("entity")
       .agg(countDistinct(col("name")).as("n_names"),
         count(lit(1)).as("n_rows"),

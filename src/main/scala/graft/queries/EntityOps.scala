@@ -153,6 +153,46 @@ object EntityOps {
       }
     ),
 
+    // ---- ER: master-data revenue rollup ------------------------------------
+    // What entity resolution is FOR: revenue attributed to the canonical
+    // entity instead of the raw name (unmerged names would split each
+    // entity's revenue across its variants). Fact side touched twice,
+    // both keyed equi-joins; the ER subtree is the vocabulary-grain
+    // pipeline of er_entities.
+    "er_entity_revenue" -> QuerySpec(
+      (s, dir) => {
+        val part = t(s, dir, "part")
+        val mapping = EntityResolution.nameComponents(part, "p_name")
+        val pk = part.select(col("p_partkey"), col("p_name").as("name"))
+          .join(mapping, "name")
+        t(s, dir, "lineitem")
+          .join(pk, col("l_partkey") === col("p_partkey"))
+          .groupBy("entity")
+          .agg(QuerySpec.sumMoney(QuerySpec.dec4(col("l_extendedprice")))
+            .as("revenue"),
+            countDistinct(col("p_partkey")).as("n_parts"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("entity")
+      },
+      s"""WITH RECURSIVE $pairCtes,
+         |sym AS (SELECT name_a AS s, name_b AS d FROM pairs
+         |  UNION SELECT name_b, name_a FROM pairs),
+         |reach(node, comp) AS (
+         |  SELECT name, name FROM names
+         |  UNION
+         |  SELECT e.d, r.comp FROM reach r JOIN sym e ON e.s = r.node),
+         |cc AS (SELECT node AS name, min(comp) AS entity FROM reach
+         |  GROUP BY 1)
+         |SELECT cc.entity,
+         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+         |    AS DOUBLE) AS revenue,
+         |  CAST(count(DISTINCT p.p_partkey) AS BIGINT) AS n_parts,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |JOIN cc ON p.p_name = cc.name
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
     // ---- ER: phonetic (Soundex) blocking keys ------------------------------
     // The third blocking pass real linkage systems run next to token
     // blocking: classic American Soundex of the head noun, as a chain of

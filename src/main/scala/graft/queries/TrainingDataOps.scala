@@ -1995,6 +1995,41 @@ object TrainingDataOps {
     ),
 
     // ---- REAL media feature extraction: byte histogram (no codec) ------
+    // ---- per-payload byte entropy ---------------------------------------
+    // The low-entropy gate (solid-color frames, zero-padded payloads,
+    // padding-attack blobs score near 0; compressed/encrypted media near
+    // 4 bits over 16 bins). Terms follow the bigram-LM determinism
+    // contract: each −p·log₂p rounded to 6 decimals, summed in
+    // DECIMAL(28,6) — order-independent, engine-exact.
+    "mm_byte_entropy" -> QuerySpec(
+      (s, dir) => {
+        val bin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "doc_id", "text")
+        val h = Multimodal.byteHistogram(bin, bins = 16)
+        val tot = h.groupBy("doc_id").agg(sum("n").as("total"))
+        h.join(tot, "doc_id")
+          .withColumn("term",
+            round(-(col("n") / col("total")) * log2(col("n") / col("total")), 6)
+              .cast("decimal(28,6)"))
+          .groupBy("doc_id")
+          .agg(max("total").as("n_bytes"),
+            sum("term").cast("double").as("entropy_bits"))
+          .orderBy("doc_id")
+      },
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(string_split(text, ''), x -> ascii(x)//16)) AS bin
+        |  FROM documents),
+        |h AS (SELECT doc_id, bin, count(*) AS n FROM b GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS total FROM h GROUP BY 1),
+        |terms AS (SELECT h.doc_id,
+        |    CAST(round(-(h.n/tot.total) * log2(h.n/tot.total), 6)
+        |      AS DECIMAL(28,6)) AS term, tot.total
+        |  FROM h JOIN tot ON h.doc_id = tot.doc_id)
+        |SELECT doc_id, CAST(max(total) AS BIGINT) AS n_bytes,
+        |  CAST(sum(term) AS DOUBLE) AS entropy_bits
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
     "mm_byte_histogram" -> QuerySpec(
       (s, dir) => {
         val bin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "doc_id", "text")
