@@ -313,9 +313,7 @@ object Dedup {
     // verify ONLY the candidates with exact jaccard (never all-pairs — at
     // scale the candidate set is the whole point of LSH). Shared subtrees
     // dedupe via exchange reuse — see ngramJaccardPairs.
-    val sh = shingleIndex(docs, idCol, textCol, n)
-    val cnt = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    verifyJaccard(cand, sh, threshold)
+    verifyJaccard(cand, shingleIndex(docs, idCol, textCol, n), threshold)
   }
 
   /** Relational SimHash: `bits`-wide signature per doc from per-token bit

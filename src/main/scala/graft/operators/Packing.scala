@@ -36,6 +36,39 @@ object Packing {
       .drop("__cum")
   }
 
+  /** Length-bucketed batch assembly — the dynamic-batching op every
+    * trainer runs to cut padding: docs are banded by length
+    * (`bandWidth`-token bands within each `bucketCol` shard), each band
+    * is sliced into `batchSize`-doc batches in (length, id) order, and
+    * the report measures the padding a rectangular batch tensor wastes:
+    * waste = Σ(batch_max·batch_n − batch_tokens) / Σ(batch_max·batch_n),
+    * integer ppm. Tight bands ⇒ near-zero waste; one giant band ⇒ the
+    * unbatched baseline.
+    *
+    * Windows partition on (shard, band) — parallelism scales with
+    * shard×band count, the [[packSequences]] posture; batch metrics are
+    * one keyed aggregation.
+    */
+  def lengthBatchedWaste(df: DataFrame, idCol: String, tokenCol: String,
+      bucketCol: String, bandWidth: Long, batchSize: Int): DataFrame = {
+    require(bandWidth > 0 && batchSize > 0)
+    val banded = df.withColumn("band",
+      expr(s"$tokenCol div ${bandWidth}L"))
+    val w = Window.partitionBy(bucketCol, "band")
+      .orderBy(col(tokenCol), col(idCol))
+    val batched = banded
+      .withColumn("batch",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy(col(bucketCol), col("band"), col("batch"))
+      .agg(count(lit(1)).as("n"), max(col(tokenCol)).as("mx"),
+        sum(col(tokenCol)).as("toks"))
+    batched.groupBy(col(bucketCol), col("band"))
+      .agg(count(lit(1)).as("n_batches"), sum("n").as("n_docs"),
+        sum(col("mx") * col("n")).as("padded"), sum("toks").as("toks"))
+      .select(col(bucketCol), col("band"), col("n_batches"), col("n_docs"),
+        expr("((padded - toks) * 1000000) div padded").as("waste_ppm"))
+  }
+
   /** WebDataset/tar-style shard byte layout — the storage-manifest step
     * of a multimodal training corpus (Beaumont et al.'s webdataset
     * convention: records live in tar shards; a reader needs each

@@ -3444,6 +3444,37 @@ object TrainingDataOps {
     ),
 
     // ---- sequence packing: docs → fixed-token-budget training sequences
+    // ---- length-bucketed batch assembly ---------------------------------
+    // The dynamic-batching padding report: within each source shard, docs
+    // band by 16-token length bands, 16-doc batches form in (length, id)
+    // order, and waste_ppm measures the padding a rectangular batch
+    // tensor throws away. Windows partition on (source, band) — no
+    // corpus-sized partitions.
+    "sp_length_batching" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tokens",
+            TextAnalysis.tokenCount(col("text")).cast("long"))
+        graft.operators.Packing.lengthBatchedWaste(docs, "doc_id",
+            "n_tokens", "source", bandWidth = 16L, batchSize = 16)
+          .orderBy("source", "band")
+      },
+      s"""WITH d AS (
+         |  SELECT doc_id, source, len($duckToks) AS nt FROM documents),
+         |r AS (SELECT *, nt // 16 AS band,
+         |    (row_number() OVER (PARTITION BY source, nt // 16
+         |      ORDER BY nt, doc_id) - 1) // 16 AS batch
+         |  FROM d),
+         |b AS (SELECT source, band, batch, count(*) AS n, max(nt) AS mx,
+         |    sum(nt) AS toks
+         |  FROM r GROUP BY 1, 2, 3)
+         |SELECT source, CAST(band AS BIGINT) AS band,
+         |  count(*) AS n_batches, CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(((sum(mx * n) - sum(toks)) * 1000000) // sum(mx * n)
+         |    AS BIGINT) AS waste_ppm
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ),
+
     "sp_sequence_packing" -> QuerySpec(
       (s, dir) => {
         val docs = t(s, dir, "documents")
