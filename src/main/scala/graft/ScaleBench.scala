@@ -61,6 +61,28 @@ object ScaleBench {
           maxShingleFreq = Some(300)).count()),
       "substring_dedup_w5" -> (() =>
         Dedup.substringDedup(docs, "doc_id", "text", 5).count()),
+      // containment UNCAPPED: for τ-high directed near-dups the prefix +
+      // positional filters (ranked on the FULL frequency table) are the
+      // scale dial — a stop-shingle cap backfires here, because dropping
+      // shingles shifts survivor ranks DOWN until whole docs fit inside
+      // the prefix bound (measured cold-session vs cold-session on the
+      // 10× copyvar corpus: cap300 45.7 s, uncapped 32.2 s — 14 s warm).
+      // The cap remains the right dial for the RESEMBLANCE join
+      // (ngram_jaccard_cap300 above), whose bound tightens with both
+      // docs' sizes.
+      "containment_tau90" -> (() =>
+        Dedup.containmentPairs(docs, "doc_id", "text", 3, 900000L).count()),
+      // vocabulary-grain entity resolution over part names (quadratic
+      // work bounded by the name vocabulary, not the fact table)
+      "er_entities_parts" -> (() =>
+        graft.operators.EntityResolution.resolveEntities(
+          Tables.t(spark, dir, "part"), "p_partkey", "p_name").count()),
+      // dynamic-batching padding report (per-shard banded windows)
+      "length_batching_b16" -> (() =>
+        graft.operators.Packing.lengthBatchedWaste(
+          docs.withColumn("n_tokens",
+            graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")),
+          "doc_id", "n_tokens", "source", 16L, 16).count()),
       "semantic_dedup_auto" -> (() =>
         Dedup.semanticDedupAuto(emb, "vec_id", "embedding", 0.4,
           targetClusterSize = Some(200L)).count()),
