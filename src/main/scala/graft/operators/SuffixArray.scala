@@ -268,10 +268,12 @@ object SuffixArray {
     * multicast + n-group hash gather spilled at sf1 (102 s cold rep).
     * LCPs are codegen'd [[CommonPrefixLen]] calls on the window output.
     */
-  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 20, cap: Int = 64): DataFrame = {
-    require(minLen >= 1 && minLen <= cap,
-      s"need 1 <= minLen <= cap, got minLen=$minLen cap=$cap")
+  /** Each suffix position with the capped prefixes of its GLOBAL
+    * suffix-array neighbors: (doc, pos, pfx, __pn, __pp) — the shared
+    * ghost-window machinery behind [[dupSpans]] and [[removeDupSpans]].
+    */
+  private def saNeighborPrefixes(docs: DataFrame, idCol: String,
+      textCol: String, cap: Int): DataFrame = {
     val filtered = docs
       .filter(col(idCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).as("doc"), col(textCol).as("__txt"))
@@ -312,18 +314,104 @@ object SuffixArray {
       .select(col("doc"), col("pos"), col("sa_pos"), col("pfx"),
         col("__bg.b").as("__b"), col("__bg.g").as("__g"))
     val w = Window.partitionBy(col("__b")).orderBy(col("sa_pos"))
-    def lcpWith(other: Column): Column =
-      when(other.isNull, 0).otherwise(Fns.ofExpr(CommonPrefixLen(
-        Fns.toExpr(col("pfx")), Fns.toExpr(other), cap)))
     rel
       .withColumn("__pn", lead(col("pfx"), 1).over(w))
       .withColumn("__pp", lag(col("pfx"), 1).over(w))
       .filter(!col("__g"))
+      .select("doc", "pos", "pfx", "__pn", "__pp")
+  }
+
+  private def lcpWith(cap: Int)(other: Column): Column =
+    when(other.isNull, 0).otherwise(Fns.ofExpr(CommonPrefixLen(
+      Fns.toExpr(col("pfx")), Fns.toExpr(other), cap)))
+
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20, cap: Int = 64): DataFrame = {
+    require(minLen >= 1 && minLen <= cap,
+      s"need 1 <= minLen <= cap, got minLen=$minLen cap=$cap")
+    val lcp = lcpWith(cap) _
+    saNeighborPrefixes(docs, idCol, textCol, cap)
       .withColumn("__dup_len",
-        greatest(lcpWith(col("__pn")), lcpWith(col("__pp"))))
+        greatest(lcp(col("__pn")), lcp(col("__pp"))))
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_suffixes"),
         sum(when(col("__dup_len") >= minLen, 1L).otherwise(0L)).as("n_dup_pos"),
         max("__dup_len").cast("int").as("max_dup_len"))
+  }
+
+  /** The APPLY step of exact-substring dedup (the MassiveText
+    * ExactSubstr removal, Lee et al. 2022): every position whose suffix
+    * shares a ≥ `minLen`-char prefix with its suffix-array PREDECESSOR is
+    * a NON-FIRST occurrence (the SA-run head — the lexicographically
+    * first (doc,pos) of the run — keeps its copy), and its duplicated
+    * span [pos, pos+lcp) is cut, capped at `cap` chars per position
+    * (successive dup positions extend coverage past the cap, so long
+    * duplicated regions are still fully removed). Overlapping spans merge
+    * with the gaps-and-islands pass; surviving text is reassembled from
+    * the between-span segments.
+    *
+    * Output per doc: (doc, orig_len, kept_len, n_spans_cut, cleaned_md5)
+    * — the md5 stands in for the cleaned text so the result stays
+    * row-compact at any scale (the cleaned text itself is the
+    * `piece`-segment projection, available by omitting the final hash).
+    * All windows are doc-partitioned over span/segment rows (bounded by
+    * per-doc dup structure), never corpus-sized.
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 20, cap: Int = 64): DataFrame = {
+    require(minLen >= 1 && minLen <= cap,
+      s"need 1 <= minLen <= cap, got minLen=$minLen cap=$cap")
+    val lcp = lcpWith(cap) _
+    val iv = saNeighborPrefixes(docs, idCol, textCol, cap)
+      .withColumn("__lp", lcp(col("__pp")))
+      .filter(col("__lp") >= minLen)
+      .select(col("doc"), col("pos").as("s"),
+        (col("pos") + col("__lp")).as("e"))
+    val base = docs.filter(col(idCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("doc"), col(textCol).as("__txt"),
+        length(col(textCol)).cast("long").as("len"))
+    // merge overlapping/adjacent spans: island starts where s exceeds the
+    // running max of prior ends
+    val wPrev = Window.partitionBy("doc").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val merged = iv
+      .withColumn("__runmax", max("e").over(wPrev))
+      .withColumn("__new",
+        when(col("__runmax").isNull || col("s") > col("__runmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum("__new").over(wRun))
+      .groupBy("doc", "__isl").agg(min("s").as("s"), max("e").as("e"))
+    // kept segments = gaps between merged spans + the tail; uncut docs
+    // keep one full-length segment
+    val wSeg = Window.partitionBy("doc").orderBy("s")
+    val mids = merged
+      .withColumn("st", coalesce(lag("e", 1).over(wSeg), lit(0L)))
+      .select(col("doc"), col("st"), col("s").as("en"))
+    val tails = merged.groupBy("doc").agg(max("e").as("st"))
+      .join(base.select("doc", "len"), "doc")
+      .select(col("doc"), col("st"), col("len").as("en"))
+    val uncut = base.join(merged.select("doc").distinct(), Seq("doc"), "left_anti")
+      .select(col("doc"), lit(0L).as("st"), col("len").as("en"))
+    val segs = mids.unionByName(tails).unionByName(uncut)
+      .filter(col("en") > col("st"))
+      .join(base, "doc")
+      .select(col("doc"), col("st"), (col("en") - col("st")).as("plen"),
+        col("__txt").substr((col("st") + 1L).cast("int"),
+          (col("en") - col("st")).cast("int")).as("piece"))
+    val kept = segs.groupBy("doc")
+      .agg(sum("plen").as("kept_len"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("st"), col("piece")))),
+          x => x.getField("piece")), "").as("__kept"))
+    val nspans = merged.groupBy("doc").agg(count(lit(1)).as("n_spans_cut"))
+    base.select(col("doc"), col("len").as("orig_len"))
+      .join(kept, Seq("doc"), "left")
+      .join(nspans, Seq("doc"), "left")
+      .select(col("doc"), col("orig_len"),
+        coalesce(col("kept_len"), lit(0L)).as("kept_len"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+        md5(coalesce(col("__kept"), lit("")).cast("binary")).as("cleaned_md5"))
   }
 }

@@ -4715,6 +4715,67 @@ object TrainingDataOps {
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
     ),
 
+    // ---- exact-substring dedup APPLY (span removal) ---------------------
+    // The missing half of dd_dup_substrings: non-first duplicated spans
+    // (SA-predecessor shares ≥ 20 chars) are CUT, overlaps merged, text
+    // reassembled from the surviving segments — the Lee et al. 2022
+    // ExactSubstr removal. The oracle replays the whole pipeline
+    // (naive SA + lag LCP + gaps-and-islands + string_agg reassembly);
+    // cleaned text compares as md5 so the result stays row-compact.
+    "dd_substring_removal" -> QuerySpec(
+      (s, dir) => SuffixArray.removeDupSpans(t(s, dir, "documents"),
+          "doc_id", "text", minLen = 20, cap = 64)
+        .withColumnRenamed("doc", "doc_id").orderBy("doc_id"),
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) > 0),
+        |s AS (SELECT doc_id, text, unnest(range(0, len(text))) AS pos FROM d),
+        |sf AS (SELECT doc_id, pos,
+        |  substr(text, CAST(pos + 1 AS INTEGER), 64) AS pfx,
+        |  substr(text, CAST(pos + 1 AS INTEGER)) AS sfx FROM s),
+        |r AS (SELECT doc_id, pos, pfx,
+        |  row_number() OVER (ORDER BY sfx, doc_id, pos) - 1 AS sa FROM sf),
+        |l AS (SELECT doc_id, pos, pfx, lag(pfx) OVER (ORDER BY sa) AS pp FROM r),
+        |lc AS (SELECT doc_id, pos,
+        |  CASE WHEN pp IS NULL THEN 0 ELSE
+        |    CAST(len(list_filter(range(1, 65),
+        |      i -> i <= least(len(pfx), len(pp))
+        |       AND substr(pfx, 1, CAST(i AS INTEGER))
+        |         = substr(pp, 1, CAST(i AS INTEGER)))) AS INTEGER) END AS lcp
+        |  FROM l),
+        |iv AS (SELECT doc_id, pos AS s, pos + lcp AS e FROM lc WHERE lcp >= 20),
+        |im AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax FROM iv),
+        |isl AS (SELECT *, sum(CASE WHEN runmax IS NULL OR s > runmax
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM im),
+        |mg AS (SELECT doc_id, island, min(s) AS s, max(e) AS e
+        |  FROM isl GROUP BY 1, 2),
+        |mid AS (SELECT doc_id,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS st,
+        |    s AS en FROM mg),
+        |tl AS (SELECT mg.doc_id, max(e) AS st FROM mg GROUP BY 1),
+        |tailseg AS (SELECT t.doc_id, t.st, len(d.text) AS en
+        |  FROM tl t JOIN d ON d.doc_id = t.doc_id),
+        |unc AS (SELECT d.doc_id, 0 AS st, len(d.text) AS en FROM d
+        |  LEFT JOIN (SELECT DISTINCT doc_id FROM mg) m ON d.doc_id = m.doc_id
+        |  WHERE m.doc_id IS NULL),
+        |segs AS (SELECT * FROM mid UNION ALL SELECT * FROM tailseg
+        |  UNION ALL SELECT * FROM unc),
+        |ps AS (SELECT g.doc_id, st, en - st AS plen,
+        |    substr(d.text, CAST(st + 1 AS INTEGER), CAST(en - st AS INTEGER))
+        |      AS piece
+        |  FROM segs g JOIN d ON d.doc_id = g.doc_id WHERE en > st),
+        |ag AS (SELECT doc_id, string_agg(piece, '' ORDER BY st) AS kept,
+        |    sum(plen) AS kept_len FROM ps GROUP BY 1),
+        |ns AS (SELECT doc_id, count(*) AS n_spans FROM mg GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS orig_len,
+        |  CAST(coalesce(ag.kept_len, 0) AS BIGINT) AS kept_len,
+        |  CAST(coalesce(ns.n_spans, 0) AS BIGINT) AS n_spans_cut,
+        |  md5(coalesce(ag.kept, '')) AS cleaned_md5
+        |FROM d LEFT JOIN ag ON ag.doc_id = d.doc_id
+        |LEFT JOIN ns ON ns.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    ),
+
     "dd_line_dedup" -> QuerySpec(
       (s, dir) => {
         val l = t(s, dir, "documents")

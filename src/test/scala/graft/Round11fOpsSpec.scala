@@ -141,6 +141,30 @@ class Round11fOpsSpec extends SparkSpec {
       "t0 and t_last are the funnel's own step times")
   }
 
+  test("removeDupSpans: SA-run head keeps, cross-doc and in-doc cuts, uncut intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.md5
+    val x = "abcdefghijklmnopqrstuvwxy" // 25 shared chars
+    val y = "qwertyuiopasdfghjklzxc"    // 22 chars, repeated within doc 3
+    val docs = Seq(
+      (1L, "AAAAA" + x),      // SA-first owner of x (its suffix sorts first)
+      (2L, x + "zz"),          // loses x, keeps the tail
+      (3L, y + "-" + y)        // in-doc repeat: the SHORTER suffix (second
+                               // occurrence) is the SA-run head and keeps
+    ).toDF("doc_id", "text")
+    val r = graft.operators.SuffixArray.removeDupSpans(docs, "doc_id", "text",
+        minLen = 20, cap = 64)
+      .orderBy("doc").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getString(4)))).toMap
+    val h = (s: String) => Seq(s).toDF("t").select(md5(col("t").cast("binary")))
+      .head().getString(0)
+    assert(r(1L) === ((30L, 30L, 0L, h("AAAAA" + x))), "owner doc untouched")
+    assert(r(2L) === ((27L, 2L, 1L, h("zz"))), "cross-doc duplicate span cut")
+    assert(r(3L) === ((45L, 23L, 1L, h("-" + y))),
+      "in-doc repeat: first occurrence cut (SA head = shorter suffix)")
+  }
+
   test("soundexKey matches Spark's native soundex, including the H/W rules") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, soundex}
