@@ -240,6 +240,58 @@ object ExtendedAnalytics {
         |FROM r WHERE tile IN (50, 90, 99) GROUP BY 1 ORDER BY tile""".stripMargin
     ),
 
+    // ---- mergeable EXACT percentiles (incremental order statistics) -----
+    // The agg_rollup_merge proof extended to order statistics: daily
+    // (day, cents, count) histogram states — the stored rollup — MERGE to
+    // the full period by plain count addition, and exact p50/p90/p99
+    // element picks over the merged histogram equal the direct
+    // computation (the oracle computes DIRECTLY from raw rows, so the
+    // hash match IS the losslessness proof). Rank arithmetic matches
+    // ntile's tile boundaries (r_t = t·(n div 100) + min(t, n mod 100)).
+    // Scale shape: the histogram is value-domain-bounded (cents), its cum
+    // windows partition on a cents-range bucket, and cross-bucket offsets
+    // come from a tiny bucket-total self-join — no partition-less window,
+    // no global sort, and the raw corpus is touched once (to build the
+    // daily states).
+    "agg_percentile_merge" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          (epochS(col("ts")) / 86400).cast("long").as("day"),
+          (round(QuerySpec.dec4(col("value")), 2) * 100).cast("long").as("cents"))
+        val daily = ev.groupBy("day", "cents").agg(count(lit(1)).as("cnt"))
+        val merged = daily.groupBy("cents").agg(sum("cnt").as("cnt"))
+          .withColumn("bucket", expr("cents div 1000"))
+        val bucketTot = merged.groupBy("bucket").agg(sum("cnt").as("btot"))
+        val offsets = bucketTot.select(col("bucket"))
+          .join(bucketTot.select(col("bucket").as("b2"), col("btot")),
+            col("b2") < col("bucket"), "left")
+          .groupBy("bucket").agg(coalesce(sum("btot"), lit(0L)).as("off"))
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("cents")
+        val cum = merged.join(broadcast(offsets), "bucket")
+          .withColumn("cum", col("off") + sum("cnt").over(wb))
+        val n = broadcast(ev.agg(count(lit(1)).as("n")))
+        cum.crossJoin(n)
+          .select(col("cents"), col("cnt"), col("cum"),
+            explode(array(lit(50), lit(90), lit(99))).as("tile"), col("n"))
+          .withColumn("r", expr("tile * (n div 100) + least(tile, n % 100)"))
+          .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+          .select(col("tile"), col("cents").as("boundary_cents"))
+          .orderBy("tile")
+      },
+      """WITH e AS (SELECT CAST(round(CAST(value AS DECIMAL(18,4)), 2) * 100
+        |    AS BIGINT) AS cents FROM events),
+        |nn AS (SELECT count(*) AS n FROM e),
+        |h AS (SELECT cents, count(*) AS cnt FROM e GROUP BY 1),
+        |c AS (SELECT cents, cnt, sum(cnt) OVER (ORDER BY cents) AS cum FROM h),
+        |t(tile) AS (VALUES (50), (90), (99)),
+        |r AS (SELECT tile, tile * (nn.n // 100) + least(tile, nn.n % 100) AS r
+        |  FROM t, nn)
+        |SELECT CAST(r.tile AS INTEGER) AS tile, c.cents AS boundary_cents
+        |FROM r JOIN c ON c.cum >= r.r AND c.cum - c.cnt < r.r
+        |ORDER BY tile""".stripMargin
+    ),
+
     // ---- RFM segmentation ----------------------------------------------
     // Recency/frequency/monetary user segments: the anchor 'now' is the
     // corpus max timestamp (a broadcast scalar, deterministic), recency
