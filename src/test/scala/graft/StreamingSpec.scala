@@ -379,6 +379,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static dimension enrichment: broadcast dim, no state, matches batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // static dim (nation-shaped) joined to a fact stream — the standard
+    // enrichment: stateless (no watermark), dim broadcast per micro-batch
+    val dim = Seq((0, "NA"), (1, "EU"), (2, "APAC")).toDF("region_id", "region")
+    val mem = MemoryStream[(Long, Int, Double)]
+    val enriched = mem.toDF().toDF("order_id", "region_id", "amount")
+      .join(broadcast(dim), Seq("region_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("dim_stream")
+      .outputMode("append").start()
+    val facts = Seq((1L, 0, 9.99), (2L, 2, 5.0), (3L, 7, 1.0), (4L, 1, 2.5))
+    val (b1, b2) = facts.splitAt(2)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    val streamed = spark.table("dim_stream")
+      .select("order_id", "region").orderBy("order_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    val batch = facts.toDF("order_id", "region_id", "amount")
+      .join(dim, Seq("region_id"), "left")
+      .select("order_id", "region").orderBy("order_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(streamed === batch)
+    assert(streamed.find(_._1 == 3L).get._2.isEmpty,
+      "unmatched key passes through null (left join semantics)")
+    q.stop()
+  }
+
   test("windowed stateful funnel: conversion window enforced across batches, " +
       "stream == batch completions on time-ordered arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
