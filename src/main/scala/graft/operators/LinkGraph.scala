@@ -401,6 +401,51 @@ object LinkGraph {
     ranks
   }
 
+  /** Weighted shortest path from a seed set: synchronous Bellman–Ford,
+    * `rounds` relaxations — exact for every node whose shortest path uses
+    * ≤ `rounds` edges (size `rounds` to the hop diameter; the
+    * [[bfsDistance]] contract generalized to integer weights). Each round
+    * is one keyed join + one min-aggregation on distance rows; a closed
+    * frontier (only nodes whose distance IMPROVED relax next round) keeps
+    * late-round join volume proportional to actual change, the BFS
+    * wavefront argument. Weights must be non-negative integers (negative
+    * edges would need all `rounds` = |V|−1 and no early frontier close).
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"shortestPaths: rounds must be 1..50, got $rounds")
+    val e = cut(edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst") && col("w") >= 0L)
+      .groupBy("src", "dst").agg(min("w").as("w")))
+    var dist = cut(seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L)))
+    var frontier = dist
+    var i = 0
+    while (i < rounds) {
+      val relaxed = e.join(frontier.select(col("node").as("src"), col("dist")),
+          "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+        .groupBy("node").agg(min("cand").as("cand"))
+      val joined = relaxed.join(dist, Seq("node"), "left")
+      val improved = cut(joined.filter(col("dist").isNull ||
+          col("cand") < col("dist"))
+        .select(col("node"), col("cand").as("dist")))
+      val nextDist = cut(dist.join(improved.select(col("node")), Seq("node"),
+          "left_anti")
+        .unionByName(improved))
+      releaseBlocks(dist)
+      if (i > 0) releaseBlocks(frontier)
+      dist = nextDist
+      frontier = improved
+      i += 1
+    }
+    dist
+  }
+
   /** Hop distance from a seed set: synchronous BFS, `rounds` frontier
     * expansions (exact shortest hop count for every node within `rounds`
     * of a seed; farther nodes are absent — the kCore rounds contract:

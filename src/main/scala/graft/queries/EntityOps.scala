@@ -270,6 +270,49 @@ object EntityOps {
         |ORDER BY cn DESC, x, y LIMIT 25""".stripMargin
     ),
 
+    // ---- weighted shortest paths (Bellman–Ford rounds) --------------------
+    // BFS generalized to integer weights over a three-edge-class graph
+    // (forward ring w=2, back ring w=3, ×3 chord w=5): 10 synchronous
+    // relaxations, exact for ≤10-edge paths, closed frontier (only
+    // improved nodes relax). The oracle unrolls the same 10 rounds, so
+    // equality holds whatever the true diameter.
+    "graph_shortest_weighted" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val n = col("doc_id") % 60
+        val edges = docs.select(n.as("src"), ((n + 1) % 60).as("dst"), lit(2L).as("w"))
+          .unionByName(docs.select(n.as("src"), ((n + 59) % 60).as("dst"), lit(3L).as("w")))
+          .unionByName(docs.select(n.as("src"), ((n * 3) % 60).as("dst"), lit(5L).as("w")))
+        val seeds = docs.select(n.as("node")).filter(col("node") === 0L)
+        LinkGraph.shortestPaths(edges, "src", "dst", "w", seeds, "node",
+            rounds = 10)
+          .orderBy("node")
+      },
+      {
+        val rounds = (1 to 10).map { i =>
+          s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT * FROM d${i - 1}
+             |  UNION ALL
+             |  SELECT e.dst AS node, d.dist + e.w AS dist
+             |  FROM d${i - 1} d JOIN e ON e.src = d.node) GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH raw AS (
+           |  SELECT doc_id % 60 AS src, (doc_id % 60 + 1) % 60 AS dst, 2 AS w
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT doc_id % 60, (doc_id % 60 + 59) % 60, 3 FROM documents
+           |  UNION ALL
+           |  SELECT doc_id % 60, (doc_id % 60 * 3) % 60, 5 FROM documents),
+           |e AS (SELECT src, dst, min(w) AS w FROM raw
+           |  WHERE src <> dst GROUP BY 1, 2),
+           |d0 AS (SELECT DISTINCT doc_id % 60 AS node, 0 AS dist
+           |  FROM documents WHERE doc_id % 60 = 0),
+           |$rounds
+           |SELECT node, CAST(dist AS BIGINT) AS dist FROM d10
+           |ORDER BY node""".stripMargin
+      }
+    ),
+
     // ---- seeded BFS hop distance ----------------------------------------
     // Crawl-frontier / blast-radius traversal: exact shortest hop count
     // from a seed set over a ring+chord graph (diameter 8 from the seeds,

@@ -292,6 +292,42 @@ object ExtendedAnalytics {
         |ORDER BY tile""".stripMargin
     ),
 
+    // ---- session bounce rate ----------------------------------------------
+    // One-event-session fraction per day (day of the session's first
+    // event) over the standard 30-minute-gap sessionization — the bounce
+    // metric next to x1/window_sessionize. Integer ppm.
+    "a21_bounce_rate" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"),
+          epochS(col("ts")).as("t"), col("event_id"))
+        graft.operators.Sessionize.sessionize(ev, "user_id", "t",
+            "event_id", gapSeconds = 1800L)
+          .groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).as("n_events"), min("t").as("t0"))
+          .select(expr("t0 div 86400").as("day"),
+            when(col("n_events") === 1, 1L).otherwise(0L).as("bounce"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_sessions"),
+            expr("(sum(bounce) * 1000000) div count(1)").as("bounce_ppm"))
+          .orderBy("day")
+      },
+      """WITH e AS (SELECT user_id, epoch_ms(ts)//1000 AS t, event_id
+        |  FROM events),
+        |x AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+        |    OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |ss AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS session_seq FROM x),
+        |g AS (SELECT user_id, session_seq, count(*) AS n_events,
+        |    min(t) AS t0 FROM ss GROUP BY 1, 2),
+        |b AS (SELECT t0 // 86400 AS day,
+        |    CASE WHEN n_events = 1 THEN 1 ELSE 0 END AS bounce FROM g)
+        |SELECT day, count(*) AS n_sessions,
+        |  CAST((sum(bounce) * 1000000) // count(*) AS BIGINT) AS bounce_ppm
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+    ),
+
     // ---- RFM segmentation ----------------------------------------------
     // Recency/frequency/monetary user segments: the anchor 'now' is the
     // corpus max timestamp (a broadcast scalar, deterministic), recency

@@ -261,6 +261,31 @@ class Round11fOpsSpec extends SparkSpec {
     assert(r(2).isNullAt(3) && r(2).isNullAt(4))
   }
 
+  test("shortestPaths: weights beat hop count; frontier close keeps rounds exact") {
+    import spark.implicits._
+    // 1→2→3 cheap chain (1+1) vs direct heavy edge 1→3 (5): BFS would
+    // take the direct edge, weighted takes the chain
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val d = graft.operators.LinkGraph.shortestPaths(edges, "src", "dst", "w",
+        seeds, "node", rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // under-provisioned rounds report the best ≤k-edge path (the direct
+    // heavy edge), the documented synchronous contract
+    val d1 = graft.operators.LinkGraph.shortestPaths(edges, "src", "dst", "w",
+        seeds, "node", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 === Map(1L -> 0L, 2L -> 1L, 3L -> 5L))
+    // parallel edges collapse to the min weight
+    val dup = Seq((1L, 2L, 9L), (1L, 2L, 4L)).toDF("src", "dst", "w")
+    val d2 = graft.operators.LinkGraph.shortestPaths(dup, "src", "dst", "w",
+        seeds, "node", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2(2L) === 4L)
+  }
+
   test("bfsDistance: multiple seeds take the nearest one") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 4L)).toDF("src", "dst")
