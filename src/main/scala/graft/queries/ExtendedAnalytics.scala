@@ -292,6 +292,67 @@ object ExtendedAnalytics {
         |ORDER BY tile""".stripMargin
     ),
 
+    // ---- exact mode with deterministic ties --------------------------------
+    // Most frequent order-value cents per event type; ties break to the
+    // SMALLEST value via a single struct-max aggregation (max over
+    // (cnt, -cents) — no window, no second shuffle beyond the count).
+    "agg_exact_mode" -> QuerySpec(
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_type"),
+            (round(QuerySpec.dec4(col("value")), 2) * 100).cast("long").as("cents"))
+          .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+          .groupBy("event_type")
+          .agg(max(struct(col("cnt"), (-col("cents")).as("neg"))).as("m"))
+          .select(col("event_type"), col("m.cnt").as("mode_count"),
+            (-col("m.neg")).as("mode_cents"))
+          .orderBy("event_type"),
+      """WITH h AS (SELECT event_type,
+        |    CAST(round(CAST(value AS DECIMAL(18,4)), 2) * 100 AS BIGINT)
+        |      AS cents,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cnt DESC, cents) AS rn FROM h)
+        |SELECT event_type, cnt AS mode_count, cents AS mode_cents
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+    ),
+
+    // ---- as-of join with tolerance ------------------------------------------
+    // pandas merge_asof(tolerance=...) semantics: the carried right value
+    // only counts when it is within `tol` of the left time — stale state
+    // nulls out. Same single-shuffle union-and-carry as join_asof_prior.
+    "join_asof_tolerance" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("t", epochS(col("ts")))
+        val signups = ev.filter(col("event_type") === "signup")
+          .withColumn("signup_t", col("t"))
+        AsofJoin.priorJoin(ev, signups, "user_id", "t", "event_id", "signup_t")
+          .select(col("event_id"),
+            when(col("t") - col("asof_time") <= 86400L, col("asof_time"))
+              .as("recent_signup_t"))
+          .orderBy("event_id")
+      },
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_ms(ts)//1000 AS t, event_id, 1 AS side,
+        |    CAST(NULL AS BIGINT) AS rt
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(ts)//1000, event_id, 0,
+        |    epoch_ms(ts)//1000
+        |  FROM events WHERE event_type = 'signup'),
+        |carried AS (
+        |  SELECT *, last_value(rt IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY t, side, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at
+        |  FROM tagged)
+        |SELECT event_id,
+        |  CASE WHEN t - at <= 86400 THEN at END AS recent_signup_t
+        |FROM carried WHERE side = 1
+        |ORDER BY event_id""".stripMargin
+    ),
+
     // ---- session bounce rate ----------------------------------------------
     // One-event-session fraction per day (day of the session's first
     // event) over the standard 30-minute-gap sessionization — the bounce
