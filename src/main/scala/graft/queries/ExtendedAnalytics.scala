@@ -389,6 +389,53 @@ object ExtendedAnalytics {
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
     ),
 
+    // ---- abandonment rate ------------------------------------------------
+    // The windowed funnel's complement: per day of funnel start, the
+    // fraction of starters who did NOT complete within the 7-day
+    // conversion window (left-anti against funnelCompletions — one
+    // per-user table each side, integer ppm).
+    "a22_abandonment" -> QuerySpec(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val starts = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(epochS(col("ts"))).as("t0"))
+        val done = graft.operators.Funnels.funnelCompletions(ev, "user_id",
+          "event_type", epochS(col("ts")),
+          Seq("view", "click", "purchase"), windowSec = 604800L)
+        starts
+          .join(done.select(col("u").as("user_id")), Seq("user_id"), "left_anti")
+          .select(expr("t0 div 86400").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n_abandoned"))
+          .join(starts.select(expr("t0 div 86400").as("day"))
+            .groupBy("day").agg(count(lit(1)).as("n_started")), Seq("day"),
+            "right")
+          .select(col("day"), col("n_started"),
+            coalesce(col("n_abandoned"), lit(0L)).as("n_abandoned"),
+            expr("(coalesce(n_abandoned, 0L) * 1000000) div n_started")
+              .as("abandon_ppm"))
+          .orderBy("day")
+      },
+      """WITH e AS (SELECT user_id AS u, event_type AS et,
+        |    epoch_ms(ts)//1000 AS t FROM events),
+        |s0 AS (SELECT u, min(t) AS t0 FROM e WHERE et = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.u, s0.t0, min(e.t) AS t FROM e
+        |  JOIN s0 ON e.u = s0.u AND e.t > s0.t0 AND e.t <= s0.t0 + 604800
+        |  WHERE e.et = 'click' GROUP BY 1, 2),
+        |s2 AS (SELECT e.u, s1.t0, min(e.t) AS t FROM e
+        |  JOIN s1 ON e.u = s1.u AND e.t > s1.t AND e.t <= s1.t0 + 604800
+        |  WHERE e.et = 'purchase' GROUP BY 1, 2),
+        |st AS (SELECT u, t0 // 86400 AS day FROM s0),
+        |ab AS (SELECT st.day, count(*) AS n_abandoned FROM st
+        |  LEFT JOIN s2 ON s2.u = st.u WHERE s2.u IS NULL GROUP BY 1),
+        |al AS (SELECT day, count(*) AS n_started FROM st GROUP BY 1)
+        |SELECT al.day, al.n_started,
+        |  coalesce(ab.n_abandoned, 0) AS n_abandoned,
+        |  CAST((coalesce(ab.n_abandoned, 0) * 1000000) // al.n_started
+        |    AS BIGINT) AS abandon_ppm
+        |FROM al LEFT JOIN ab ON ab.day = al.day
+        |ORDER BY al.day""".stripMargin
+    ),
+
     // ---- RFM segmentation ----------------------------------------------
     // Recency/frequency/monetary user segments: the anchor 'now' is the
     // corpus max timestamp (a broadcast scalar, deterministic), recency

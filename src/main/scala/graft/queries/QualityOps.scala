@@ -284,6 +284,54 @@ object QualityOps {
         |ORDER BY user_id, day""".stripMargin
     ),
 
+    // ---- column value entropy ------------------------------------------------
+    // Info-theoretic column profiling: Shannon entropy (bits) of each
+    // categorical/bucketed lineitem column — near-zero entropy flags
+    // constant/degenerate columns, log₂(n_distinct) is the uniform
+    // ceiling. Terms follow the round-6 DECIMAL determinism contract
+    // (mm_byte_entropy's). One scan, one union of keyed aggregations.
+    "dq_value_entropy" -> QuerySpec(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        def ent(c: String, e: org.apache.spark.sql.Column) = {
+          val h = li.select(e.as("v")).groupBy("v").agg(count(lit(1)).as("n"))
+          val tot = broadcast(h.agg(sum("n").as("tot"),
+            count(lit(1)).as("n_distinct")))
+          h.crossJoin(tot)
+            .withColumn("term",
+              round(-(col("n") / col("tot")) * log2(col("n") / col("tot")), 6)
+                .cast("decimal(28,6)"))
+            .groupBy()
+            .agg(max("n_distinct").as("n_distinct"),
+              sum("term").cast("double").as("entropy_bits"))
+            .select(lit(c).as("col_name"), col("n_distinct"),
+              col("entropy_bits"))
+        }
+        ent("l_returnflag", col("l_returnflag"))
+          .unionByName(ent("l_linestatus", col("l_linestatus")))
+          .unionByName(ent("l_quantity_int", col("l_quantity").cast("long")))
+          .unionByName(ent("l_linenumber", col("l_linenumber")))
+          .orderBy("col_name")
+      },
+      {
+        def ent(c: String, e: String) =
+          s"""SELECT '$c' AS col_name,
+             |  CAST(n_distinct AS BIGINT) AS n_distinct,
+             |  CAST(entropy_bits AS DOUBLE) AS entropy_bits FROM (
+             |  SELECT max(nd) AS n_distinct, sum(term) AS entropy_bits FROM (
+             |    SELECT CAST(round(-(n/tot) * log2(n/tot), 6) AS DECIMAL(28,6))
+             |      AS term, nd
+             |    FROM (SELECT $e AS v, count(*) AS n FROM lineitem GROUP BY 1) h,
+             |      (SELECT CAST(count(*) AS BIGINT) AS tot,
+             |         count(DISTINCT $e) AS nd FROM lineitem)))""".stripMargin
+        Seq(ent("l_returnflag", "l_returnflag"),
+          ent("l_linestatus", "l_linestatus"),
+          ent("l_quantity_int", "CAST(l_quantity AS BIGINT)"),
+          ent("l_linenumber", "l_linenumber"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }
+    ),
+
     // ---- distribution drift (PSI) ------------------------------------------
     // Population-stability index of the order-value distribution, early
     // period vs late: per fixed price bucket, psi_term =
