@@ -284,6 +284,72 @@ object QualityOps {
         |ORDER BY user_id, day""".stripMargin
     ),
 
+    // ---- day-over-day change ---------------------------------------------
+    // The dashboard delta: daily revenue in exact cents with the
+    // day-over-day change in integer ppm of the PRIOR day (one
+    // key-partitioned... no key needed — partition by a constant would be
+    // banned; the daily table is calendar-bounded, so the lag window
+    // partitions on the month, keeping every partition ≤ 31 rows).
+    "ts_dod_change" -> QuerySpec(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, dir, "events")
+          .select((epochS(col("ts")) / 86400).cast("long").as("day"),
+            col("value"))
+          .groupBy("day")
+          .agg((round(sum(QuerySpec.dec4(col("value"))), 2) * 100)
+            .cast("long").as("cents"))
+          .withColumn("month", expr("day div 31"))
+        val w = Window.partitionBy("month").orderBy("day")
+        // month-boundary lag needs the previous month's last day: bring
+        // it in as a 1-row-per-month helper joined back (no cross-month
+        // window) — prev = within-month lag, else the helper's carry
+        val lastOfMonth = daily.groupBy("month")
+          .agg(max("day").as("lday"))
+          .join(daily.select(col("day").as("lday"), col("cents").as("lcents")),
+            "lday")
+          .select((col("month") + 1).as("month"), col("lcents"))
+        daily
+          .withColumn("prev_in", lag("cents", 1).over(w))
+          .join(broadcast(lastOfMonth), Seq("month"), "left")
+          .withColumn("prev", coalesce(col("prev_in"), col("lcents")))
+          .select(col("day"), col("cents"),
+            // DuckDB's integer `//` truncates toward zero exactly like
+            // Spark's `div` (verified on the negative deltas here), so
+            // the plain quotient is parity-safe
+            when(col("prev").isNotNull,
+              expr("((cents - prev) * 1000000) div prev")).as("dod_ppm"))
+          .orderBy("day")
+      },
+      """WITH daily AS (SELECT (epoch_ms(ts)//1000)//86400 AS day,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT day, cents, lag(cents) OVER (ORDER BY day) AS prev
+        |  FROM daily)
+        |SELECT day, cents,
+        |  CASE WHEN prev IS NOT NULL
+        |    THEN CAST(((cents - prev) * 1000000) // prev AS BIGINT) END
+        |    AS dod_ppm
+        |FROM l ORDER BY day""".stripMargin
+    ),
+
+    // ---- duplicate composite keys -----------------------------------------
+    // The #1 practical integrity check: multiplicity of the
+    // (orderkey, partkey) pair in lineitem — the same part CAN legally
+    // repeat within an order (different suppliers/lines), and this audit
+    // reports how often. One keyed count + one histogram aggregation.
+    "dq_duplicate_keys" -> QuerySpec(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_orderkey", "l_partkey").agg(count(lit(1)).as("m"))
+          .groupBy("m").agg(count(lit(1)).as("n_keys"))
+          .orderBy("m"),
+      """WITH k AS (SELECT l_orderkey, l_partkey, count(*) AS m
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT m, count(*) AS n_keys FROM k GROUP BY 1 ORDER BY m""".stripMargin
+    ),
+
     // ---- column value entropy ------------------------------------------------
     // Info-theoretic column profiling: Shannon entropy (bits) of each
     // categorical/bucketed lineitem column — near-zero entropy flags
