@@ -1,30 +1,47 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Round-12 hardening (VERDICT r11 #1 — the round shipped with an EMPTY
+  * driver correctness artifact, plausibly because the serial gate's wall
+  * time, 253 s for 288 queries, crossed the driver's check budget):
+  *
+  *  1. `oracle_sql.json` is written FIRST, before any query runs — if the
+  *     gate is killed mid-run the driver still has the oracle map and every
+  *     output completed so far, instead of nothing.
+  *  2. Queries run CONCURRENTLY on a bounded thread pool (default 8,
+  *     `SPARK_GRAFT_VERIFY_THREADS`). Spark job submission is thread-safe;
+  *     at sf0.01 each query is dominated by driver-side planning, so
+  *     serialized execution left 31 of 32 cores idle. Shared state is safe
+  *     by construction: Tables.tune is idempotent (same values every call,
+  *     FunctionRegistry is synchronized), temp views are only ever
+  *     re-registered with identical content (same sfDir for every query),
+  *     and each query writes its own output directory.
+  *  3. A loud one-line summary (ok/fail counts + wall seconds) prints at
+  *     the end, so a partial run is visible in any captured tail.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet // optional query-name filter (dev loop)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // FAIR across the concurrent verify jobs: one long iterative query
+      // (suffix array, graph loops) must not starve the 200 sub-second ones.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,6 +57,32 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val t0 = System.nanoTime()
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    val failed = new ConcurrentLinkedQueue[String]()
+    val pool = Executors.newFixedThreadPool(threads)
+    selected.foreach { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            failed.add(name)
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
+    }
+    pool.shutdown()
+    pool.awaitTermination(4, TimeUnit.HOURS)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val nOk = selected.size - failed.size
+    println(f"[verify] $nOk ok, ${failed.size} failed of ${selected.size} in $secs%.1f s" +
+      (if (failed.isEmpty) "" else s" — FAILED: ${java.util.List.copyOf(failed)}"))
+    // rc stays 0 even on per-query failure: the driver's DuckDB compare is
+    // what records a missing output as red; a nonzero rc could make it skip
+    // the compare and ship an empty artifact (the exact r11 failure mode).
     spark.stop()
   }
 }
