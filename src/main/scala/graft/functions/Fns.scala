@@ -143,10 +143,15 @@ object Fns {
   /** Classic American Soundex as a chain of codegen'd builtins (upper →
     * consonant digits → H/W transparency after position 1 → run collapse
     * → vowel strip → 4-pad). Verified character-identical to Spark's
-    * native `soundex` on the canonical test names (Ashcraft→A261,
-    * Pfister→P236, Tymczak→T522, Honeyman→H555) AND oracle-replicable:
-    * DuckDB has no soundex, but has the identical
-    * translate/regexp_replace/rpad chain. Null/empty pass through null.
+    * native `soundex` on LETTER-LEADING input (canonical names:
+    * Ashcraft→A261, Pfister→P236, Tymczak→T522, Honeyman→H555) — the
+    * equivalence claim is scoped to that domain: for non-letter-leading
+    * input Spark's builtin returns the value unchanged ('123'→'123')
+    * while this chain emits a padded digit key ('123'→'1230'); callers
+    * feeding arbitrary strings get the chain's contract, not the
+    * builtin's. Oracle-replicable either way: DuckDB has no soundex, but
+    * has the identical translate/regexp_replace/rpad chain
+    * ([[duckSoundexSql]]). Null/empty pass through null.
     */
   def soundexKey(c: Column): Column = {
     import org.apache.spark.sql.functions.{concat, length, regexp_replace,

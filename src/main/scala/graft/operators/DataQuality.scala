@@ -121,6 +121,13 @@ object DataQuality {
     * match in the parent — a keyed LEFT ANTI join (no correlated probe,
     * one shuffle on the FK; broadcast when the parent is a dim).
     * Returns one row: (n_rows, n_violations).
+    *
+    * NULL-FK contract (= SQL `NOT EXISTS`): a NULL in any FK component is
+    * a violation — it references nothing, regardless of whether the parent
+    * has NULL keys. Plain equality in the anti-join condition gives exactly
+    * these semantics (NULL never equi-matches, so the row survives the
+    * anti join); null-safe `<=>` would instead let a NULL FK "match" a
+    * NULL parent key, which is not referential integrity.
     */
   def orphanCount(child: DataFrame, childCols: Seq[String],
       parent: DataFrame, parentCols: Seq[String]): DataFrame = {
@@ -129,7 +136,7 @@ object DataQuality {
     val p = parent.select(parentCols.zipWithIndex.map {
       case (c, i) => col(c).as(s"__pk$i") }: _*)
     val cond = childCols.zipWithIndex
-      .map { case (c, i) => col(c) <=> col(s"__pk$i") }
+      .map { case (c, i) => col(c) === col(s"__pk$i") }
       .reduce(_ && _)
     val total = child.agg(count(lit(1)).as("n_rows"))
     val orphans = child.join(p, cond, "left_anti")

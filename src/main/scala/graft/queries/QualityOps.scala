@@ -231,20 +231,20 @@ object QualityOps {
       },
       """SELECT 'fk_customer_nation' AS check_name,
         |  (SELECT count(*) FROM customer) AS n_rows,
-        |  (SELECT count(*) FROM customer
-        |    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_violations
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE c.c_nationkey = n.n_nationkey)) AS n_violations
         |UNION ALL SELECT 'fk_lineitem_orders', (SELECT count(*) FROM lineitem),
-        |  (SELECT count(*) FROM lineitem
-        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE l.l_orderkey = o.o_orderkey))
         |UNION ALL SELECT 'fk_lineitem_part', (SELECT count(*) FROM lineitem),
-        |  (SELECT count(*) FROM lineitem
-        |    WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE l.l_partkey = p.p_partkey))
         |UNION ALL SELECT 'fk_lineitem_supplier', (SELECT count(*) FROM lineitem),
-        |  (SELECT count(*) FROM lineitem
-        |    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM supplier s WHERE l.l_suppkey = s.s_suppkey))
         |UNION ALL SELECT 'fk_orders_customer', (SELECT count(*) FROM orders),
-        |  (SELECT count(*) FROM orders
-        |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey))
         |UNION ALL SELECT 'pk_lineitem', (SELECT count(*) FROM lineitem),
         |  (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem)
         |UNION ALL SELECT 'pk_orders', (SELECT count(*) FROM orders),
@@ -301,17 +301,23 @@ object QualityOps {
             .cast("long").as("cents"))
           .withColumn("month", expr("day div 31"))
         val w = Window.partitionBy("month").orderBy("day")
-        // month-boundary lag needs the previous month's last day: bring
-        // it in as a 1-row-per-month helper joined back (no cross-month
-        // window) — prev = within-month lag, else the helper's carry
-        val lastOfMonth = daily.groupBy("month")
+        // month-boundary lag needs the previous POPULATED month's last day
+        // (not month−1: a wholly-empty 31-day bucket must not break the
+        // carry — DuckDB's global lag still returns the prior populated
+        // day). The helper is 1 row per populated month (calendar-bounded,
+        // ≤ n_days/31 rows), so the transitive lookup is a broadcast
+        // non-equi self-join at month grain, never touching the fact table.
+        val monthLast = daily.groupBy("month")
           .agg(max("day").as("lday"))
           .join(daily.select(col("day").as("lday"), col("cents").as("lcents")),
             "lday")
-          .select((col("month") + 1).as("month"), col("lcents"))
+          .select(col("month").as("pm"), col("lcents"))
+        val carry = daily.select("month").distinct()
+          .join(broadcast(monthLast), col("pm") < col("month"))
+          .groupBy("month").agg(max_by(col("lcents"), col("pm")).as("lcents"))
         daily
           .withColumn("prev_in", lag("cents", 1).over(w))
-          .join(broadcast(lastOfMonth), Seq("month"), "left")
+          .join(broadcast(carry), Seq("month"), "left")
           .withColumn("prev", coalesce(col("prev_in"), col("lcents")))
           .select(col("day"), col("cents"),
             // DuckDB's integer `//` truncates toward zero exactly like

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DataQuality
+
+/** Round-12 first-session specs: ADVICE r11 regressions — sparse-calendar
+  * day-over-day carry and the orphanCount NULL-FK contract.
+  */
+class Round12OpsSpec extends SparkSpec {
+
+  test("ts_dod_change: carry is transitive across wholly-empty 31-day buckets") {
+    import spark.implicits._
+    // days 0,1 land in bucket 0; day 70 lands in bucket 2; bucket 1 (days
+    // 31-61) is WHOLLY EMPTY. A global lag still pairs day 70 with day 1 —
+    // the month-bucketed emulation must carry across the empty bucket.
+    val tmp = java.nio.file.Files.createTempDirectory("dod").toString
+    Seq(
+      (1L, 0L * 86400 + 10, 1L, "a", 10.0, "{}"),
+      (2L, 1L * 86400 + 10, 1L, "a", 20.0, "{}"),
+      (3L, 70L * 86400 + 10, 1L, "a", 50.0, "{}"))
+      .toDF("event_id", "epoch", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(col("epoch"))).drop("epoch")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("ts_dod_change")(spark, tmp)
+      .orderBy("day").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L, 70L))
+    assert(out(0).isNullAt(2), "first day has no prior")
+    assert(out(1).getLong(2) === 1000000L, "10->20 = +100% = 1e6 ppm")
+    // day 70: prev must be day 1's 2000 cents (carried across empty
+    // bucket 1), NOT null: (5000-2000)*1e6 div 2000 = 1_500_000
+    assert(!out(2).isNullAt(2), "carry must cross the empty bucket")
+    assert(out(2).getLong(2) === 1500000L)
+  }
+
+  test("orphanCount: NULL FK is a violation (NOT EXISTS contract)") {
+    import spark.implicits._
+    val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
+    val child = Seq(Some(1L), Some(9L), None).toDF("fk")
+    // 9 is an orphan; NULL fk references nothing → violation even though
+    // the parent also has a NULL key (null-safe <=> would wrongly match).
+    val r = DataQuality.orphanCount(child, Seq("fk"), parent, Seq("pk"))
+      .collect()(0)
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === 2L)
+  }
+}
