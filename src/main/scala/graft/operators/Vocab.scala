@@ -1263,4 +1263,169 @@ object Vocab {
         round(lit(1.0) - col("covered_tokens") / col("total_tokens").cast("double"), 4)
           .as("oov_rate"))
   }
+
+  // ---- byte-level BPE ---------------------------------------------------
+
+  /** Byte-alphabet code-point base: UTF-8 byte `b` maps to the single
+    * printable char `chr(ByteCpBase + b)` and back — a bijection between
+    * the 256 byte values and U+4E00..U+4EFF (CJK unified ideographs).
+    *
+    * This is the byte→printable-unicode table of GPT-2's byte-level BPE
+    * (Radford et al. 2019, encoder.py `bytes_to_unicode`) with a
+    * different, ARITHMETIC table: GPT-2 maps printable Latin-1 bytes to
+    * themselves and scatters the rest to 256+n, which puts ASCII letters
+    * in the mapped alphabet — an alphabet NOT closed under `lower()`, so
+    * it could not ride the char-level merge machinery here (every trainer
+    * tier re-tokenizes with [[Fns.tokens]], which lowercases). A
+    * contiguous CJK block instead gives: no whitespace (delimited-replace
+    * safety), no case (lower() is the identity — re-tokenization-safe),
+    * single BMP chars (one regex `.` / one `string_split` cell in both
+    * engines), and `mapped_cp = 0x4E00 + byte` is one CASE-free add that
+    * DuckDB replays exactly. The essential byte-level property — merges
+    * learned over UTF-8 BYTES, so no OOV symbol exists for any input —
+    * is the same.
+    */
+  val ByteCpBase: Int = 0x4E00
+
+  /** Map a string to its byte-level symbol form: one mapped char per
+    * UTF-8 byte. Total on valid UTF-16 input (unpaired surrogates encode
+    * as '?', the JVM replacement — fixtures and real corpora are valid).
+    */
+  def byteMapString(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      sb.appendCodePoint(ByteCpBase + (bytes(i) & 0xff))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[byteMapString]]: mapped chars → bytes → UTF-8 string.
+    * Throws on a char outside the byte alphabet — an id/piece stream from
+    * another tokenizer is a caller bug, not data to guess at.
+    */
+  def byteUnmapString(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      require(cp >= ByteCpBase && cp < ByteCpBase + 256,
+        s"byteUnmapString: U+${cp.toHexString} is not a byte symbol")
+      out.write(cp - ByteCpBase)
+      i += Character.charCount(cp)
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Corpus view for the byte-level trainers: whitespace tokens
+    * ([[Fns.tokens]] — the library-wide pre-tokenization convention),
+    * each byte-mapped, re-joined with single spaces. The mapped alphabet
+    * contains no whitespace and no cased chars, so the char-level
+    * trainer's internal re-tokenization recovers exactly these tokens —
+    * and because this is a narrow projection feeding the trainer's own
+    * explode, the corpus is still touched only once end-to-end.
+    */
+  private[graft] def byteMappedText(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val in = docs.select(Fns.tokens(col(textCol)).as("__toks"))
+    implicit val enc = Encoders.row(StructType(Seq(
+      StructField("text", StringType, nullable = true))))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val ts = r.getSeq[String](0)
+        Row(ts.iterator.filter(_.nonEmpty).map(byteMapString).mkString(" "))
+      }
+    }
+  }
+
+  /** Byte-level BPE merge TRAINING: [[bpeTrain]]'s exact loop (same
+    * tiers, same tie-breaks, same word-type corpus contract) over the
+    * byte-mapped corpus — merges are learned over UTF-8 bytes, so the
+    * base alphabet is at most 256 symbols and NO input (non-Latin,
+    * emoji, mixed-script) is out-of-vocabulary at the symbol level.
+    * Output schema = [[bpeTrain]]'s; lhs/rhs/merged are byte symbols
+    * ([[byteUnmapString]] recovers their UTF-8 form).
+    */
+  def bbpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
+      maxWordTypes: Long = MaxDriverWordTypes): DataFrame =
+    bpeTrain(byteMappedText(docs, textCol), "text", nMerges, maxWordTypes)
+
+  /** Byte-level BPE ENCODE: byte-map each whitespace token, then apply
+    * the learned merges. Output: (doc, token_idx, token, mapped, pieces)
+    * — `token` is the ORIGINAL (lowercased) token, `mapped` its byte-
+    * symbol form, `pieces` the merged byte-symbol pieces (concatenating
+    * to `mapped`; [[byteUnmapString]] of the concatenation returns
+    * `token` — the encode→decode identity on any UTF-8 input).
+    *
+    * Tiers mirror [[bpeEncode]]: ≤ [[MaxInlineMerges]] merges fold into
+    * one composed replace projection after the byte-map pass; larger
+    * tables broadcast a rank map into the same mapPartitions that does
+    * the byte mapping (rank-order greedy — provably equal to pass-order
+    * application, see [[bpeEncode]]).
+    */
+  def bbpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).as("doc"),
+        posexplode(Fns.tokens(col(textCol))).as(Seq("token_idx", "token")))
+      .filter(col("token") =!= "")
+    val inline = merges.size <= MaxInlineMerges
+    val bRank = spark.sparkContext.broadcast(
+      merges.zipWithIndex.toMap: Map[(String, String), Int])
+    val bTable = spark.sparkContext.broadcast(merges.toIndexedSeq)
+    implicit val enc = Encoders.row(StructType(Seq(
+      toks.schema("doc"), toks.schema("token_idx"), toks.schema("token"),
+      StructField("mapped", StringType, nullable = true),
+      StructField("pieces", ArrayType(StringType, containsNull = true),
+        nullable = true))))
+    val m = toks.mapPartitions { rows =>
+      val rank = bRank.value
+      val tbl = bTable.value
+      rows.map { r =>
+        val mapped = byteMapString(r.getString(2))
+        val pieces: Seq[String] =
+          if (inline) null // the composed-replace projection below fills it
+          else {
+            var syms: Array[String] = mapped.codePoints().toArray
+              .map(cp => new String(Character.toChars(cp)))
+            var continue = true
+            while (continue && syms.length > 1) {
+              var best = Int.MaxValue
+              var i = 0
+              while (i < syms.length - 1) {
+                val rk = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+                if (rk < best) best = rk
+                i += 1
+              }
+              if (best == Int.MaxValue) continue = false
+              else {
+                val (l, rr) = tbl(best)
+                val out = scala.collection.mutable.ArrayBuffer.empty[String]
+                var j = 0
+                while (j < syms.length) {
+                  if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == rr) {
+                    out += l + rr; j += 2
+                  } else { out += syms(j); j += 1 }
+                }
+                syms = out.toArray
+              }
+            }
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(syms)
+          }
+        Row(r.get(0), r.get(1), r.get(2), mapped, pieces)
+      }
+    }
+    if (!inline) m
+    else {
+      val delim = concat(lit("  "), regexp_replace(col("mapped"), "(.)", "$1  "))
+      val encoded = merges.foldLeft(delim) { case (e, (l, r)) =>
+        replace(e, lit(" " + l + "  " + r + " "), lit(" " + l + r + " "))
+      }
+      m.select(col("doc"), col("token_idx"), col("token"), col("mapped"),
+        split(trim(encoded), "  ").as("pieces"))
+    }
+  }
 }

@@ -32,23 +32,72 @@ object TrainingDataOps {
     * recounts adjacent pairs from w{r-1}, argmaxes deterministically, and
     * applies the merge with the SAME delimited literal replace as Spark.
     */
-  private def duckBpeCtes(n: Int, src: String = "documents"): String = {
+  private def duckBpeCtes(n: Int, src: String = "documents",
+      tokExpr: String = "token"): String = {
+    // w$r/b$r MUST be MATERIALIZED (the duckWpCtes lesson): DuckDB inlines
+    // plain CTEs and each round references its predecessor 2-3×, so an
+    // inlined chain re-evaluates w0 (and any expensive tokExpr, e.g. the
+    // byte map) with multiplicative fan-out — 12 byte-level rounds ran
+    // >5 min inlined vs ~1 s materialized.
     val rounds = (1 to n).map { r =>
       s"""s$r AS (SELECT string_split(trim(w), '  ') AS syms, cnt FROM w${r - 1}),
          |p$r AS (SELECT l, r2, sum(cnt) AS freq FROM (
          |  SELECT unnest(syms[1:len(syms)-1]) AS l, unnest(syms[2:len(syms)]) AS r2, cnt
          |  FROM s$r WHERE len(syms) >= 2) GROUP BY 1, 2),
-         |b$r AS (SELECT l, r2, CAST(freq AS BIGINT) AS freq FROM p$r
+         |b$r AS MATERIALIZED (SELECT l, r2, CAST(freq AS BIGINT) AS freq FROM p$r
          |  ORDER BY freq DESC, l, r2 LIMIT 1),
-         |w$r AS (SELECT replace(w.w, ' '||b.l||'  '||b.r2||' ', ' '||b.l||b.r2||' ') AS w, w.cnt
+         |w$r AS MATERIALIZED (SELECT replace(w.w, ' '||b.l||'  '||b.r2||' ', ' '||b.l||b.r2||' ') AS w, w.cnt
          |  FROM w${r - 1} w CROSS JOIN b$r b)""".stripMargin
     }.mkString(",\n")
-    s"""w0 AS (
-       |  SELECT '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS w, cnt FROM (
+    s"""w0 AS MATERIALIZED (
+       |  SELECT '  ' || regexp_replace($tokExpr, '(.)', '\\1  ', 'g') AS w, cnt FROM (
        |    SELECT token, count(*) AS cnt FROM (
        |      SELECT unnest($duckToks) AS token FROM $src)
        |    WHERE token <> '' GROUP BY token)),
        |$rounds""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graft.operators.Vocab.byteMapString]] over the
+    * single-char-string column `c`: code point → UTF-8 bytes (pure
+    * shift/mask arithmetic, branch per encoded length) → one mapped char
+    * per byte at [[graft.operators.Vocab.ByteCpBase]].
+    */
+  private def duckByteMap(tok: String): String =
+    s"""array_to_string(list_transform(flatten(
+       |    list_transform(string_split($tok, ''), c ->
+       |      CASE WHEN unicode(c) < 128 THEN [unicode(c)]
+       |        WHEN unicode(c) < 2048 THEN
+       |          [192 + unicode(c)//64, 128 + unicode(c)%64]
+       |        WHEN unicode(c) < 65536 THEN
+       |          [224 + unicode(c)//4096, 128 + (unicode(c)//64)%64,
+       |           128 + unicode(c)%64]
+       |        ELSE
+       |          [240 + unicode(c)//262144, 128 + (unicode(c)//4096)%64,
+       |           128 + (unicode(c)//64)%64, 128 + unicode(c)%64] END)),
+       |  b -> chr(CAST(${graft.operators.Vocab.ByteCpBase} + b AS INTEGER))), '')""".stripMargin
+
+  /** Spark/DuckDB source pair for the byte-level BPE rows: a doc_id-
+    * bounded corpus slice plus injected NON-LATIN fixtures (accents,
+    * CJK, Cyrillic, emoji — 2-, 3- and 4-byte UTF-8) so the byte-level
+    * path is exercised even where the parquet fixture is pure ASCII.
+    * All fixture text is pre-lowercased: `lower()` parity across engines
+    * on exotic cased chars is not what these rows test.
+    */
+  private val bbpeFixtures: Seq[(Long, String)] = Seq(
+    (-1L, "héllo wörld 😀😀 你好 мир мир"),
+    (-2L, "naïve café 🚀 ß déjà vu déjà"))
+
+  private val bbpeDuckSrc: String =
+    "(SELECT doc_id, text FROM documents WHERE doc_id < 400" +
+      bbpeFixtures.map { case (id, s) =>
+        s" UNION ALL SELECT CAST($id AS BIGINT), '$s'"
+      }.mkString + ")"
+
+  private def bbpeSparkSrc(docs: org.apache.spark.sql.DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") < 400).select("doc_id", "text")
+      .unionByName(bbpeFixtures.toDF("doc_id", "text"))
   }
 
   /** DuckDB CTE chain replaying [[TextAnalysis.perceptronTrain]]'s POCKET
@@ -418,7 +467,7 @@ object TrainingDataOps {
     */
   private def duckBpeApplyCtes(n: Int, src: String = "documents"): String = {
     val applies = (1 to n).map { r =>
-      s"""t$r AS (SELECT doc_id, token_idx, token,
+      s"""t$r AS MATERIALIZED (SELECT doc_id, token_idx, token,
          |  replace(t.t, ' '||b.l||'  '||b.r2||' ', ' '||b.l||b.r2||' ') AS t
          |  FROM t${r - 1} t CROSS JOIN b$r b)""".stripMargin
     }.mkString(",\n")
@@ -430,14 +479,41 @@ object TrainingDataOps {
        |$applies""".stripMargin
   }
 
-  private def duckBpeSql(n: Int): String = {
+  private def duckBpeSql(n: Int, src: String = "documents",
+      tokExpr: String = "token"): String = {
     val out = (1 to n).map(r =>
       s"SELECT CAST($r AS INTEGER) AS merge_rank, l AS lhs, r2 AS rhs, l||r2 AS merged, freq FROM b$r")
       .mkString("\nUNION ALL\n")
-    s"""WITH ${duckBpeCtes(n)}
+    s"""WITH ${duckBpeCtes(n, src, tokExpr)}
        |SELECT * FROM (
        |$out
        |) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** DuckDB SQL for [[graft.operators.Vocab.bbpeEncode]] over merges
+    * learned by the byte-level `n`-round chain: tokens byte-map first
+    * (t0 splits the MAPPED form), then each round's winner applies with
+    * the identical delimited literal replace.
+    */
+  private def duckBbpeEncodeSql(n: Int): String = {
+    val applies = (1 to n).map { r =>
+      s"""t$r AS MATERIALIZED (SELECT doc_id, token_idx, token, mapped,
+         |  replace(t.t, ' '||b.l||'  '||b.r2||' ', ' '||b.l||b.r2||' ') AS t
+         |  FROM t${r - 1} t CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${duckBpeCtes(n, bbpeDuckSrc, duckByteMap("token"))},
+       |tok AS (SELECT doc_id, unnest(range(len(ts))) AS token_idx, unnest(ts) AS token
+       |  FROM (SELECT doc_id, $duckToks AS ts FROM $bbpeDuckSrc)),
+       |t0 AS MATERIALIZED (SELECT doc_id, token_idx, token,
+       |  ${duckByteMap("token")} AS mapped,
+       |  '  ' || regexp_replace(${duckByteMap("token")}, '(.)', '\\1  ', 'g') AS t
+       |  FROM tok WHERE len(token) > 0),
+       |$applies
+       |SELECT doc_id, CAST(token_idx AS INTEGER) AS token_idx, token, mapped,
+       |  array_to_string(string_split(trim(t), '  '), ' ') AS pieces,
+       |  CAST(len(string_split(trim(t), '  ')) AS INTEGER) AS n_pieces,
+       |  array_to_string(string_split(trim(t), '  '), '') = mapped AS roundtrip
+       |FROM t$n ORDER BY doc_id, token_idx""".stripMargin
   }
 
   /** DuckDB SQL for [[graft.operators.Vocab.bpeEncode]] over merges
@@ -3858,6 +3934,42 @@ object TrainingDataOps {
         graft.operators.Vocab.bpeTrain(t(s, dir, "documents"), "text", 8)
           .orderBy("merge_rank"),
       duckBpeSql(8)
+    ),
+
+    // ---- BYTE-level BPE training (GPT-2-style byte alphabet) ------------
+    // Merges learned over UTF-8 BYTES: tokens byte-map to the arithmetic
+    // byte alphabet (Vocab.ByteCpBase) so non-Latin/emoji input has no
+    // OOV symbol. Same merge loop/tie-breaks as tx_bpe_train; the oracle
+    // replays the byte map as pure code-point arithmetic and the corpus
+    // carries injected 2-/3-/4-byte UTF-8 fixtures.
+    "tx_bbpe_train" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Vocab.bbpeTrain(
+            bbpeSparkSrc(t(s, dir, "documents")), "text", 12)
+          .orderBy("merge_rank"),
+      duckBpeSql(12, bbpeDuckSrc, duckByteMap("token"))
+    ),
+
+    // ---- BYTE-level BPE encode (+ decode round-trip flag) ---------------
+    // Train 12 byte-level merges, then encode every token: pieces are
+    // byte symbols whose concatenation must equal the mapped token — the
+    // encode→decode identity on arbitrary UTF-8 (the roundtrip column
+    // asserts it row by row; byteUnmapString recovers the surface form).
+    "tx_bbpe_encode" -> QuerySpec(
+      (s, dir) => {
+        val src = bbpeSparkSrc(t(s, dir, "documents"))
+        val merges = graft.operators.Vocab.bbpeTrain(src, "text", 12)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.Vocab.bbpeEncode(src, "doc_id", "text", merges)
+          .select(col("doc").as("doc_id"), col("token_idx"), col("token"),
+            col("mapped"),
+            array_join(col("pieces"), " ").as("pieces"),
+            size(col("pieces")).as("n_pieces"),
+            (array_join(col("pieces"), "") === col("mapped")).as("roundtrip"))
+          .orderBy("doc_id", "token_idx")
+      },
+      duckBbpeEncodeSql(12)
     ),
 
     // ---- BPE training, INCREMENTAL driver tier (nMerges > 64) -----------

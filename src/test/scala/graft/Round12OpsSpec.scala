@@ -32,6 +32,55 @@ class Round12OpsSpec extends SparkSpec {
     assert(out(2).getLong(2) === 1500000L)
   }
 
+  test("byteMapString/byteUnmapString: identity on multi-byte UTF-8") {
+    import graft.operators.Vocab
+    val fixtures = Seq("hello", "héllo", "你好世界", "мир", "😀🚀",
+      "mixed héllo你好😀 end", "", "ß déjà", "á") // combining accent
+    fixtures.foreach { s =>
+      val m = Vocab.byteMapString(s)
+      // every mapped char is a byte symbol; length = UTF-8 byte count
+      assert(m.codePoints().toArray.forall(cp =>
+        cp >= Vocab.ByteCpBase && cp < Vocab.ByteCpBase + 256))
+      assert(m.codePoints().count() ===
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+      assert(Vocab.byteUnmapString(m) === s, s"roundtrip of '$s'")
+    }
+    // mapped alphabet is whitespace-free and case-free (the invariants
+    // the trainer's internal re-tokenization relies on)
+    val all = (0 until 256).map(b =>
+      new String(Character.toChars(Vocab.ByteCpBase + b))).mkString
+    assert(all.toLowerCase === all)
+    assert(!all.exists(_.isWhitespace))
+  }
+
+  test("bbpeTrain: first merge on multi-byte text is a WITHIN-char byte pair") {
+    import spark.implicits._
+    import graft.operators.Vocab
+    // 'é' is 2 UTF-8 bytes; char-level BPE would first merge (é,é) —
+    // byte-level must first merge é's two bytes.
+    val docs = Seq("éé éé éé", "éé x").toDF("text")
+    val m = Vocab.bbpeTrain(docs, "text", 1).collect()(0)
+    assert(Vocab.byteUnmapString(m.getString(3)) === "é",
+      "first merged symbol must decode to the single char é")
+  }
+
+  test("bbpeEncode: pieces concatenate to mapped; unmap recovers the token") {
+    import spark.implicits._
+    import graft.operators.Vocab
+    val docs = Seq((1L, "héllo 你好 😀😀 héllo"), (2L, "наïve 😀")).toDF("doc_id", "text")
+    val merges = Vocab.bbpeTrain(docs, "text", 6)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = Vocab.bbpeEncode(docs, "doc_id", "text", merges).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val pieces = r.getSeq[String](4)
+      assert(pieces.mkString === r.getString(3), "concat(pieces) == mapped")
+      assert(Vocab.byteUnmapString(pieces.mkString) === r.getString(2),
+        "unmap(concat(pieces)) == token")
+    }
+  }
+
   test("orphanCount: NULL FK is a violation (NOT EXISTS contract)") {
     import spark.implicits._
     val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
