@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Fns
+
+/** Skip-gram training prep (word2vec; Mikolov et al. 2013,
+  * arXiv:1310.4546 §2.3 subsampling, §2.2 negative sampling) — the
+  * classical-embedding sibling of the tokenizer arc: windowed
+  * (center, context) pair generation with deletion-subsampling, and the
+  * unigram^(3/4) negative-sampling table.
+  *
+  * Scale shape: the corpus is touched once into the positioned token
+  * stream; subsampling is a broadcast join against the vocabulary-sized
+  * count table plus one scalar total; pair generation is ONE
+  * doc-partitioned window (lag/lead at fixed offsets — no self-join, no
+  * per-pair shuffle) followed by one map-side-combined count; the
+  * negative table is one histogram plus one broadcast scalar. Every
+  * stage is deterministic (RNG-free) and engine-portable.
+  */
+object SkipGram {
+
+  /** Hash-uniform denominator for the subsampling decision. Prime, so
+    * `rolling_hash % SubsampleMod` is near-uniform over [0, mod).
+    */
+  val SubsampleMod: Long = 1000003L
+
+  /** Positioned, subsampled token stream: (doc, pos, token) for the
+    * occurrences that SURVIVE word2vec deletion-subsampling with
+    * threshold `t` — keep probability `min(1, sqrt(t·T/c) + t·T/c)`
+    * for a word with count `c` in a corpus of `T` token occurrences
+    * (the published formula, with the uniform draw replaced by the
+    * deterministic portable hash of `doc:pos`, making runs reproducible
+    * and the rule oracle-expressible: keep iff
+    * `hash % SubsampleMod < p · SubsampleMod`).
+    */
+  def subsampledTokens(docs: DataFrame, idCol: String, textCol: String,
+      t: Double = 1e-3): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+        posexplode(Fns.tokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val cnts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("T"))
+    // x and the comparison are built by the SAME operation sequence the
+    // DuckDB oracle uses (t·T first, then /c), so the IEEE doubles match
+    // bit for bit; sqrt is exactly rounded by definition.
+    val x = lit(t) * col("T") / col("c")
+    val p = least(lit(1.0), sqrt(x) + x)
+    toks.join(broadcast(cnts), "token")
+      .crossJoin(broadcast(tot))
+      .filter(pmod(Fns.rollingHash(concat_ws(":", col("doc"), col("pos"))),
+        lit(SubsampleMod)) < p * SubsampleMod)
+      .select("doc", "pos", "token")
+  }
+
+  /** Skip-gram (center, context) pair counts over the subsampled stream:
+    * contexts are the surviving tokens within `window` positions on
+    * either side IN THE COMPACTED ORDER (word2vec semantics — deletion
+    * widens effective windows across removed frequent words). One
+    * doc-partitioned window provides all 2·window contexts via
+    * lag/lead at fixed offsets; pairs then reduce by key.
+    * Output: (center, context, cnt).
+    */
+  def skipgramPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 2, t: Double = 1e-3): DataFrame = {
+    require(window >= 1 && window <= 16, s"bad window $window")
+    val kept = subsampledTokens(docs, idCol, textCol, t)
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val ctx = array((1 to window).flatMap(k =>
+      Seq(lag(col("token"), k).over(w), lead(col("token"), k).over(w))): _*)
+    kept.select(col("token").as("center"), ctx.as("__ctx"))
+      .select(col("center"), explode(col("__ctx")).as("context"))
+      .filter(col("context").isNotNull)
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Unigram^(3/4) negative-sampling table over the FULL corpus vocab
+    * (min_count-filtered, word2vec's default 5): each word's slot share
+    * of a 1e6-slot table, `slots = w_int·1e6 div W` with
+    * `w_int = floor(sqrt(sqrt(c³))·1000)` — the ¾ power computed as two
+    * exactly-rounded sqrts (libm `pow` is NOT bit-portable across
+    * engines; `sqrt` is), then floored to an integer so the
+    * normalizing sum W is EXACT integer addition — order-independent,
+    * hence partitioning-invariant. Output: (token, cnt, neg_slots).
+    */
+  def negativeTable(docs: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val cnts = docs
+      .select(explode(Fns.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val wInt: Column =
+      floor(sqrt(sqrt(col("cnt").cast("double") * col("cnt") * col("cnt")))
+        * 1000).cast("long")
+    val weighted = cnts.withColumn("__w", wInt)
+    val total = weighted.agg(sum("__w").as("W"))
+    weighted.crossJoin(broadcast(total))
+      .select(col("token"), col("cnt"),
+        expr("(__w * 1000000) div W").as("neg_slots"))
+  }
+}

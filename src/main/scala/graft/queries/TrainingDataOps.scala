@@ -3924,6 +3924,57 @@ object TrainingDataOps {
          |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin
     ),
 
+    // ---- skip-gram pair generation (word2vec training prep) -------------
+    // Deletion-subsampling (deterministic hash draw, the published
+    // keep-probability formula) then (center, context) pairs from ONE
+    // doc-partitioned lag/lead window over the compacted stream — no
+    // self-join. The oracle replays the identical IEEE arithmetic.
+    "tx_skipgram_pairs" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.SkipGram.skipgramPairs(
+            t(s, dir, "documents"), "doc_id", "text", window = 2)
+          .orderBy("center", "context"),
+      s"""WITH tok AS (SELECT doc_id AS doc, unnest(range(len(ts))) AS pos,
+         |    unnest(ts) AS token
+         |  FROM (SELECT doc_id, $duckToks AS ts FROM documents)),
+         |tk AS (SELECT * FROM tok WHERE token <> ''),
+         |tot AS (SELECT count(*) AS T FROM tk),
+         |cnt AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+         |kept AS (SELECT tk.doc, tk.pos, tk.token
+         |  FROM tk JOIN cnt USING (token), tot
+         |  WHERE (${duckHash("CAST(doc AS VARCHAR)||':'||CAST(pos AS VARCHAR)")})
+         |      % 1000003
+         |    < least(1.0, sqrt(0.001*T/c) + 0.001*T/c) * 1000003),
+         |win AS (SELECT token AS center,
+         |  [lag(token,1) OVER w, lead(token,1) OVER w,
+         |   lag(token,2) OVER w, lead(token,2) OVER w] AS ctx
+         |  FROM kept WINDOW w AS (PARTITION BY doc ORDER BY pos)),
+         |pr AS (SELECT center, unnest(ctx) AS context FROM win)
+         |SELECT center, context, count(*) AS cnt FROM pr
+         |WHERE context IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
+    ),
+
+    // ---- unigram^(3/4) negative-sampling table ---------------------------
+    // The ¾ power as two exactly-rounded sqrts (libm pow is not
+    // bit-portable; sqrt is), floored to integer weights so the
+    // normalizing sum is exact integer addition — order-independent.
+    "tx_negative_table" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.SkipGram.negativeTable(
+            t(s, dir, "documents"), "text", minCount = 5L)
+          .orderBy("token"),
+      s"""WITH c AS (SELECT token, count(*) AS cnt FROM (
+         |    SELECT unnest($duckToks) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY token HAVING count(*) >= 5),
+         |w AS (SELECT token, cnt,
+         |  CAST(floor(sqrt(sqrt(CAST(cnt AS DOUBLE)*cnt*cnt))*1000) AS BIGINT) AS wi
+         |  FROM c),
+         |t AS (SELECT CAST(sum(wi) AS BIGINT) AS W FROM w)
+         |SELECT token, cnt, CAST((wi * 1000000) // W AS BIGINT) AS neg_slots
+         |FROM w, t ORDER BY token""".stripMargin
+    ),
+
     // ---- BPE merge training: 8 rounds of top-pair merge -----------------
     // The oracle unrolls each (count pairs → argmax → apply merge) round
     // into chained CTEs; merge application is the same literal

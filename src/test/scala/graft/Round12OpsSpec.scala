@@ -81,6 +81,40 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("skipgramPairs: partitioning-invariant and window-correct") {
+    import spark.implicits._
+    import graft.operators.SkipGram
+    // rare words (every count is 1-2 of a tiny corpus) → keep prob 1 →
+    // deterministic full stream; window 2 pairs are checkable by hand
+    val docs = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SkipGram.skipgramPairs(df, "doc_id", "text", window = 2)
+        .orderBy("center", "context")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val base = run(docs)
+    assert(run(docs.repartition(7)) === base, "partitioning must not change pairs")
+    assert(run(docs.repartition(1)) === base)
+    // doc 1: a->(b,c) b->(a,c,d) c->(a,b,d) d->(b,c); doc 2: x<->y
+    val m = base.map { case (c, x, n) => (c, x) -> n }.toMap
+    assert(m(("a", "b")) === 1L && m(("a", "c")) === 1L && !m.contains(("a", "d")))
+    assert(m(("b", "d")) === 1L && m(("x", "y")) === 1L && m(("y", "x")) === 1L)
+    assert(base.map(_._3).sum === (2 + 3 + 3 + 2 + 1 + 1).toLong)
+  }
+
+  test("negativeTable: slots proportional to cnt^0.75, integer-exact") {
+    import spark.implicits._
+    import graft.operators.SkipGram
+    // one doc repeating words: aa ×16, bb ×8 (both ≥ min_count 5; 'cc' ×1 filtered)
+    val text = (Seq.fill(16)("aa") ++ Seq.fill(8)("bb") ++ Seq("cc")).mkString(" ")
+    val out = SkipGram.negativeTable(Seq(text).toDF("text"), "text", minCount = 5L)
+      .orderBy("token").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("aa", "bb"))
+    val wa = math.floor(math.sqrt(math.sqrt(16.0 * 16 * 16)) * 1000).toLong
+    val wb = math.floor(math.sqrt(math.sqrt(8.0 * 8 * 8)) * 1000).toLong
+    assert(out(0).getLong(2) === wa * 1000000L / (wa + wb))
+    assert(out(1).getLong(2) === wb * 1000000L / (wa + wb))
+  }
+
   test("orphanCount: NULL FK is a violation (NOT EXISTS contract)") {
     import spark.implicits._
     val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
