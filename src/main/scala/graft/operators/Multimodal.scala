@@ -1369,10 +1369,11 @@ object Multimodal {
 
   /** Format-parameterized pattern fixtures: same raster arithmetic as
     * [[synthesizePatternImages]], but the container codec is per-row
-    * (`fmt` = any lossless ImageIO writer name — "png", "bmp") so the
+    * (`fmt` = any ImageIO writer name — "png", "bmp", "jpg") so the
     * EXECUTED resize tier's oracle can cover more than one real decode
-    * path. Lossy formats (jpeg) would break pixel-exactness — callers
-    * that need them go through [[synthesizeImages]]' solid fills instead.
+    * path. Lossy formats (jpg) break PIXEL-exactness only: rows built
+    * from them must gate on decoded geometry + status fan-out (the
+    * mm_jpeg_decode pattern), never on gray sums/checksums.
     */
   case class PatternImageFmtSpec(doc_id: Long, w: Int, h: Int, shade: Int,
       fmt: String)

@@ -2658,6 +2658,58 @@ object TrainingDataOps {
         |SELECT * FROM ok UNION ALL SELECT * FROM bd ORDER BY doc_id""".stripMargin
     ),
 
+    // ---- EXECUTED decode, JPEG tier (geometry + status fan-out) --------
+    // JPEG is the dominant web-image codec a curation run meets first;
+    // its decode IS executed (real JDK ImageIO JPEG reader + the same
+    // nearest-neighbor resample), but lossy decode is not bit-portable
+    // across decoder implementations, so the oracle gates on DECODED
+    // GEOMETRY and the ok/unsupported/corrupt fan-out (the
+    // mm_decode_audit pattern) — never pixel checksums. The quarantine
+    // contract holds: a truncated JPEG (reader claims the FFD8 magic,
+    // pixel decode throws) is a 'corrupt' row, not a task failure.
+    "mm_jpeg_decode" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (lit(20) + col("doc_id") % 40).cast("int").as("w"),
+          (lit(16) + col("doc_id") % 24).cast("int").as("h"),
+          ((col("doc_id") * 31) % 256).cast("int").as("shade"),
+          lit("jpg").as("fmt")
+        ).as[Multimodal.PatternImageFmtSpec]
+        val cls = col("doc_id") % 3
+        val bin = Multimodal.synthesizePatternImagesFmt(s, specs)
+          .select(col("doc_id"),
+            when(cls === 1, concat(lit("not an image #"),
+              col("doc_id").cast("string")).cast("binary"))
+              .when(cls === 2, col("payload").substr(1, 24))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.resizeExec(s, bin, 32, 24).toDF()
+          .select(col("doc_id"), col("status"), col("err"),
+            col("in_w"), col("in_h"), col("out_w"), col("out_h"), col("n_px"))
+          .orderBy("doc_id")
+      },
+      """WITH s AS (
+        |  SELECT doc_id, 20 + doc_id % 40 AS w, 16 + doc_id % 24 AS h,
+        |    doc_id % 3 AS cls
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, w, h, cls,
+        |    CAST(greatest(floor(w * least(32.0/w, 24.0/h, 1.0)), 1) AS INTEGER) AS ow,
+        |    CAST(greatest(floor(h * least(32.0/w, 24.0/h, 1.0)), 1) AS INTEGER) AS oh
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE cls WHEN 0 THEN 'ok' WHEN 1 THEN 'unsupported'
+        |    ELSE 'corrupt' END AS status,
+        |  CASE WHEN cls = 2 THEN 'decode_failed' END AS err,
+        |  CAST(CASE WHEN cls = 0 THEN w ELSE 0 END AS INTEGER) AS in_w,
+        |  CAST(CASE WHEN cls = 0 THEN h ELSE 0 END AS INTEGER) AS in_h,
+        |  CAST(CASE WHEN cls = 0 THEN ow ELSE 0 END AS INTEGER) AS out_w,
+        |  CAST(CASE WHEN cls = 0 THEN oh ELSE 0 END AS INTEGER) AS out_h,
+        |  CAST(CASE WHEN cls = 0 THEN ow * oh ELSE 0 END AS BIGINT) AS n_px
+        |FROM d ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- native identity resolution (connected components) ------------
     "id_resolution_cc" -> QuerySpec(
       (s, dir) => {

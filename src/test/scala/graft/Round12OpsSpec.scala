@@ -115,6 +115,31 @@ class Round12OpsSpec extends SparkSpec {
     assert(out(1).getLong(2) === wb * 1000000L / (wa + wb))
   }
 
+  test("resizeExec JPEG tier: real decode, geometry exact, quarantine fan-out") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val specs = Seq(
+      Multimodal.PatternImageFmtSpec(1L, 40, 30, 77, "jpg"),
+      Multimodal.PatternImageFmtSpec(2L, 20, 16, 10, "jpg"), // smaller than target
+      Multimodal.PatternImageFmtSpec(3L, 40, 30, 77, "jpg"), // → truncated
+      Multimodal.PatternImageFmtSpec(4L, 40, 30, 77, "jpg")  // → replaced by text
+    ).toDS()
+    val bin = Multimodal.synthesizePatternImagesFmt(spark, specs)
+      .select(col("doc_id"),
+        when(col("doc_id") === 3, col("payload").substr(1, 24))
+          .when(col("doc_id") === 4, lit("not an image").cast("binary"))
+          .otherwise(col("payload")).as("payload"))
+    val out = Multimodal.resizeExec(spark, bin, 32, 24)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).status === "ok" && out(1L).in_w === 40 && out(1L).in_h === 30)
+    assert(out(1L).out_w === 32 && out(1L).out_h === 24, "40x30 fits to 32x24")
+    assert(out(2L).status === "ok" && out(2L).out_w === 20 && out(2L).out_h === 16,
+      "no upscale past 1.0")
+    assert(out(3L).status === "corrupt" && out(3L).err === Some("decode_failed"),
+      "truncated JPEG quarantines, not task failure")
+    assert(out(4L).status === "unsupported")
+  }
+
   test("orphanCount: NULL FK is a violation (NOT EXISTS contract)") {
     import spark.implicits._
     val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
