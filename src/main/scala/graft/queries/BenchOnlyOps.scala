@@ -203,6 +203,48 @@ object BenchOnlyOps {
         .select(col("vec_id"), col("rotated"))
       Ann.pqAdcTopK(tbl.encoded, tbl.books, k = 16, q, "vec_id", "rotated",
         topK = 10)
+    }),
+
+    // streaming near-dup dedup, end to end: the full documents corpus
+    // replayed as an NDJSON drop through nearDupDocumentStream's
+    // signature projection + band state store + append aggregation — the
+    // throughput number an always-on ingest deployment quotes. Staging is
+    // written once per corpus; each rep runs a FRESH query over all of
+    // it (per-microbatch state work is what's being measured; the late
+    // flusher doc advances the watermark so the final windows emit).
+    "stream_neardup_dedup" -> ((s, dir) => {
+      val staging = stagedDocs(s, dir)
+      val name = "bench_neardup_" + benchRunSeq.incrementAndGet()
+      val q = graft.streaming.StreamingCuration
+        .nearDupDocumentStream(s, staging, watermark = "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(name)
     })
   )
+
+  private val benchRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // documents → NDJSON staging drop (once per corpus dir), with a late
+  // watermark-flusher row so append-mode windows emit within the run
+  private val stagingCache =
+    scala.collection.mutable.HashMap.empty[String, String]
+  private def stagedDocs(s: SparkSession, dir: String): String =
+    stagingCache.synchronized {
+      stagingCache.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_bench_neardup").toString
+        t(s, dir, "documents")
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"),
+            (lit(1700000000L) + col("doc_id")).as("ingest_ts"))).as("value"))
+          .write.mode("overwrite").text(d)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, "zz_flusher.json"),
+          s"""{"doc_id":-1,"text":"late watermark flusher","lang":"en","source":"s0","ingest_ts":${1700000000L + 100000000L}}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        d
+      })
+    }
 }

@@ -3976,6 +3976,40 @@ object TrainingDataOps {
          |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin
     ),
 
+    // ---- streaming near-dup's batch replica (first-claimant rule) -------
+    // The batch dual of StreamingCuration.nearDupDocumentStream: a doc is
+    // kept iff it is the earliest claimant of EVERY one of its MinHash-LSH
+    // band buckets (event-time = doc_id here). StreamingSpec proves the
+    // stream emits exactly this set on a common corpus; this row gates
+    // the replica's semantics against the oracle.
+    "dd_stream_neardup_batch" -> QuerySpec(
+      (s, dir) =>
+        graft.streaming.StreamingCuration.nearDupBatchReplica(
+            t(s, dir, "documents").withColumn("__et", col("doc_id")),
+            "__et", n = 3, numHashes = 8, bandSize = 2)
+          .orderBy("doc_id"),
+      {
+        val sigs = (0 until 8).map(i =>
+          s"min(${duckPermute("h", i)}) AS s$i").mkString(", ")
+        val bands = (0 until 4).map(b =>
+          s"'$b|'||s${2 * b}||'|'||s${2 * b + 1}").mkString(", ")
+        s"""WITH toks AS (SELECT doc_id, $duckToks AS ts FROM documents),
+           |sh AS (SELECT doc_id, unnest(
+           |    [array_to_string(ts[i:i+2],' ') for i in range(1, len(ts)-1)]) AS s
+           |  FROM toks),
+           |hv AS (SELECT doc_id, ${duckHash("s")} AS h FROM sh),
+           |sig AS (SELECT doc_id, $sigs FROM hv GROUP BY doc_id),
+           |bk AS (SELECT doc_id, unnest([$bands]) AS bucket FROM sig),
+           |first AS (SELECT bucket, min(doc_id) AS first_doc FROM bk GROUP BY bucket),
+           |kept AS (SELECT bk.doc_id FROM bk JOIN first USING (bucket)
+           |  GROUP BY bk.doc_id
+           |  HAVING min(CASE WHEN bk.doc_id = first_doc THEN 1 ELSE 0 END) = 1)
+           |SELECT doc_id FROM kept
+           |UNION ALL SELECT doc_id FROM toks WHERE len(ts) < 3
+           |ORDER BY doc_id""".stripMargin
+      }
+    ),
+
     // ---- skip-gram pair generation (word2vec training prep) -------------
     // Deletion-subsampling (deterministic hash draw, the published
     // keep-probability formula) then (center, context) pairs from ONE

@@ -55,6 +55,60 @@ object StreamingCuration {
       .filter(!TextAnalysis.repetitive(col("text")))
       .withColumn("text", TextAnalysis.redactPii(col("text")))
 
+  /** Adds the exploded MinHash-LSH band-bucket column — ONE shared
+    * definition for the stream and its batch replica, so the
+    * stream ≡ batch identity proof is over the identical hash family and
+    * key format by construction. Per-row HOF fold (min of each permuted
+    * rolling hash over the shingle array) — a pure projection, NOT the
+    * batch explode+groupBy (stream-safe, zero shuffle; min over the raw
+    * shingle array equals min over the distinct set, so it also agrees
+    * with [[graft.operators.Dedup.minhashSignatures]]). A doc too short
+    * to shingle gets a per-doc unique bucket (collides with nothing).
+    */
+  private[graft] def withBandBuckets(df: DataFrame, n: Int,
+      numHashes: Int, bandSize: Int): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val numBands = numHashes / bandSize
+    val hs = transform(Fns.shingles(col("text"), n), s => Fns.rollingHash(s))
+    val sigs = (0 until numHashes).map(i =>
+      array_min(transform(col("hs"), h => Fns.permuteHash(h, i))))
+    val bandCols = (0 until numBands).map { b =>
+      concat_ws("|", lit(b) +: (0 until bandSize).map(i => sigs(b * bandSize + i)): _*)
+    }
+    df.withColumn("hs", hs)
+      .withColumn("bucket",
+        explode(when(size(col("hs")) > 0, array(bandCols: _*))
+          .otherwise(array(concat(lit("short|"), col("doc_id"))))))
+      .drop("hs")
+  }
+
+  /** Batch replica of [[nearDupDocumentStream]]'s keep-rule on a STATIC
+    * corpus: a doc is kept iff it is the (event_time, doc_id)-earliest
+    * claimant of EVERY one of its band buckets. This is provably the
+    * stream's decision when rows arrive in event-time order: claimBucket
+    * marks a bucket claimed by its first-processed row (kept or not) and
+    * drops every later claimant, and the stream sorts each bucket's rows
+    * by (event_time, doc_id) within a trigger — so across any batch
+    * split, bucket ownership is exactly "earliest (event_time, doc_id)".
+    * StreamingSpec pins the identity; the oracle row
+    * `dd_stream_neardup_batch` gates the replica itself.
+    * Two keyed aggregations + one keyed join — no all-pairs anywhere.
+    */
+  def nearDupBatchReplica(docs: DataFrame, timeCol: String, n: Int = 3,
+      numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+    val banded = withBandBuckets(docs, n, numHashes, bandSize)
+      .select(col("bucket"), col("doc_id"), col(timeCol).as("__t"))
+    val first = banded.groupBy("bucket")
+      .agg(min(struct(col("__t"), col("doc_id"))).as("__f"))
+      .select(col("bucket"), col("__f.doc_id").as("first_doc"))
+    banded.join(first, "bucket")
+      .groupBy("doc_id")
+      .agg(min(when(col("doc_id") === col("first_doc"), 1).otherwise(0))
+        .as("all_first"))
+      .filter(col("all_first") === 1)
+      .select("doc_id")
+  }
+
   /** A document's band-bucket row headed into the near-dup state store. */
   case class BandRow(bucket: String, doc_id: Long, text: String, lang: String,
       source: String, event_time: java.sql.Timestamp)
@@ -95,8 +149,6 @@ object StreamingCuration {
       watermark: String = "1 hour"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
-    val numBands = numHashes / bandSize
     val horizonMs = {
       val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
         org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
@@ -104,22 +156,13 @@ object StreamingCuration {
       iv.days * 86400000L + iv.microseconds / 1000
     }
 
-    val hs = transform(Fns.shingles(col("text"), n), s => Fns.rollingHash(s))
-    val sigs = (0 until numHashes).map(i =>
-      array_min(transform(col("hs"), h => Fns.permuteHash(h, i))))
-    val bandCols = (0 until numBands).map { b =>
-      concat_ws("|", lit(b) +: (0 until bandSize).map(i => sigs(b * bandSize + i)): _*)
-    }
-    val banded = spark.readStream
-      .schema(docSchema)
-      .json(stagingDir)
-      .withColumn("event_time", to_timestamp(from_unixtime(col("ingest_ts"))))
-      .withWatermark("event_time", watermark)
-      .withColumn("hs", hs)
-      .withColumn("bucket",
-        // short doc → unique bucket: participates in no collisions
-        explode(when(size(col("hs")) > 0, array(bandCols: _*))
-          .otherwise(array(concat(lit("short|"), col("doc_id"))))))
+    val banded = withBandBuckets(
+        spark.readStream
+          .schema(docSchema)
+          .json(stagingDir)
+          .withColumn("event_time", to_timestamp(from_unixtime(col("ingest_ts"))))
+          .withWatermark("event_time", watermark),
+        n, numHashes, bandSize)
       .select(col("bucket"), col("doc_id"), col("text"), col("lang"),
         col("source"), col("event_time"))
       .as[BandRow]

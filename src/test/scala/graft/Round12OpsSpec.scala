@@ -140,6 +140,62 @@ class Round12OpsSpec extends SparkSpec {
     assert(out(4L).status === "unsupported")
   }
 
+  test("streaming near-dup ≡ batch replica on a common in-order corpus") {
+    import spark.implicits._
+    import graft.streaming.StreamingCuration
+    val t0 = 1700000000L
+    val bases = Seq(
+      "the quick brown fox jumps over a lazy dog while the bright sun sets " +
+        "behind tall green hills and children play near the quiet river bank",
+      "deep space telescopes measure distant galaxy clusters through gravity " +
+        "lensing surveys that map invisible dark matter structure every night",
+      "market analysts tracked quarterly revenue growth across industrial " +
+        "sectors while commodity prices shifted under new trade agreements",
+      "volcanic soil in the valley produces remarkable coffee beans that " +
+        "roasters around the world compete to buy during harvest season")
+    val docs: Seq[(Long, String)] =
+      bases.zipWithIndex.map { case (b, i) => (i.toLong, b) } ++
+        // lightly-edited re-drops (may or may not band-collide — the proof
+        // holds either way because BOTH sides apply the same rule)
+        bases.zipWithIndex.map { case (b, i) =>
+          (10L + i, b.replace("the", "a").replace("while", "as"))
+        } ++
+        bases.zipWithIndex.map { case (b, i) => (20L + i, b) } ++ // exact re-drops
+        Seq((30L, "short doc"), (31L, "tiny"), (32L, ""))
+    def line(id: Long, text: String): String =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s1","ingest_ts":${t0 + id}}"""
+
+    val staging = java.nio.file.Files.createTempDirectory("neardup-eq").toString
+    val (first, second) = docs.sortBy(_._1).splitAt(docs.size / 2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(staging, "b1.json"),
+      first.map((line _).tupled).mkString("\n").getBytes)
+    val q = StreamingCuration.nearDupDocumentStream(spark, staging,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_eq")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    java.nio.file.Files.write(java.nio.file.Paths.get(staging, "b2.json"),
+      second.map((line _).tupled).mkString("\n").getBytes)
+    q.processAllAvailable()
+    java.nio.file.Files.write(java.nio.file.Paths.get(staging, "b3.json"),
+      line(9999L, "late watermark flusher row").getBytes)
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val streamKept = spark.table("neardup_eq").select("doc_id")
+      .as[Long].collect().toSet - 9999L
+    q.stop()
+
+    val batchKept = StreamingCuration.nearDupBatchReplica(
+        docs.toDF("doc_id", "text").withColumn("__et", col("doc_id")), "__et")
+      .as[Long].collect().toSet
+    assert(streamKept === batchKept,
+      s"stream=${streamKept.toSeq.sorted} batch=${batchKept.toSeq.sorted}")
+    // sanity: exact re-drops (20..23) must be dropped by both
+    assert((20L to 23L).forall(!batchKept.contains(_)))
+    // short docs collide with nothing
+    assert(Seq(30L, 31L, 32L).forall(batchKept.contains))
+  }
+
   test("orphanCount: NULL FK is a violation (NOT EXISTS contract)") {
     import spark.implicits._
     val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
