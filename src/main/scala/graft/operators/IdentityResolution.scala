@@ -36,8 +36,13 @@ object IdentityResolution {
     */
   val SmallGraphMaxEdges: Long = 1000000L
 
+  /** `onRound` fires after each distributed round commits (round index,
+    * 1-based) — the hook the skew-evidence harness ([[graft.SkewCc]]) uses
+    * to snapshot per-round shuffle bytes; a no-op by default.
+    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges,
+      onRound: Int => Unit = _ => ()): DataFrame = {
     // Reliable checkpointing when the session has a checkpoint dir (the
     // 100 TB posture: localCheckpoint blocks die with their executor and
     // recovery replays the whole iteration chain); localCheckpoint is the
@@ -110,6 +115,7 @@ object IdentityResolution {
       labels = updated.select(col("node"), col("component"))
       converged = !changed
       i += 1
+      onRound(i)
     }
     // the edge table is only consumed by the loop; the returned labels are
     // backed by the FINAL round's (still-persisted) checkpoint blocks

@@ -196,6 +196,31 @@ class Round12OpsSpec extends SparkSpec {
     assert(Seq(30L, 31L, 32L).forall(batchKept.contains))
   }
 
+  test("connectedComponents: hub-and-chains skew graph, forced loop path") {
+    import graft.operators.IdentityResolution
+    // power-law-shaped adversarial fixture: hub 0 with degree 40 (≈√n for
+    // n=2000), each spoke heading a 50-node chain — ONE giant component.
+    // smallGraphMaxEdges=0 forces the distributed min-label loop (the
+    // 100 TB path) instead of the driver union-find fast path.
+    val spokes = 40
+    val chainLen = 50
+    val n = spokes.toLong * chainLen
+    val hub = spark.range(spokes)
+      .select(lit(0L).as("src"), (col("id") * chainLen + 1).as("dst"))
+    val chains = spark.range(1L, n)
+      .filter(col("id") % chainLen =!= 0)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    var rounds = 0
+    val labels = IdentityResolution.connectedComponents(
+      hub.unionByName(chains), maxIter = 25, smallGraphMaxEdges = 0L,
+      onRound = i => rounds = i)
+    assert(labels.count() === n + 1)
+    assert(labels.filter(col("component") =!= 0L).count() === 0L,
+      "every node must join the hub's giant component")
+    // pointer jumping: O(log chainLen) rounds, nowhere near O(chainLen)
+    assert(rounds <= 12, s"expected ≈log2(50)+slack rounds, got $rounds")
+  }
+
   test("orphanCount: NULL FK is a violation (NOT EXISTS contract)") {
     import spark.implicits._
     val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
