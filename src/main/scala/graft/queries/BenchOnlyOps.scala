@@ -205,6 +205,60 @@ object BenchOnlyOps {
         topK = 10)
     }),
 
+    // ANN serve LATENCY percentiles: the number a serving deployment
+    // actually quotes — per-query-batch wall latency for the four serve
+    // tiers (int8, Hamming, flat-PQ ADC, IVF-PQ ADC) against the
+    // pre-materialized tables, sampled over SPARK_GRAFT_LAT_BATCHES
+    // (default 8) sequential single-query batches each. p99 at n ≤ 100
+    // samples is the interpolation-free upper order statistic (= max at
+    // n=8). Returns the percentile table (also dumped to
+    // /tmp/ann_serve_latency.json for the round artifact); the row's own
+    // bench seconds track total serve throughput round-over-round.
+    "ann_serve_latency" -> ((s, dir) => {
+      import s.implicits._
+      val nBatches = sys.env.getOrElse("SPARK_GRAFT_LAT_BATCHES", "8").toInt
+      def oneQuery(i: Int) =
+        t(s, dir, "embeddings").filter(col("vec_id") === i % 100)
+      val tiers: Seq[(String, Int => DataFrame)] = Seq(
+        "int8" -> { i =>
+          val tbl = servedInt8(s, dir)
+          val deq = Ann.int8Dequantize(tbl.coded, tbl.mins, tbl.ranges)
+            .select(col("id").as("vec_id"), col("deq").as("embedding"))
+          Ann.bruteForceTopK(deq, oneQuery(i), "vec_id", "embedding", 10)
+        },
+        "hamming" -> { i =>
+          Ann.hammingTopK(servedBinary(s, dir),
+            Ann.binaryQuantize(oneQuery(i), "vec_id", "embedding"),
+            d = 64, k = 10)
+        },
+        "pq_adc" -> { i =>
+          val tbl = servedPq(s, dir)
+          Ann.pqAdcTopK(tbl.encoded, tbl.books, k = 16, oneQuery(i),
+            "vec_id", "embedding", topK = 10)
+        },
+        "ivfpq_adc" -> { i =>
+          Ann.ivfPqSearch(servedIndex(s, dir), oneQuery(i),
+            "vec_id", "embedding", nprobe = 8, topK = 10)
+        })
+      val rows = tiers.map { case (tier, mk) =>
+        val ms = (0 until nBatches).map { i =>
+          val t0 = System.nanoTime()
+          mk(i).count()
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        val p50 = ms(nBatches / 2)
+        val p99 = ms(math.min(nBatches - 1, math.ceil(nBatches * 0.99).toInt - 1))
+        (tier, nBatches, math.round(p50 * 10) / 10.0, math.round(p99 * 10) / 10.0)
+      }
+      val json = rows.map { case (tr, n, p50, p99) =>
+        s"""{"tier":"$tr","n":$n,"p50_ms":$p50,"p99_ms":$p99}"""
+      }.mkString("[", ",", "]")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/ann_serve_latency.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      rows.toDF("tier", "n_batches", "p50_ms", "p99_ms")
+    }),
+
     // streaming near-dup dedup, end to end: the full documents corpus
     // replayed as an NDJSON drop through nearDupDocumentStream's
     // signature projection + band state store + append aggregation — the
