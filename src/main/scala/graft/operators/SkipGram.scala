@@ -75,6 +75,62 @@ object SkipGram {
       .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
   }
 
+  /** GloVe-style distance-weighted co-occurrence counts (Pennington et
+    * al. 2014 §3: context word at distance d contributes 1/d): the FULL
+    * token stream (GloVe does not subsample), ONE doc-partitioned
+    * lag/lead window, weights kept integer as ppm (`1e6 div d` summed —
+    * exact, order-independent, engine-portable). Output:
+    * (center, context, cnt, weight_ppm).
+    */
+  def gloveCooccurrence(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 3): DataFrame = {
+    require(window >= 1 && window <= 16, s"bad window $window")
+    val toks = docs.select(col(idCol).as("doc"),
+        posexplode(Fns.tokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val ctx = array((1 to window).flatMap { k =>
+      val wppm = lit(1000000L / k)
+      Seq(struct(lag(col("token"), k).over(w).as("c"), wppm.as("wppm")),
+        struct(lead(col("token"), k).over(w).as("c"), wppm.as("wppm")))
+    }: _*)
+    toks.select(col("token").as("center"), ctx.as("__ctx"))
+      .select(col("center"), explode(col("__ctx")).as("x"))
+      .filter(col("x.c").isNotNull)
+      .groupBy(col("center"), col("x.c").as("context"))
+      .agg(count(lit(1)).as("cnt"), sum(col("x.wppm")).as("weight_ppm"))
+  }
+
+  /** FastText-style subword n-grams (Bojanowski et al. 2017 §3.2): each
+    * DISTINCT corpus token, boundary-marked as `<token>`, decomposed into
+    * its char n-grams for n ∈ [minN, maxN], each hashed into one of
+    * `buckets` subword-embedding slots — how an embedding table serves
+    * OOV words. Vocabulary-grain work (distinct tokens, not occurrences):
+    * one distinct + one HOF projection + one explode; no corpus re-scan.
+    * Grams repeat inside a token ("aaaa" → "aaa" ×2) and are COUNTED,
+    * matching fastText's multiset semantics.
+    * Output: (token, ng, bucket, cnt).
+    */
+  def subwordNgrams(docs: DataFrame, textCol: String,
+      minN: Int = 3, maxN: Int = 6, buckets: Int = 2000): DataFrame = {
+    require(1 <= minN && minN <= maxN && maxN <= 16, s"bad n range $minN..$maxN")
+    require(buckets > 0, "buckets must be positive")
+    val toks = docs.select(explode(Fns.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "").distinct()
+    val marked = concat(lit("<"), col("token"), lit(">"))
+    val grams = flatten(array((minN to maxN).map { n =>
+      // sequence(a, b) DESCENDS when a > b — guard short tokens explicitly
+      when(length(marked) >= n,
+        transform(sequence(lit(1), length(marked) - n + 1),
+          i => marked.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    }: _*))
+    toks.select(col("token"), explode(grams).as("ng"))
+      .groupBy(col("token"), col("ng"),
+        pmod(Fns.rollingHash(col("ng")), lit(buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Unigram^(3/4) negative-sampling table over the FULL corpus vocab
     * (min_count-filtered, word2vec's default 5): each word's slot share
     * of a 1e6-slot table, `slots = w_int·1e6 div W` with

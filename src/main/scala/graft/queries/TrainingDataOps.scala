@@ -4041,6 +4041,54 @@ object TrainingDataOps {
          |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
     ),
 
+    // ---- GloVe distance-weighted co-occurrence ---------------------------
+    // Context at distance d contributes 1/d, kept integer as ppm
+    // (1e6 div d, summed — exact and order-independent). Full stream,
+    // no subsampling (GloVe's contract), one doc-partitioned window.
+    "tx_glove_cooc" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.SkipGram.gloveCooccurrence(
+            t(s, dir, "documents"), "doc_id", "text", window = 3)
+          .orderBy("center", "context"),
+      s"""WITH tok AS (SELECT doc_id AS doc, unnest(range(len(ts))) AS pos,
+         |    unnest(ts) AS token
+         |  FROM (SELECT doc_id, $duckToks AS ts FROM documents)),
+         |tk AS (SELECT * FROM tok WHERE token <> ''),
+         |win AS (SELECT token AS center,
+         |  [{'c': lag(token,1) OVER w, 'wppm': 1000000},
+         |   {'c': lead(token,1) OVER w, 'wppm': 1000000},
+         |   {'c': lag(token,2) OVER w, 'wppm': 500000},
+         |   {'c': lead(token,2) OVER w, 'wppm': 500000},
+         |   {'c': lag(token,3) OVER w, 'wppm': 333333},
+         |   {'c': lead(token,3) OVER w, 'wppm': 333333}] AS ctx
+         |  FROM tk WINDOW w AS (PARTITION BY doc ORDER BY pos)),
+         |pr AS (SELECT center, unnest(ctx) AS x FROM win)
+         |SELECT center, x.c AS context, count(*) AS cnt,
+         |  CAST(sum(x.wppm) AS BIGINT) AS weight_ppm
+         |FROM pr WHERE x.c IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
+    ),
+
+    // ---- fastText subword n-gram hashing ---------------------------------
+    // Boundary-marked char n-grams (3..6) of each DISTINCT token, hashed
+    // into 2000 subword buckets — vocabulary-grain, never per-occurrence.
+    "tx_subword_ngrams" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.SkipGram.subwordNgrams(
+            t(s, dir, "documents"), "text", minN = 3, maxN = 6, buckets = 2000)
+          .orderBy("token", "ng"),
+      s"""WITH tok AS (SELECT DISTINCT unnest($duckToks) AS token
+         |  FROM documents),
+         |m AS (SELECT token, '<'||token||'>' AS mk FROM tok WHERE token <> ''),
+         |g AS (SELECT token, unnest(flatten(
+         |    [[mk[i:i+n-1] for i in range(1, length(mk)-n+2)]
+         |     for n in range(3, 7)])) AS ng
+         |  FROM m)
+         |SELECT token, ng, ${duckHash("ng")} % 2000 AS bucket,
+         |  count(*) AS cnt
+         |FROM g GROUP BY 1, 2, 3 ORDER BY token, ng""".stripMargin
+    ),
+
     // ---- unigram^(3/4) negative-sampling table ---------------------------
     // The ¾ power as two exactly-rounded sqrts (libm pow is not
     // bit-portable; sqrt is), floored to integer weights so the

@@ -221,6 +221,40 @@ class Round12OpsSpec extends SparkSpec {
     assert(rounds <= 12, s"expected ≈log2(50)+slack rounds, got $rounds")
   }
 
+  test("gloveCooccurrence: 1/d ppm weights, exact integer sums") {
+    import spark.implicits._
+    import graft.operators.SkipGram
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val m = SkipGram.gloveCooccurrence(docs, "doc_id", "text", window = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // a@0 with b@1 (d=1) and a@3 with b@1 (d=2): cnt 2, w = 1e6 + 5e5
+    assert(m(("a", "b")) === (2L, 1500000L))
+    // a@0..c@2 (d=2) + a@3..c@2 (d=1)
+    assert(m(("a", "c")) === (2L, 1500000L))
+    // a@0..a@3 (d=3) both directions
+    assert(m(("a", "a")) === (2L, 666666L))
+    assert(m(("b", "c")) === (1L, 1000000L))
+  }
+
+  test("subwordNgrams: boundary-marked grams, multiset counts, stable buckets") {
+    import spark.implicits._
+    import graft.operators.SkipGram
+    val docs = Seq("ab aaaa").toDF("text")
+    val rows = SkipGram.subwordNgrams(docs, "text", minN = 3, maxN = 6,
+      buckets = 2000).collect()
+    val byTok = rows.groupBy(_.getString(0))
+    // '<ab>' → 3-grams <ab, ab> + 4-gram <ab>
+    assert(byTok("ab").map(_.getString(1)).sorted.toSeq === Seq("<ab", "<ab>", "ab>"))
+    // '<aaaa>': 'aaa' occurs twice → one row with cnt 2
+    val aaa = byTok("aaaa").find(_.getString(1) == "aaa").get
+    assert(aaa.getLong(3) === 2L)
+    // buckets in range and deterministic for a given gram
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 2000))
+    val b1 = rows.filter(_.getString(1) == "<ab").map(_.getLong(2)).distinct
+    assert(b1.length === 1)
+  }
+
   test("orphanCount: NULL FK is a violation (NOT EXISTS contract)") {
     import spark.implicits._
     val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
