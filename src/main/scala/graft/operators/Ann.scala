@@ -258,6 +258,60 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** NN-descent k-NN GRAPH construction (Dong et al. 2011, WWW —
+    * "Efficient K-Nearest Neighbor Graph Construction for Generic
+    * Similarity Measures"), the graph-based ANN family's build
+    * primitive (HNSW/NSG refine exactly this structure): start from a
+    * deterministic ring lattice (neighbor j of node i = (i+j) mod n —
+    * ids must be DENSE 0..n-1, the standard embedding-table layout;
+    * densify at ingest otherwise), then iterate "a neighbor of my
+    * neighbor is probably my neighbor": each round's candidates are the
+    * current edges ∪ their reverses ∪ the two-hop closure, scored
+    * exactly, and reduced to each node's top-k (score desc, id asc —
+    * deterministic). Converges in a handful of rounds regardless of n.
+    *
+    * Scale shape: per round ONE keyed self-join (two-hop) + distinct +
+    * two keyed joins against the vector table + one bounded top-k
+    * aggregate — candidate volume O(n·k²) per round, never O(n²); every
+    * join is on the id key. Rounds are localCheckpoint-cut (the
+    * LinkGraph contract) so lineage stays one round deep.
+    * Output: (query_id, rank, neighbor_id, cos) — the k-NN graph.
+    */
+  def nnDescent(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 1, s"bad k=$k iters=$iters")
+    val useReliable = emb.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (useReliable) df.checkpoint() else df.localCheckpoint()
+    val vecs = emb.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val n = vecs.count()
+    def score(edges: DataFrame): DataFrame = edges
+      .join(vecs.select(col("vid").as("src"), col("v").as("qv")), "src")
+      .join(vecs.select(col("vid").as("dst"), col("v").as("cv")), "dst")
+      .select(col("src").as("query_id"), col("dst").as("neighbor_id"),
+        Fns.cosineSim(col("qv"), col("cv")).as("cos"))
+    def topK(scored: DataFrame): DataFrame = scored.groupBy("query_id")
+      .agg(Fns.topKByScore(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id").as("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.id").as("dst"))
+    var cur = cut(
+      vecs.select(col("vid").as("src"),
+          explode(transform(sequence(lit(1), lit(k)),
+            j => pmod(col("vid") + j, lit(n)))).as("dst"))
+        .filter(col("src") =!= col("dst")))
+    for (_ <- 1 to iters) {
+      val rev = cur.select(col("dst").as("src"), col("src").as("dst"))
+      val two = cur.select(col("src"), col("dst").as("mid"))
+        .join(cur.select(col("src").as("mid"), col("dst")), "mid")
+        .select("src", "dst")
+      val cand = cur.unionByName(rev).unionByName(two)
+        .filter(col("src") =!= col("dst")).distinct()
+      cur = cut(topK(score(cand)))
+    }
+    rankTopK(score(cur), k)
+  }
+
   /** Plane-count sizing for [[knnJoin]]/[[lshTopK]]: candidate volume is
     * Σ(bucket²) ≈ n²/2^numPlanes, so a CONSTANT plane count grows
     * quadratically with the corpus — measured live: a pinned numPlanes=6

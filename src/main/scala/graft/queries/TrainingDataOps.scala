@@ -3955,6 +3955,48 @@ object TrainingDataOps {
          |FROM r WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin
     ),
 
+    // ---- NN-descent k-NN graph (graph-based ANN build primitive) --------
+    // Dong et al. 2011: deterministic ring init, then 2 rounds of
+    // "neighbor-of-neighbor" candidate generation (edges ∪ reverses ∪
+    // two-hop), exact scoring, per-node top-k. The oracle unrolls both
+    // rounds; every comparison is over the same IEEE cosine fold.
+    "ann_nndescent" -> QuerySpec(
+      (s, dir) =>
+        Ann.nnDescent(t(s, dir, "embeddings"), "vec_id", "embedding",
+            k = 4, iters = 2)
+          .orderBy("query_id", "rank"),
+      {
+        def round(r: Int) =
+          s"""g$r AS (SELECT src, dst FROM e${r - 1}
+             |  UNION ALL SELECT dst, src FROM e${r - 1}
+             |  UNION ALL SELECT x.src, y.dst FROM e${r - 1} x
+             |    JOIN e${r - 1} y ON x.dst = y.src),
+             |c$r AS (SELECT DISTINCT src, dst FROM g$r WHERE src <> dst),
+             |s$r AS (SELECT c.src, c.dst, $duckCosine AS cos
+             |  FROM c$r c JOIN embeddings a ON a.vec_id = c.src
+             |    JOIN embeddings b ON b.vec_id = c.dst),
+             |e$r AS MATERIALIZED (SELECT src, dst FROM (
+             |  SELECT src, dst, row_number() OVER (
+             |    PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM s$r)
+             |  WHERE rn <= 4)""".stripMargin
+        s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+           |e0 AS MATERIALIZED (
+           |  SELECT a.vec_id AS src, CAST((a.vec_id + j.j) % nn.n AS BIGINT) AS dst
+           |  FROM embeddings a, range(1, 5) j(j), nn
+           |  WHERE (a.vec_id + j.j) % nn.n <> a.vec_id),
+           |${round(1)},
+           |${round(2)},
+           |sf AS (SELECT c.src, c.dst, $duckCosine AS cos
+           |  FROM e2 c JOIN embeddings a ON a.vec_id = c.src
+           |    JOIN embeddings b ON b.vec_id = c.dst)
+           |SELECT src AS query_id,
+           |  CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst)
+           |    AS INTEGER) AS rank,
+           |  dst AS neighbor_id, round(cos, 4) AS cos
+           |FROM sf ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
     // ---- vocabulary building: top-k tokens (tokenizer-training input) --
     "tx_vocab_topk" -> QuerySpec(
       (s, dir) =>

@@ -255,6 +255,43 @@ class Round12OpsSpec extends SparkSpec {
     assert(b1.length === 1)
   }
 
+  test("nnDescent: recall improves over ring init and is partition-invariant") {
+    import spark.implicits._
+    import graft.operators.Ann
+    // deterministic pseudo-random vectors (id order uncorrelated with
+    // vector space, so the ring init starts blind)
+    val emb = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(6)(d =>
+        (((i * 31 + d * 17 + i * i * 7) % 19) - 9).toDouble))
+    }.toDF("vec_id", "embedding")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val truth = Ann.bruteForceTopK(emb, emb, "vec_id", "embedding", 4)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    // ring-init recall = fraction of true neighbors within ±4 ring hops
+    val ringRecall = {
+      val truth = Ann.bruteForceTopK(emb, emb, "vec_id", "embedding", 4)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      truth.count { case (q, nb) =>
+        (1 to 4).exists(j => (q + j) % 60 == nb) }.toDouble / truth.length
+    }
+    val r2 = recallOf(Ann.nnDescent(emb, "vec_id", "embedding", k = 4, iters = 4))
+    assert(r2 > ringRecall + 0.2,
+      s"descent recall $r2 must clearly beat the ring init's $ringRecall")
+    assert(r2 >= 0.7, s"descent recall $r2 must approach exact")
+    // partition-invariance: same graph regardless of input layout
+    val a = Ann.nnDescent(emb.repartition(7), "vec_id", "embedding", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Ann.nnDescent(emb.repartition(1), "vec_id", "embedding", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
   test("orphanCount: NULL FK is a violation (NOT EXISTS contract)") {
     import spark.implicits._
     val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
