@@ -81,6 +81,28 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("bbpeEncode: ranked tier (>64 merges) equals the inline tier") {
+    import spark.implicits._
+    import graft.operators.Vocab
+    val docs = Seq((1L, "héllo héllo 你好 😀 abab abab"), (2L, "ß abab")).toDF("doc_id", "text")
+    val real = Vocab.bbpeTrain(docs, "text", 10)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // pad past MaxInlineMerges with merges over symbols outside the byte
+    // alphabet — they can never fire, so semantics are unchanged but the
+    // dispatch provably takes the broadcast-ranked mapPartitions tier
+    val pad = (0 until Vocab.MaxInlineMerges + 10).map(i => (s"Ω$i", s"Ψ$i"))
+    val inline = Vocab.bbpeEncode(docs, "doc_id", "text", real)
+      .orderBy("doc", "token_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3),
+        r.getSeq[String](4).mkString(" ")))
+    val ranked = Vocab.bbpeEncode(docs, "doc_id", "text", real ++ pad)
+      .orderBy("doc", "token_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3),
+        r.getSeq[String](4).mkString(" ")))
+    assert(ranked.toSeq === inline.toSeq)
+  }
+
   test("skipgramPairs: partitioning-invariant and window-correct") {
     import spark.implicits._
     import graft.operators.SkipGram
