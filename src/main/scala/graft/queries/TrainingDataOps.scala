@@ -4382,6 +4382,43 @@ object TrainingDataOps {
          |ORDER BY doc_id, token_idx""".stripMargin
     ),
 
+    // ---- tokenizer fertility by language ---------------------------------
+    // THE tokenizer-fit metric (pieces per token / per char, by lang):
+    // high fertility on a language means the vocab under-serves it. Same
+    // 8-merge BPE encode as tx_bpe_encode, one extra keyed aggregation.
+    "tx_tokenizer_fertility" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.Vocab.bpeTrain(docs, "text", 8)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.Vocab.bpeEncode(docs, "doc_id", "text", merges)
+          .join(docs.select(col("doc_id").as("doc"), col("lang")), "doc")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(size(col("pieces")).cast("long")).as("n_pieces"),
+            sum(length(col("token")).cast("long")).as("n_chars"))
+          .select(col("lang"), col("n_tokens"), col("n_pieces"),
+            round(col("n_pieces") / col("n_tokens").cast("double"), 4)
+              .as("pieces_per_token"),
+            round(col("n_pieces") / col("n_chars").cast("double"), 4)
+              .as("pieces_per_char"))
+          .orderBy("lang")
+      },
+      s"""WITH ${duckBpeCtes(8)},
+         |${duckBpeApplyCtes(8)},
+         |enc AS (SELECT t.doc_id, d.lang,
+         |  len(string_split(trim(t.t), '  ')) AS np, length(t.token) AS nc
+         |  FROM t8 t JOIN documents d USING (doc_id)),
+         |agg AS (SELECT lang, count(*) AS n_tokens,
+         |  CAST(sum(np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars FROM enc GROUP BY lang)
+         |SELECT lang, n_tokens, n_pieces,
+         |  round(n_pieces / CAST(n_tokens AS DOUBLE), 4) AS pieces_per_token,
+         |  round(n_pieces / CAST(n_chars AS DOUBLE), 4) AS pieces_per_char
+         |FROM agg ORDER BY lang""".stripMargin
+    ),
+
     // ---- flagship: full training-data prep ------------------------------
     // The END-TO-END chain a pretraining run executes: quality gate →
     // exact dedup → BPE tokenization (train on the deduped corpus, then
