@@ -131,6 +131,78 @@ object SkipGram {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Loud ceiling for the driver-side Huffman build — the vocabulary-
+    * bounded collect contract (IVF-centroid / BPE-word-type class).
+    */
+  val MaxHuffmanVocab: Int = 1000000
+
+  /** Hierarchical-softmax Huffman code table (Mikolov et al. 2013 §2.1
+    * — the training-time alternative to negative sampling): each vocab
+    * word's root-to-leaf branch bitstring, code length = its softmax
+    * path depth. Fully deterministic and engine-replayable: leaves are
+    * numbered 0..V-1 by (count asc, token asc by CODE POINT — both
+    * engines' binary string order); the queue merges the two smallest
+    * by (weight asc, id asc), the smaller taking bit '0'; merged node
+    * iter i gets id V+i. The build is driver-side over the
+    * vocabulary-sized histogram (bounded-or-loud, [[MaxHuffmanVocab]]);
+    * the corpus is touched exactly once for the counts.
+    * Output: (token, cnt, code, depth).
+    */
+  def huffmanCodes(docs: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cnts = docs.select(explode(Fns.tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .limit(MaxHuffmanVocab + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(cnts.length <= MaxHuffmanVocab,
+      s"huffmanCodes: vocab exceeds $MaxHuffmanVocab — raise minCount")
+    require(cnts.length >= 2, "huffmanCodes: need at least 2 vocab words")
+    def cpLt(a: String, b: String): Boolean = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return ca < cb
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      (a.length - i) < (b.length - j)
+    }
+    val leaves = cnts.sortWith { case ((t1, c1), (t2, c2)) =>
+      if (c1 != c2) c1 < c2 else cpLt(t1, t2)
+    }
+    val v = leaves.length
+    // queue of (weight, id); parent(child) = (parentId, bit)
+    val queue = scala.collection.mutable.TreeSet.empty[(Long, Int)]
+    leaves.zipWithIndex.foreach { case ((_, c), i) => queue += ((c, i)) }
+    val parent = new Array[(Int, Char)](v + v) // ids < 2V-1
+    var iter = 0
+    while (queue.size > 1) {
+      val a = queue.head; queue -= a
+      val b = queue.head; queue -= b
+      val nid = v + iter
+      parent(a._2) = (nid, '0')
+      parent(b._2) = (nid, '1')
+      queue += ((a._1 + b._1, nid))
+      iter += 1
+    }
+    val root = v + iter - 1
+    val rows = leaves.zipWithIndex.map { case ((t, c), i) =>
+      val sb = new StringBuilder
+      var node = i
+      while (node != root) {
+        val (p, bit) = parent(node)
+        sb.insert(0, bit)
+        node = p
+      }
+      (t, c, sb.toString, sb.length)
+    }
+    spark.sparkContext.parallelize(rows.toSeq)
+      .toDF("token", "cnt", "code", "depth")
+  }
+
   /** Unigram^(3/4) negative-sampling table over the FULL corpus vocab
     * (min_count-filtered, word2vec's default 5): each word's slot share
     * of a 1e6-slot table, `slots = w_int·1e6 div W` with

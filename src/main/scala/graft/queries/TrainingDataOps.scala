@@ -2710,6 +2710,55 @@ object TrainingDataOps {
         |FROM d ORDER BY doc_id""".stripMargin
     ),
 
+    // ---- EXECUTED decode, GIF tier (palette codec; geometry-gated) -----
+    // GIF is palette-quantized: the JDK encoder maps grays to palette
+    // entries, so pixel values are encoder-dependent — the oracle gates
+    // on decoded geometry + the quarantine fan-out exactly like
+    // mm_jpeg_decode. Truncating INSIDE the LZW data (not the header)
+    // pins that a reader-claimed stream that dies mid-decode quarantines.
+    "mm_gif_decode" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (lit(20) + col("doc_id") % 40).cast("int").as("w"),
+          (lit(16) + col("doc_id") % 24).cast("int").as("h"),
+          ((col("doc_id") * 31) % 256).cast("int").as("shade"),
+          lit("gif").as("fmt")
+        ).as[Multimodal.PatternImageFmtSpec]
+        val cls = col("doc_id") % 3
+        val bin = Multimodal.synthesizePatternImagesFmt(s, specs)
+          .select(col("doc_id"),
+            when(cls === 1, concat(lit("plain text payload #"),
+              col("doc_id").cast("string")).cast("binary"))
+              .when(cls === 2, col("payload").substr(1, 40))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.resizeExec(s, bin, 32, 24).toDF()
+          .select(col("doc_id"), col("status"), col("err"),
+            col("in_w"), col("in_h"), col("out_w"), col("out_h"), col("n_px"))
+          .orderBy("doc_id")
+      },
+      """WITH s AS (
+        |  SELECT doc_id, 20 + doc_id % 40 AS w, 16 + doc_id % 24 AS h,
+        |    doc_id % 3 AS cls
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, w, h, cls,
+        |    CAST(greatest(floor(w * least(32.0/w, 24.0/h, 1.0)), 1) AS INTEGER) AS ow,
+        |    CAST(greatest(floor(h * least(32.0/w, 24.0/h, 1.0)), 1) AS INTEGER) AS oh
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE cls WHEN 0 THEN 'ok' WHEN 1 THEN 'unsupported'
+        |    ELSE 'corrupt' END AS status,
+        |  CASE WHEN cls = 2 THEN 'decode_failed' END AS err,
+        |  CAST(CASE WHEN cls = 0 THEN w ELSE 0 END AS INTEGER) AS in_w,
+        |  CAST(CASE WHEN cls = 0 THEN h ELSE 0 END AS INTEGER) AS in_h,
+        |  CAST(CASE WHEN cls = 0 THEN ow ELSE 0 END AS INTEGER) AS out_w,
+        |  CAST(CASE WHEN cls = 0 THEN oh ELSE 0 END AS INTEGER) AS out_h,
+        |  CAST(CASE WHEN cls = 0 THEN ow * oh ELSE 0 END AS BIGINT) AS n_px
+        |FROM d ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- native identity resolution (connected components) ------------
     "id_resolution_cc" -> QuerySpec(
       (s, dir) => {
@@ -4129,6 +4178,65 @@ object TrainingDataOps {
          |SELECT token, ng, ${duckHash("ng")} % 2000 AS bucket,
          |  count(*) AS cnt
          |FROM g GROUP BY 1, 2, 3 ORDER BY token, ng""".stripMargin
+    ),
+
+    // ---- hierarchical-softmax Huffman codes -------------------------------
+    // word2vec's other training-prep half: Huffman code per vocab word
+    // (leaves numbered by (cnt, token), queue merges two smallest by
+    // (weight, id), smaller takes '0'). The oracle replays the exact
+    // greedy merge sequence as ONE recursive CTE, then a second
+    // recursion walks each leaf's parent chain to assemble the code.
+    "tx_huffman_codes" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.SkipGram.huffmanCodes(
+            t(s, dir, "documents"), "text", minCount = 5L)
+          .orderBy("token"),
+      s"""WITH RECURSIVE c AS (
+         |  SELECT token, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest($duckToks) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY token HAVING count(*) >= 5),
+         |lv AS MATERIALIZED (SELECT token, cnt,
+         |  row_number() OVER (ORDER BY cnt, token) - 1 AS id FROM c),
+         |vv AS (SELECT count(*) AS v FROM lv),
+         |st AS (
+         |  SELECT 0 AS it, 'q' AS kind, id, cnt AS w,
+         |    NULL::BIGINT AS l, NULL::BIGINT AS r FROM lv
+         |  UNION ALL
+         |  (WITH prev AS (SELECT * FROM st),
+         |   cur AS (SELECT max(it) AS it FROM prev),
+         |   q AS (SELECT id, w, row_number() OVER (ORDER BY w, id) AS rn
+         |     FROM prev WHERE kind = 'q'),
+         |   nid AS (SELECT (SELECT v FROM vv) + (SELECT it FROM cur) AS nid),
+         |   nq AS (
+         |     SELECT (SELECT it + 1 FROM cur) AS it, 'q' AS kind, id, w,
+         |       NULL::BIGINT AS l, NULL::BIGINT AS r FROM q WHERE rn > 2
+         |     UNION ALL
+         |     SELECT (SELECT it + 1 FROM cur), 'q', nid.nid,
+         |       (SELECT w FROM q WHERE rn = 1) + (SELECT w FROM q WHERE rn = 2),
+         |       NULL, NULL
+         |     FROM nid),
+         |   m AS (
+         |     SELECT (SELECT it + 1 FROM cur) AS it, 'm' AS kind, nid.nid AS id,
+         |       (SELECT w FROM q WHERE rn = 1) + (SELECT w FROM q WHERE rn = 2) AS w,
+         |       (SELECT id FROM q WHERE rn = 1) AS l,
+         |       (SELECT id FROM q WHERE rn = 2) AS r
+         |     FROM nid)
+         |   SELECT * FROM nq WHERE (SELECT count(*) FROM q) > 1
+         |   UNION ALL SELECT * FROM m WHERE (SELECT count(*) FROM q) > 1
+         |  )),
+         |merges AS MATERIALIZED (SELECT id, l, r FROM st WHERE kind = 'm'),
+         |par AS (SELECT l AS child, id AS parent, '0' AS bit FROM merges
+         |  UNION ALL SELECT r, id, '1' FROM merges),
+         |root AS (SELECT max(id) AS rid FROM merges),
+         |walk AS (
+         |  SELECT lv.id AS leaf, lv.token, lv.cnt, p.parent AS node,
+         |    p.bit AS code
+         |  FROM lv JOIN par p ON p.child = lv.id
+         |  UNION ALL
+         |  SELECT w.leaf, w.token, w.cnt, p.parent, p.bit || w.code
+         |  FROM walk w JOIN par p ON p.child = w.node)
+         |SELECT token, cnt, code, CAST(length(code) AS INTEGER) AS depth
+         |FROM walk, root WHERE node = rid ORDER BY token""".stripMargin
     ),
 
     // ---- unigram^(3/4) negative-sampling table ---------------------------

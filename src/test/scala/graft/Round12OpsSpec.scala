@@ -314,6 +314,23 @@ class Round12OpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("huffmanCodes: prefix-free, Kraft-complete, optimal on a known fixture") {
+    import spark.implicits._
+    import graft.operators.SkipGram
+    // counts a:8 b:4 c:2 d:1 e:1 → classic depths 1,2,3,4,4
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++
+      Seq("d", "e")).mkString(" ")
+    val out = SkipGram.huffmanCodes(Seq(text).toDF("text"), "text", minCount = 1L)
+      .collect().map(r => r.getString(0) -> (r.getString(2), r.getInt(3))).toMap
+    assert(out("a")._2 === 1 && out("b")._2 === 2 && out("c")._2 === 3)
+    assert(out("d")._2 === 4 && out("e")._2 === 4)
+    val codes = out.values.map(_._1).toSeq
+    // prefix-free
+    assert(!codes.exists(c1 => codes.exists(c2 => c2 != c1 && c2.startsWith(c1))))
+    // Kraft equality (complete binary tree): Σ 2^-len = 1
+    assert(codes.map(c => math.pow(2, -c.length)).sum === 1.0)
+  }
+
   test("orphanCount: NULL FK is a violation (NOT EXISTS contract)") {
     import spark.implicits._
     val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
