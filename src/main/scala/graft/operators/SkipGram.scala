@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Fns
@@ -135,6 +135,74 @@ object SkipGram {
     * bounded collect contract (IVF-centroid / BPE-word-type class).
     */
   val MaxHuffmanVocab: Int = 1000000
+
+  /** Deterministic negative DRAWS — the full word2vec minibatch shape:
+    * for every (center, context) pair type from [[skipgramPairs]],
+    * `numNeg` negatives selected by hashing `center|context|j` into the
+    * [[negativeTable]]'s cumulative slot ranges. The slot table is
+    * vocabulary-bounded, so the lookup is a BROADCAST binary search per
+    * row (never a row-count-scaled join); both the draw hash (the
+    * engine's portable rolling hash — ASCII-token contract) and the
+    * slot layout (tokens in code-point order, exact integer cumsums)
+    * are oracle-replayable. Output: (center, context, j, neg_token).
+    */
+  def negativeDraws(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 2, numNeg: Int = 2, minCount: Long = 5L): DataFrame = {
+    require(numNeg >= 1 && numNeg <= 64, s"bad numNeg $numNeg")
+    val spark = docs.sparkSession
+    val pairs = skipgramPairs(docs, idCol, textCol, window)
+      .select("center", "context")
+    val tbl = negativeTable(docs, textCol, minCount)
+      .select("token", "neg_slots")
+      .limit(MaxHuffmanVocab + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(tbl.length <= MaxHuffmanVocab,
+      s"negativeDraws: vocab exceeds $MaxHuffmanVocab — raise minCount")
+    require(tbl.nonEmpty, "negativeDraws: empty vocabulary")
+    def cpLt(a: String, b: String): Boolean = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return ca < cb
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      (a.length - i) < (b.length - j)
+    }
+    val sorted = tbl.sortWith { case ((t1, _), (t2, _)) => cpLt(t1, t2) }
+    val toks = sorted.map(_._1)
+    val his = sorted.scanLeft(0L) { case (acc, (_, s)) => acc + s }.drop(1)
+    val total = his.last
+    require(total > 0, "negativeDraws: zero total slots")
+    val bToks = spark.sparkContext.broadcast(toks)
+    val bHis = spark.sparkContext.broadcast(his)
+    import org.apache.spark.sql.types._
+    implicit val enc = Encoders.row(StructType(Seq(
+      StructField("center", StringType, nullable = true),
+      StructField("context", StringType, nullable = true),
+      StructField("j", IntegerType, nullable = false),
+      StructField("neg_token", StringType, nullable = true))))
+    val nNeg = numNeg
+    val tot = total
+    pairs.mapPartitions { rows =>
+      val ts = bToks.value
+      val hs = bHis.value
+      rows.flatMap { r =>
+        val c = r.getString(0); val x = r.getString(1)
+        (0 until nNeg).iterator.map { j =>
+          val d = graft.functions.RollingHash.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              s"$c|$x|$j")) % tot
+          // first index with his > d (zero-slot tokens are never hit)
+          var lo = 0; var hi = hs.length - 1
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (hs(mid) > d) hi = mid else lo = mid + 1
+          }
+          Row(c, x, j, ts(lo))
+        }
+      }
+    }
+  }
 
   /** Hierarchical-softmax Huffman code table (Mikolov et al. 2013 §2.1
     * — the training-time alternative to negative sampling): each vocab

@@ -27,6 +27,28 @@ object TrainingDataOps {
 
   private val duckToks = "string_split_regex(trim(lower(text)),'\\s+')"
 
+  /** Skip-gram CTE chain (positioned tokens → deletion-subsampling →
+    * windowed contexts) shared by the pair, and negative-draw oracles.
+    * Must mirror [[graft.operators.SkipGram.skipgramPairs]] exactly.
+    */
+  private lazy val duckSkipgramCtes: String =
+    s"""tok AS (SELECT doc_id AS doc, unnest(range(len(ts))) AS pos,
+       |    unnest(ts) AS token
+       |  FROM (SELECT doc_id, $duckToks AS ts FROM documents)),
+       |tk AS (SELECT * FROM tok WHERE token <> ''),
+       |tot AS (SELECT count(*) AS T FROM tk),
+       |cnt AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+       |kept AS (SELECT tk.doc, tk.pos, tk.token
+       |  FROM tk JOIN cnt USING (token), tot
+       |  WHERE (${duckHash("CAST(doc AS VARCHAR)||':'||CAST(pos AS VARCHAR)")})
+       |      % 1000003
+       |    < least(1.0, sqrt(0.001*T/c) + 0.001*T/c) * 1000003),
+       |win AS (SELECT token AS center,
+       |  [lag(token,1) OVER w, lead(token,1) OVER w,
+       |   lag(token,2) OVER w, lead(token,2) OVER w] AS ctx
+       |  FROM kept WINDOW w AS (PARTITION BY doc ORDER BY pos)),
+       |pr AS (SELECT center, unnest(ctx) AS context FROM win)""".stripMargin
+
   /** DuckDB SQL for [[graft.operators.Vocab.bpeTrain]] with `n` merge
     * rounds unrolled into chained CTEs (the duckIvfCtes trick): round r
     * recounts adjacent pairs from w{r-1}, argmaxes deterministically, and
@@ -4111,25 +4133,47 @@ object TrainingDataOps {
         graft.operators.SkipGram.skipgramPairs(
             t(s, dir, "documents"), "doc_id", "text", window = 2)
           .orderBy("center", "context"),
-      s"""WITH tok AS (SELECT doc_id AS doc, unnest(range(len(ts))) AS pos,
-         |    unnest(ts) AS token
-         |  FROM (SELECT doc_id, $duckToks AS ts FROM documents)),
-         |tk AS (SELECT * FROM tok WHERE token <> ''),
-         |tot AS (SELECT count(*) AS T FROM tk),
-         |cnt AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
-         |kept AS (SELECT tk.doc, tk.pos, tk.token
-         |  FROM tk JOIN cnt USING (token), tot
-         |  WHERE (${duckHash("CAST(doc AS VARCHAR)||':'||CAST(pos AS VARCHAR)")})
-         |      % 1000003
-         |    < least(1.0, sqrt(0.001*T/c) + 0.001*T/c) * 1000003),
-         |win AS (SELECT token AS center,
-         |  [lag(token,1) OVER w, lead(token,1) OVER w,
-         |   lag(token,2) OVER w, lead(token,2) OVER w] AS ctx
-         |  FROM kept WINDOW w AS (PARTITION BY doc ORDER BY pos)),
-         |pr AS (SELECT center, unnest(ctx) AS context FROM win)
+      s"""WITH $duckSkipgramCtes
          |SELECT center, context, count(*) AS cnt FROM pr
          |WHERE context IS NOT NULL
          |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
+    ),
+
+    // ---- deterministic negative DRAWS (full word2vec minibatch shape) ---
+    // For every (center, context) pair type, numNeg=2 negatives drawn by
+    // hashing into the slot table's cumulative ranges — the draw is a
+    // broadcast binary search per row (vocabulary table is driver-
+    // bounded); the oracle replays it as a range join over the windowed
+    // cumulative sums.
+    "tx_negative_draws" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.SkipGram.negativeDraws(
+            t(s, dir, "documents"), "doc_id", "text",
+            window = 2, numNeg = 2, minCount = 5L)
+          .orderBy("center", "context", "j"),
+      s"""WITH $duckSkipgramCtes,
+         |pairs AS (SELECT center, context FROM pr
+         |  WHERE context IS NOT NULL GROUP BY 1, 2),
+         |nc AS (SELECT token, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest($duckToks) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY token HAVING count(*) >= 5),
+         |nw AS (SELECT token,
+         |  CAST(floor(sqrt(sqrt(CAST(cnt AS DOUBLE)*cnt*cnt))*1000) AS BIGINT) AS wi
+         |  FROM nc),
+         |tw AS (SELECT CAST(sum(wi) AS BIGINT) AS W FROM nw),
+         |nt AS (SELECT token, CAST((wi * 1000000) // W AS BIGINT) AS slots
+         |  FROM nw, tw),
+         |cum AS (SELECT token, slots, CAST(sum(slots) OVER (ORDER BY token
+         |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi FROM nt),
+         |rng AS (SELECT token, hi - slots AS lo, hi FROM cum),
+         |tots AS (SELECT CAST(sum(slots) AS BIGINT) AS s FROM nt),
+         |dr AS (SELECT center, context, j.j AS j,
+         |  (${duckHash("center||'|'||context||'|'||CAST(j.j AS VARCHAR)")}) % tots.s AS d
+         |  FROM pairs, range(0, 2) j(j), tots)
+         |SELECT d.center, d.context, CAST(d.j AS INTEGER) AS j,
+         |  r.token AS neg_token
+         |FROM dr d JOIN rng r ON d.d >= r.lo AND d.d < r.hi
+         |ORDER BY center, context, j""".stripMargin
     ),
 
     // ---- GloVe distance-weighted co-occurrence ---------------------------
