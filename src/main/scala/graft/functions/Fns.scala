@@ -64,6 +64,13 @@ object Fns {
   def kmvMinima(h: Column, k: Int): Column =
     ofExpr(KmvSketch(toExpr(h), k).toAggregateExpression())
 
+  /** Integer-exact log-bucketed quantile histogram (see [[LogHistogram]]
+    * — DDSketch-class relative-error quantiles, order-independent
+    * bucket-count sums, bounded state).
+    */
+  def logHistogram(v: Column, subBits: Int): Column =
+    ofExpr(LogHistogram(toExpr(v), subBits).toAggregateExpression())
+
   /** Codegen'd PQ asymmetric-distance fold `Σ_s lut[s][codes[s]]` (see
     * [[AdcScore]] — subspace-ascending, oracle-identical).
     */

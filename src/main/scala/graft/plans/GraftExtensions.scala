@@ -133,6 +133,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => KmvSketch(args(0),
         litInt(args(1), "kmv_minima(hash, k): k must be an integer " +
           "literal")).toAggregateExpression()),
+    ("log_histogram",
+      new ExpressionInfo(classOf[graft.functions.LogHistogram].getName,
+        "log_histogram"),
+      (args: Seq[Expression]) => graft.functions.LogHistogram(args(0),
+        litInt(args(1), "log_histogram(v, subBits): subBits must be an " +
+          "integer literal")).toAggregateExpression()),
     ("levenshtein_within",
       new ExpressionInfo(classOf[LevenshteinWithin].getName,
         "levenshtein_within"),

@@ -4224,6 +4224,60 @@ object TrainingDataOps {
          |FROM g GROUP BY 1, 2, 3 ORDER BY token, ng""".stripMargin
     ),
 
+    // ---- log-histogram quantile sketch (DDSketch-class, integer-exact) --
+    // Bounded-state mergeable quantiles: per event_type, the value-cents
+    // stream folds into ≤64·16 log buckets (order-independent SUMS, so
+    // partitioning-invariant — the property KLL-style compaction can't
+    // give); p50/90/99 read off as the covering bucket's integer lower
+    // bound. The oracle rebuilds the identical bucket ids relationally.
+    "agg_log_quantiles" -> QuerySpec(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val ev = t(s, dir, "events").select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("v"))
+        val sk = ev.groupBy("event_type")
+          .agg(graft.functions.Fns.logHistogram(col("v"), 4).as("h"),
+            count(col("v")).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("b")
+        val cum = sk.select(col("event_type"), col("n"), explode(col("h")).as("e"))
+          .select(col("event_type"), col("n"), col("e.b").as("b"),
+            col("e.n").as("cnt"))
+          .withColumn("cum", sum("cnt").over(w))
+          .withColumn("prev", col("cum") - col("cnt"))
+        cum.join(broadcast(Seq(50, 90, 99).toDF("q")),
+            expr("prev < (q * n + 99) div 100 AND cum >= (q * n + 99) div 100"))
+          .select(col("event_type"), col("q"), col("n"),
+            when(col("b") === -1, lit(-1L))
+              .when(col("b") < 32, col("b"))
+              .otherwise(expr(
+                "shiftleft(CAST(16 + (b - 32) % 16 AS BIGINT), CAST((b - 32) div 16 - 4 AS INT))"))
+              .as("est"))
+          .orderBy("event_type", "q")
+      },
+      """WITH ev AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |bk AS (SELECT event_type,
+        |  CASE WHEN v < 0 THEN -1 WHEN v < 32 THEN v
+        |    ELSE 32 + (length(bin(v)) - 1) * 16
+        |      + ((v >> (length(bin(v)) - 1 - 4)) - 16) END AS b
+        |  FROM ev),
+        |h AS (SELECT event_type, b, count(*) AS cnt FROM bk GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+        |c AS (SELECT h.event_type, n.n, h.b, h.cnt,
+        |  CAST(sum(h.cnt) OVER (PARTITION BY h.event_type ORDER BY h.b
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM h JOIN n USING (event_type)),
+        |cc AS (SELECT *, cum - cnt AS prev FROM c)
+        |SELECT event_type, q.q AS q, n,
+        |  CAST(CASE WHEN b = -1 THEN -1 WHEN b < 32 THEN b
+        |    ELSE (16 + (b - 32) % 16) << ((b - 32) // 16 - 4) END AS BIGINT) AS est
+        |FROM cc, (VALUES (50), (90), (99)) q(q)
+        |WHERE prev < (q.q * n + 99) // 100 AND cum >= (q.q * n + 99) // 100
+        |ORDER BY event_type, q""".stripMargin
+    ),
+
     // ---- hierarchical-softmax Huffman codes -------------------------------
     // word2vec's other training-prep half: Huffman code per vocab word
     // (leaves numbered by (cnt, token), queue merges two smallest by

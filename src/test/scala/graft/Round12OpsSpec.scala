@@ -331,6 +331,44 @@ class Round12OpsSpec extends SparkSpec {
     assert(codes.map(c => math.pow(2, -c.length)).sum === 1.0)
   }
 
+  test("logHistogram: partitioning-invariant, bounded rel-error, SQL-registered") {
+    import spark.implicits._
+    import graft.functions.{Fns, LogHistogram}
+    val vals = (1 to 5000).map(i => ((i * 2654435761L) % 1000000L).max(1L))
+    val df = vals.toDF("v")
+    def sketch(d: org.apache.spark.sql.DataFrame) =
+      d.agg(Fns.logHistogram(col("v"), 4).as("h"))
+        .select(explode(col("h")).as("e"))
+        .select(col("e.b"), col("e.n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sketch(df.repartition(13)) === sketch(df.repartition(1)),
+      "bucket sums are order- and partitioning-independent")
+    // read-off p50 within 2^-4 relative error of the exact median
+    val buckets = sketch(df)
+    val n = vals.size
+    val rank = (50 * n + 99) / 100
+    var cum = 0L
+    val b = buckets.iterator.takeWhile { _ => cum < rank }
+      .map { case (bb, nn) => cum += nn; bb }.toSeq.last
+    val est = LogHistogram.lowerBound(b, 4).toDouble
+    val exact = vals.sorted.apply(rank - 1).toDouble
+    assert(math.abs(est - exact) / exact <= 1.0 / 16 + 0.01,
+      s"est $est vs exact $exact exceeds the 2^-subBits bound")
+    // negatives land in the -1 error channel; SQL surface registered
+    val neg = Seq(-5L, 3L).toDF("v")
+      .agg(Fns.logHistogram(col("v"), 4).as("h"))
+      .select(explode(col("h")).as("e")).select("e.b")
+      .collect().map(_.getLong(0)).toSet
+    assert(neg === Set(-1L, 3L))
+    neg.foreach(_ => ())
+    val viaSql = {
+      Seq(1L, 2L, 100L).toDF("v").createOrReplaceTempView("lh_in")
+      spark.sql("SELECT log_histogram(v, 4) AS h FROM lh_in")
+        .select(size(col("h"))).collect()(0).getInt(0)
+    }
+    assert(viaSql === 3)
+  }
+
   test("orphanCount: NULL FK is a violation (NOT EXISTS contract)") {
     import spark.implicits._
     val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
