@@ -288,6 +288,31 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming log-histogram merges across batches to the batch buckets") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vals = (0 until 500).map(i => (i * 2654435761L) % 100000L)
+    val mem = MemoryStream[Long]
+    val agg = mem.toDF().toDF("v")
+      .agg(graft.functions.Fns.logHistogram(col("v"), 4).as("h"))
+    val q = agg.writeStream.format("memory").queryName("lh_stream")
+      .outputMode("complete").start()
+    val (a, b) = vals.splitAt(170)
+    mem.addData(a: _*); q.processAllAvailable()
+    mem.addData(b: _*); q.processAllAvailable()
+    val streamed = spark.table("lh_stream")
+      .select(explode(col("h")).as("e")).select("e.b", "e.n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = vals.toDF("v")
+      .agg(graft.functions.Fns.logHistogram(col("v"), 4).as("h"))
+      .select(explode(col("h")).as("e")).select("e.b", "e.n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // count-sum merge is batching-independent: stream == batch exactly
+    assert(streamed === batch)
+    q.stop()
+  }
+
   test("streaming KMV sketch merges across batches to the batch minima") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
