@@ -53,7 +53,7 @@ object Dedup {
     * distinct key, which is harmless because they are functionally
     * dependent on doc).
     */
-  private[operators] def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
       n: Int, carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy("doc").orderBy("p")
     val parts = (0 until n).map(k => if (k == 0) col("w") else lead("w", k).over(w))

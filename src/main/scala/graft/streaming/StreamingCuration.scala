@@ -82,6 +82,48 @@ object StreamingCuration {
       .drop("hs")
   }
 
+  /** The stream's band buckets computed with the BATCH-scale plan shape
+    * (shingle explode → one map-side-combined k-min aggregate — all
+    * codegen'd, vs the stream's interpreted per-row HOF fold, which is
+    * stream-mandatory but ~4× slower per row): same (doc_id, bucket)
+    * SET by construction — min over the raw shingle multiset equals min
+    * over its distinct set, and the key format is restated identically.
+    * Round12OpsSpec pins the two constructions equal on a fixture.
+    * Docs too short to shingle fall out of the explode and are restored
+    * with their per-doc unique bucket.
+    */
+  private[graft] def bandBucketsRelational(docs: DataFrame, n: Int,
+      numHashes: Int, bandSize: Int): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val numBands = numHashes / bandSize
+    // relational shingles (Dedup.shingleIndex) — Fns.shingles' HOF
+    // lambdas run interpreted per row, the known corpus-scale pathology;
+    // min over the DISTINCT shingle set equals min over the multiset,
+    // so the signatures are unchanged
+    val sh = graft.operators.Dedup
+      .shingleIndex(docs, "doc_id", "text", n)
+      .withColumnRenamed("doc", "doc_id")
+      .withColumn("h", Fns.rollingHash(col("s")))
+    val aggs = (0 until numHashes).map(i =>
+      min(Fns.permuteHash(col("h"), i)).as(s"sig_$i"))
+    val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until numBands).map { b =>
+      concat_ws("|",
+        lit(b) +: (0 until bandSize).map(i => col(s"sig_${b * bandSize + i}")): _*)
+    }
+    val bucketed = sig.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bucket"))
+    // short docs never enter the shingle explode; detect them from the
+    // token count DIRECTLY (a cheap second scan of docs) instead of an
+    // anti join against sig — which would hang the whole signature
+    // pipeline off a second consumer and (AQE willing or not) recompute
+    // it. size(tokens) < n ⟺ empty shingle array ⟺ the stream
+    // expression's short branch.
+    val short = docs.filter(size(Fns.tokens(col("text"))) < n)
+      .select(col("doc_id"), concat(lit("short|"), col("doc_id")).as("bucket"))
+    bucketed.unionByName(short)
+  }
+
   /** Batch replica of [[nearDupDocumentStream]]'s keep-rule on a STATIC
     * corpus: a doc is kept iff it is the (event_time, doc_id)-earliest
     * claimant of EVERY one of its band buckets. This is provably the
@@ -92,16 +134,28 @@ object StreamingCuration {
     * split, bucket ownership is exactly "earliest (event_time, doc_id)".
     * StreamingSpec pins the identity; the oracle row
     * `dd_stream_neardup_batch` gates the replica itself.
-    * Two keyed aggregations + one keyed join — no all-pairs anywhere.
+    * Buckets come from [[bandBucketsRelational]] (the codegen'd batch
+    * shape); then two keyed aggregations + one keyed join — no
+    * all-pairs anywhere.
     */
   def nearDupBatchReplica(docs: DataFrame, timeCol: String, n: Int = 3,
       numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
-    val banded = withBandBuckets(docs, n, numHashes, bandSize)
-      .select(col("bucket"), col("doc_id"), col(timeCol).as("__t"))
-    val first = banded.groupBy("bucket")
-      .agg(min(struct(col("__t"), col("doc_id"))).as("__f"))
-      .select(col("bucket"), col("__f.doc_id").as("first_doc"))
-    banded.join(first, "bucket")
+    val banded = bandBucketsRelational(docs, n, numHashes, bandSize)
+      .join(docs.select(col("doc_id"), col(timeCol).as("__t")), "doc_id")
+      .select(col("bucket"), col("doc_id"), col("__t"))
+    // SINGLE-LINEAGE first-claimant resolution (the minhashLshPairs
+    // grouped-bucket trick): one aggregation computes each bucket's
+    // winner AND carries its members, so the expensive signature
+    // pipeline has exactly one consumer — a winner-join formulation
+    // hangs it off two-to-four consumers and recomputes it whenever
+    // AQE's broadcast choice defeats exchange reuse (measured 37 s vs
+    // 12 s at sf1 on the copyvar corpus). Bucket member lists are
+    // bounded in expectation by the band width (the LSH dial).
+    banded.groupBy("bucket")
+      .agg(min(struct(col("__t"), col("doc_id"))).as("__f"),
+        collect_list(col("doc_id")).as("members"))
+      .select(col("__f.doc_id").as("first_doc"),
+        explode(col("members")).as("doc_id"))
       .groupBy("doc_id")
       .agg(min(when(col("doc_id") === col("first_doc"), 1).otherwise(0))
         .as("all_first"))

@@ -369,6 +369,24 @@ class Round12OpsSpec extends SparkSpec {
     assert(viaSql === 3)
   }
 
+  test("band buckets: stream HOF construction == relational construction") {
+    import spark.implicits._
+    import graft.streaming.StreamingCuration
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma"), // duplicate shingles
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "tiny"), (4L, ""), // short docs → unique buckets
+      (5L, "completely different words here now")).toDF("doc_id", "text")
+    val viaStreamExpr = StreamingCuration
+      .withBandBuckets(docs, 3, 8, 2)
+      .select("doc_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaRelational = StreamingCuration
+      .bandBucketsRelational(docs, 3, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaStreamExpr === viaRelational)
+  }
+
   test("orphanCount: NULL FK is a violation (NOT EXISTS contract)") {
     import spark.implicits._
     val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
