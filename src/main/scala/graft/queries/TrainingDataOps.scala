@@ -214,9 +214,10 @@ object TrainingDataOps {
     * `n` rounds or when no pair remains — exactly [[graft.operators
     * .Vocab.bpeTrainIncremental]]'s loop, evaluated sequentially.
     */
-  private def duckBpeTrainRecursiveSql(n: Int, src: String): String =
+  private def duckBpeTrainRecursiveSql(n: Int, src: String,
+      tokExpr: String = "token"): String =
     s"""WITH RECURSIVE w0 AS (
-       |  SELECT '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS w, cnt FROM (
+       |  SELECT '  ' || regexp_replace($tokExpr, '(.)', '\\1  ', 'g') AS w, cnt FROM (
        |    SELECT token, count(*)::BIGINT AS cnt FROM (
        |      SELECT unnest($duckToks) AS token FROM $src)
        |    WHERE token <> '' GROUP BY token)),
@@ -4403,6 +4404,19 @@ object TrainingDataOps {
           .orderBy("doc_id", "token_idx")
       },
       duckBbpeEncodeSql(12)
+    ),
+
+    // ---- BYTE-level BPE, INCREMENTAL driver tier (nMerges > 64) ---------
+    // 200 merges cross the MaxJobPerMergeRounds dispatch into
+    // bpeTrainIncremental over the BYTE alphabet — the production path
+    // (GPT-2 ships 50k byte-level merges). Oracle: the same recursive
+    // CTE as tx_bpe_train_large with the byte-map token expression.
+    "tx_bbpe_train_large" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Vocab.bbpeTrain(
+            bbpeSparkSrc(t(s, dir, "documents")), "text", 200)
+          .orderBy("merge_rank"),
+      duckBpeTrainRecursiveSql(200, bbpeDuckSrc, duckByteMap("token"))
     ),
 
     // ---- BPE training, INCREMENTAL driver tier (nMerges > 64) -----------
