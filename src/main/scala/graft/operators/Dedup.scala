@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.Fns
+import graft.functions.{Fns, RollingHash}
 
 /** Large-scale deduplication operators for training-data pipelines.
   *
@@ -430,6 +430,64 @@ object Dedup {
       // identical and the exchange is reused, not recomputed (see shingleIndex)
       .filter(col(idCol).isNotNull && size(ts) > 0)
       .select(col(idCol).as("doc"), posexplode(chunkArr).as(Seq("ci", "chunk")))
+    val winners = chunks.groupBy("chunk")
+      .agg(min(struct(col("doc"), col("ci"))).as("w"))
+    val kept = chunks.join(winners, "chunk")
+      .filter(struct(col("doc"), col("ci")) === col("w"))
+    val rebuilt = kept.groupBy("doc").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("ci"), col("chunk")))),
+        s => s.getField("chunk")), " ").as("cleaned"))
+    chunks.groupBy("doc").agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
+  /** Content-defined chunking + first-wins chunk dedup — the SHIFT-ROBUST
+    * sibling of [[chunkDedup]] (FastCDC/rsync's gear-hash idea rendered
+    * over tokens): a chunk boundary falls AFTER any token whose w-token
+    * rolling gear hash satisfies `g % 2^maskBits == 0`, so boundaries are
+    * a function of local CONTENT, not position — inserting one token
+    * early in a near-duplicate document shifts every fixed-width chunk
+    * but leaves all content-defined chunks beyond the edit identical,
+    * which is exactly what lets the first-wins pass dedup them.
+    *
+    * Plan: positioned tokens → per-token gear hash g = Σ_{k<w}
+    * hash(token_{p-k})·31^k mod p (w explicit lag terms over ONE
+    * doc-partitioned window — no self-join), boundary flags → prefix-sum
+    * chunk ids (same window) → chunk reassembly + the chunkDedup
+    * winner/rebuild shape. Expected chunk length = 2^maskBits tokens.
+    * Output: (doc, n_chunks, n_kept, cleaned) — chunkDedup's contract.
+    */
+  def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, maskBits: Int = 3): DataFrame = {
+    require(window >= 1 && window <= 8, s"bad window $window")
+    require(maskBits >= 1 && maskBits <= 16, s"bad maskBits $maskBits")
+    val mask = 1L << maskBits
+    val toks = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        posexplode(Fns.tokens(col(textCol))).as(Seq("p", "w0")))
+      .filter(col("w0") =!= "")
+      .withColumn("h", Fns.rollingHash(col("w0")))
+    val byPos = Window.partitionBy("doc").orderBy("p")
+    val gear = (0 until window).map { k =>
+      val term = if (k == 0) col("h") else lag(col("h"), k, 0L).over(byPos)
+      term * math.pow(31, k).toLong
+    }.reduce(_ + _) % lit(RollingHash.Mod)
+    val flagged = toks.withColumn("b",
+      when(pmod(gear, lit(mask)) === 0, 1L).otherwise(0L))
+    // chunk id = boundaries BEFORE this token (boundary cuts AFTER the
+    // flagged token, so the flagged token closes its chunk)
+    val withChunk = flagged.withColumn("ci",
+      coalesce(sum(col("b")).over(byPos.rowsBetween(
+        Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = withChunk.groupBy("doc", "ci")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("w0")))),
+        s => s.getField("w0")), " ").as("chunk"))
+      .select(col("doc"), col("ci"), col("chunk"))
     val winners = chunks.groupBy("chunk")
       .agg(min(struct(col("doc"), col("ci"))).as("w"))
     val kept = chunks.join(winners, "chunk")

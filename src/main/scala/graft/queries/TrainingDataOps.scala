@@ -3936,6 +3936,47 @@ object TrainingDataOps {
          |ORDER BY t.doc_id""".stripMargin
     ),
 
+    // ---- content-defined chunking + dedup (shift-robust) ----------------
+    // FastCDC/rsync gear-hash boundaries over tokens: chunk edges are a
+    // function of CONTENT (rolling 4-token hash, mask 2^3), so a one-token
+    // insertion early in a near-dup doc leaves all later chunks identical
+    // and the first-wins pass removes them — what fixed-width chunking
+    // (dd_chunk_dedup) structurally cannot do.
+    "dd_cdc_chunks" -> QuerySpec(
+      (s, dir) =>
+        Dedup.cdcChunkDedup(t(s, dir, "documents"), "doc_id", "text",
+            window = 4, maskBits = 3)
+          .withColumnRenamed("doc", "doc_id")
+          .orderBy("doc_id"),
+      s"""WITH tk AS (
+         |  SELECT doc_id AS doc, unnest(range(len(ts))) AS p, unnest(ts) AS w0
+         |  FROM (SELECT doc_id, $duckToks AS ts FROM documents)),
+         |tf AS (SELECT doc, p, w0, ${duckHash("w0")} AS h FROM tk WHERE w0 <> ''),
+         |g AS (SELECT doc, p, w0,
+         |  (h + 31*lag(h, 1, 0) OVER w + 961*lag(h, 2, 0) OVER w
+         |     + 29791*lag(h, 3, 0) OVER w) % 1000000007 AS gear
+         |  FROM tf WINDOW w AS (PARTITION BY doc ORDER BY p)),
+         |f AS (SELECT doc, p, w0,
+         |  CASE WHEN gear % 8 = 0 THEN 1 ELSE 0 END AS b FROM g),
+         |ci AS (SELECT doc, p, w0,
+         |  coalesce(sum(b) OVER (PARTITION BY doc ORDER BY p
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+         |  FROM f),
+         |ch AS (SELECT doc, ci, string_agg(w0, ' ' ORDER BY p) AS chunk
+         |  FROM ci GROUP BY doc, ci),
+         |win AS (SELECT *, row_number() OVER (
+         |  PARTITION BY chunk ORDER BY doc, ci) AS rn FROM ch),
+         |kept AS (SELECT doc, ci, chunk FROM win WHERE rn = 1),
+         |reb AS (SELECT doc, count(*) AS n_kept,
+         |  string_agg(chunk, ' ' ORDER BY ci) AS cleaned FROM kept GROUP BY doc),
+         |tot AS (SELECT doc, count(*) AS n_chunks FROM ch GROUP BY doc)
+         |SELECT t.doc AS doc_id, t.n_chunks,
+         |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(r.cleaned, '') AS cleaned
+         |FROM tot t LEFT JOIN reb r ON t.doc = r.doc
+         |ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- keep-best-per-key dedup (longest doc per source+lang) ---------
     "dd_keep_best_source" -> QuerySpec(
       (s, dir) =>

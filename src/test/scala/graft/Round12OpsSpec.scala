@@ -387,6 +387,25 @@ class Round12OpsSpec extends SparkSpec {
     assert(viaStreamExpr === viaRelational)
   }
 
+  test("cdcChunkDedup: shift-robust — a one-token insertion still dedups the tail") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val body = (1 to 120).map(i => s"w${(i * 37) % 61}").mkString(" ")
+    val docs = Seq((1L, body), (2L, "INSERTED " + body)).toDF("doc_id", "text")
+    val cdc = Dedup.cdcChunkDedup(docs, "doc_id", "text", window = 4, maskBits = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // content-defined boundaries resynchronize after the edit: doc 2 keeps
+    // only the chunks touching the insertion, the rest dedup away
+    val (n2, k2) = cdc(2L)
+    assert(k2 < n2, s"CDC must drop shifted duplicate chunks (kept $k2 of $n2)")
+    assert(k2 <= 3, s"only the chunks containing the edit survive, kept $k2")
+    // fixed-width chunking keeps EVERYTHING in doc 2 (every chunk shifted)
+    val fixed = Dedup.chunkDedup(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (fn2, fk2) = fixed(2L)
+    assert(fk2 === fn2, "fixed-width chunks all shift → none dedup (the contrast)")
+  }
+
   test("orphanCount: NULL FK is a violation (NOT EXISTS contract)") {
     import spark.implicits._
     val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
