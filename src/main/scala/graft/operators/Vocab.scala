@@ -658,6 +658,41 @@ object Vocab {
         split(trim(encoded), "  ").as("pieces"))
     } else bpeEncodeRanked(docs, idCol, textCol, merges)
 
+  /** BPE-dropout encode (Provilkov et al. 2020, ACL — "BPE-Dropout:
+    * Simple and Effective Subword Regularization"): each merge is
+    * SKIPPED for a token with probability `dropPpm`/1e6, exposing the
+    * model to multiple segmentations of the same word. The draw is the
+    * deterministic portable hash of (token, merge rank) — reproducible
+    * runs, oracle-replayable, and the paper's per-merge-application
+    * granularity coarsened to per-(token, merge) (every application of
+    * one merge inside one token shares the gate; documented variant —
+    * what a replace-chain projection can express). dropPpm=0 degrades
+    * exactly to [[bpeEncode]]'s inline tier. One composed projection
+    * over the exploded token stream — no joins, no shuffle, stream-safe.
+    * Output: (doc, token_idx, token, pieces).
+    */
+  def bpeEncodeDropout(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], dropPpm: Long): DataFrame = {
+    require(dropPpm >= 0 && dropPpm < 1000000, s"bad dropPpm $dropPpm")
+    require(merges.size <= MaxInlineMerges,
+      s"bpeEncodeDropout inlines the merge chain — ${merges.size} merges " +
+        s"exceeds $MaxInlineMerges")
+    val toks = docs
+      .select(col(idCol).as("doc"),
+        posexplode(Fns.tokens(col(textCol))).as(Seq("token_idx", "token")))
+      .filter(col("token") =!= "")
+    val delim = concat(lit("  "), regexp_replace(col("token"), "(.)", "$1  "))
+    val encoded = merges.zipWithIndex.foldLeft(delim) { case (e, ((l, r), i)) =>
+      when(
+        pmod(Fns.rollingHash(concat(col("token"), lit(s"#${i + 1}"))),
+          lit(1000000L)) >= dropPpm,
+        replace(e, lit(" " + l + "  " + r + " "), lit(" " + l + r + " ")))
+        .otherwise(e)
+    }
+    toks.select(col("doc"), col("token_idx"), col("token"),
+      split(trim(encoded), "  ").as("pieces"))
+  }
+
   private def bpeEncodeRanked(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession

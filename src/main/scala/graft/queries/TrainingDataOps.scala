@@ -4581,6 +4581,50 @@ object TrainingDataOps {
       duckBpeEncodeSql(8)
     ),
 
+    // ---- BPE-dropout encode (subword regularization) --------------------
+    // Each merge skipped per (token, rank) with p=0.3 via the
+    // deterministic portable hash — the oracle replays the identical
+    // conditional replace chain; roundtrip (concat pieces == token)
+    // holds for EVERY sampled segmentation.
+    "tx_bpe_dropout" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.Vocab.bpeTrain(docs, "text", 8)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.Vocab.bpeEncodeDropout(docs, "doc_id", "text",
+            merges, dropPpm = 300000L)
+          .select(col("doc").as("doc_id"), col("token_idx"), col("token"),
+            array_join(col("pieces"), " ").as("pieces"),
+            size(col("pieces")).as("n_pieces"),
+            (array_join(col("pieces"), "") === col("token")).as("roundtrip"))
+          .filter(col("doc_id") % 5 === 0)
+          .orderBy("doc_id", "token_idx")
+      },
+      {
+        val applies = (1 to 8).map { r =>
+          s"""t$r AS (SELECT doc_id, token_idx, token,
+             |  CASE WHEN (${duckHash(s"token||'#$r'")}) % 1000000 >= 300000
+             |    THEN replace(t.t, ' '||b.l||'  '||b.r2||' ', ' '||b.l||b.r2||' ')
+             |    ELSE t.t END AS t
+             |  FROM t${r - 1} t CROSS JOIN b$r b)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${duckBpeCtes(8)},
+           |tok AS (SELECT doc_id, unnest(range(len(ts))) AS token_idx,
+           |    unnest(ts) AS token
+           |  FROM (SELECT doc_id, $duckToks AS ts FROM documents)),
+           |t0 AS (SELECT doc_id, token_idx, token,
+           |  '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS t
+           |  FROM tok WHERE len(token) > 0),
+           |$applies
+           |SELECT doc_id, CAST(token_idx AS INTEGER) AS token_idx, token,
+           |  array_to_string(string_split(trim(t), '  '), ' ') AS pieces,
+           |  CAST(len(string_split(trim(t), '  ')) AS INTEGER) AS n_pieces,
+           |  array_to_string(string_split(trim(t), '  '), '') = token AS roundtrip
+           |FROM t8 WHERE doc_id % 5 = 0 ORDER BY doc_id, token_idx""".stripMargin
+      }
+    ),
+
     // ---- BPE vocab artifact: subword frequencies after encoding ---------
     // The second half of what a BPE tokenizer ships (merges + vocab):
     // encode the corpus with the learned merges, count piece occurrences,

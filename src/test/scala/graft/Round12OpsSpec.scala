@@ -406,6 +406,31 @@ class Round12OpsSpec extends SparkSpec {
     assert(fk2 === fn2, "fixed-width chunks all shift → none dedup (the contrast)")
   }
 
+  test("bpeEncodeDropout: regularizes segmentations, dropPpm=0 == bpeEncode") {
+    import spark.implicits._
+    import graft.operators.Vocab
+    val docs = Seq((1L, "abab abab abab cdcd abab cd ab")).toDF("doc_id", "text")
+    val merges = Vocab.bpeTrain(docs, "text", 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def segs(drop: Long) = Vocab.bpeEncodeDropout(docs, "doc_id", "text", merges, drop)
+      .select(col("token"), array_join(col("pieces"), " ").as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // p=0 degrades exactly to the deterministic encode
+    val full = Vocab.bpeEncode(docs, "doc_id", "text", merges)
+      .select(col("token"), array_join(col("pieces"), " ").as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(segs(0L).sorted.toSeq === full)
+    // heavy dropout yields at least one DIFFERENT segmentation, and every
+    // sampled segmentation still concatenates back to its token
+    val dropped = segs(700000L)
+    assert(dropped.exists { case (t, p) => !full.contains((t, p)) },
+      "dropout must expose alternative segmentations")
+    dropped.foreach { case (t, p) =>
+      assert(p.replace(" ", "") === t, s"roundtrip broken for $t -> $p")
+    }
+  }
+
   test("orphanCount: NULL FK is a violation (NOT EXISTS contract)") {
     import spark.implicits._
     val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
