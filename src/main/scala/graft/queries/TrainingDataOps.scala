@@ -3936,6 +3936,55 @@ object TrainingDataOps {
          |ORDER BY t.doc_id""".stripMargin
     ),
 
+    // ---- distinct-n diversity (generated-corpus quality metric) ---------
+    // distinct-1/2/3 = |distinct n-grams| / |n-grams| per source — the Li
+    // et al. 2016 diversity metric a synthetic-data pipeline gates on
+    // (mode collapse shows as distinct-n cratering). Ratios in exact ppm.
+    "tx_distinct_ngrams" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // unigram/bigram/trigram grams via the relational shingle shape
+        // (lead windows per doc — the shingleIndex plan, grams kept
+        // per-occurrence, not distinct, since the metric needs totals)
+        import org.apache.spark.sql.expressions.Window
+        val byDoc = Window.partitionBy("source", "__doc").orderBy("p")
+        val toks2 = docs.select(col("source"), col("doc_id").as("__doc"),
+            posexplode(Fns.tokens(col("text"))).as(Seq("p", "w")))
+          .filter(col("w") =!= "")
+        def gramsOf(n: Int) = {
+          val parts = (0 until n).map(k =>
+            if (k == 0) col("w") else lead("w", k).over(byDoc))
+          toks2.withColumn("g",
+              when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
+            .filter(col("g").isNotNull)
+            .groupBy("source")
+            .agg(count(lit(1)).as("total"), count_distinct(col("g")).as("uniq"))
+            .select(col("source"), lit(n).as("n"), col("total"), col("uniq"),
+              expr("(uniq * 1000000) div total").as("distinct_ppm"))
+        }
+        gramsOf(1).unionByName(gramsOf(2)).unionByName(gramsOf(3))
+          .orderBy("source", "n")
+      },
+      s"""WITH tk AS (
+         |  SELECT source, doc_id, unnest(range(len(ts))) AS p, unnest(ts) AS w
+         |  FROM (SELECT source, doc_id, $duckToks AS ts FROM documents)),
+         |tf AS (SELECT * FROM tk WHERE w <> ''),
+         |g AS (SELECT source, n.n,
+         |  CASE n.n WHEN 1 THEN w
+         |    WHEN 2 THEN CASE WHEN lead(w, 1) OVER win IS NOT NULL
+         |      THEN w || ' ' || lead(w, 1) OVER win END
+         |    ELSE CASE WHEN lead(w, 2) OVER win IS NOT NULL
+         |      THEN w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win END
+         |  END AS gram
+         |  FROM tf, (VALUES (1), (2), (3)) n(n)
+         |  WINDOW win AS (PARTITION BY n.n, source, doc_id ORDER BY p))
+         |SELECT source, CAST(n AS INTEGER) AS n,
+         |  count(gram) AS total, count(DISTINCT gram) AS uniq,
+         |  (count(DISTINCT gram) * 1000000) // count(gram) AS distinct_ppm
+         |FROM g WHERE gram IS NOT NULL
+         |GROUP BY source, n ORDER BY source, n""".stripMargin
+    ),
+
     // ---- content-defined chunking + dedup (shift-robust) ----------------
     // FastCDC/rsync gear-hash boundaries over tokens: chunk edges are a
     // function of CONTENT (rolling 4-token hash, mask 2^3), so a one-token
