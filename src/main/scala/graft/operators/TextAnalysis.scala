@@ -15,6 +15,59 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(Fns.tokens(text))
 
+  /** Per-document SCRIPT profile — the multilingual-curation gate that
+    * routes documents to per-script pipelines (and catches mislabeled
+    * `lang` columns): code points counted into Unicode-block buckets
+    * (Latin incl. Latin-1/Extended, Cyrillic, CJK unified, Arabic,
+    * digits, whitespace, other), plus the dominant LETTER script by a
+    * fixed precedence argmax (latin > cyrillic > cjk > arabic > other on
+    * ties — deterministic). One typed pass per row (exact code-point
+    * iteration — surrogate-safe, which a regex char split is not);
+    * counts are integers, so the profile is engine-replayable.
+    * Output: (doc, n_latin, n_cyrillic, n_cjk, n_arabic, n_digit,
+    * n_space, n_other, dominant).
+    */
+  def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val in = docs.select(col(idCol).as("doc"), col(textCol).as("__t"))
+    implicit val enc = Encoders.row(StructType(
+      in.schema("doc") +: Seq("n_latin", "n_cyrillic", "n_cjk", "n_arabic",
+        "n_digit", "n_space", "n_other")
+        .map(StructField(_, LongType, nullable = false))))
+    val counted = in.mapPartitions { rows =>
+      rows.map { r =>
+        val s = if (r.isNullAt(1)) "" else r.getString(1)
+        var lat = 0L; var cyr = 0L; var cjk = 0L; var ara = 0L
+        var dig = 0L; var spc = 0L; var oth = 0L
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          if (cp >= '0' && cp <= '9') dig += 1
+          else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r') spc += 1
+          else if ((cp >= 0x41 && cp <= 0x5a) || (cp >= 0x61 && cp <= 0x7a) ||
+            (cp >= 0xc0 && cp <= 0x24f)) lat += 1
+          else if (cp >= 0x400 && cp <= 0x4ff) cyr += 1
+          else if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+          else if (cp >= 0x600 && cp <= 0x6ff) ara += 1
+          else oth += 1
+          i += Character.charCount(cp)
+        }
+        Row(r.get(0), lat, cyr, cjk, ara, dig, spc, oth)
+      }
+    }
+    counted.withColumn("dominant",
+      when(col("n_latin") === 0 && col("n_cyrillic") === 0 &&
+        col("n_cjk") === 0 && col("n_arabic") === 0, "none")
+        .when(col("n_latin") >= col("n_cyrillic") &&
+          col("n_latin") >= col("n_cjk") && col("n_latin") >= col("n_arabic"),
+          "latin")
+        .when(col("n_cyrillic") >= col("n_cjk") &&
+          col("n_cyrillic") >= col("n_arabic"), "cyrillic")
+        .when(col("n_cjk") >= col("n_arabic"), "cjk")
+        .otherwise("arabic"))
+  }
+
   /** BPE-ish subword token count: runs of letters, runs of digits, and
     * single other non-space chars — a cheap proxy for tokenizer cost
     * accounting. DuckDB: `len(regexp_extract_all(lower(s),'[a-z]+|[0-9]+|[^a-z0-9 ]'))`.

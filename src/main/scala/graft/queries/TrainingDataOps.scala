@@ -3936,6 +3936,69 @@ object TrainingDataOps {
          |ORDER BY t.doc_id""".stripMargin
     ),
 
+    // ---- script detection (multilingual routing gate) -------------------
+    // Code points bucketed into Unicode-block counts + a fixed-precedence
+    // dominant-script argmax; injected Cyrillic/CJK/Arabic fixtures give
+    // every branch coverage on the ASCII parquet corpus.
+    "tx_script_detect" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val src = t(s, dir, "documents").select("doc_id", "text")
+          .unionByName(Seq(
+            (-11L, "это полностью русский текст без латиницы"),
+            (-12L, "这是一段完全中文的文本内容"),
+            (-13L, "هذا نص عربي بالكامل"),
+            (-14L, "12345 67890 !!!"),
+            (-15L, "mixed латиница and кириллица here"))
+            .toDF("doc_id", "text"))
+        graft.operators.TextAnalysis.scriptProfile(src, "doc_id", "text")
+          .withColumnRenamed("doc", "doc_id")
+          .orderBy("doc_id")
+      },
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT -11, 'это полностью русский текст без латиницы'
+        |  UNION ALL SELECT -12, '这是一段完全中文的文本内容'
+        |  UNION ALL SELECT -13, 'هذا نص عربي بالكامل'
+        |  UNION ALL SELECT -14, '12345 67890 !!!'
+        |  UNION ALL SELECT -15, 'mixed латиница and кириллица here'),
+        |cp AS (SELECT doc_id, unicode(c) AS u FROM (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM src)
+        |  WHERE c <> ''),
+        |cnt AS (SELECT doc_id,
+        |  sum(CASE WHEN (u BETWEEN 65 AND 90) OR (u BETWEEN 97 AND 122)
+        |    OR (u BETWEEN 192 AND 591) THEN 1 ELSE 0 END) AS n_latin,
+        |  sum(CASE WHEN u BETWEEN 1024 AND 1279 THEN 1 ELSE 0 END) AS n_cyrillic,
+        |  sum(CASE WHEN u BETWEEN 19968 AND 40959 THEN 1 ELSE 0 END) AS n_cjk,
+        |  sum(CASE WHEN u BETWEEN 1536 AND 1791 THEN 1 ELSE 0 END) AS n_arabic,
+        |  sum(CASE WHEN u BETWEEN 48 AND 57 THEN 1 ELSE 0 END) AS n_digit,
+        |  sum(CASE WHEN u IN (32, 9, 10, 13) THEN 1 ELSE 0 END) AS n_space,
+        |  sum(CASE WHEN NOT ((u BETWEEN 65 AND 90) OR (u BETWEEN 97 AND 122)
+        |    OR (u BETWEEN 192 AND 591) OR (u BETWEEN 1024 AND 1279)
+        |    OR (u BETWEEN 19968 AND 40959) OR (u BETWEEN 1536 AND 1791)
+        |    OR (u BETWEEN 48 AND 57) OR u IN (32, 9, 10, 13))
+        |    THEN 1 ELSE 0 END) AS n_other
+        |  FROM cp GROUP BY doc_id),
+        |fl AS (SELECT s.doc_id,
+        |  CAST(coalesce(n_latin, 0) AS BIGINT) AS n_latin,
+        |  CAST(coalesce(n_cyrillic, 0) AS BIGINT) AS n_cyrillic,
+        |  CAST(coalesce(n_cjk, 0) AS BIGINT) AS n_cjk,
+        |  CAST(coalesce(n_arabic, 0) AS BIGINT) AS n_arabic,
+        |  CAST(coalesce(n_digit, 0) AS BIGINT) AS n_digit,
+        |  CAST(coalesce(n_space, 0) AS BIGINT) AS n_space,
+        |  CAST(coalesce(n_other, 0) AS BIGINT) AS n_other
+        |  FROM src s LEFT JOIN cnt USING (doc_id))
+        |SELECT *,
+        |  CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_cjk = 0
+        |      AND n_arabic = 0 THEN 'none'
+        |    WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+        |      AND n_latin >= n_arabic THEN 'latin'
+        |    WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic THEN 'cyrillic'
+        |    WHEN n_cjk >= n_arabic THEN 'cjk'
+        |    ELSE 'arabic' END AS dominant
+        |FROM fl ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- distinct-n diversity (generated-corpus quality metric) ---------
     // distinct-1/2/3 = |distinct n-grams| / |n-grams| per source — the Li
     // et al. 2016 diversity metric a synthetic-data pipeline gates on
