@@ -15,6 +15,69 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(Fns.tokens(text))
 
+  /** Deterministic MLM masking (Devlin et al. 2019 §3.1 — BERT's
+    * 15% / 80-10-10 rule): each token position is masked with p=0.15;
+    * a masked position becomes `[MASK]` 80% of the time, a RANDOM vocab
+    * token 10%, and stays itself 10%. Every draw is the portable hash of
+    * (doc, pos, salt) — reproducible epochs, engine-replayable. The
+    * random-token table is the corpus vocabulary in code-point order
+    * (driver-bounded collect, the negative-table contract), indexed by
+    * hash — so the oracle's `row_number() OVER (ORDER BY token)` picks
+    * the identical word. Output: (doc, pos, token, out_token, is_masked,
+    * label) — label carries the original token ONLY at masked positions
+    * (the loss mask).
+    */
+  def mlmMask(docs: DataFrame, idCol: String, textCol: String,
+      maskPct: Int = 15): DataFrame = {
+    require(maskPct >= 1 && maskPct <= 99, s"bad maskPct $maskPct")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).as("doc"),
+        posexplode(Fns.tokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val vocab = toks.select("token").distinct()
+      .limit(graft.operators.SkipGram.MaxHuffmanVocab + 1)
+      .collect().map(_.getString(0))
+    require(vocab.length <= graft.operators.SkipGram.MaxHuffmanVocab,
+      "mlmMask: vocabulary exceeds the driver-bounded ceiling")
+    // code-point order = both engines' binary string order
+    val sorted = vocab.sortWith { (a, b) =>
+      var i = 0; var j = 0
+      var r = 0
+      while (r == 0 && i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) r = Integer.compare(ca, cb)
+        else { i += Character.charCount(ca); j += Character.charCount(cb) }
+      }
+      (if (r != 0) r else Integer.compare(a.length - i, b.length - j)) < 0
+    }
+    val bVocab = spark.sparkContext.broadcast(sorted)
+    implicit val enc = Encoders.row(StructType(Seq(
+      toks.schema("doc"), toks.schema("pos"), toks.schema("token"),
+      StructField("out_token", StringType, nullable = true),
+      StructField("is_masked", BooleanType, nullable = false),
+      StructField("label", StringType, nullable = true))))
+    val pct = maskPct
+    toks.mapPartitions { rows =>
+      val v = bVocab.value
+      def h(key: String): Long = graft.functions.RollingHash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(key))
+      rows.map { r =>
+        val doc = r.get(0); val pos = r.get(1); val tok = r.getString(2)
+        val masked = h(s"$doc:$pos:m") % 100 < pct
+        val out =
+          if (!masked) tok
+          else h(s"$doc:$pos:t") % 10 match {
+            case x if x <= 7 => "[MASK]"
+            case 8 => v((h(s"$doc:$pos:r") % v.length).toInt)
+            case _ => tok
+          }
+        Row(doc, pos, tok, out, masked, if (masked) tok else null)
+      }
+    }
+  }
+
   /** Per-document SCRIPT profile — the multilingual-curation gate that
     * routes documents to per-script pipelines (and catches mislabeled
     * `lang` columns): code points counted into Unicode-block buckets

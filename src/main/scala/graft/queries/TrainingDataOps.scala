@@ -3936,6 +3936,44 @@ object TrainingDataOps {
          |ORDER BY t.doc_id""".stripMargin
     ),
 
+    // ---- MLM masking (BERT 15% / 80-10-10, deterministic) ----------------
+    // Every draw is the portable hash of (doc, pos, salt); the random-
+    // token branch indexes the code-point-ordered vocab, which the
+    // oracle rebuilds with row_number — masks, replacements, and the
+    // loss-label channel all hash-gated. Restricted to doc_id % 7 = 0
+    // to keep the oracle row bounded.
+    "tx_mlm_masks" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.TextAnalysis.mlmMask(
+            t(s, dir, "documents").filter(col("doc_id") % 7 === 0),
+            "doc_id", "text", maskPct = 15)
+          .select(col("doc").as("doc_id"), col("pos"), col("token"),
+            col("out_token"), col("is_masked"), col("label"))
+          .orderBy("doc_id", "pos"),
+      s"""WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+         |tk AS (SELECT doc_id, unnest(range(len(ts))) AS pos, unnest(ts) AS token
+         |  FROM (SELECT doc_id, $duckToks AS ts FROM src)),
+         |tf AS (SELECT * FROM tk WHERE token <> ''),
+         |voc AS (SELECT token AS vt,
+         |  row_number() OVER (ORDER BY token) - 1 AS vid
+         |  FROM (SELECT DISTINCT token FROM tf)),
+         |vn AS (SELECT count(*) AS nv FROM voc),
+         |d AS (SELECT doc_id, pos, token,
+         |  (${duckHash("CAST(doc_id AS VARCHAR)||':'||CAST(pos AS VARCHAR)||':m'")}) % 100 < 15 AS masked,
+         |  (${duckHash("CAST(doc_id AS VARCHAR)||':'||CAST(pos AS VARCHAR)||':t'")}) % 10 AS branch,
+         |  (${duckHash("CAST(doc_id AS VARCHAR)||':'||CAST(pos AS VARCHAR)||':r'")}) AS rh
+         |  FROM tf)
+         |SELECT d.doc_id, CAST(d.pos AS INTEGER) AS pos, d.token,
+         |  CASE WHEN NOT masked THEN d.token
+         |    WHEN branch <= 7 THEN '[MASK]'
+         |    WHEN branch = 8 THEN v.vt
+         |    ELSE d.token END AS out_token,
+         |  masked AS is_masked,
+         |  CASE WHEN masked THEN d.token END AS label
+         |FROM d CROSS JOIN vn LEFT JOIN voc v ON v.vid = d.rh % vn.nv
+         |ORDER BY doc_id, pos""".stripMargin
+    ),
+
     // ---- script detection (multilingual routing gate) -------------------
     // Code points bucketed into Unicode-block counts + a fixed-precedence
     // dominant-script argmax; injected Cyrillic/CJK/Arabic fixtures give

@@ -431,6 +431,35 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("mlmMask: ~15% masked, 80-10-10 branches, loss labels only when masked") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val text = (1 to 2000).map(i => s"tok${i % 50}").mkString(" ")
+    val out = TextAnalysis.mlmMask(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(out.length === 2000)
+    val masked = out.filter(_.getBoolean(4))
+    val rate = masked.length.toDouble / out.length
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate")
+    val mask = masked.count(_.getString(3) == "[MASK]")
+    val keep = masked.count(r => r.getString(3) == r.getString(2))
+    val rand = masked.length - mask - keep
+    assert(mask.toDouble / masked.length > 0.7, "≈80% [MASK]")
+    assert(rand > 0 && keep > 0, "random and keep branches both exercised")
+    // labels: original token iff masked; unmasked rows pass through
+    out.foreach { r =>
+      if (r.getBoolean(4)) assert(r.getString(5) === r.getString(2))
+      else {
+        assert(r.isNullAt(5))
+        assert(r.getString(3) === r.getString(2))
+      }
+    }
+    // deterministic: same input → identical masks
+    val again = TextAnalysis.mlmMask(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("orphanCount: NULL FK is a violation (NOT EXISTS contract)") {
     import spark.implicits._
     val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
