@@ -445,6 +445,44 @@ object Dedup {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Incremental NEAR-dup gate — the ingest-time sibling of
+    * [[incrementalDedup]] (which routes EXACT keys): new documents that
+    * are MinHash-LSH near-duplicates OF THE EXISTING CORPUS are dropped;
+    * survivors pass through. In a deployment the corpus band table is the
+    * prebuilt, persisted index (signatures never recompute over the
+    * corpus per batch — the IvfPqIndex serve contract); candidates are
+    * one keyed band join of the (small) batch bands against it, verified
+    * with exact Jaccard at pair grain. Within-batch duplicates are NOT
+    * this operator's job ([[minhashLshPairs]] over the batch is) —
+    * candidates are strictly cross-set. Ids must be disjoint across the
+    * two inputs. Output: the kept rows of `newDocs`.
+    */
+  def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int, numHashes: Int, bandSize: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val numBands = numHashes / bandSize
+    def bands(docs: DataFrame): DataFrame = {
+      val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+      val bandCols = (0 until numBands).map { b =>
+        val parts = (0 until bandSize).map(i => col(s"sig_${b * bandSize + i}"))
+        struct(lit(b).as("band"), concat_ws("|", parts: _*).as("key"))
+      }
+      sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val cand = bands(newDocs)
+      .join(bands(corpus).select(col("doc").as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("doc").as("id_a"), col("id_b"))
+      .distinct()
+    val sh = shingleIndex(newDocs, idCol, textCol, n)
+      .unionByName(shingleIndex(corpus, idCol, textCol, n))
+    val dupNew = verifyJaccard(cand, sh, threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    newDocs.join(dupNew, Seq(idCol), "left_anti")
+  }
+
   /** Content-defined chunking + first-wins chunk dedup — the SHIFT-ROBUST
     * sibling of [[chunkDedup]] (FastCDC/rsync's gear-hash idea rendered
     * over tokens): a chunk boundary falls AFTER any token whose w-token

@@ -4086,6 +4086,33 @@ object TrainingDataOps {
          |GROUP BY source, n ORDER BY source, n""".stripMargin
     ),
 
+    // ---- incremental near-dup gate (batch vs existing corpus) -----------
+    // The ingest shape: new docs (doc_id < 100) checked against the
+    // standing corpus (doc_id ≥ 100) via a band join against the
+    // corpus's (prebuilt, in deployment) band table, exact-Jaccard
+    // verified; survivors pass. Cross-set candidates only.
+    "dd_incremental_neardup" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.incrementalNearDup(
+            docs.filter(col("doc_id") < 100),
+            docs.filter(col("doc_id") >= 100),
+            "doc_id", "text",
+            n = 3, numHashes = NumHashes, bandSize = BandSize, threshold = 0.8)
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      s"""WITH ${duckMinhashCtes()},
+         |x AS (SELECT c.id_a, c.id_b, j.jaccard
+         |  FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+         |  WHERE j.jaccard >= 0.8),
+         |dup AS (SELECT id_a AS d FROM x WHERE id_a < 100 AND id_b >= 100
+         |  UNION SELECT id_b FROM x WHERE id_b < 100 AND id_a >= 100)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id < 100 AND doc_id NOT IN (SELECT d FROM dup)
+         |ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- content-defined chunking + dedup (shift-robust) ----------------
     // FastCDC/rsync gear-hash boundaries over tokens: chunk edges are a
     // function of CONTENT (rolling 4-token hash, mask 2^3), so a one-token

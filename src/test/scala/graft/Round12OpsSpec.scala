@@ -460,6 +460,31 @@ class Round12OpsSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("incrementalNearDup: drops batch docs near-duplicating the corpus only") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val body = (1 to 60).map(i => s"w${(i * 13) % 31}").mkString(" ")
+    val other = (1 to 60).map(i => s"z${(i * 17) % 29}").mkString(" ")
+    val corpus = Seq((100L, body), (101L, other)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, body + " tailtoken"),  // near-dup of corpus 100 → dropped
+      (2L, "totally unrelated fresh content about gardens and rivers flowing"),
+      (3L, "headtoken " + body)   // near-dup of corpus 100 → dropped
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearDup(batch, corpus, "doc_id", "text",
+        n = 3, numHashes = 32, bandSize = 4, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L),
+      s"only the fresh doc survives; got $kept (1 and 3 near-dup corpus 100)")
+    // within-batch near-dups are NOT this operator's scope: with an empty
+    // corpus everything passes, even though 1 and 3 resemble each other
+    val emptyCorpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val keptAll = Dedup.incrementalNearDup(batch, emptyCorpus, "doc_id", "text",
+        n = 3, numHashes = 32, bandSize = 4, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptAll === Set(1L, 2L, 3L))
+  }
+
   test("orphanCount: NULL FK is a violation (NOT EXISTS contract)") {
     import spark.implicits._
     val parent = Seq(Some(1L), Some(2L), None).toDF("pk")
