@@ -457,27 +457,45 @@ object Dedup {
     * candidates are strictly cross-set. Ids must be disjoint across the
     * two inputs. Output: the kept rows of `newDocs`.
     */
-  def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String, n: Int, numHashes: Int, bandSize: Int,
-      threshold: Double): DataFrame = {
+  /** MinHash-LSH band table (doc, band, key) — the persistable corpus
+    * index for [[incrementalNearDupServe]].
+    */
+  def nearDupBandTable(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bandSize: Int): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
     val numBands = numHashes / bandSize
-    def bands(docs: DataFrame): DataFrame = {
-      val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
-      val bandCols = (0 until numBands).map { b =>
-        val parts = (0 until bandSize).map(i => col(s"sig_${b * bandSize + i}"))
-        struct(lit(b).as("band"), concat_ws("|", parts: _*).as("key"))
-      }
-      sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until bandSize).map(i => col(s"sig_${b * bandSize + i}"))
+      struct(lit(b).as("band"), concat_ws("|", parts: _*).as("key"))
     }
-    val cand = bands(newDocs)
-      .join(bands(corpus).select(col("doc").as("id_b"), col("band"), col("key")),
+    sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int, numHashes: Int, bandSize: Int,
+      threshold: Double): DataFrame =
+    incrementalNearDupServe(newDocs,
+      nearDupBandTable(corpus, idCol, textCol, n, numHashes, bandSize),
+      shingleIndex(corpus, idCol, textCol, n),
+      idCol, textCol, n, numHashes, bandSize, threshold)
+
+  /** [[incrementalNearDup]] against a PREBUILT corpus index (band table +
+    * shingle index, both persistable parquet — built once by
+    * [[nearDupBandTable]]/shingleIndex, probed per batch): the
+    * steady-state ingest gate never recomputes corpus signatures.
+    */
+  def incrementalNearDupServe(newDocs: DataFrame, corpusBands: DataFrame,
+      corpusShingles: DataFrame, idCol: String, textCol: String, n: Int,
+      numHashes: Int, bandSize: Int, threshold: Double): DataFrame = {
+    val cand = nearDupBandTable(newDocs, idCol, textCol, n, numHashes, bandSize)
+      .join(corpusBands.select(col("doc").as("id_b"), col("band"), col("key")),
         Seq("band", "key"))
       .select(col("doc").as("id_a"), col("id_b"))
       .distinct()
     val sh = shingleIndex(newDocs, idCol, textCol, n)
-      .unionByName(shingleIndex(corpus, idCol, textCol, n))
+      .unionByName(corpusShingles)
     val dupNew = verifyJaccard(cand, sh, threshold)
       .select(col("id_a").as(idCol)).distinct()
     newDocs.join(dupNew, Seq(idCol), "left_anti")

@@ -259,6 +259,20 @@ object BenchOnlyOps {
       rows.toDF("tier", "n_batches", "p50_ms", "p99_ms")
     }),
 
+    // incremental near-dup SERVE shape: the corpus band table + shingle
+    // index are prebuilt and parquet-materialized once per session (the
+    // deployment's standing index); each rep pays only the batch-side
+    // signatures, the band probe join, and pair verification — the
+    // steady-state ingest-gate cost (the oracle row dd_incremental_neardup
+    // rebuilds the corpus side in-query, the harness shape).
+    "dd_incr_neardup_serve" -> ((s, dir) => {
+      val (bandsPq, shPq) = servedNearDupIndex(s, dir)
+      val batch = t(s, dir, "documents").filter(col("doc_id") < 100)
+      graft.operators.Dedup.incrementalNearDupServe(
+        batch, bandsPq, shPq, "doc_id", "text",
+        n = 3, numHashes = 32, bandSize = 4, threshold = 0.8)
+    }),
+
     // streaming near-dup dedup, end to end: the full documents corpus
     // replayed as an NDJSON drop through nearDupDocumentStream's
     // signature projection + band state store + append aggregation — the
@@ -279,6 +293,24 @@ object BenchOnlyOps {
   )
 
   private val benchRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // corpus-side near-dup index (band table + shingle index), parquet-
+  // materialized once per corpus — the standing ingest-gate state
+  private val nearDupCache =
+    scala.collection.mutable.HashMap.empty[String, (DataFrame, DataFrame)]
+  private def servedNearDupIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    nearDupCache.synchronized {
+      nearDupCache.getOrElseUpdate(dir, {
+        val d = "/tmp/graft_bench_neardup_idx"
+        val corpus = t(s, dir, "documents").filter(col("doc_id") >= 100)
+        graft.operators.Dedup
+          .nearDupBandTable(corpus, "doc_id", "text", 3, 32, 4)
+          .write.mode("overwrite").parquet(s"$d/bands")
+        graft.operators.Dedup.shingleIndex(corpus, "doc_id", "text", 3)
+          .write.mode("overwrite").parquet(s"$d/shingles")
+        (s.read.parquet(s"$d/bands"), s.read.parquet(s"$d/shingles"))
+      })
+    }
 
   // documents → NDJSON staging drop (once per corpus dir), with a late
   // watermark-flusher row so append-mode windows emit within the run
