@@ -75,6 +75,17 @@ class Round12PlanSpec extends SparkSpec {
       "merge application must stay a projection over the exploded tokens")
   }
 
+  test("late-wave rows: cartesian-free, windows all partitioned") {
+    for (q <- Seq("dd_cdc_chunks", "tx_mlm_masks", "tx_script_detect",
+        "dd_incremental_neardup", "tx_bpe_dropout", "tx_distinct_ngrams")) {
+      val df = executed(q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian-free")
+      assert(partitionlessWindows(df).isEmpty,
+        s"$q must keep every window partitioned")
+    }
+  }
+
   test("near-dup batch replica: single-lineage signature aggregate") {
     val df = executed("dd_stream_neardup_batch")
     val plan = df.queryExecution.executedPlan.toString
