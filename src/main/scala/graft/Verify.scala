@@ -75,7 +75,14 @@ object Verify {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(4, TimeUnit.HOURS)
+    val finished = pool.awaitTermination(4, TimeUnit.HOURS)
+    if (!finished) {
+      // gatecheck compares output-dir count vs declared count; this line
+      // gives the mismatch a visible cause instead of a silent partial run
+      val unfinished = pool.shutdownNow().size()
+      System.err.println(
+        s"[verify] TIMED OUT with >= $unfinished queries unfinished")
+    }
     val secs = (System.nanoTime() - t0) / 1e9
     val nOk = selected.size - failed.size
     println(f"[verify] $nOk ok, ${failed.size} failed of ${selected.size} in $secs%.1f s" +

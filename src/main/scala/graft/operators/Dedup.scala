@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{Fns, RollingHash}
@@ -473,6 +473,30 @@ object Dedup {
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** 1-row build-parameter record to persist ALONGSIDE a prebuilt band
+    * table: a probe whose (n, numHashes, bandSize) differ from the build's
+    * produces zero band-key collisions and silently waves every
+    * near-duplicate through the gate — [[requireNearDupIndexMeta]] turns
+    * that silent miss into a loud failure at probe time.
+    */
+  def nearDupIndexMeta(spark: SparkSession, n: Int, numHashes: Int,
+      bandSize: Int): DataFrame =
+    spark.range(1).select(lit(n).as("n"), lit(numHashes).as("num_hashes"),
+      lit(bandSize).as("band_size"))
+
+  def requireNearDupIndexMeta(meta: DataFrame, n: Int, numHashes: Int,
+      bandSize: Int): Unit = {
+    val rows = meta.select(col("n"), col("num_hashes"), col("band_size"))
+      .collect()
+    require(rows.length == 1,
+      s"near-dup index metadata must be exactly 1 row, got ${rows.length}")
+    val r = rows(0)
+    val (bn, bh, bb) = (r.getInt(0), r.getInt(1), r.getInt(2))
+    require(bn == n && bh == numHashes && bb == bandSize,
+      s"near-dup index built with (n=$bn, numHashes=$bh, bandSize=$bb) " +
+        s"but probed with (n=$n, numHashes=$numHashes, bandSize=$bandSize)")
+  }
+
   def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, n: Int, numHashes: Int, bandSize: Int,
       threshold: Double): DataFrame =
@@ -501,6 +525,20 @@ object Dedup {
     newDocs.join(dupNew, Seq(idCol), "left_anti")
   }
 
+  /** [[incrementalNearDupServe]] with the persisted build-parameter check:
+    * `corpusMeta` is the 1-row [[nearDupIndexMeta]] table written next to
+    * the index; probe parameters must equal build parameters or this
+    * fails loudly instead of silently passing near-dups through.
+    */
+  def incrementalNearDupServeChecked(newDocs: DataFrame,
+      corpusBands: DataFrame, corpusShingles: DataFrame, corpusMeta: DataFrame,
+      idCol: String, textCol: String, n: Int, numHashes: Int, bandSize: Int,
+      threshold: Double): DataFrame = {
+    requireNearDupIndexMeta(corpusMeta, n, numHashes, bandSize)
+    incrementalNearDupServe(newDocs, corpusBands, corpusShingles,
+      idCol, textCol, n, numHashes, bandSize, threshold)
+  }
+
   /** Content-defined chunking + first-wins chunk dedup — the SHIFT-ROBUST
     * sibling of [[chunkDedup]] (FastCDC/rsync's gear-hash idea rendered
     * over tokens): a chunk boundary falls AFTER any token whose w-token
@@ -517,6 +555,22 @@ object Dedup {
     * winner/rebuild shape. Expected chunk length = 2^maskBits tokens.
     * Output: (doc, n_chunks, n_kept, cleaned) — chunkDedup's contract.
     */
+  /** Rolling gear hash g = Σ_{k<window} h_{p-k}·31^k mod p over an `h`
+    * column already reduced mod [[RollingHash.Mod]]. Each lag term is
+    * < Mod (~1e9); the 31^k coefficient is REDUCED mod p before the
+    * multiply so every product stays < Mod² (~1e18 < Long.MaxValue) even
+    * at window=8, where the raw 31^7 (~2.75e10) coefficient would silently
+    * overflow Long. Per-term pmod is bit-identical for windows 1–7 (no
+    * overflow there), so existing oracles are unchanged.
+    */
+  private[graft] def gearExpr(window: Int,
+      byPos: org.apache.spark.sql.expressions.WindowSpec): Column =
+    (0 until window).map { k =>
+      val term = if (k == 0) col("h") else lag(col("h"), k, 0L).over(byPos)
+      val coef = (0 until k).foldLeft(1L)((a, _) => a * 31 % RollingHash.Mod)
+      pmod(term * coef, lit(RollingHash.Mod))
+    }.reduce(_ + _) % lit(RollingHash.Mod)
+
   def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, maskBits: Int = 3): DataFrame = {
     require(window >= 1 && window <= 8, s"bad window $window")
@@ -529,10 +583,7 @@ object Dedup {
       .filter(col("w0") =!= "")
       .withColumn("h", Fns.rollingHash(col("w0")))
     val byPos = Window.partitionBy("doc").orderBy("p")
-    val gear = (0 until window).map { k =>
-      val term = if (k == 0) col("h") else lag(col("h"), k, 0L).over(byPos)
-      term * math.pow(31, k).toLong
-    }.reduce(_ + _) % lit(RollingHash.Mod)
+    val gear = gearExpr(window, byPos)
     val flagged = toks.withColumn("b",
       when(pmod(gear, lit(mask)) === 0, 1L).otherwise(0L))
     // chunk id = boundaries BEFORE this token (boundary cuts AFTER the

@@ -266,10 +266,10 @@ object BenchOnlyOps {
     // steady-state ingest-gate cost (the oracle row dd_incremental_neardup
     // rebuilds the corpus side in-query, the harness shape).
     "dd_incr_neardup_serve" -> ((s, dir) => {
-      val (bandsPq, shPq) = servedNearDupIndex(s, dir)
+      val (bandsPq, shPq, metaPq) = servedNearDupIndex(s, dir)
       val batch = t(s, dir, "documents").filter(col("doc_id") < 100)
-      graft.operators.Dedup.incrementalNearDupServe(
-        batch, bandsPq, shPq, "doc_id", "text",
+      graft.operators.Dedup.incrementalNearDupServeChecked(
+        batch, bandsPq, shPq, metaPq, "doc_id", "text",
         n = 3, numHashes = 32, bandSize = 4, threshold = 0.8)
     }),
 
@@ -297,18 +297,25 @@ object BenchOnlyOps {
   // corpus-side near-dup index (band table + shingle index), parquet-
   // materialized once per corpus — the standing ingest-gate state
   private val nearDupCache =
-    scala.collection.mutable.HashMap.empty[String, (DataFrame, DataFrame)]
-  private def servedNearDupIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    scala.collection.mutable.HashMap.empty[String, (DataFrame, DataFrame, DataFrame)]
+  private def servedNearDupIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     nearDupCache.synchronized {
       nearDupCache.getOrElseUpdate(dir, {
-        val d = "/tmp/graft_bench_neardup_idx"
+        // per-corpus temp dir: a fixed path would be overwritten when a
+        // second sf dir is benched in the same JVM, silently re-pointing
+        // the first dir's cached lazy DataFrames at the wrong corpus
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_bench_neardup_idx").toString
         val corpus = t(s, dir, "documents").filter(col("doc_id") >= 100)
         graft.operators.Dedup
           .nearDupBandTable(corpus, "doc_id", "text", 3, 32, 4)
           .write.mode("overwrite").parquet(s"$d/bands")
         graft.operators.Dedup.shingleIndex(corpus, "doc_id", "text", 3)
           .write.mode("overwrite").parquet(s"$d/shingles")
-        (s.read.parquet(s"$d/bands"), s.read.parquet(s"$d/shingles"))
+        graft.operators.Dedup.nearDupIndexMeta(s, 3, 32, 4)
+          .write.mode("overwrite").parquet(s"$d/meta")
+        (s.read.parquet(s"$d/bands"), s.read.parquet(s"$d/shingles"),
+          s.read.parquet(s"$d/meta"))
       })
     }
 

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.Dedup
+import graft.functions.RollingHash
+
+/** Round-13 first-session specs: ADVICE r12 regressions — the gear-hash
+  * Long overflow at window=8 and the prebuilt near-dup index's
+  * build/probe parameter contract.
+  */
+class Round13OpsSpec extends SparkSpec {
+
+  test("gearExpr: window=8 matches exact BigInt arithmetic (no Long overflow)") {
+    import spark.implicits._
+    val M = RollingHash.Mod
+    // h values pinned near Mod so h*31^7 exceeds Long.MaxValue — the
+    // regression this guards: the unreduced coefficient wrapped silently
+    val hs = Seq(M - 1, M - 2, 987654321L, M - 17, 5L, M - 1, 31L, M - 3,
+      123456789L, M - 999)
+    val df = hs.zipWithIndex
+      .map { case (h, p) => (1L, p.toLong, h) }.toDF("doc", "p", "h")
+    val byPos = Window.partitionBy("doc").orderBy("p")
+    val got = df.withColumn("g", Dedup.gearExpr(8, byPos))
+      .orderBy("p").select("g").as[Long].collect()
+    val expected = hs.indices.map { p =>
+      (0 until 8).map { k =>
+        val h = if (p - k >= 0) BigInt(hs(p - k)) else BigInt(0)
+        h * BigInt(31).pow(k)
+      }.sum.mod(BigInt(M)).toLong
+    }
+    assert(got.toSeq === expected, "gear at window=8 must be exact mod-p")
+    // and windows 1-7 stay bit-identical to the pre-fix unreduced formula
+    (1 to 7).foreach { w =>
+      val reduced = df.withColumn("g", Dedup.gearExpr(w, byPos))
+        .orderBy("p").select("g").as[Long].collect().toSeq
+      val unreduced = df.withColumn("g",
+          (0 until w).map { k =>
+            val term = if (k == 0) col("h") else lag(col("h"), k, 0L).over(byPos)
+            term * math.pow(31, k).toLong
+          }.reduce(_ + _) % lit(M))
+        .orderBy("p").select("g").as[Long].collect().toSeq
+      assert(reduced === unreduced, s"window=$w must be unchanged by the fix")
+    }
+  }
+
+  test("cdcChunkDedup: window=8 runs and keeps the shift-robustness property") {
+    import spark.implicits._
+    val base = (1 to 400).map(i => s"tok$i").mkString(" ")
+    val shifted = "inserted " + base
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkDedup(docs, "doc_id", "text",
+        window = 8, maskBits = 3)
+      .orderBy("doc").collect()
+    assert(out.length === 2)
+    val (n2, k2) = (out(1).getLong(1), out(1).getLong(2))
+    // doc 2 is doc 1 with one token prepended: content-defined boundaries
+    // re-sync after the edit, so most of doc 2's chunks dedup away
+    assert(n2 > 4, s"expected many chunks, got $n2")
+    assert(k2 < n2 / 2, s"shift-robust dedup should drop most chunks: kept $k2 of $n2")
+  }
+
+  test("incrementalNearDupServeChecked: parameter mismatch fails loudly") {
+    import spark.implicits._
+    val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val batch = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark catalyst planning"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.nearDupBandTable(corpus, "doc_id", "text", 3, 32, 4)
+    val sh = Dedup.shingleIndex(corpus, "doc_id", "text", 3)
+    val meta = Dedup.nearDupIndexMeta(spark, 3, 32, 4)
+    // matching params: the exact-dup batch row is gated out
+    val kept = Dedup.incrementalNearDupServeChecked(batch, bands, sh, meta,
+      "doc_id", "text", 3, 32, 4, 0.8).select("doc_id").as[Long].collect()
+    assert(kept.toSeq === Seq(2L))
+    // mismatched numHashes: must throw, not silently pass everything
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupServeChecked(batch, bands, sh, meta,
+        "doc_id", "text", 3, 8, 4, 0.8)
+    }
+    assert(e.getMessage.contains("built with"))
+  }
+}
