@@ -613,6 +613,60 @@ object TrainingDataOps {
       "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
       "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
 
+  /** DuckDB CTE chain mirroring [[Ann.serveGraph]] over
+    * `nnDescent(k=4, iters=2)` plus [[Ann.graphSearch]]'s batched beam
+    * walk (entry node 0): per hop, expand the beam's out-edges minus the
+    * current beam, score exactly, keep the best `beam` per query. The
+    * nn-descent rounds are the ann_nndescent oracle's, verbatim. Ends
+    * with CTE `b$hops` = (query_id, nid, cos), self rows still present.
+    */
+  private def duckGraphSearchCtes(nQueries: Int, beam: Int, hops: Int): String = {
+    def nnRound(r: Int) =
+      s"""g$r AS (SELECT src, dst FROM e${r - 1}
+         |  UNION ALL SELECT dst, src FROM e${r - 1}
+         |  UNION ALL SELECT x.src, y.dst FROM e${r - 1} x
+         |    JOIN e${r - 1} y ON x.dst = y.src),
+         |c$r AS (SELECT DISTINCT src, dst FROM g$r WHERE src <> dst),
+         |s$r AS (SELECT c.src, c.dst, $duckCosine AS cos
+         |  FROM c$r c JOIN embeddings a ON a.vec_id = c.src
+         |    JOIN embeddings b ON b.vec_id = c.dst),
+         |e$r AS MATERIALIZED (SELECT src, dst FROM (
+         |  SELECT src, dst, row_number() OVER (
+         |    PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM s$r)
+         |  WHERE rn <= 4)""".stripMargin
+    val qcos = "list_dot_product(q.qv, v.cv) / " +
+      "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.cv, v.cv)))"
+    val walkRounds = (1 to hops).map { r =>
+      s"""x$r AS (SELECT DISTINCT b.query_id, a.dst AS nid
+         |  FROM b${r - 1} b JOIN adj a ON a.src = b.nid
+         |  WHERE NOT EXISTS (SELECT 1 FROM b${r - 1} p
+         |    WHERE p.query_id = b.query_id AND p.nid = a.dst)),
+         |w$r AS (SELECT x.query_id, x.nid, $qcos AS cos
+         |  FROM x$r x JOIN q ON q.query_id = x.query_id
+         |    JOIN v ON v.nid = x.nid),
+         |u$r AS (SELECT query_id, nid, cos FROM b${r - 1}
+         |  UNION ALL SELECT query_id, nid, cos FROM w$r),
+         |b$r AS MATERIALIZED (SELECT query_id, nid, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, nid) AS rn FROM u$r) WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""nn AS (SELECT count(*) AS n FROM embeddings),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.vec_id AS src, CAST((a.vec_id + j.j) % nn.n AS BIGINT) AS dst
+       |  FROM embeddings a, range(1, 5) j(j), nn
+       |  WHERE (a.vec_id + j.j) % nn.n <> a.vec_id),
+       |${nnRound(1)},
+       |${nnRound(2)},
+       |adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM e2 UNION ALL SELECT dst, src FROM e2)),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < $nQueries),
+       |v AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+       |b0 AS MATERIALIZED (SELECT q.query_id, v.nid, $qcos AS cos
+       |  FROM q JOIN v ON v.nid = 0),
+       |$walkRounds""".stripMargin
+  }
+
   /** DuckDB CTE: sign-bit binary codes as two 32-bit words (must match
     * [[Ann.binaryQuantize]]'s packing: word w bit b = embedding[32w+b] >
     * 0; integer shifts only, every value < 2^32).
@@ -6038,6 +6092,73 @@ object TrainingDataOps {
          |  round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4)
          |    AS recall
          |FROM bru b LEFT JOIN ivf i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+    ),
+
+    // ---- graph-walk ANN serve (HNSW/NSW-style batched beam search) ------
+    // The missing serve tier over the persisted nnDescent k-NN graph:
+    // symmetrize the edges (the HNSW bidirectional-link rule — a directed
+    // k-NN graph strands queries in in-degree deserts), then walk from
+    // entry node 0, expanding the beam's out-edges each hop and keeping
+    // the best `beam` exactly-scored nodes. Per-query cost is
+    // O(beam·degree·hops) — corpus-size-independent, no corpus scan. The
+    // oracle replays the identical walk round by round.
+    "ann_graph_search" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val graph = Ann.serveGraph(
+          Ann.nnDescent(emb, "vec_id", "embedding", k = 4, iters = 2))
+        Ann.graphSearch(graph, emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", entryIds = Seq(0L),
+            beamWidth = 16, hops = 3, topK = 5)
+          .orderBy("query_id", "rank")
+      },
+      s"""WITH ${duckGraphSearchCtes(8, 16, 3)}
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id,
+         |  round(cos, 4) AS cos
+         |FROM (SELECT query_id, nid, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rn
+         |  FROM b3 WHERE nid <> query_id)
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    ),
+
+    // ---- graph-walk recall@5 vs exact cosine ----------------------------
+    // The quality dial of the graph serve tier (same contract as
+    // ann_recall_eval / ann_pq_recall): how much of the exact top-5 a
+    // beam=16, hops=3 walk recovers.
+    "ann_graph_recall" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+        val graph = Ann.serveGraph(
+          Ann.nnDescent(emb, "vec_id", "embedding", k = 4, iters = 2))
+        Ann.recallEval(
+            Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+            Ann.graphSearch(graph, emb, q, "vec_id", "embedding",
+              entryIds = Seq(0L), beamWidth = 16, hops = 3, topK = 5),
+            5)
+          .orderBy("query_id")
+      },
+      s"""WITH ${duckGraphSearchCtes(8, 16, 3)},
+         |ap AS (SELECT query_id, nid AS neighbor_id FROM (
+         |  SELECT query_id, nid, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rn
+         |  FROM b3 WHERE nid <> query_id) WHERE rn <= 5),
+         |bsc AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $duckCosine AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+         |bru AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM bsc)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4)
+         |    AS recall
+         |FROM bru b LEFT JOIN ap i
          |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
     )

@@ -60,6 +60,53 @@ class Round13OpsSpec extends SparkSpec {
     assert(k2 < n2 / 2, s"shift-robust dedup should drop most chunks: kept $k2 of $n2")
   }
 
+  test("graphSearch: beam covering the whole connected graph ≡ brute force") {
+    import spark.implicits._
+    import graft.operators.Ann
+    // 24 deterministic 8-dim vectors; graph = ring lattice (i -> i±1, i±2)
+    // is strongly connected with diameter 6, so beam=n and hops=12 visit
+    // every node: the beam search must return EXACTLY the brute-force
+    // top-k — the identity the ann_graph_search oracle row leans on.
+    val n = 24
+    val vecs = (0 until n).map { i =>
+      (i.toLong, (0 until 8).map(d =>
+        math.sin(i * 2.394 + d * 0.71) + math.cos(i * d * 0.13)).toArray)
+    }.toDF("vec_id", "embedding")
+    val ring = (0 until n).flatMap { i =>
+      Seq(1, 2, n - 1, n - 2).map(j => (i.toLong, ((i + j) % n).toLong))
+    }.toDF("src", "dst")
+    val queries = vecs.filter(col("vec_id") < 5)
+    val got = Ann.graphSearch(ring, vecs, queries, "vec_id", "embedding",
+        entryIds = Seq(0L), beamWidth = n, hops = 12, topK = 5)
+      .orderBy("query_id", "rank").collect()
+    val exact = Ann.bruteForceTopK(vecs, queries, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank").collect()
+    assert(got.length === exact.length)
+    got.zip(exact).foreach { case (g, e) =>
+      assert(g.getLong(0) === e.getLong(0))
+      assert(g.getInt(1) === e.getInt(1))
+      assert(g.getLong(2) === e.getLong(2), s"query ${g.getLong(0)} rank ${g.getInt(1)}")
+      assert(math.abs(g.getDouble(3) - e.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("graphSearch: narrow beam on an nnDescent graph reaches high recall") {
+    import graft.operators.Ann
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    // deployment shape: random-init NN-descent (ring init never converges
+    // past ring-distance k·2^iters), symmetrized links, multi-entry walk
+    val graph = Ann.serveGraph(Ann.nnDescent(emb, "vec_id", "embedding",
+      k = 12, iters = 5, randomInit = true))
+    val queries = emb.filter(col("vec_id") < 10)
+    val approx = Ann.graphSearch(graph, emb, queries, "vec_id", "embedding",
+      entryIds = Ann.spreadEntries(emb.count()), beamWidth = 64, hops = 4,
+      topK = 5)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val recall = Ann.recallEval(exact, approx, 5)
+      .agg(avg("recall")).head.getDouble(0)
+    assert(recall >= 0.9, s"graph-walk recall@5 too low: $recall")
+  }
+
   test("incrementalNearDupServeChecked: parameter mismatch fails loudly") {
     import spark.implicits._
     val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog again and again"))
