@@ -1401,12 +1401,21 @@ object Vocab {
     * application, see [[bpeEncode]]).
     */
   def bbpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    bbpeEncodeToks(
+      docs.select(col(idCol).as("doc"),
+          posexplode(Fns.tokens(col(textCol))).as(Seq("token_idx", "token")))
+        .filter(col("token") =!= ""),
+      merges)
+
+  /** Shared encode body for [[bbpeEncode]]/[[bbpeEncodePretok]]: `toks`
+    * is (doc, token_idx, token) at whatever pre-tokenization grain the
+    * caller chose.
+    */
+  private def bbpeEncodeToks(toks: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.types._
-    val spark = docs.sparkSession
-    val toks = docs.select(col(idCol).as("doc"),
-        posexplode(Fns.tokens(col(textCol))).as(Seq("token_idx", "token")))
-      .filter(col("token") =!= "")
+    val spark = toks.sparkSession
     val inline = merges.size <= MaxInlineMerges
     val bRank = spark.sparkContext.broadcast(
       merges.zipWithIndex.toMap: Map[(String, String), Int])
@@ -1463,4 +1472,65 @@ object Vocab {
         split(trim(encoded), "  ").as("pieces"))
     }
   }
+
+  /** GPT-2's pre-tokenization regex (Radford et al. 2019, the pattern
+    * every GPT-2-family tokenizer splits on BEFORE byte-level merging):
+    * contraction suffixes, letter runs, digit runs, and punctuation runs
+    * each with one optional LEADING space; interior whitespace runs keep
+    * all but their last space (`\s+(?!\S)`), the last space attaching to
+    * the following token. The alternation covers every character, so the
+    * pre-tokens CONCATENATE back to the input exactly — the property the
+    * whole-document round-trip identity leans on. Case is preserved
+    * (GPT-2 merges are case-sensitive), unlike [[Fns.tokens]].
+    */
+  val Gpt2PretokPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** Pre-token array of a text column under [[Gpt2PretokPattern]]. */
+  def gpt2PreTokens(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit(Gpt2PretokPattern), lit(0))
+
+  /** [[byteMappedText]] at GPT-2 pre-token grain: each pre-token
+    * (INCLUDING its leading-space byte — space maps to a non-whitespace
+    * byte symbol, so the trainer's whitespace re-tokenization still
+    * recovers exactly these units) byte-mapped and space-joined.
+    */
+  private[graft] def byteMappedPretokText(docs: DataFrame,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val in = docs.select(gpt2PreTokens(col(textCol)).as("__toks"))
+    implicit val enc = Encoders.row(StructType(Seq(
+      StructField("text", StringType, nullable = true))))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val ts = r.getSeq[String](0)
+        Row(ts.iterator.map(byteMapString).mkString(" "))
+      }
+    }
+  }
+
+  /** [[bbpeTrain]] with GPT-2 regex pre-tokenization instead of the
+    * whitespace convention: merges never cross pre-token boundaries, so
+    * punctuation/contraction-adjacent merges differ from the
+    * whitespace-split path (e.g. a whitespace token `it's` lets BPE merge
+    * across the apostrophe; the pre-tokenizer splits `it` / `'s` first —
+    * the GPT-2 fidelity gap VERDICT r12 flagged).
+    */
+  def bbpeTrainPretok(docs: DataFrame, textCol: String, nMerges: Int,
+      maxWordTypes: Long = MaxDriverWordTypes): DataFrame =
+    bpeTrain(byteMappedPretokText(docs, textCol), "text", nMerges,
+      maxWordTypes)
+
+  /** [[bbpeEncode]] at GPT-2 pre-token grain. Pre-tokens partition the
+    * text exactly (no dropped separators, case preserved), so beyond the
+    * per-token identity, concatenating every token's pieces in
+    * (token_idx) order reconstructs the byte-mapped DOCUMENT —
+    * [[byteUnmapString]] of that is the original text verbatim.
+    */
+  def bbpeEncodePretok(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    bbpeEncodeToks(
+      docs.select(col(idCol).as("doc"),
+        posexplode(gpt2PreTokens(col(textCol))).as(Seq("token_idx", "token"))),
+      merges)
 }

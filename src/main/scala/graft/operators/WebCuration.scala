@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Fns
 
 /** Web-corpus curation operators: URL canonicalization, registered-domain
   * extraction, and canonical-URL deduplication — the normalization layer a
@@ -107,5 +108,87 @@ object WebCuration {
       lower(trim(col(blocked.columns.head))).as("__blocked_domain"))
     docs.withColumn("registered_domain", registeredDomain(col(urlCol)))
       .join(bl, col("registered_domain") === col("__blocked_domain"), "left_anti")
+  }
+
+  /** Block-level tags that delimit content blocks for [[mainContent]] —
+    * the jusText segmentation rule: a block is the text between block-tag
+    * boundaries; inline tags (<a>, <b>, <span>, …) stay inside the block.
+    */
+  private val BlockTagAlt =
+    "p|div|h[1-6]|li|ul|ol|td|tr|table|blockquote|section|article|header|footer|nav|br"
+
+  /** Main-content extraction (boilerplate removal) — the text-density /
+    * link-density block classifier every web-scale corpus pipeline runs
+    * between raw HTML and quality filtering (jusText, Pomikálek 2011;
+    * trafilatura uses the same block-score idea). [[graft.operators.TextAnalysis.stripMarkup]]
+    * removes ALL markup indiscriminately, so nav bars, footers and legal
+    * boilerplate survive into the "clean" text; this operator classifies
+    * each block first and keeps only main-content blocks.
+    *
+    * Per block (text between block-level tags): `link_ppm` = chars of
+    * <a>-anchored text ÷ block chars, `stop_ppm` = stopword-token
+    * fraction ([[TextAnalysis.StopWords]]), `n_chars` after markup
+    * strip — all ppm-integer via explicit floor (the oracle-parity
+    * discipline). Classification: link-dominated → `bad`; tiny → `short`;
+    * long + stopword-dense → `good`; else `neutral`. A context pass then
+    * promotes short/neutral blocks SURROUNDED by good blocks on both
+    * sides (the simplified rendering of jusText's neighborhood rule — an
+    * either-side rule would wrongly re-admit headers adjacent to the
+    * first paragraph) — one doc-partitioned window, no shuffle beyond
+    * the doc key.
+    *
+    * Thresholds: jusText's canonical stopword bar is 0.30 against a
+    * full per-language stoplist; [[TextAnalysis.StopWords]] is a 10-word
+    * deterministic subset, so the default here is calibrated to the
+    * corpus (measured median density 0.056 on `documents.text`).
+    *
+    * Scale shape: pure per-row column expressions (codegen'd regex +
+    * HOF over the exploded block table), ONE window and ONE aggregation
+    * both keyed on the doc id — shuffle carries block rows once.
+    * Output: (doc, n_blocks, n_good, main_text).
+    */
+  def mainContent(docs: DataFrame, idCol: String, htmlCol: String,
+      linkDensityMaxPpm: Long = 200000L, stopDensityMinPpm: Long = 30000L,
+      minGoodChars: Int = 80, shortChars: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        posexplode(split(
+          regexp_replace(col(htmlCol), s"</?($BlockTagAlt)[^>]*>", "\u0001"),
+          "\u0001")).as(Seq("bi", "raw")))
+    val anchorInner =
+      regexp_extract_all(col("raw"), lit("<a[^>]*>([^<]*)</a>"), lit(1))
+    val scored = blocks
+      .withColumn("text", TextAnalysis.stripMarkup(col("raw")))
+      .filter(col("text") =!= "")
+      .withColumn("link_chars",
+        coalesce(aggregate(anchorInner, lit(0L),
+          (acc, x) => acc + length(x)), lit(0L)))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("ts", Fns.tokens(col("text")))
+      .withColumn("link_ppm", floor(col("link_chars") * lit(1000000.0) /
+        greatest(col("n_chars"), lit(1))).cast("long"))
+      .withColumn("stop_ppm", floor(
+        size(filter(col("ts"), t => t.isin(TextAnalysis.StopWords: _*))) *
+          lit(1000000.0) / greatest(size(col("ts")), lit(1))).cast("long"))
+      .withColumn("cls",
+        when(col("link_ppm") > linkDensityMaxPpm, "bad")
+          .when(col("n_chars") < shortChars, "short")
+          .when(col("stop_ppm") >= stopDensityMinPpm &&
+            col("n_chars") >= minGoodChars, "good")
+          .otherwise("neutral"))
+    val byPos = Window.partitionBy("doc").orderBy("bi")
+    val judged = scored.withColumn("keep",
+      col("cls") === "good" ||
+        ((col("cls") === "short" || col("cls") === "neutral") &&
+          lag(col("cls"), 1).over(byPos) === "good" &&
+          lead(col("cls"), 1).over(byPos) === "good"))
+    judged.groupBy("doc").agg(
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_good"),
+      coalesce(array_join(transform(array_sort(
+          collect_list(when(col("keep"), struct(col("bi"), col("text"))))),
+        s => s.getField("text")), " "), lit("")).as("main_text"))
   }
 }

@@ -54,8 +54,29 @@ object TrainingDataOps {
     * recounts adjacent pairs from w{r-1}, argmaxes deterministically, and
     * applies the merge with the SAME delimited literal replace as Spark.
     */
+  /** DuckDB emulation of [[graft.operators.Vocab.gpt2PreTokens]] over the
+    * `text` column. RE2 has no lookahead; `\\s+(?!\\S)` makes a whitespace
+    * run followed by \\S split as (run minus its LAST char) + the last
+    * char, where a last SPACE attaches to the following token and a last
+    * non-space ws char stands alone. Emulated with sentinels (chr(2),
+    * excluded from every class so it vanishes from the match stream):
+    * rule 1 brackets a non-space-ws char directly before \\S - it must
+    * stand alone; rule 2 puts a sentinel BEFORE a space directly before
+    * \\S - the space must attach. After the rewrite no whitespace run
+    * directly precedes \\S, so a plain `\\s+` alternative reproduces the
+    * lookahead split. Extra sentinels at boundaries that would fall
+    * anyway are harmless; Round13OpsSpec pins the mixed-run cases and
+    * the oracle rows pin engine parity corpus-wide.
+    */
+  private val duckPretokList: String =
+    """regexp_extract_all(regexp_replace(regexp_replace(text,""" +
+      """ '([^\S ])(\S)', chr(2) || '\1' || chr(2) || '\2', 'g'),""" +
+      """ ' (\S)', chr(2) || ' \1', 'g'),""" +
+      """ '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+|""" +
+      """ ?[^\s\p{L}\p{N}\u0002]+|\s+', 0)"""
+
   private def duckBpeCtes(n: Int, src: String = "documents",
-      tokExpr: String = "token"): String = {
+      tokExpr: String = "token", toksExpr: String = duckToks): String = {
     // w$r/b$r MUST be MATERIALIZED (the duckWpCtes lesson): DuckDB inlines
     // plain CTEs and each round references its predecessor 2-3×, so an
     // inlined chain re-evaluates w0 (and any expensive tokExpr, e.g. the
@@ -74,7 +95,7 @@ object TrainingDataOps {
     s"""w0 AS MATERIALIZED (
        |  SELECT '  ' || regexp_replace($tokExpr, '(.)', '\\1  ', 'g') AS w, cnt FROM (
        |    SELECT token, count(*) AS cnt FROM (
-       |      SELECT unnest($duckToks) AS token FROM $src)
+       |      SELECT unnest($toksExpr) AS token FROM $src)
        |    WHERE token <> '' GROUP BY token)),
        |$rounds""".stripMargin
   }
@@ -121,6 +142,36 @@ object TrainingDataOps {
     docs.filter(col("doc_id") < 400).select("doc_id", "text")
       .unionByName(bbpeFixtures.toDF("doc_id", "text"))
   }
+
+  /** Fixture pair for the GPT-2 PRE-TOKENIZED byte-BPE rows: contractions
+    * (the regex's special-cased suffixes), preserved case, digit runs,
+    * punctuation adjacency, interior multi-space runs, a tab, and
+    * trailing whitespace — every branch of [[graft.operators.Vocab.Gpt2PretokPattern]],
+    * plus multi-byte UTF-8. The `it's`/`don't` repeats make an
+    * apostrophe-crossing merge attractive to the WHITESPACE-split
+    * trainer, which the pre-tokenizer forbids — the fixture where the
+    * two merge tables provably differ.
+    */
+  private val pretokFixtures: Seq[(Long, String)] = Seq(
+    (-3L, "It's it's it's don't don't we're I'll they'd 2026 abc123 Hello,world"),
+    (-4L, "MIXED Case  two  spaces\ttab héllo 你好 😀! trailing  "),
+    // mixed whitespace runs: the lookahead-emulation cases the sentinel
+    // rewrite must reproduce (space+tab+letter, tab+space, double tab)
+    (-5L, "x \tb a\t b m\t\tn end \t "))
+
+  private def pretokSparkSrc(docs: org.apache.spark.sql.DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") < 400).select("doc_id", "text")
+      .unionByName(pretokFixtures.toDF("doc_id", "text"))
+  }
+
+  private val pretokDuckSrc: String =
+    "(SELECT doc_id, text FROM documents WHERE doc_id < 400" +
+      pretokFixtures.map { case (id, s) =>
+        val esc = s.replace("'", "''")
+        s" UNION ALL SELECT CAST($id AS BIGINT), '$esc'"
+      }.mkString + ")"
 
   /** DuckDB CTE chain replaying [[TextAnalysis.perceptronTrain]]'s POCKET
     * batch perceptron exactly: features are hashed-token counts (the
@@ -503,11 +554,11 @@ object TrainingDataOps {
   }
 
   private def duckBpeSql(n: Int, src: String = "documents",
-      tokExpr: String = "token"): String = {
+      tokExpr: String = "token", toksExpr: String = duckToks): String = {
     val out = (1 to n).map(r =>
       s"SELECT CAST($r AS INTEGER) AS merge_rank, l AS lhs, r2 AS rhs, l||r2 AS merged, freq FROM b$r")
       .mkString("\nUNION ALL\n")
-    s"""WITH ${duckBpeCtes(n, src, tokExpr)}
+    s"""WITH ${duckBpeCtes(n, src, tokExpr, toksExpr)}
        |SELECT * FROM (
        |$out
        |) ORDER BY merge_rank""".stripMargin
@@ -518,15 +569,16 @@ object TrainingDataOps {
     * (t0 splits the MAPPED form), then each round's winner applies with
     * the identical delimited literal replace.
     */
-  private def duckBbpeEncodeSql(n: Int): String = {
+  private def duckBbpeEncodeSql(n: Int, src: String = bbpeDuckSrc,
+      toksExpr: String = duckToks): String = {
     val applies = (1 to n).map { r =>
       s"""t$r AS MATERIALIZED (SELECT doc_id, token_idx, token, mapped,
          |  replace(t.t, ' '||b.l||'  '||b.r2||' ', ' '||b.l||b.r2||' ') AS t
          |  FROM t${r - 1} t CROSS JOIN b$r b)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${duckBpeCtes(n, bbpeDuckSrc, duckByteMap("token"))},
+    s"""WITH ${duckBpeCtes(n, src, duckByteMap("token"), toksExpr)},
        |tok AS (SELECT doc_id, unnest(range(len(ts))) AS token_idx, unnest(ts) AS token
-       |  FROM (SELECT doc_id, $duckToks AS ts FROM $bbpeDuckSrc)),
+       |  FROM (SELECT doc_id, $toksExpr AS ts FROM $src)),
        |t0 AS MATERIALIZED (SELECT doc_id, token_idx, token,
        |  ${duckByteMap("token")} AS mapped,
        |  '  ' || regexp_replace(${duckByteMap("token")}, '(.)', '\\1  ', 'g') AS t
@@ -4691,6 +4743,77 @@ object TrainingDataOps {
       duckBpeTrainRecursiveSql(200, bbpeDuckSrc, duckByteMap("token"))
     ),
 
+    // ---- GPT-2 regex pre-tokenization (the byte-BPE fidelity gap) -------
+    // Per-token parity of the pre-token stream itself: contraction
+    // suffixes, leading-space attachment, the `\s+(?!\S)` interior-run
+    // split (RE2-emulated with a sentinel — see duckPretokList), tabs,
+    // digits, preserved case.
+    "tx_bbpe_pretok" -> QuerySpec(
+      (s, dir) =>
+        pretokSparkSrc(t(s, dir, "documents"))
+          .select(col("doc_id"),
+            posexplode(graft.operators.Vocab.gpt2PreTokens(col("text")))
+              .as(Seq("token_idx", "pretok")))
+          .orderBy("doc_id", "token_idx"),
+      s"""WITH p AS (SELECT doc_id, $duckPretokList AS ts FROM $pretokDuckSrc),
+         |u AS (SELECT doc_id, unnest(range(len(ts))) AS token_idx,
+         |  unnest(ts) AS pretok FROM p)
+         |SELECT doc_id, CAST(token_idx AS INTEGER) AS token_idx, pretok
+         |FROM u ORDER BY doc_id, token_idx""".stripMargin
+    ),
+
+    // ---- pre-token exact-partition identity ------------------------------
+    // The alternation covers every character, so concatenating the
+    // pre-tokens reconstructs the document byte-for-byte — the property
+    // the whole-document encode round-trip leans on. Both engines assert
+    // it per doc.
+    "tx_bbpe_pretok_identity" -> QuerySpec(
+      (s, dir) =>
+        pretokSparkSrc(t(s, dir, "documents"))
+          .select(col("doc_id"),
+            graft.operators.Vocab.gpt2PreTokens(col("text")).as("ts"),
+            col("text"))
+          .select(col("doc_id"), size(col("ts")).as("n_pretoks"),
+            (array_join(col("ts"), "") === col("text")).as("reconstructed"))
+          .orderBy("doc_id"),
+      s"""WITH p AS (SELECT doc_id, text, $duckPretokList AS ts
+         |  FROM $pretokDuckSrc)
+         |SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_pretoks,
+         |  array_to_string(ts, '') = text AS reconstructed
+         |FROM p ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- byte-BPE trained at pre-token grain -----------------------------
+    // Merges never cross pre-token boundaries: on the contraction-heavy
+    // fixture the whitespace-split trainer merges across the apostrophe
+    // while this table cannot (Round13OpsSpec pins the difference); the
+    // oracle replays the identical loop over the pre-token word types.
+    "tx_bbpe_pretok_train" -> QuerySpec(
+      (s, dir) =>
+        graft.operators.Vocab.bbpeTrainPretok(
+            pretokSparkSrc(t(s, dir, "documents")), "text", 12)
+          .orderBy("merge_rank"),
+      duckBpeSql(12, pretokDuckSrc, duckByteMap("token"), duckPretokList)
+    ),
+
+    // ---- byte-BPE encode at pre-token grain (+ round-trip flag) ----------
+    "tx_bbpe_pretok_encode" -> QuerySpec(
+      (s, dir) => {
+        val src = pretokSparkSrc(t(s, dir, "documents"))
+        val merges = graft.operators.Vocab.bbpeTrainPretok(src, "text", 12)
+          .orderBy("merge_rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.Vocab.bbpeEncodePretok(src, "doc_id", "text", merges)
+          .select(col("doc").as("doc_id"), col("token_idx"), col("token"),
+            col("mapped"),
+            array_join(col("pieces"), " ").as("pieces"),
+            size(col("pieces")).as("n_pieces"),
+            (array_join(col("pieces"), "") === col("mapped")).as("roundtrip"))
+          .orderBy("doc_id", "token_idx")
+      },
+      duckBbpeEncodeSql(12, pretokDuckSrc, duckPretokList)
+    ),
+
     // ---- BPE training, INCREMENTAL driver tier (nMerges > 64) -----------
     // 500 merges provably cross the MaxJobPerMergeRounds dispatch into
     // bpeTrainIncremental (pair-delta driver loop). The oracle evaluates
@@ -5395,6 +5518,81 @@ object TrainingDataOps {
          |FROM s ORDER BY doc_id""".stripMargin
     ),
 
+    // ---- Main-content extraction (jusText-style boilerplate removal) ---
+    // The block between stripMarkup and the quality gates: nav/footer
+    // blocks die on link density, tiny blocks on length, and the context
+    // pass re-admits short/neutral blocks SURROUNDED by good ones. The
+    // fixture synthesizes a full page (nav with links, two real
+    // paragraphs, a tiny inter-paragraph note, a legal footer) from
+    // document fields byte-identically on both engines; the oracle
+    // replays segmentation, ppm scoring, classification, and the context
+    // window.
+    "web_main_content" -> QuerySpec(
+      (s, dir) => {
+        val html = concat(
+          lit("<html><body><div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/s\">"),
+          col("source"),
+          lit("</a> <a href=\"/m\">more links</a></div><p>"),
+          substring(col("text"), 1, 200),
+          lit("</p><p>tiny note</p><p>"),
+          substring(col("text"), 201, 180),
+          lit("</p><div class=\"ftr\">(c) 2026 legal <a href=\"/t\">Terms</a> <a href=\"/p\">Privacy</a></div></body></html>"))
+        WebCuration.mainContent(
+            t(s, dir, "documents").withColumn("html", html),
+            "doc_id", "html")
+          .withColumnRenamed("doc", "doc_id")
+          .orderBy("doc_id")
+      },
+      {
+        val stop = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+        val blockTags =
+          "p|div|h[1-6]|li|ul|ol|td|tr|table|blockquote|section|article|header|footer|nav|br"
+        s"""WITH h AS (SELECT doc_id,
+           |  '<html><body><div class="nav"><a href="/">Home</a> <a href="/s">' ||
+           |  source || '</a> <a href="/m">more links</a></div><p>' ||
+           |  substr(text, 1, 200) || '</p><p>tiny note</p><p>' ||
+           |  substr(text, 201, 180) ||
+           |  '</p><div class="ftr">(c) 2026 legal <a href="/t">Terms</a> <a href="/p">Privacy</a></div></body></html>'
+           |    AS html
+           |  FROM documents),
+           |b AS (SELECT doc_id, unnest(range(len(bs))) AS bi, unnest(bs) AS raw
+           |  FROM (SELECT doc_id, string_split(regexp_replace(html,
+           |    '</?($blockTags)[^>]*>', chr(1), 'g'), chr(1)) AS bs FROM h)),
+           |st AS (SELECT doc_id, bi, raw,
+           |  trim(regexp_replace(
+           |    replace(replace(replace(replace(replace(replace(
+           |      regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+           |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           |      '&nbsp;', ' '), '&amp;', '&'),
+           |    '\\s+', ' ', 'g')) AS text,
+           |  coalesce(list_sum(list_transform(
+           |    regexp_extract_all(raw, '<a[^>]*>([^<]*)</a>', 1),
+           |    x -> length(x))), 0) AS link_chars
+           |  FROM b),
+           |m AS (SELECT doc_id, bi, text, link_chars, length(text) AS n_chars,
+           |  string_split_regex(trim(lower(text)), '\\s+') AS ts
+           |  FROM st WHERE text <> ''),
+           |d AS (SELECT doc_id, bi, text, n_chars,
+           |  CAST(floor(link_chars*1000000.0/greatest(n_chars, 1)) AS BIGINT)
+           |    AS link_ppm,
+           |  CAST(floor(len(list_filter(ts, t -> t IN ($stop)))*1000000.0
+           |    /greatest(len(ts), 1)) AS BIGINT) AS stop_ppm
+           |  FROM m),
+           |c AS (SELECT *, CASE WHEN link_ppm > 200000 THEN 'bad'
+           |  WHEN n_chars < 40 THEN 'short'
+           |  WHEN stop_ppm >= 30000 AND n_chars >= 80 THEN 'good'
+           |  ELSE 'neutral' END AS cls FROM d),
+           |f AS (SELECT *, (cls = 'good' OR ((cls = 'short' OR cls = 'neutral')
+           |  AND lag(cls) OVER w = 'good' AND lead(cls) OVER w = 'good')) AS keep
+           |  FROM c WINDOW w AS (PARTITION BY doc_id ORDER BY bi))
+           |SELECT doc_id, count(*) AS n_blocks,
+           |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           |  coalesce(string_agg(text, ' ' ORDER BY bi) FILTER (WHERE keep), '')
+           |    AS main_text
+           |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }
+    ),
+
     "tx_normalize" -> QuerySpec(
       (s, dir) => {
         val raw = concat_ws("  ", upper(col("c_name")), lit("!!"),
@@ -5495,9 +5693,16 @@ object TrainingDataOps {
               x => x.getField("l")), "\n"),
             lit("<div id=\"ftr\">FOOTER: (c) legal</div>")).as("html"))
         val deduped = Dedup.lineDedup(pages, "page", "html")
-        val stripped = deduped.select(col("doc").as("page"),
-          TextAnalysis.stripMarkup(col("cleaned")).as("text_clean"))
-        val gated = stripped
+        // r13: main-content extraction replaces the indiscriminate
+        // stripMarkup — the header/footer boilerplate blocks now die on
+        // the jusText-style block classifier instead of surviving into
+        // the gated text (lineDedup already removed their REPEATS; the
+        // block scorer removes the first copies too)
+        val main = WebCuration.mainContent(
+            deduped.select(col("doc").as("page"), col("cleaned")),
+            "page", "cleaned")
+          .select(col("doc").as("page"), col("main_text").as("text_clean"))
+        val gated = main
           .filter(TextAnalysis.tokenCount(col("text_clean")) >= 20)
         val dom = when(col("page") % 10 < 6, lit("a"))
           .when(col("page") % 10 < 9, lit("b")).otherwise(lit("c"))
@@ -5536,12 +5741,42 @@ object TrainingDataOps {
          |  ON li.page = drops.page AND li.p = drops.p),
          |reb AS (SELECT page, string_agg(line, chr(10) ORDER BY p) AS cleaned
          |  FROM kept GROUP BY page),
-         |strip AS (SELECT page, trim(regexp_replace(
-         |  replace(replace(replace(replace(replace(replace(
-         |    regexp_replace(cleaned, '<[^>]*>', ' ', 'g'),
-         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-         |    '&nbsp;', ' '), '&amp;', '&'),
-         |  '\\s+', ' ', 'g')) AS text_clean FROM reb),
+         |blk AS (SELECT page, unnest(range(len(bs))) AS bi, unnest(bs) AS raw
+         |  FROM (SELECT page, string_split(regexp_replace(cleaned,
+         |    '</?(p|div|h[1-6]|li|ul|ol|td|tr|table|blockquote|section|article|header|footer|nav|br)[^>]*>',
+         |    chr(1), 'g'), chr(1)) AS bs FROM reb)),
+         |bst AS (SELECT page, bi,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |      '&nbsp;', ' '), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS text,
+         |  coalesce(list_sum(list_transform(
+         |    regexp_extract_all(raw, '<a[^>]*>([^<]*)</a>', 1),
+         |    x -> length(x))), 0) AS link_chars
+         |  FROM blk),
+         |bm AS (SELECT page, bi, text, link_chars, length(text) AS n_chars,
+         |  string_split_regex(trim(lower(text)), '\\s+') AS ts
+         |  FROM bst WHERE text <> ''),
+         |bd AS (SELECT page, bi, text, n_chars,
+         |  CAST(floor(link_chars*1000000.0/greatest(n_chars, 1)) AS BIGINT)
+         |    AS link_ppm,
+         |  CAST(floor(len(list_filter(ts, t -> t IN (
+         |    ${TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")})))
+         |    *1000000.0/greatest(len(ts), 1)) AS BIGINT) AS stop_ppm
+         |  FROM bm),
+         |bc AS (SELECT *, CASE WHEN link_ppm > 200000 THEN 'bad'
+         |  WHEN n_chars < 40 THEN 'short'
+         |  WHEN stop_ppm >= 30000 AND n_chars >= 80 THEN 'good'
+         |  ELSE 'neutral' END AS cls FROM bd),
+         |bf AS (SELECT *, (cls = 'good' OR ((cls = 'short' OR cls = 'neutral')
+         |  AND lag(cls) OVER bw = 'good' AND lead(cls) OVER bw = 'good')) AS keep
+         |  FROM bc WINDOW bw AS (PARTITION BY page ORDER BY bi)),
+         |strip AS (SELECT page,
+         |  coalesce(string_agg(text, ' ' ORDER BY bi) FILTER (WHERE keep), '')
+         |    AS text_clean
+         |  FROM bf GROUP BY page),
          |gated AS (SELECT page, text_clean,
          |  len(string_split_regex(trim(lower(text_clean)), '\\s+')) AS n_toks,
          |  CASE WHEN page % 10 < 6 THEN 'a' WHEN page % 10 < 9 THEN 'b'

@@ -107,6 +107,56 @@ class Round13OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"graph-walk recall@5 too low: $recall")
   }
 
+  test("gpt2PreTokens: contraction/space/tab/trailing behavior and exact partition") {
+    import spark.implicits._
+    import graft.operators.Vocab
+    val cases = Seq(
+      "It's fine" -> Seq("It", "'s", " fine"),
+      "don't stop" -> Seq("don", "'t", " stop"),
+      "a   b" -> Seq("a", "  ", " b"),     // interior run: all-but-last + attached
+      "x\tb" -> Seq("x", "\t", "b"),        // tab never attaches
+      // mixed runs: the lookahead cuts the run ONE char before \S; a
+      // non-space last char stands alone, never merged into the prefix
+      "x \tb" -> Seq("x", " ", "\t", "b"),
+      "a \t b" -> Seq("a", " \t", " b"),
+      "x\t\tb" -> Seq("x", "\t", "\t", "b"),
+      "hi!" -> Seq("hi", "!"),
+      "ab12cd" -> Seq("ab", "12", "cd"),
+      "tail  " -> Seq("tail", "  "),        // trailing run stays whole
+      "Hello,world" -> Seq("Hello", ",", "world"),
+      " lead" -> Seq(" lead"))
+    val got = cases.map(_._1).toDF("text")
+      .select(Vocab.gpt2PreTokens(col("text"))).as[Seq[String]].collect()
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g === want, s"pretok of '$in'")
+      assert(g.mkString === in, s"exact partition of '$in'")
+    }
+  }
+
+  test("bbpeTrainPretok: merge table differs from whitespace-split bbpe on contractions") {
+    import spark.implicits._
+    import graft.operators.Vocab
+    // whitespace tokens keep "it's" whole, so (t,')-adjacent merges can
+    // cross the apostrophe; the pre-tokenizer splits it / 's first
+    val docs = Seq.fill(30)("it's it's don't").zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    def table(df: org.apache.spark.sql.DataFrame) = df.orderBy("merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val ws = table(Vocab.bbpeTrain(docs, "text", 8))
+    val pt = table(Vocab.bbpeTrainPretok(docs, "text", 8))
+    assert(ws !== pt, "pre-tokenization must change the learned merges")
+    // the whitespace path learns a merge whose merged symbol spans the
+    // apostrophe (byte of ' = 0x27 inside a merged piece with letters);
+    // the pretok path must never produce one, since ' starts its own unit
+    val apos = Vocab.byteMapString("'").head
+    def crossesApos(t: Seq[(String, String)]) = t.exists { case (l, r) =>
+      val m = l + r
+      m.length > 1 && m.indexOf(apos.toInt) > 0
+    }
+    assert(crossesApos(ws), "fixture must make ws-path merge across '")
+    assert(!crossesApos(pt), "pretok path merged across the apostrophe")
+  }
+
   test("incrementalNearDupServeChecked: parameter mismatch fails loudly") {
     import spark.implicits._
     val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog again and again"))
