@@ -854,6 +854,50 @@ object Ann {
     * driver-bounded contract). Periodic retraining when drift accumulates
     * is a policy decision layered on [[ivfPqBuild]].
     */
+  /** Frozen-quantizer code rows (id, codes, centroid) for a vector batch
+    * as ONE pure literal-expression projection — the STREAM-SAFE form of
+    * [[ivfPqAppend]]'s math: centroids and books are driver-bounded, so
+    * they ride as literal arrays instead of a broadcast join, leaving no
+    * join/aggregation at all (legal under any streaming output mode, and
+    * a zero-shuffle projection in batch). Round13OpsSpec pins row
+    * identity against [[ivfPqAppend]]'s join-based formulation; the
+    * streaming ingest path ([[graft.streaming.StreamingAnn]]) is this
+    * projection over a readStream.
+    */
+  def ivfPqCodeProjection(index: IvfPqIndex, batch: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    import batch.sparkSession.implicits._
+    val cents: Seq[(Int, Seq[Double])] = index.centroids
+      .select(col("centroid").cast("int"), col("center"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val centArr = transform(
+      lit(cents.map(_._1).toArray),
+      (c, i) => struct(c.as("c"),
+        element_at(typedLit(cents.map(_._2)), i + 1).as("center")))
+    // centroid-ID-addressed slot table (ids may be sparse when a k-means
+    // cell emptied): slot c+1 holds centroid c's center; gap slots hold
+    // an empty array the argmin can never select
+    val maxId = cents.map(_._1).max
+    val byId = cents.toMap
+    val centersByIdx = typedLit(
+      (0 to maxId).map(i => byId.getOrElse(i, Seq.empty[Double])))
+    val m = index.books.size
+    val sub = index.books.head.head._2.length
+    val assigned = batch
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("centroid", centArgmin(centArr, col("v")))
+    val withFv =
+      if (!index.byResidual) assigned.withColumn("fv", col("v"))
+      else assigned.withColumn("fv",
+        zip_with(col("v"),
+          element_at(centersByIdx, col("centroid") + 1), _ - _))
+    withFv.select(col("id"), array((0 until m).map(s =>
+        centArgmin(pqBookLit(index.books(s)),
+          slice(col("fv"), s * sub + 1, sub))): _*).as("codes"),
+      col("centroid"))
+  }
+
   def ivfPqAppend(index: IvfPqIndex, batch: DataFrame, idCol: String,
       vecCol: String): IvfPqIndex = {
     val spark = batch.sparkSession

@@ -358,6 +358,145 @@ object Multimodal {
     }
   }
 
+  /** MPEG-1 Layer III bitrate table, kbps by header index 1–14 (index 0
+    * is "free", 15 is forbidden — both quarantine). Public constants from
+    * ISO/IEC 11172-3.
+    */
+  val Mp3Bitrates: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample rates by header index 0–2 (3 is reserved). */
+  val Mp3SampleRates: Array[Int] = Array(44100, 48000, 32000)
+
+  /** MP3 fixture spec: `cls` 0 = plain CBR, 1 = ID3v2-tagged VBR (frame j
+    * uses bitrate index `1 + (doc_id + j) mod 14`), 3 = CBR cut 7 bytes
+    * mid-final-frame (shortest legal frame is 96 bytes), 4 = first
+    * header carries the forbidden bitrate index 15. CBR index is
+    * `1 + doc_id mod 14`.
+    */
+  case class Mp3Spec(doc_id: Long, sr_idx: Int, n_frames: Int, cls: Int)
+
+  /** MP3 fixture synthesis: REAL MPEG-1 Layer III framing (sync + version
+    * + layer + bitrate/sample-rate indices; frame length
+    * `144·bitrate/rate + pad`, ISO/IEC 11172-3) with deterministic filler
+    * payloads — the write side of [[mp3Audit]], so every parsed field is
+    * closed-form arithmetic a SQL oracle can replay.
+    */
+  def synthesizeMp3(spark: SparkSession, specs: Dataset[Mp3Spec]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureMinParallelism(specs.toDF()).as[Mp3Spec].mapPartitions { it =>
+      it.map { s =>
+        val out = new java.io.ByteArrayOutputStream()
+        if (s.cls == 1) {
+          val pad = (s.doc_id % 50).toInt
+          out.write("ID3".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+          out.write(Array[Byte](4, 0, 0)) // version 2.4.0, no flags
+          // syncsafe 28-bit size (7 bits per byte)
+          out.write((pad >> 21) & 0x7f); out.write((pad >> 14) & 0x7f)
+          out.write((pad >> 7) & 0x7f); out.write(pad & 0x7f)
+          (0 until pad).foreach(k => out.write((k * 7 + 3) % 128))
+        }
+        val sr = Mp3SampleRates(s.sr_idx)
+        for (j <- 0 until s.n_frames) {
+          val bidx =
+            if (s.cls == 1) (1 + ((s.doc_id + j) % 14)).toInt
+            else (1 + (s.doc_id % 14)).toInt
+          val frameLen = 144 * Mp3Bitrates(bidx) * 1000 / sr
+          out.write(0xff); out.write(0xfb) // sync + MPEG1 + Layer III
+          out.write((bidx << 4) | (s.sr_idx << 2))
+          out.write(0)
+          (4 until frameLen).foreach(k =>
+            out.write(((s.doc_id + j * 31 + k * 7) % 251).toInt))
+        }
+        val bytes = out.toByteArray
+        val fuzzed = s.cls match {
+          case 3 => java.util.Arrays.copyOf(bytes, bytes.length - 7)
+          case 4 =>
+            bytes(2) = ((0xf << 4) | (s.sr_idx << 2)).toByte; bytes
+          case _ => bytes
+        }
+        BinaryDoc(s.doc_id, fuzzed)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  private def mp3Claims(b: Array[Byte]): Boolean =
+    (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+      (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)
+
+  /** MPEG-1 Layer III frame-header walk — pure byte arithmetic over the
+    * public header layout (ISO/IEC 11172-3): skip an ID3v2 tag (syncsafe
+    * size), then hop frame to frame by the declared length; interior
+    * bytes are never inspected, so cost is O(frames), not O(bytes).
+    * Returns (frames, sampleRate, mean kbps, durationMs) — duration =
+    * frames · 1152 samples / rate — or a stable failure reason
+    * (forbidden bitrate/rate index → bad_header; a declared frame
+    * overrunning the payload → truncated).
+    */
+  private def parseMp3(b: Array[Byte]): Either[String, (Int, Int, Int, Long)] = {
+    var pos = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      pos = 10 + size
+      if (pos > b.length) return Left("truncated")
+    }
+    var n = 0; var sr = -1; var kbpsSum = 0L
+    while (pos < b.length) {
+      if (pos + 4 > b.length) return Left("truncated")
+      if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xe0) != 0xe0)
+        return Left("bad_header")
+      if (((b(pos + 1) >> 3) & 3) != 3 || ((b(pos + 1) >> 1) & 3) != 1)
+        return Left("unsupported_mpeg") // only MPEG-1 Layer III here
+      val bidx = (b(pos + 2) >> 4) & 0xf
+      val sridx = (b(pos + 2) >> 2) & 3
+      if (bidx == 0 || bidx == 15 || sridx == 3) return Left("bad_header")
+      val thisSr = Mp3SampleRates(sridx)
+      if (sr < 0) sr = thisSr
+      else if (sr != thisSr) return Left("mixed_sample_rate")
+      val pad = (b(pos + 2) >> 1) & 1
+      val frameLen = 144 * Mp3Bitrates(bidx) * 1000 / thisSr + pad
+      if (pos + frameLen > b.length) return Left("truncated")
+      kbpsSum += Mp3Bitrates(bidx)
+      n += 1
+      pos += frameLen
+    }
+    if (n == 0) Left("bad_header")
+    else Right((n, sr, (kbpsSum / n).toInt, n * 1152L * 1000L / sr))
+  }
+
+  /** Per-payload MP3 audit verdict. */
+  case class Mp3Meta(doc_id: Long, n_bytes: Long, status: String,
+      err: Option[String], n_frames: Int, sample_rate: Int,
+      bitrate_kbps: Int, duration_ms: Long)
+
+  /** Partition-parallel MP3 metadata audit: binary column → typed
+    * [[Mp3Meta]] with the ok/unsupported/corrupt fan-out — the lossy-
+    * audio sibling of the `mm_jpeg_decode` tier (VERDICT r12 #5). A
+    * payload that CLAIMS the sync/ID3 magic but fails the frame walk is
+    * a `corrupt` row with a stable reason, never a task failure; a
+    * payload with neither magic is `unsupported`. Zero shuffle.
+    */
+  def mp3Audit(spark: SparkSession, binDocs: DataFrame): Dataset[Mp3Meta] = {
+    import spark.implicits._
+    val base =
+      if (binDocs.isStreaming) binDocs
+      else graft.Tables.ensureMinParallelism(binDocs)
+    base.as[BinaryDoc].mapPartitions { it =>
+      it.map { d =>
+        val n = d.payload.length.toLong
+        if (!mp3Claims(d.payload))
+          Mp3Meta(d.doc_id, n, "unsupported", None, 0, 0, 0, 0L)
+        else parseMp3(d.payload) match {
+          case Right((frames, sr, kbps, durMs)) =>
+            Mp3Meta(d.doc_id, n, "ok", None, frames, sr, kbps, durMs)
+          case Left(reason) =>
+            Mp3Meta(d.doc_id, n, "corrupt", Some(reason), 0, 0, 0, 0L)
+        }
+      }
+    }
+  }
+
   /** WAV fixture synthesis: a REAL RIFF/WAVE container (44-byte canonical
     * header + silent PCM data) per spec row — the write side of
     * [[decodeAvMeta]]'s WAV parser, used by tests and the

@@ -2888,6 +2888,69 @@ object TrainingDataOps {
         |FROM d ORDER BY doc_id""".stripMargin
     ),
 
+    // ---- lossy-audio tier: MP3 frame-header walk (metadata + audit) ----
+    // Real corpora are MP3/AAC, not WAV-PCM; this row mirrors the
+    // mm_jpeg_decode contract for audio: REAL MPEG-1 Layer III framing
+    // synthesized from spec arithmetic, a frame-by-frame header walk
+    // (O(frames), interior bytes never read), and the ok/unsupported/
+    // corrupt fan-out with all statuses distinct on fuzzed fixtures —
+    // garbage bytes, a mid-frame truncation, and the forbidden bitrate
+    // index 15. Duration/bitrate are closed-form (frames·1152/rate,
+    // table-mean) so the oracle replays them exactly, including the
+    // VBR mean over the per-frame bitrate table walk.
+    "mm_mp3_meta" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val m = col("doc_id") % 5
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (col("doc_id") % 3).cast("int").as("sr_idx"),
+          (lit(5) + col("doc_id") % 20).cast("int").as("n_frames"),
+          when(m === 1, 1).when(m === 3, 3).when(m === 4, 4)
+            .otherwise(0).cast("int").as("cls")
+        ).as[Multimodal.Mp3Spec]
+        val bin = Multimodal.synthesizeMp3(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 2,
+              concat(lit("not audio #"), col("doc_id").cast("string"))
+                .cast("binary"))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.mp3Audit(s, bin).toDF()
+          .select(col("doc_id"), col("status"), col("err"), col("n_frames"),
+            col("sample_rate"), col("bitrate_kbps"), col("duration_ms"))
+          .orderBy("doc_id")
+      },
+      {
+        val lst = "[32,40,48,56,64,80,96,112,128,160,192,224,256,320]"
+        s"""WITH s AS (SELECT doc_id, doc_id % 5 AS m,
+           |    CAST(doc_id % 3 AS INTEGER) AS sri, 5 + doc_id % 20 AS n
+           |  FROM documents),
+           |b AS (SELECT doc_id, m, n,
+           |  CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr
+           |  FROM s),
+           |vbj AS (SELECT doc_id, n, unnest(range(n)) AS j FROM b WHERE m = 1),
+           |vb AS (SELECT doc_id,
+           |  CAST(sum($lst[CAST(1 + (doc_id + j) % 14 AS INTEGER)])
+           |    // any_value(n) AS INTEGER) AS mean_kbps
+           |  FROM vbj GROUP BY doc_id)
+           |SELECT b.doc_id,
+           |  CASE WHEN m IN (0, 1) THEN 'ok' WHEN m = 2 THEN 'unsupported'
+           |    ELSE 'corrupt' END AS status,
+           |  CASE WHEN m = 3 THEN 'truncated'
+           |    WHEN m = 4 THEN 'bad_header' END AS err,
+           |  CAST(CASE WHEN m IN (0, 1) THEN n ELSE 0 END AS INTEGER) AS n_frames,
+           |  CAST(CASE WHEN m IN (0, 1) THEN sr ELSE 0 END AS INTEGER)
+           |    AS sample_rate,
+           |  CAST(CASE WHEN m = 0 THEN $lst[CAST(1 + b.doc_id % 14 AS INTEGER)]
+           |    WHEN m = 1 THEN vb.mean_kbps ELSE 0 END AS INTEGER)
+           |    AS bitrate_kbps,
+           |  CAST(CASE WHEN m IN (0, 1) THEN n * 1152 * 1000 // sr ELSE 0 END
+           |    AS BIGINT) AS duration_ms
+           |FROM b LEFT JOIN vb ON b.doc_id = vb.doc_id
+           |ORDER BY b.doc_id""".stripMargin
+      }
+    ),
+
     // ---- native identity resolution (connected components) ------------
     "id_resolution_cc" -> QuerySpec(
       (s, dir) => {

@@ -157,6 +157,61 @@ class Round13OpsSpec extends SparkSpec {
     assert(!crossesApos(pt), "pretok path merged across the apostrophe")
   }
 
+  test("mp3Audit: status fan-out distinct, CBR arithmetic exact, ID3+VBR walks") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // doc 7: CBR, sr_idx 1 (48000 Hz), 12 frames, bitrate idx 1+7%14=8
+    // (112 kbps) -> duration 12*1152*1000/48000 = 288 ms
+    val specs = Seq(
+      Multimodal.Mp3Spec(7L, 1, 12, 0),   // ok CBR
+      Multimodal.Mp3Spec(8L, 0, 6, 1),    // ok ID3v2 + VBR
+      Multimodal.Mp3Spec(9L, 2, 5, 3),    // truncated mid-frame
+      Multimodal.Mp3Spec(10L, 0, 5, 4)    // forbidden bitrate index 15
+    ).toDS()
+    val bin = Multimodal.synthesizeMp3(spark, specs)
+      .unionByName(Seq((11L, "not audio".getBytes)).toDF("doc_id", "payload"))
+    val out = Multimodal.mp3Audit(spark, bin).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out(7L).status === "ok" && out(7L).n_frames === 12 &&
+      out(7L).sample_rate === 48000 && out(7L).bitrate_kbps === 112 &&
+      out(7L).duration_ms === 288L)
+    assert(out(8L).status === "ok" && out(8L).n_frames === 6 &&
+      out(8L).sample_rate === 44100)
+    // VBR mean: frames j=0..5 use idx 1+(8+j)%14 = 9,10,11,12,13,14
+    // -> kbps 128,160,192,224,256,320; mean = 1280/6 = 213
+    assert(out(8L).bitrate_kbps === 213)
+    assert(out(9L).status === "corrupt" && out(9L).err === Some("truncated"))
+    assert(out(10L).status === "corrupt" && out(10L).err === Some("bad_header"))
+    assert(out(11L).status === "unsupported")
+    assert(out.values.map(_.status).toSet === Set("ok", "corrupt", "unsupported"))
+  }
+
+  test("ivfPqCodeProjection ≡ ivfPqAppend rows (absolute and residual coding)") {
+    import graft.operators.Ann
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    for (residual <- Seq(false, true)) {
+      val index = Ann.ivfPqBuild(corpus, "vec_id", "embedding",
+        nLists = 8, m = 8, k = 16, byResidual = residual)
+      // join-based formulation: the appended rows are the delta vs corpus
+      val appended = Ann.ivfPqAppend(index, batch, "vec_id", "embedding")
+        .encoded.join(index.encoded.select("id"), Seq("id"), "left_anti")
+      val projected = Ann.ivfPqCodeProjection(index, batch,
+        "vec_id", "embedding")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("id"), col("codes").cast("array<int>"), col("centroid"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2)))
+        .sortBy(_._1).toSeq
+      assert(rows(projected) === rows(appended),
+        s"residual=$residual: projection must be bit-identical to append")
+      // stream-safety in plan terms: no join, no aggregation anywhere
+      val plan = projected.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+        s"projection must stay join/agg-free, got:\n$plan")
+    }
+  }
+
   test("incrementalNearDupServeChecked: parameter mismatch fails loudly") {
     import spark.implicits._
     val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog again and again"))

@@ -963,4 +963,46 @@ class StreamingSpec extends SparkSpec {
       (2L, 1L, "(direct)", "(direct)", 2.0)))
     q.stop()
   }
+
+  test("streaming IVF-PQ ingest: code assignment ≡ batch append across microbatches") {
+    import graft.operators.Ann
+    import graft.streaming.StreamingAnn
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val index = Ann.ivfPqBuild(emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", nLists = 8, m = 8, k = 16, byResidual = true)
+    val batch = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def line(id: Long, v: Seq[Double], ts: Long) =
+      s"""{"vec_id":$id,"embedding":[${v.mkString(",")}],"ingest_ts":$ts}"""
+    val staging = Files.createTempDirectory("ann-ingest").toString
+    val indexDir = Files.createTempDirectory("ann-ingest-idx").toString
+    val ckpt = Files.createTempDirectory("ann-ingest-ckpt").toString
+    val q = StreamingAnn.ivfPqIngestToParquet(spark, staging, index,
+      indexDir, ckpt)
+    try {
+      // two microbatches — the frozen quantizers make the split irrelevant
+      val (a, b) = batch.splitAt(40)
+      Files.write(java.nio.file.Paths.get(staging, "b1.json"),
+        a.map { case (i, v) => line(i, v, 1700000000L + i) }
+          .mkString("\n").getBytes)
+      q.processAllAvailable()
+      Files.write(java.nio.file.Paths.get(staging, "b2.json"),
+        b.map { case (i, v) => line(i, v, 1700000100L + i) }
+          .mkString("\n").getBytes)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("codes").cast("array<int>"), col("centroid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    val streamed = rows(spark.read.parquet(indexDir))
+    val appended = rows(
+      Ann.ivfPqAppend(index, emb.filter(col("vec_id") >= 400),
+          "vec_id", "embedding")
+        .encoded.join(index.encoded.select("id"), Seq("id"), "left_anti"))
+    assert(streamed.size === 100)
+    assert(streamed === appended,
+      "streamed code rows must be bit-identical to the batch append")
+  }
 }
