@@ -281,11 +281,28 @@ object Dedup {
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     *
     * At scale this replaces the all-pairs join with a bucket join whose
-    * cost is Σ(bucket_size²) — the LSH parameters control that directly.
+    * cost is Σ(bucket_size²) — the LSH parameters control that directly
+    * IN EXPECTATION, but a real web corpus has pathological buckets: a
+    * boilerplate page repeated B=10⁴ times puts C(B,2)≈5·10⁷ pairs in ONE
+    * bucket regardless of band width (Round13SkewSpec measures the
+    * quadratic blowup). `hotBucketCap` is the escape hatch: a bucket
+    * larger than the cap emits STAR pairs (its min doc × each other
+    * member — B−1 rows instead of C(B,2)) rather than all pairs. For the
+    * boilerplate corpora that create hot buckets the members ARE mutual
+    * near-dups, so the star still verifies and still connects the whole
+    * bucket into one dedup cluster via the min doc; the trade is that a
+    * FALSE-positive hot bucket (distinct docs colliding) loses its
+    * non-center pairs — acceptable for dedup clustering, wrong for exact
+    * pair enumeration, hence opt-in (default ∞ = exact behavior, which
+    * the dd_minhash_lsh oracle row pins). Both branches ride ONE
+    * conditional explode over the same grouped-bucket aggregate, so the
+    * expensive signature pipeline keeps exactly one consumer.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, bandSize: Int, threshold: Double): DataFrame = {
+      n: Int, numHashes: Int, bandSize: Int, threshold: Double,
+      hotBucketCap: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    require(hotBucketCap >= 2, s"bad hotBucketCap $hotBucketCap")
     val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
     val numBands = numHashes / bandSize
     // band key = "b:sig_i|sig_i+1|..." — explode to (doc, band, key)
@@ -303,12 +320,19 @@ object Dedup {
     // shape computes signatures exactly once. Cost is the same Σ(bucket²)
     // the LSH parameters control, and the bucket rows stay bounded because
     // band width bounds bucket size in expectation.
+    val hot = size(col("ds")) > hotBucketCap
     val cand = buckets.groupBy("band", "key")
       .agg(sort_array(collect_list(col("doc"))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(posexplode(col("ds")).as(Seq("i", "id_a")), col("ds"))
+      // hot buckets collapse the left side to just the min doc (star
+      // pairs); normal buckets keep the full i<j combination explode
+      .select(posexplode(when(hot, slice(col("ds"), 1, 1))
+        .otherwise(col("ds"))).as(Seq("i", "id_a")), col("ds"))
       .select(col("id_a"),
-        explode(slice(col("ds"), col("i") + lit(2), size(col("ds")) - col("i") - lit(1))).as("id_b"))
+        explode(when(size(col("ds")) > hotBucketCap,
+          slice(col("ds"), lit(2), size(col("ds")) - 1))
+          .otherwise(slice(col("ds"), col("i") + lit(2),
+            size(col("ds")) - col("i") - lit(1)))).as("id_b"))
       .distinct()
     // verify ONLY the candidates with exact jaccard (never all-pairs — at
     // scale the candidate set is the whole point of LSH). Shared subtrees
