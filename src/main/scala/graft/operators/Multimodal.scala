@@ -497,6 +497,125 @@ object Multimodal {
     }
   }
 
+  /** AAC ADTS sample-rate table by header index 0–12 (13–15 reserved —
+    * quarantine). Public constants from ISO/IEC 14496-3.
+    */
+  val AacSampleRates: Array[Int] = Array(96000, 88200, 64000, 48000, 44100,
+    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** ADTS profile names by the 2-bit header field (MPEG-4 audio object
+    * type minus one).
+    */
+  val AacProfiles: Array[String] = Array("main", "lc", "ssr", "ltp")
+
+  /** AAC-ADTS fixture spec: `cls` 0 = clean stream, 3 = cut 5 bytes
+    * mid-final-frame, 4 = reserved sample-rate index 15 in the first
+    * header. Per-frame payload length = 20 + (doc_id + j) mod 30 bytes
+    * (ADTS carries an EXPLICIT 13-bit frame length, so variable payloads
+    * exercise the walk).
+    */
+  case class AacSpec(doc_id: Long, sr_idx: Int, profile: Int, channels: Int,
+      n_frames: Int, cls: Int)
+
+  /** ADTS fixture synthesis: REAL 7-byte ADTS headers (syncword 0xFFF,
+    * MPEG-4, layer 00, no CRC; profile / sample-rate index / channel
+    * configuration / explicit frame length at their ISO/IEC 14496-3 bit
+    * positions) over deterministic filler payloads — the write side of
+    * [[aacAudit]].
+    */
+  def synthesizeAac(spark: SparkSession, specs: Dataset[AacSpec]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureMinParallelism(specs.toDF()).as[AacSpec].mapPartitions { it =>
+      it.map { s =>
+        val out = new java.io.ByteArrayOutputStream()
+        for (j <- 0 until s.n_frames) {
+          val payload = 20 + ((s.doc_id + j) % 30).toInt
+          val flen = 7 + payload
+          val sri = if (s.cls == 4 && j == 0) 15 else s.sr_idx
+          out.write(0xff)
+          out.write(0xf1) // sync low 4 bits=1111, MPEG-4(0), layer 00, no-CRC(1)
+          out.write((s.profile << 6) | (sri << 2) | ((s.channels >> 2) & 1))
+          out.write(((s.channels & 3) << 6) | ((flen >> 11) & 3))
+          out.write((flen >> 3) & 0xff)
+          out.write(((flen & 7) << 5) | 0x1f) // buffer fullness high bits
+          out.write(0xfc) // fullness low + frames-in-packet-1 = 0
+          (0 until payload).foreach(k =>
+            out.write(((s.doc_id + j * 13 + k * 11) % 251).toInt))
+        }
+        val bytes = out.toByteArray
+        val fuzzed =
+          if (s.cls == 3) java.util.Arrays.copyOf(bytes, bytes.length - 5)
+          else bytes
+        BinaryDoc(s.doc_id, fuzzed)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  private def aacClaims(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xf0) == 0xf0
+
+  /** ADTS frame-header walk: hop by the explicit 13-bit frame length;
+    * duration = frames · 1024 samples / rate. Returns (frames, rate,
+    * profile, channels, durationMs) or a stable failure reason.
+    */
+  private def parseAac(b: Array[Byte])
+      : Either[String, (Int, Int, String, Int, Long)] = {
+    var pos = 0
+    var n = 0; var sr = -1; var prof = -1; var ch = -1
+    while (pos < b.length) {
+      if (pos + 7 > b.length) return Left("truncated")
+      if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xf0) != 0xf0)
+        return Left("bad_header")
+      val sri = (b(pos + 2) >> 2) & 0xf
+      if (sri >= AacSampleRates.length) return Left("bad_header")
+      val thisSr = AacSampleRates(sri)
+      if (sr < 0) sr = thisSr
+      else if (sr != thisSr) return Left("mixed_sample_rate")
+      val thisProf = (b(pos + 2) >> 6) & 3
+      if (prof < 0) prof = thisProf
+      val thisCh = ((b(pos + 2) & 1) << 2) | ((b(pos + 3) >> 6) & 3)
+      if (ch < 0) ch = thisCh
+      val flen = ((b(pos + 3) & 3) << 11) | ((b(pos + 4) & 0xff) << 3) |
+        ((b(pos + 5) >> 5) & 7)
+      if (flen < 7) return Left("bad_header")
+      if (pos + flen > b.length) return Left("truncated")
+      n += 1
+      pos += flen
+    }
+    if (n == 0) Left("bad_header")
+    else Right((n, sr, AacProfiles(prof), ch, n * 1024L * 1000L / sr))
+  }
+
+  /** Per-payload AAC-ADTS audit verdict. */
+  case class AacMeta(doc_id: Long, n_bytes: Long, status: String,
+      err: Option[String], n_frames: Int, sample_rate: Int, profile: String,
+      channels: Int, duration_ms: Long)
+
+  /** Partition-parallel AAC-ADTS metadata audit — [[mp3Audit]]'s sibling
+    * for the other dominant lossy-audio codec: same ok/unsupported/
+    * corrupt fan-out, same zero-shuffle byte walk (O(frames) via the
+    * explicit ADTS frame-length field).
+    */
+  def aacAudit(spark: SparkSession, binDocs: DataFrame): Dataset[AacMeta] = {
+    import spark.implicits._
+    val base =
+      if (binDocs.isStreaming) binDocs
+      else graft.Tables.ensureMinParallelism(binDocs)
+    base.as[BinaryDoc].mapPartitions { it =>
+      it.map { d =>
+        val n = d.payload.length.toLong
+        if (!aacClaims(d.payload))
+          AacMeta(d.doc_id, n, "unsupported", None, 0, 0, "", 0, 0L)
+        else parseAac(d.payload) match {
+          case Right((frames, sr, prof, ch, durMs)) =>
+            AacMeta(d.doc_id, n, "ok", None, frames, sr, prof, ch, durMs)
+          case Left(reason) =>
+            AacMeta(d.doc_id, n, "corrupt", Some(reason), 0, 0, "", 0, 0L)
+        }
+      }
+    }
+  }
+
   /** WAV fixture synthesis: a REAL RIFF/WAVE container (44-byte canonical
     * header + silent PCM data) per spec row — the write side of
     * [[decodeAvMeta]]'s WAV parser, used by tests and the

@@ -2951,6 +2951,63 @@ object TrainingDataOps {
       }
     ),
 
+    // ---- lossy-audio tier, AAC-ADTS sibling of mm_mp3_meta -------------
+    // ADTS carries an EXPLICIT 13-bit frame length (unlike MP3's derived
+    // one), so the walk exercises the other header discipline; profile /
+    // sample-rate-index / channel-configuration decode plus the same
+    // ok/unsupported/corrupt fan-out (garbage, mid-frame truncation,
+    // reserved sample-rate index 15).
+    "mm_aac_meta" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val m = col("doc_id") % 5
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (col("doc_id") % 13).cast("int").as("sr_idx"),
+          (col("doc_id") % 4).cast("int").as("profile"),
+          (lit(1) + col("doc_id") % 3).cast("int").as("channels"),
+          (lit(4) + col("doc_id") % 12).cast("int").as("n_frames"),
+          when(m === 3, 3).when(m === 4, 4).otherwise(0).cast("int").as("cls")
+        ).as[Multimodal.AacSpec]
+        val bin = Multimodal.synthesizeAac(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 2,
+              concat(lit("not audio #"), col("doc_id").cast("string"))
+                .cast("binary"))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.aacAudit(s, bin).toDF()
+          .select(col("doc_id"), col("status"), col("err"), col("n_frames"),
+            col("sample_rate"), col("profile"), col("channels"),
+            col("duration_ms"))
+          .orderBy("doc_id")
+      },
+      {
+        val srl = "[96000,88200,64000,48000,44100,32000,24000,22050," +
+          "16000,12000,11025,8000,7350]"
+        s"""WITH s AS (SELECT doc_id, doc_id % 5 AS m,
+           |    $srl[CAST(1 + doc_id % 13 AS INTEGER)] AS sr,
+           |    ['main','lc','ssr','ltp'][CAST(1 + doc_id % 4 AS INTEGER)]
+           |      AS prof,
+           |    1 + doc_id % 3 AS ch, 4 + doc_id % 12 AS n
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN m IN (0, 1) THEN 'ok' WHEN m = 2 THEN 'unsupported'
+           |    ELSE 'corrupt' END AS status,
+           |  CASE WHEN m = 3 THEN 'truncated'
+           |    WHEN m = 4 THEN 'bad_header' END AS err,
+           |  CAST(CASE WHEN m IN (0, 1) THEN n ELSE 0 END AS INTEGER)
+           |    AS n_frames,
+           |  CAST(CASE WHEN m IN (0, 1) THEN sr ELSE 0 END AS INTEGER)
+           |    AS sample_rate,
+           |  CASE WHEN m IN (0, 1) THEN prof ELSE '' END AS profile,
+           |  CAST(CASE WHEN m IN (0, 1) THEN ch ELSE 0 END AS INTEGER)
+           |    AS channels,
+           |  CAST(CASE WHEN m IN (0, 1) THEN n * 1024 * 1000 // sr ELSE 0 END
+           |    AS BIGINT) AS duration_ms
+           |FROM s ORDER BY doc_id""".stripMargin
+      }
+    ),
+
     // ---- native identity resolution (connected components) ------------
     "id_resolution_cc" -> QuerySpec(
       (s, dir) => {

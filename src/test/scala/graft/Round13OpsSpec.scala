@@ -212,6 +212,28 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("aacAudit: explicit frame-length walk, profile/channel decode, fan-out") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // doc 5: sr_idx 4 (44100), profile 1 (lc), 2 channels, 10 frames
+    // -> duration 10*1024*1000/44100 = 232 ms
+    val specs = Seq(
+      Multimodal.AacSpec(5L, 4, 1, 2, 10, 0),
+      Multimodal.AacSpec(6L, 0, 3, 1, 3, 3),   // truncated
+      Multimodal.AacSpec(7L, 2, 0, 6, 4, 4)    // reserved sr idx 15
+    ).toDS()
+    val bin = Multimodal.synthesizeAac(spark, specs)
+      .unionByName(Seq((8L, "plain text".getBytes)).toDF("doc_id", "payload"))
+    val out = Multimodal.aacAudit(spark, bin).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out(5L).status === "ok" && out(5L).n_frames === 10 &&
+      out(5L).sample_rate === 44100 && out(5L).profile === "lc" &&
+      out(5L).channels === 2 && out(5L).duration_ms === 232L)
+    assert(out(6L).status === "corrupt" && out(6L).err === Some("truncated"))
+    assert(out(7L).status === "corrupt" && out(7L).err === Some("bad_header"))
+    assert(out(8L).status === "unsupported")
+  }
+
   test("incrementalNearDupServeChecked: parameter mismatch fails loudly") {
     import spark.implicits._
     val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog again and again"))
