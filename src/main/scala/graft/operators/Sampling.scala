@@ -397,4 +397,96 @@ object Sampling {
     stratifiedSample(scored.withColumn("band", band), keyCol, "band",
       rates, defaultRate = 0.0)
   }
+
+  /** Hashed-n-gram feature counts per doc: unigrams + adjacent bigrams,
+    * each hashed into one of `buckets` slots — DSIR's feature extractor
+    * (Xie et al. 2023, arXiv:2302.03169 §3: hashed bag-of-ngrams).
+    * Output (doc, b, cnt). One doc-partitioned lead window for the
+    * bigrams, one keyed count — linear in corpus tokens.
+    */
+  private def hashedNgramCounts(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
+    val win = Window.partitionBy("doc").orderBy("p")
+    val toks = docs.select(col(idCol).as("doc"),
+        posexplode(Fns.tokens(col(textCol))).as(Seq("p", "w1")))
+      .filter(col("w1") =!= "")
+    val feats = toks
+      .withColumn("w2", lead("w1", 1).over(win))
+      .select(col("doc"), explode(
+        when(col("w2").isNotNull,
+          array(col("w1"), concat_ws(" ", col("w1"), col("w2"))))
+          .otherwise(array(col("w1")))).as("f"))
+    feats.select(col("doc"), pmod(Fns.rollingHash(col("f")), lit(buckets)).as("b"))
+      .groupBy("doc", "b").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every RAW doc by
+    * how much more likely its hashed-n-gram features are under the
+    * TARGET distribution than under the raw distribution —
+    * `log w(x) = Σ_b c_x[b]·(ln p̂_target[b] − ln p̂_raw[b])` with
+    * add-one-smoothed bucket probabilities. The bucket log-ratio table
+    * has `buckets` rows (driver-scale) and broadcast-joins against the
+    * per-doc counts; the two distribution fits are keyed
+    * map-side-combined counts — the whole thing is linear in corpus
+    * tokens, the published recipe's cost.
+    *
+    * Determinism contract (the bigramLmScore discipline): each bucket's
+    * ln is rounded to 6 decimals and the ratio carried in DECIMAL(28,6);
+    * the per-doc sum is count·decimal — exact and order-independent —
+    * and the output is `logw_micro = logw·10⁶` as a LONG, so engine
+    * comparison is integer-exact end to end.
+    * Output: (doc, n_feats, logw_micro).
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 512): DataFrame = {
+    require(buckets >= 2, s"bad buckets $buckets")
+    val rawCnt = hashedNgramCounts(raw, idCol, textCol, buckets)
+    val tgtTot = hashedNgramCounts(target, idCol, textCol, buckets)
+      .groupBy("b").agg(sum("cnt").as("tc"))
+    val rawTot = rawCnt.groupBy("b").agg(sum("cnt").as("rc"))
+    // bucket log-ratio table: add-one smoothing over `buckets` slots;
+    // absent buckets still carry the smoothed floor via the outer join
+    val totals = rawTot.join(tgtTot, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+    val sums = totals.agg(sum("rc").as("R"), sum("tc").as("T"))
+    val ratio = totals.crossJoin(broadcast(sums))
+      .select(col("b"),
+        (round(log((col("tc") + lit(1.0)) / (col("T") + lit(buckets))), 6)
+          .cast("decimal(28,6)") -
+          round(log((col("rc") + lit(1.0)) / (col("R") + lit(buckets))), 6)
+            .cast("decimal(28,6)")).as("r"))
+    rawCnt.join(broadcast(ratio), "b")
+      .groupBy("doc")
+      .agg(sum("cnt").as("n_feats"),
+        sum(col("cnt") * col("r")).as("lw"))
+      .select(col("doc"), col("n_feats"),
+        (col("lw") * lit(1000000L)).cast("long").as("logw_micro"))
+  }
+
+  /** DSIR resampling: Gumbel-top-k over the importance weights — the
+    * paper's sampling-without-replacement rendered deterministic: the
+    * Gumbel noise `−ln(−ln(u))` draws its uniform from the engine's key
+    * hash (`u = (mix(doc)+0.5)/p` ∈ (0,1), never 0 or 1), scaled to
+    * micro-units by floor so the selection key is an exact LONG. Top-k
+    * is the bounded map-side-combined aggregate (one group — partial
+    * top-k per partition, O(partitions·k) through the wire, never a full
+    * sort). Output: (doc, key_micro), the k selected docs.
+    */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 512): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val mix = (Fns.rollingHash(col("doc").cast("string")) * lit(1315423911L) +
+      lit(2654435761L)) % lit(Fns.HashMod)
+    val u = (mix + lit(0.5)) / lit(Fns.HashMod.toDouble)
+    val keyed = dsirLogWeights(raw, target, idCol, textCol, buckets)
+      .withColumn("key_micro",
+        col("logw_micro") + floor(-log(-log(u)) * lit(1000000.0)).cast("long"))
+    keyed.groupBy()
+      .agg(Fns.topKByScore(col("key_micro").cast("double"), col("doc"), k)
+        .as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id").as("doc"), col("t.score").cast("long").as("key_micro"))
+  }
 }

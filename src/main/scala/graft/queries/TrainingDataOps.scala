@@ -660,6 +660,44 @@ object TrainingDataOps {
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** DuckDB CTE chain for the DSIR rows: hashed unigram+bigram feature
+    * counts over the raw and target sources, the add-one-smoothed bucket
+    * log-ratio table (round-6 DECIMAL, the bigramLmScore discipline),
+    * and per-doc integer micro-weights. Ends with CTE `w` =
+    * (doc, n_feats, logw_micro). Mirrors
+    * [[graft.operators.Sampling.dsirLogWeights]] exactly.
+    */
+  private def duckDsirCtes(rawSrc: String, targetSrc: String,
+      buckets: Int = 512): String = {
+    def featChain(p: String, src: String) =
+      s"""${p}tok AS (SELECT doc_id AS doc, unnest(range(len(ts))) AS p,
+         |    unnest(ts) AS w
+         |  FROM (SELECT doc_id, $duckToks AS ts FROM $src)),
+         |${p}tk AS (SELECT * FROM ${p}tok WHERE w <> ''),
+         |${p}bi AS (SELECT doc, w AS w1,
+         |  lead(w) OVER (PARTITION BY doc ORDER BY p) AS w2 FROM ${p}tk),
+         |${p}ft AS (SELECT doc, w AS f FROM ${p}tk
+         |  UNION ALL SELECT doc, w1 || ' ' || w2 FROM ${p}bi
+         |  WHERE w2 IS NOT NULL)""".stripMargin
+    s"""${featChain("r", rawSrc)},
+       |rfc AS MATERIALIZED (SELECT doc, ${duckHash("f")} % $buckets AS b,
+       |  count(*) AS cnt FROM rft GROUP BY 1, 2),
+       |${featChain("t", targetSrc)},
+       |tfc AS (SELECT ${duckHash("f")} % $buckets AS b, count(*) AS tc
+       |  FROM tft GROUP BY 1),
+       |rtot AS (SELECT b, sum(cnt) AS rc FROM rfc GROUP BY b),
+       |tot AS (SELECT coalesce(r.b, t.b) AS b, coalesce(rc, 0) AS rc,
+       |  coalesce(tc, 0) AS tc FROM rtot r FULL OUTER JOIN tfc t ON r.b = t.b),
+       |sm AS (SELECT sum(rc) AS R, sum(tc) AS T FROM tot),
+       |ratio AS MATERIALIZED (SELECT b,
+       |  CAST(round(ln((tc + 1.0) / (T + $buckets)), 6) AS DECIMAL(28,6)) -
+       |  CAST(round(ln((rc + 1.0) / (R + $buckets)), 6) AS DECIMAL(28,6)) AS r
+       |  FROM tot, sm),
+       |w AS MATERIALIZED (SELECT doc, CAST(sum(cnt) AS BIGINT) AS n_feats,
+       |  CAST(sum(cnt * r) * 1000000 AS BIGINT) AS logw_micro
+       |  FROM rfc JOIN ratio USING (b) GROUP BY doc)""".stripMargin
+  }
+
   private val duckCosine =
     "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
       "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
@@ -6305,6 +6343,49 @@ object TrainingDataOps {
          |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          |    0) AS BIGINT) AS byte_offset
          |FROM e ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- DSIR importance weights (Xie et al. 2023) -----------------------
+    // Hashed-n-gram (unigram+bigram, 512 buckets) importance log-weights
+    // of the raw corpus toward the English-subset target distribution —
+    // the published data-selection recipe. Integer-exact output
+    // (logw_micro LONG via the round-6 DECIMAL ratio table), so the
+    // engine comparison has no float surface.
+    "sp_dsir_weights" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Sampling.dsirLogWeights(
+            docs, docs.filter(col("lang") === "en"), "doc_id", "text", 512)
+          .select(col("doc").as("doc_id"), col("n_feats"), col("logw_micro"))
+          .orderBy("doc_id")
+      },
+      s"""WITH ${duckDsirCtes("documents", "(SELECT doc_id, text FROM documents WHERE lang = 'en')")}
+         |SELECT doc AS doc_id, n_feats, logw_micro FROM w
+         |ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- DSIR Gumbel-top-k resample ---------------------------------------
+    // The paper's sampling-without-replacement, deterministic: Gumbel
+    // noise from the engine's key hash, micro-unit LONG selection keys,
+    // bounded map-side-combined global top-k (never a full corpus sort).
+    "sp_dsir_resample" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Sampling.dsirResample(
+            docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+            k = 100, buckets = 512)
+          .select(col("doc").as("doc_id"), col("key_micro"))
+          .orderBy(col("key_micro").desc, col("doc_id"))
+      },
+      s"""WITH ${duckDsirCtes("documents", "(SELECT doc_id, text FROM documents WHERE lang = 'en')")},
+         |sel AS (SELECT doc, logw_micro + CAST(floor(-ln(-ln(
+         |    ((${duckHash("CAST(doc AS VARCHAR)")} * 1315423911 + 2654435761)
+         |      % 1000000007 + 0.5) / 1000000007.0)) * 1000000.0) AS BIGINT)
+         |  AS key_micro FROM w)
+         |SELECT doc AS doc_id, key_micro FROM (
+         |  SELECT doc, key_micro, row_number() OVER (
+         |    ORDER BY key_micro DESC, doc) AS rn FROM sel)
+         |WHERE rn <= 100 ORDER BY key_micro DESC, doc_id""".stripMargin
     ),
 
     // ---- CCNet-style perplexity-band sampling ---------------------------

@@ -234,6 +234,35 @@ class Round13OpsSpec extends SparkSpec {
     assert(out(8L).status === "unsupported")
   }
 
+  test("dsirLogWeights: target-language docs are up-weighted; resample prefers them") {
+    import graft.operators.Sampling
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val target = docs.filter(col("lang") === "en")
+    val w = Sampling.dsirLogWeights(docs, target, "doc_id", "text", 512)
+      .join(docs.select(col("doc_id").as("doc"), col("lang")), "doc")
+    val byLang = w.groupBy(col("lang") === "en")
+      .agg(avg(col("logw_micro")).as("m")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false) + 1e6,
+      s"English docs must score >=1 nat higher on average: $byLang")
+    // resample: the selected set should be mostly the target language
+    val sel = Sampling.dsirResample(docs, target, "doc_id", "text",
+        k = 50, buckets = 512)
+      .join(docs.select(col("doc_id").as("doc"), col("lang")), "doc")
+    val enFrac = sel.filter(col("lang") === "en").count() / 50.0
+    val baseFrac = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    assert(enFrac > baseFrac + 0.2,
+      s"resample must concentrate the target: $enFrac vs base $baseFrac")
+    // plan lock: ratio table broadcasts; no cartesian beyond the 1-row
+    // scalar attach; top-k is the bounded aggregate
+    val rs = Sampling.dsirResample(docs, target, "doc_id", "text", 50, 512)
+    rs.count()
+    val plan = rs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("topk_by_score"), "global top-k must be bounded")
+  }
+
   test("incrementalNearDupServeChecked: parameter mismatch fails loudly") {
     import spark.implicits._
     val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog again and again"))
