@@ -184,12 +184,16 @@ object BenchOnlyOps {
     // O(beam·degree·hops), corpus-size-independent (the HNSW property);
     // batching amortizes the hop rounds' scheduler latency across the
     // whole query set, which is where the dataflow variant wins
+    // (beam=48, 2 rounds × 2-hop expansion) is the measured knee: round
+    // barriers dominate serve latency, so fewer+deeper rounds beat
+    // 4×1-hop at BOTH grains (single p50 1888→963 ms, batch 2257→1705 ms)
+    // at recall@10 1.00 on the sf0.1 corpus
     "ann_graph_serve" -> ((s, dir) => {
       val (adj, entries) = servedGraph(s, dir)
       Ann.graphSearch(adj, t(s, dir, "embeddings"),
         t(s, dir, "embeddings").filter(col("vec_id") < 100),
         "vec_id", "embedding", entryIds = entries,
-        beamWidth = 64, hops = 4, topK = 10)
+        beamWidth = 48, hops = 2, topK = 10, expandHops = 2)
     }),
 
     // IVF-PQ append: incremental index maintenance — a 10% batch is
@@ -283,7 +287,7 @@ object BenchOnlyOps {
           val (adj, entries) = servedGraph(s, dir)
           Ann.graphSearch(adj, t(s, dir, "embeddings"),
             oneQuery(i), "vec_id", "embedding", entryIds = entries,
-            beamWidth = 64, hops = 4, topK = 10)
+            beamWidth = 48, hops = 2, topK = 10, expandHops = 2)
         })
       val rows = tiers.map { case (tier, mk) =>
         val ms = (0 until nBatches).map { i =>

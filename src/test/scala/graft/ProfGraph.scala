@@ -25,21 +25,30 @@ object ProfGraph {
     graph.write.mode("overwrite").parquet(d)
     val adj = spark.read.parquet(d)
     val manyEntries = (0 until 8).map(i => (i * 269L) % 2000)
-    for ((beam, hops, ent) <- Seq(
-        (48, 4, manyEntries), (64, 3, manyEntries), (64, 4, manyEntries),
-        (48, 3, manyEntries), (32, 3, manyEntries))) {
+    for ((beam, hops, ent, eh) <- Seq(
+        (64, 4, manyEntries, 1), (64, 2, manyEntries, 2),
+        (48, 2, manyEntries, 2), (64, 3, manyEntries, 2),
+        (64, 1, manyEntries, 3), (96, 2, manyEntries, 2))) {
       val approx = Ann.graphSearch(adj, emb, q, "vec_id", "embedding",
-        ent, beam, hops, 10)
+        ent, beam, hops, 10, expandHops = eh)
       val recall = Ann.recallEval(exact, approx, 10)
         .agg(avg("recall")).head.getDouble(0)
       // single-query latency, median of 5
       val ms = (0 until 5).map { i =>
         val t0 = System.nanoTime()
         Ann.graphSearch(adj, emb, emb.filter(col("vec_id") === i), "vec_id",
-          "embedding", ent, beam, hops, 10).count()
+          "embedding", ent, beam, hops, 10, expandHops = eh).count()
         (System.nanoTime() - t0) / 1e6
       }.sorted.apply(2)
-      println(f"PROF beam=$beam%3d hops=$hops entries=${ent.size} recall@10=$recall%.3f p50=${ms}%.0f ms")
+      // 100-query batch, median of 3
+      val bms = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        Ann.graphSearch(adj, emb, emb.filter(col("vec_id") < 100), "vec_id",
+          "embedding", ent, beam, hops, 10, expandHops = eh).count()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted.apply(1)
+      print(f"PROF-BATCH p50=${bms}%.0f ms ")
+      println(f"PROF beam=$beam%3d hops=$hops eh=$eh recall@10=$recall%.3f p50=${ms}%.0f ms")
     }
     spark.stop()
   }

@@ -17,8 +17,9 @@ class Round13PlanSpec extends SparkSpec {
       Ann.nnDescent(emb, "vec_id", "embedding", k = 4, iters = 2))
       .localCheckpoint() // the persisted standing index — not under test
     val df = Ann.graphSearch(graph, emb, emb.filter(col("vec_id") < 4),
-      "vec_id", "embedding", entryIds = Seq(0L), beamWidth = 16, hops = 3,
-      topK = 5, cutLineage = false) // expose every hop to the plan
+      "vec_id", "embedding", entryIds = Seq(0L), beamWidth = 16, hops = 2,
+      topK = 5, cutLineage = false, // expose every hop to the plan
+      expandHops = 2) // the serve tiers' deeper per-round expansion
     df.count()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
