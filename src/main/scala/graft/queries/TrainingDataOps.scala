@@ -710,7 +710,8 @@ object TrainingDataOps {
     * nn-descent rounds are the ann_nndescent oracle's, verbatim. Ends
     * with CTE `b$hops` = (query_id, nid, cos), self rows still present.
     */
-  private def duckGraphSearchCtes(nQueries: Int, beam: Int, hops: Int): String = {
+  private def duckGraphSearchCtes(nQueries: Int, beam: Int, hops: Int,
+      expandHops: Int = 1): String = {
     def nnRound(r: Int) =
       s"""g$r AS (SELECT src, dst FROM e${r - 1}
          |  UNION ALL SELECT dst, src FROM e${r - 1}
@@ -727,10 +728,20 @@ object TrainingDataOps {
     val qcos = "list_dot_product(q.qv, v.cv) / " +
       "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.cv, v.cv)))"
     val walkRounds = (1 to hops).map { r =>
-      s"""x$r AS (SELECT DISTINCT b.query_id, a.dst AS nid
-         |  FROM b${r - 1} b JOIN adj a ON a.src = b.nid
+      // expandHops-deep per-round frontier closure (mirrors graphSearch's
+      // expandHops loop): f1 = beam's out-edges, f_e = f_{e-1}'s, the
+      // union minus the current beam is the round's expansion
+      val fr = (1 to expandHops).map { e =>
+        val src = if (e == 1) s"b${r - 1}" else s"f${e - 1}_$r"
+        s"""f${e}_$r AS (SELECT DISTINCT t.query_id, a.dst AS nid
+           |  FROM $src t JOIN adj a ON a.src = t.nid)""".stripMargin
+      }.mkString(",\n")
+      val unionF = (1 to expandHops)
+        .map(e => s"SELECT query_id, nid FROM f${e}_$r").mkString(" UNION ")
+      s"""$fr,
+         |x$r AS (SELECT DISTINCT query_id, nid FROM ($unionF) u
          |  WHERE NOT EXISTS (SELECT 1 FROM b${r - 1} p
-         |    WHERE p.query_id = b.query_id AND p.nid = a.dst)),
+         |    WHERE p.query_id = u.query_id AND p.nid = u.nid)),
          |w$r AS (SELECT x.query_id, x.nid, $qcos AS cos
          |  FROM x$r x JOIN q ON q.query_id = x.query_id
          |    JOIN v ON v.nid = x.nid),
@@ -6556,6 +6567,30 @@ object TrainingDataOps {
          |FROM (SELECT query_id, nid, cos, row_number() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rn
          |  FROM b3 WHERE nid <> query_id)
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    ),
+
+    // ---- graph-walk, the serve tiers' 2×2-hop round structure -----------
+    // The production config (fewer round barriers, deeper per-round
+    // expansion) oracle-gated, not just spec-gated: the DuckDB walk
+    // chains the 2-hop frontier closure per round exactly like
+    // graphSearch's expandHops loop.
+    "ann_graph_search_deep" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val graph = Ann.serveGraph(
+          Ann.nnDescent(emb, "vec_id", "embedding", k = 4, iters = 2))
+        Ann.graphSearch(graph, emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", entryIds = Seq(0L),
+            beamWidth = 16, hops = 2, topK = 5, expandHops = 2)
+          .orderBy("query_id", "rank")
+      },
+      s"""WITH ${duckGraphSearchCtes(8, 16, 2, expandHops = 2)}
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id,
+         |  round(cos, 4) AS cos
+         |FROM (SELECT query_id, nid, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rn
+         |  FROM b2 WHERE nid <> query_id)
          |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
     ),
 
