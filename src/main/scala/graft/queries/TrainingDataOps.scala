@@ -6399,6 +6399,95 @@ object TrainingDataOps {
          |WHERE rn <= 100 ORDER BY key_micro DESC, doc_id""".stripMargin
     ),
 
+    // ---- END-TO-END pretrain-data curation funnel ------------------------
+    // The flagship composition a pretraining-data user actually runs,
+    // chained from individually-verified stages: Gopher quality gate →
+    // exact-text dedup (first-wins) → MinHash-LSH near-dup
+    // removal (verified pairs, id_b drops) → DSIR selection toward the
+    // English target. Output is the funnel: one row per stage with
+    // surviving doc and token counts — the number a curation report
+    // quotes. Every stage is the library operator, not a re-derivation;
+    // the oracle chains the same verified CTE fragments.
+    "pipeline_pretrain_funnel" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val quality = docs.filter(TextAnalysis.gopherPass(col("text")))
+        val fp = quality.withColumn("fp", col("text"))
+        val exact = fp.join(
+            fp.groupBy("fp").agg(min("doc_id").as("keep")), "fp")
+          .filter(col("doc_id") === col("keep"))
+          .select(docs.columns.map(col): _*)
+        val dupB = Dedup.minhashLshPairs(exact, "doc_id", "text",
+            n = 3, numHashes = NumHashes, bandSize = BandSize, threshold = 0.8)
+          .select(col("id_b").as("doc_id")).distinct()
+        val nd = exact.join(dupB, Seq("doc_id"), "left_anti")
+        val sel = graft.operators.Sampling.dsirResample(
+            nd, docs.filter(col("lang") === "en"), "doc_id", "text",
+            k = 150, buckets = 512)
+          .select(col("doc").as("doc_id"))
+        val selected = nd.join(sel, Seq("doc_id"), "left_semi")
+        def stage(name: String, idx: Int,
+            df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(TextAnalysis.tokenCount(col("text")).cast("long")),
+              lit(0L)).as("n_tokens"))
+            .select(lit(name).as("stage"), lit(idx).as("stage_idx"),
+              col("n_docs"), col("n_tokens"))
+        stage("raw", 1, docs)
+          .unionByName(stage("quality", 2, quality))
+          .unionByName(stage("exact_dedup", 3, exact))
+          .unionByName(stage("near_dup", 4, nd))
+          .unionByName(stage("dsir_select", 5, selected))
+          .orderBy("stage_idx")
+      },
+      {
+        val stop = TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+        s"""WITH gm AS (SELECT doc_id, text, $duckToks AS ts,
+           |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+           |    length(regexp_replace(regexp_replace(text, '\\s', '', 'g'),
+           |      '[a-zA-Z0-9]', '', 'g')) AS n_punct
+           |  FROM documents),
+           |q1 AS MATERIALIZED (SELECT doc_id, text, len(ts) AS n_toks FROM gm
+           |  WHERE len(ts) BETWEEN 50 AND 100000
+           |    AND list_reduce(list_transform(ts, w -> len(w)), (a, b) -> a + b)
+           |      * 1.0 / greatest(len(ts), 1) BETWEEN 3 AND 10
+           |    AND n_punct * 1.0 / greatest(n_nonspace, 1) < 0.1
+           |    AND len(list_filter(ts, w -> regexp_matches(w, '[a-z]')))
+           |      * 1.0 / greatest(len(ts), 1) > 0.8
+           |    AND len(list_filter(ts, t -> t IN ($stop))) >= 2),
+           |e1 AS MATERIALIZED (SELECT doc_id, text, n_toks FROM (
+           |  SELECT doc_id, text, n_toks, row_number() OVER (
+           |    PARTITION BY text ORDER BY doc_id) AS rn
+           |  FROM q1) WHERE rn = 1),
+           |${duckMinhashCtes("e1")},
+           |dupb AS (SELECT DISTINCT c.id_b FROM cand c
+           |  JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+           |  WHERE j.jaccard >= 0.8),
+           |nd AS MATERIALIZED (SELECT doc_id, text, n_toks FROM e1
+           |  WHERE doc_id NOT IN (SELECT id_b FROM dupb)),
+           |${duckDsirCtes("nd", "(SELECT doc_id, text FROM documents WHERE lang = 'en')")},
+           |sel AS (SELECT doc FROM (
+           |  SELECT doc, row_number() OVER (ORDER BY logw_micro +
+           |    CAST(floor(-ln(-ln(((${duckHash("CAST(doc AS VARCHAR)")}
+           |      * 1315423911 + 2654435761) % 1000000007 + 0.5)
+           |      / 1000000007.0)) * 1000000.0) AS BIGINT) DESC, doc) AS rn
+           |  FROM w) WHERE rn <= 150),
+           |fsel AS (SELECT nd.* FROM nd JOIN sel ON nd.doc_id = sel.doc),
+           |rawc AS (SELECT doc_id,
+           |  len($duckToks) AS n_toks FROM documents)
+           |SELECT stage, CAST(stage_idx AS INTEGER) AS stage_idx,
+           |  CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens FROM (
+           |  SELECT 'raw' AS stage, 1 AS stage_idx, count(*) AS n_docs,
+           |    sum(n_toks) AS n_tokens FROM rawc
+           |  UNION ALL SELECT 'quality', 2, count(*), sum(n_toks) FROM q1
+           |  UNION ALL SELECT 'exact_dedup', 3, count(*), sum(n_toks) FROM e1
+           |  UNION ALL SELECT 'near_dup', 4, count(*), sum(n_toks) FROM nd
+           |  UNION ALL SELECT 'dsir_select', 5, count(*), sum(n_toks) FROM fsel)
+           |ORDER BY stage_idx""".stripMargin
+      }
+    ),
+
     // ---- CCNet-style perplexity-band sampling ---------------------------
     // Band docs by the corpus-trained LM score (head/middle/tail), keep
     // head fully, sample middle at 50%, tail at 10% — deterministic hash
