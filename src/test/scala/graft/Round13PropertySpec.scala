@@ -96,6 +96,68 @@ class Round13PropertySpec extends SparkSpec {
     }
   }
 
+  test("gpt2PreTokens: exact partition and encode round-trip on random unicode (200 samples)") {
+    import graft.operators.Vocab
+    val rnd = new scala.util.Random(20260815)
+    // sample by CODE POINT — the byte-map contract requires valid UTF-16,
+    // and a char-level sampler would split the emoji's surrogate pair
+    val alphabet: IndexedSeq[String] =
+      "abcXYZ 019,.!?'\t\n  héß你😀-_()".codePoints().toArray.toIndexedSeq
+        .map(cp => new String(Character.toChars(cp)))
+    def randomText(): String =
+      (0 until 1 + rnd.nextInt(60)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    val samples = (0 until 200).map(_ => randomText())
+    val got = samples.toDF("text")
+      .select(Vocab.gpt2PreTokens(col("text"))).as[Seq[String]].collect()
+    samples.zip(got).foreach { case (in, toks) =>
+      assert(toks.mkString === in,
+        s"pre-tokens must partition exactly: ${in.map(_.toInt)}")
+      assert(toks.forall(_.nonEmpty), "no empty pre-tokens")
+    }
+    // byte-level encode over pre-tokens round-trips the whole document
+    val merges = Vocab.bbpeTrainPretok(
+      samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text"), "text", 8)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Vocab.bbpeEncodePretok(
+      samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text"), "doc_id", "text", merges)
+    val rebuilt = enc
+      .groupBy("doc")
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col("token_idx"), concat_ws("", col("pieces")).as("m")))),
+        s => s.getField("m")), "").as("all"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(Vocab.byteUnmapString(rebuilt(i.toLong)) === s,
+        s"whole-document byte round-trip of sample $i")
+    }
+  }
+
+  test("mp3/aac audits are total on random bytes: a status for every payload, no throw") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(4242)
+    val payloads = (0 until 300).map { i =>
+      val n = rnd.nextInt(64)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      // force the claim-prefixes often so the parse path fuzzes too
+      if (n >= 2 && i % 3 == 0) { b(0) = 0xff.toByte; b(1) = 0xfb.toByte }
+      if (n >= 3 && i % 3 == 1) { b(0) = 'I'; b(1) = 'D'; b(2) = '3' }
+      if (n >= 2 && i % 5 == 0) { b(0) = 0xff.toByte; b(1) = 0xf1.toByte }
+      (i.toLong, b)
+    }.toDF("doc_id", "payload")
+    val mp3 = Multimodal.mp3Audit(spark, payloads).collect()
+    val aac = Multimodal.aacAudit(spark, payloads).collect()
+    assert(mp3.length === 300 && aac.length === 300, "total functions")
+    assert(mp3.forall(m => Set("ok", "corrupt", "unsupported")(m.status)))
+    assert(aac.forall(m => Set("ok", "corrupt", "unsupported")(m.status)))
+    assert(mp3.filter(_.status == "corrupt").forall(_.err.isDefined),
+      "every corrupt verdict carries a stable reason")
+    assert(aac.filter(_.status == "corrupt").forall(_.err.isDefined))
+  }
+
   test("log-histogram: any shuffle and any batch split merge to the batch buckets") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
