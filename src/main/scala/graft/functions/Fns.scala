@@ -50,6 +50,13 @@ object Fns {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ofExpr(TopKByScore(toExpr(score), toExpr(id), k).toAggregateExpression())
 
+  /** [[topKByScore]] with a LONG score — integer-exact comparisons for
+    * selection keys that exceed double's 2^53 mantissa (see
+    * [[TopKByLongScore]]; same order contract: score desc, id asc).
+    */
+  def topKByLongScore(score: Column, id: Column, k: Int): Column =
+    ofExpr(TopKByLongScore(toExpr(score), toExpr(id), k).toAggregateExpression())
+
   /** Banded Levenshtein: exact distance when ≤ bound, else bound + 1 —
     * O(len·bound) instead of O(len²) (see [[LevenshteinWithin]]; lossless
     * under any `lev ≤ bound` filter).

@@ -370,7 +370,10 @@ object Ann {
   def spreadEntries(n: Long, count: Int = 8): Seq[Long] = {
     require(n >= 1, s"bad corpus size $n")
     val c = math.min(count.toLong, n)
-    (0L until c).map(i => i * math.max(1L, n / c) % n)
+    // i·n/c spreads evenly for ANY (c, n), including c close to n —
+    // the floor-step variant clustered ids at the front when n/c
+    // truncated small (and its `% n` never fired)
+    (0L until c).map(i => i * n / c)
   }
 
   def graphSearch(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
@@ -378,6 +381,26 @@ object Ann {
       beamWidth: Int, hops: Int, topK: Int,
       cutLineage: Boolean = true, expandHops: Int = 1): DataFrame = {
     require(entryIds.nonEmpty, "need at least one entry point")
+    val q0 = queries.select(col(idCol).cast("long").as("query_id"))
+    graphSearchFrom(graph, corpus, queries, idCol, vecCol,
+      q0.select(col("query_id"), explode(lit(entryIds.toArray)).as("nid")),
+      beamWidth, hops, topK, cutLineage, expandHops)
+  }
+
+  /** [[graphSearch]] with PER-QUERY entry points: `entries` is
+    * (query_id, nid) — each query starts its walk at its own node set —
+    * optionally carrying a `cos` column of already-exact scores (the
+    * layered-descent handoff: a finished upper-layer beam is already
+    * scored against the same query vectors, so re-scoring it would buy
+    * nothing and cost a round). Entry ids absent from the corpus drop
+    * out of the scoring join; an entry set that scores NO rows at all
+    * fails loudly instead of returning an empty result that reads as
+    * "no neighbors".
+    */
+  def graphSearchFrom(graph: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, entries: DataFrame,
+      beamWidth: Int, hops: Int, topK: Int,
+      cutLineage: Boolean = true, expandHops: Int = 1): DataFrame = {
     require(beamWidth >= topK, s"beamWidth $beamWidth must cover topK $topK")
     require(hops >= 1, s"bad hops $hops")
     require(expandHops >= 1 && expandHops <= 3, s"bad expandHops $expandHops")
@@ -409,9 +432,22 @@ object Ann {
       .select(col("query_id"), col("t.id").as("nid"), col("t.score").as("cos"))
     // beam_0: the entry points, scored (self rows allowed during
     // navigation — a query that IS a graph node must be able to start
-    // at itself; self is excluded only from the final ranking)
-    var beam = cut(score(q.select(col("query_id"),
-      explode(lit(entryIds.toArray)).as("nid"))))
+    // at itself; self is excluded only from the final ranking); entries
+    // arriving WITH a cos column are already exact — adopt them as-is
+    var beam = cut(
+      if (entries.columns.contains("cos"))
+        entries.select(col("query_id").cast("long"),
+          col("nid").cast("long"), col("cos").cast("double"))
+      else score(entries.select(col("query_id").cast("long"),
+        col("nid").cast("long"))))
+    // loud all-miss guard: entry ids absent from the corpus vanish in
+    // the scoring join, and a fully-missed entry set would walk to an
+    // empty result that reads as "no neighbors" (zero queries is the
+    // one legitimate empty beam_0 — the walk is then a typed no-op)
+    if (beam.isEmpty && !q.isEmpty)
+      throw new IllegalArgumentException(
+        "graphSearchFrom: no entry id scored — every entry is missing " +
+          "from the corpus (or the entry set was empty)")
     for (_ <- 1 to hops) {
       // expandHops > 1 trades per-round candidate volume
       // (O(beam·degree^e)) for FEWER sequential round barriers — each

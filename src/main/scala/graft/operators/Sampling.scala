@@ -472,7 +472,11 @@ object Sampling {
     * micro-units by floor so the selection key is an exact LONG. Top-k
     * is the bounded map-side-combined aggregate (one group — partial
     * top-k per partition, O(partitions·k) through the wire, never a full
-    * sort). Output: (doc, key_micro), the k selected docs.
+    * sort), and selection stays in 64-bit INTEGER space end to end
+    * ([[graft.functions.TopKByLongScore]]) — a double-keyed heap would
+    * lose exactness above 2^53 micro-units and silently break the
+    * integer tie-break contract for very high-weight docs.
+    * Output: (doc, key_micro), the k selected docs.
     */
   def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, k: Int, buckets: Int = 512): DataFrame = {
@@ -484,9 +488,8 @@ object Sampling {
       .withColumn("key_micro",
         col("logw_micro") + floor(-log(-log(u)) * lit(1000000.0)).cast("long"))
     keyed.groupBy()
-      .agg(Fns.topKByScore(col("key_micro").cast("double"), col("doc"), k)
-        .as("top"))
+      .agg(Fns.topKByLongScore(col("key_micro"), col("doc"), k).as("top"))
       .select(explode(col("top")).as("t"))
-      .select(col("t.id").as("doc"), col("t.score").cast("long").as("key_micro"))
+      .select(col("t.id").as("doc"), col("t.score").as("key_micro"))
   }
 }

@@ -154,8 +154,15 @@ object WebCuration {
     val blocks = docs
       .filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc"),
+        // case-insensitive + tag-name boundary: uppercase tags (<P>,
+        // <DIV>) split too, while prefix lookalikes (<param>, <picture>,
+        // <progress>, <track>, <link>) do NOT -- the tag name must be
+        // followed by '>' or a whitespace/'/' attribute boundary. The
+        // boundary is an alternation (not a lookahead) so the identical
+        // pattern runs under the DuckDB oracle's RE2.
         posexplode(split(
-          regexp_replace(col(htmlCol), s"</?($BlockTagAlt)[^>]*>", "\u0001"),
+          regexp_replace(col(htmlCol),
+            s"(?i)</?($BlockTagAlt)(>|[\\s/][^>]*>)", "\u0001"),
           "\u0001")).as(Seq("bi", "raw")))
     val anchorInner =
       regexp_extract_all(col("raw"), lit("<a[^>]*>([^<]*)</a>"), lit(1))

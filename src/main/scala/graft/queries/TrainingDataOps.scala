@@ -159,19 +159,28 @@ object TrainingDataOps {
     // rewrite must reproduce (space+tab+letter, tab+space, double tab)
     (-5L, "x \tb a\t b m\t\tn end \t "))
 
+  // U+0002 is the DuckDB-side sentinel that emulates RE2's missing
+  // lookahead (see duckPretokList) — a document actually containing it
+  // would be split differently by the oracle's rewritten match stream
+  // than by Spark's real lookahead. Both engines therefore strip it at
+  // the source, making the emulation's precondition explicit instead of
+  // assumed (the corpus is sentinel-free today; this pins the contract).
   private def pretokSparkSrc(docs: org.apache.spark.sql.DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.filter(col("doc_id") < 400).select("doc_id", "text")
       .unionByName(pretokFixtures.toDF("doc_id", "text"))
+      .select(col("doc_id"),
+        translate(col("text"), "\u0002", "").as("text"))
   }
 
   private val pretokDuckSrc: String =
-    "(SELECT doc_id, text FROM documents WHERE doc_id < 400" +
+    "(SELECT doc_id, replace(text, chr(2), '') AS text FROM " +
+      "(SELECT doc_id, text FROM documents WHERE doc_id < 400" +
       pretokFixtures.map { case (id, s) =>
         val esc = s.replace("'", "''")
         s" UNION ALL SELECT CAST($id AS BIGINT), '$esc'"
-      }.mkString + ")"
+      }.mkString + ") psrc)"
 
   /** DuckDB CTE chain replaying [[TextAnalysis.perceptronTrain]]'s POCKET
     * batch perceptron exactly: features are hashed-token counts (the
@@ -5726,7 +5735,7 @@ object TrainingDataOps {
            |  FROM documents),
            |b AS (SELECT doc_id, unnest(range(len(bs))) AS bi, unnest(bs) AS raw
            |  FROM (SELECT doc_id, string_split(regexp_replace(html,
-           |    '</?($blockTags)[^>]*>', chr(1), 'g'), chr(1)) AS bs FROM h)),
+           |    '(?i)</?($blockTags)(>|[\\s/][^>]*>)', chr(1), 'g'), chr(1)) AS bs FROM h)),
            |st AS (SELECT doc_id, bi, raw,
            |  trim(regexp_replace(
            |    replace(replace(replace(replace(replace(replace(
@@ -5912,7 +5921,7 @@ object TrainingDataOps {
          |  FROM kept GROUP BY page),
          |blk AS (SELECT page, unnest(range(len(bs))) AS bi, unnest(bs) AS raw
          |  FROM (SELECT page, string_split(regexp_replace(cleaned,
-         |    '</?(p|div|h[1-6]|li|ul|ol|td|tr|table|blockquote|section|article|header|footer|nav|br)[^>]*>',
+         |    '(?i)</?(p|div|h[1-6]|li|ul|ol|td|tr|table|blockquote|section|article|header|footer|nav|br)(>|[\\s/][^>]*>)',
          |    chr(1), 'g'), chr(1)) AS bs FROM reb)),
          |bst AS (SELECT page, bi,
          |  trim(regexp_replace(

@@ -260,7 +260,8 @@ class Round13OpsSpec extends SparkSpec {
     rs.count()
     val plan = rs.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
-    assert(plan.contains("topk_by_score"), "global top-k must be bounded")
+    assert(plan.contains("topk_by_long_score"),
+      "global top-k must be bounded AND integer-keyed")
   }
 
   test("incrementalNearDupServeChecked: parameter mismatch fails loudly") {
