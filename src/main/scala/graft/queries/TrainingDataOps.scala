@@ -6426,7 +6426,15 @@ object TrainingDataOps {
         // once per consumer (measured at sf0.1: 10.2 s uncut -> 5.2 s)
         val quality = docs.filter(TextAnalysis.gopherPass(col("text")))
           .localCheckpoint()
-        val fp = quality.withColumn("fp", col("text"))
+        // exact stage keys its shuffles on xxhash64(text) — the 8-byte
+        // discipline of Dedup.incrementalDedup — NOT on the text itself:
+        // keyed on full text, every surviving corpus byte crosses the
+        // exchange twice (groupBy + join back), which at 100 TB is the
+        // whole corpus through the wire twice for a first-wins count.
+        // Counts are identical under xxhash64's no-collision regime
+        // (64-bit keys; the library-wide substringDedup contract), and
+        // the oracle keeps PARTITION BY text — same survivors either way.
+        val fp = quality.withColumn("fp", xxhash64(col("text")))
         val exact = fp.join(
             fp.groupBy("fp").agg(min("doc_id").as("keep")), "fp")
           .filter(col("doc_id") === col("keep"))
