@@ -465,6 +465,59 @@ object Sampling {
         (col("lw") * lit(1000000L)).cast("long").as("logw_micro"))
   }
 
+  /** Multi-target DSIR mixture weights — the data-MIXING use of the
+    * importance machinery (Xie et al. 2023 §6 select toward ONE target;
+    * a mixing pipeline scores every doc against SEVERAL target domains
+    * and allocates by the per-domain weights): one add-one-smoothed
+    * bucket log-ratio table PER domain, all unioned into a single
+    * (b, domain, r) table that is still driver-scale
+    * (buckets × domains rows) and broadcast. The raw corpus is
+    * feature-hashed ONCE ([[hashedNgramCounts]] — the expensive pass);
+    * the broadcast join fans each bucket count out to every domain and
+    * one keyed aggregation produces the per-(doc, domain) weight.
+    * `is_best` marks each doc's argmax domain (logw desc, domain asc —
+    * deterministic), the assignment a mixing router uses.
+    *
+    * Same integer-exactness contract as [[dsirLogWeights]]: round-6
+    * DECIMAL(28,6) ratios, count·decimal sums, micro-unit LONG output.
+    * Output: (doc, domain, n_feats, logw_micro, is_best).
+    */
+  def dsirMixtureWeights(raw: DataFrame, targets: Seq[(String, DataFrame)],
+      idCol: String, textCol: String, buckets: Int = 512): DataFrame = {
+    require(targets.nonEmpty, "need at least one target domain")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate target domain names")
+    val rawCnt = hashedNgramCounts(raw, idCol, textCol, buckets)
+    // bucket totals are `buckets` rows — checkpoint-cut so the corpus
+    // pass behind them executes once, not once per domain's ratio table
+    val rawTot = rawCnt.groupBy("b").agg(sum("cnt").as("rc"))
+      .localCheckpoint()
+    val ratios = targets.map { case (name, target) =>
+      val tgtTot = hashedNgramCounts(target, idCol, textCol, buckets)
+        .groupBy("b").agg(sum("cnt").as("tc"))
+      val totals = rawTot.join(tgtTot, Seq("b"), "full_outer")
+        .select(col("b"), coalesce(col("rc"), lit(0L)).as("rc"),
+          coalesce(col("tc"), lit(0L)).as("tc"))
+      val sums = totals.agg(sum("rc").as("R"), sum("tc").as("T"))
+      totals.crossJoin(broadcast(sums))
+        .select(col("b"), lit(name).as("domain"),
+          (round(log((col("tc") + lit(1.0)) / (col("T") + lit(buckets))), 6)
+            .cast("decimal(28,6)") -
+            round(log((col("rc") + lit(1.0)) / (col("R") + lit(buckets))), 6)
+              .cast("decimal(28,6)")).as("r"))
+    }.reduce(_.unionByName(_))
+    val perDomain = rawCnt.join(broadcast(ratios), "b")
+      .groupBy("doc", "domain")
+      .agg(sum("cnt").as("n_feats"),
+        sum(col("cnt") * col("r")).as("lw"))
+      .select(col("doc"), col("domain"), col("n_feats"),
+        (col("lw") * lit(1000000L)).cast("long").as("logw_micro"))
+    val byDoc = Window.partitionBy("doc")
+      .orderBy(col("logw_micro").desc, col("domain"))
+    perDomain.withColumn("is_best",
+      row_number().over(byDoc) === 1)
+  }
+
   /** DSIR resampling: Gumbel-top-k over the importance weights — the
     * paper's sampling-without-replacement rendered deterministic: the
     * Gumbel noise `−ln(−ln(u))` draws its uniform from the engine's key

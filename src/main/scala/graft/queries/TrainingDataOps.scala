@@ -707,6 +707,52 @@ object TrainingDataOps {
        |  FROM rfc JOIN ratio USING (b) GROUP BY doc)""".stripMargin
   }
 
+  /** Multi-target sibling of [[duckDsirCtes]] mirroring
+    * [[graft.operators.Sampling.dsirMixtureWeights]]: ONE raw feature
+    * chain (rfc/rtot), then per domain its own target chain, smoothed
+    * totals and round-6 DECIMAL ratio table. Ends with CTE `mixw` =
+    * (doc, domain, n_feats, logw_micro).
+    */
+  private def duckDsirMixtureCtes(rawSrc: String,
+      targets: Seq[(String, String)], buckets: Int = 512): String = {
+    def featChain(p: String, src: String) =
+      s"""${p}tok AS (SELECT doc_id AS doc, unnest(range(len(ts))) AS p,
+         |    unnest(ts) AS w
+         |  FROM (SELECT doc_id, $duckToks AS ts FROM $src)),
+         |${p}tk AS (SELECT * FROM ${p}tok WHERE w <> ''),
+         |${p}bi AS (SELECT doc, w AS w1,
+         |  lead(w) OVER (PARTITION BY doc ORDER BY p) AS w2 FROM ${p}tk),
+         |${p}ft AS (SELECT doc, w AS f FROM ${p}tk
+         |  UNION ALL SELECT doc, w1 || ' ' || w2 FROM ${p}bi
+         |  WHERE w2 IS NOT NULL)""".stripMargin
+    val perDomain = targets.zipWithIndex.map { case ((name, src), i) =>
+      val p = s"d$i"
+      s"""${featChain(p, src)},
+         |${p}tfc AS (SELECT ${duckHash("f")} % $buckets AS b, count(*) AS tc
+         |  FROM ${p}ft GROUP BY 1),
+         |${p}tot AS (SELECT coalesce(r.b, t.b) AS b, coalesce(rc, 0) AS rc,
+         |  coalesce(tc, 0) AS tc FROM rtot r FULL OUTER JOIN ${p}tfc t
+         |  ON r.b = t.b),
+         |${p}sm AS (SELECT sum(rc) AS R, sum(tc) AS T FROM ${p}tot),
+         |${p}ratio AS MATERIALIZED (SELECT b, '$name' AS domain,
+         |  CAST(round(ln((tc + 1.0) / (T + $buckets)), 6) AS DECIMAL(28,6)) -
+         |  CAST(round(ln((rc + 1.0) / (R + $buckets)), 6) AS DECIMAL(28,6)) AS r
+         |  FROM ${p}tot, ${p}sm)""".stripMargin
+    }.mkString(",\n")
+    val ratioUnion = targets.indices
+      .map(i => s"SELECT * FROM d${i}ratio").mkString(" UNION ALL ")
+    s"""${featChain("r", rawSrc)},
+       |rfc AS MATERIALIZED (SELECT doc, ${duckHash("f")} % $buckets AS b,
+       |  count(*) AS cnt FROM rft GROUP BY 1, 2),
+       |rtot AS MATERIALIZED (SELECT b, sum(cnt) AS rc FROM rfc GROUP BY b),
+       |$perDomain,
+       |allratio AS ($ratioUnion),
+       |mixw AS MATERIALIZED (SELECT doc, domain,
+       |  CAST(sum(cnt) AS BIGINT) AS n_feats,
+       |  CAST(sum(cnt * r) * 1000000 AS BIGINT) AS logw_micro
+       |  FROM rfc JOIN allratio USING (b) GROUP BY doc, domain)""".stripMargin
+  }
+
   private val duckCosine =
     "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
       "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
@@ -6382,6 +6428,56 @@ object TrainingDataOps {
       s"""WITH ${duckDsirCtes("documents", "(SELECT doc_id, text FROM documents WHERE lang = 'en')")}
          |SELECT doc AS doc_id, n_feats, logw_micro FROM w
          |ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- DSIR at paper scale: 8192 hashed buckets ------------------------
+    // Xie et al.'s published recipe uses 10k buckets, not the compact 512
+    // of sp_dsir_weights; the ratio table stays driver-trivial (8192
+    // rows, broadcast) and the corpus passes are bucket-count-invariant —
+    // the row proves the engine holds its integer-exact contract at the
+    // paper's resolution, where most buckets are sparse and the add-one
+    // smoothing floor actually bites.
+    "sp_dsir_weights_8k" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Sampling.dsirLogWeights(
+            docs, docs.filter(col("lang") === "en"), "doc_id", "text", 8192)
+          .select(col("doc").as("doc_id"), col("n_feats"), col("logw_micro"))
+          .orderBy("doc_id")
+      },
+      s"""WITH ${duckDsirCtes("documents", "(SELECT doc_id, text FROM documents WHERE lang = 'en')", buckets = 8192)}
+         |SELECT doc AS doc_id, n_feats, logw_micro FROM w
+         |ORDER BY doc_id""".stripMargin
+    ),
+
+    // ---- multi-target DSIR mixture weights --------------------------------
+    // The data-MIXING use: every doc scored against THREE target domains
+    // (en/de/fr subsets) from ONE corpus feature pass + one broadcast
+    // (bucket, domain, ratio) table; is_best is the argmax-domain
+    // assignment a mixing router uses (logw desc, domain asc ties).
+    "sp_dsir_mixture" -> QuerySpec(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def tgt(l: String) =
+          docs.filter(col("lang") === l).select("doc_id", "text")
+        graft.operators.Sampling.dsirMixtureWeights(
+            docs, Seq("en" -> tgt("en"), "de" -> tgt("de"),
+              "fr" -> tgt("fr")), "doc_id", "text", buckets = 512)
+          .select(col("doc").as("doc_id"), col("domain"), col("n_feats"),
+            col("logw_micro"), col("is_best"))
+          .orderBy("doc_id", "domain")
+      },
+      {
+        def tgtSql(l: String) =
+          s"(SELECT doc_id, text FROM documents WHERE lang = '$l')"
+        s"""WITH ${duckDsirMixtureCtes("documents",
+            Seq("en" -> tgtSql("en"), "de" -> tgtSql("de"),
+              "fr" -> tgtSql("fr")))}
+           |SELECT doc AS doc_id, domain, n_feats, logw_micro,
+           |  row_number() OVER (PARTITION BY doc
+           |    ORDER BY logw_micro DESC, domain) = 1 AS is_best
+           |FROM mixw ORDER BY doc_id, domain""".stripMargin
+      }
     ),
 
     // ---- DSIR Gumbel-top-k resample ---------------------------------------
