@@ -371,8 +371,13 @@ object Multimodal {
   /** MP3 fixture spec: `cls` 0 = plain CBR, 1 = ID3v2-tagged VBR (frame j
     * uses bitrate index `1 + (doc_id + j) mod 14`), 3 = CBR cut 7 bytes
     * mid-final-frame (shortest legal frame is 96 bytes), 4 = first
-    * header carries the forbidden bitrate index 15. CBR index is
-    * `1 + doc_id mod 14`.
+    * header carries the forbidden bitrate index 15, 5 = Xing-tagged VBR
+    * (a leading TAG frame at bitrate index 1 carries "Xing" + frames +
+    * bytes at the MPEG-1-stereo side-info offset 36, then `n_frames`
+    * VBR data frames), 6 = same with a VBRI tag (offset 36, the
+    * Fraunhofer layout), 7 = Xing-tagged stream cut 7 bytes at the end
+    * (declared byte total no longer matches — the O(1) integrity check
+    * real VBR headers enable). CBR index is `1 + doc_id mod 14`.
     */
   case class Mp3Spec(doc_id: Long, sr_idx: Int, n_frames: Int, cls: Int)
 
@@ -397,10 +402,47 @@ object Multimodal {
           (0 until pad).foreach(k => out.write((k * 7 + 3) % 128))
         }
         val sr = Mp3SampleRates(s.sr_idx)
+        val vbrTagged = s.cls == 5 || s.cls == 6 || s.cls == 7
+        def dataBidx(j: Int): Int =
+          if (s.cls == 1 || vbrTagged) (1 + ((s.doc_id + j) % 14)).toInt
+          else (1 + (s.doc_id % 14)).toInt
+        if (vbrTagged) {
+          // TAG frame: bitrate index 1 (32 kbps), stereo (mode 00 → side
+          // info 32, tag at byte 36); declared frames = the DATA frames
+          // (the tag frame itself is excluded, the LAME/Xing convention),
+          // declared bytes = the whole audio stream incl. the tag frame
+          val tagLen = 144 * Mp3Bitrates(1) * 1000 / sr
+          val total = tagLen + (0 until s.n_frames)
+            .map(j => 144 * Mp3Bitrates(dataBidx(j)) * 1000 / sr).sum
+          val tag = new Array[Byte](tagLen)
+          tag(0) = 0xff.toByte; tag(1) = 0xfb.toByte
+          tag(2) = ((1 << 4) | (s.sr_idx << 2)).toByte
+          tag(3) = 0
+          def be32(a: Array[Byte], off: Int, v: Int): Unit = {
+            a(off) = (v >> 24).toByte; a(off + 1) = (v >> 16).toByte
+            a(off + 2) = (v >> 8).toByte; a(off + 3) = v.toByte
+          }
+          if (s.cls == 6) {
+            // VBRI (Fraunhofer): always at header+32; version, delay,
+            // quality, bytes, frames
+            "VBRI".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+              .copyToArray(tag, 36)
+            tag(41) = 1 // version = 1 (low byte)
+            be32(tag, 46, total)
+            be32(tag, 50, s.n_frames)
+          } else {
+            // Xing: at header + side info (32 for MPEG-1 stereo);
+            // flags = frames | bytes
+            "Xing".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+              .copyToArray(tag, 36)
+            be32(tag, 40, 0x3)
+            be32(tag, 44, s.n_frames)
+            be32(tag, 48, total)
+          }
+          out.write(tag)
+        }
         for (j <- 0 until s.n_frames) {
-          val bidx =
-            if (s.cls == 1) (1 + ((s.doc_id + j) % 14)).toInt
-            else (1 + (s.doc_id % 14)).toInt
+          val bidx = dataBidx(j)
           val frameLen = 144 * Mp3Bitrates(bidx) * 1000 / sr
           out.write(0xff); out.write(0xfb) // sync + MPEG1 + Layer III
           out.write((bidx << 4) | (s.sr_idx << 2))
@@ -410,7 +452,7 @@ object Multimodal {
         }
         val bytes = out.toByteArray
         val fuzzed = s.cls match {
-          case 3 => java.util.Arrays.copyOf(bytes, bytes.length - 7)
+          case 3 | 7 => java.util.Arrays.copyOf(bytes, bytes.length - 7)
           case 4 =>
             bytes(2) = ((0xf << 4) | (s.sr_idx << 2)).toByte; bytes
           case _ => bytes
@@ -428,18 +470,79 @@ object Multimodal {
     * public header layout (ISO/IEC 11172-3): skip an ID3v2 tag (syncsafe
     * size), then hop frame to frame by the declared length; interior
     * bytes are never inspected, so cost is O(frames), not O(bytes).
-    * Returns (frames, sampleRate, mean kbps, durationMs) — duration =
-    * frames · 1152 samples / rate — or a stable failure reason
-    * (forbidden bitrate/rate index → bad_header; a declared frame
+    * Returns (frames, sampleRate, mean kbps, durationMs, method) —
+    * duration = frames · 1152 samples / rate — or a stable failure
+    * reason (forbidden bitrate/rate index → bad_header; a declared frame
     * overrunning the payload → truncated).
+    *
+    * VBR-header shortcut (method "xing"/"vbri" vs "walk"): real VBR
+    * corpora carry a Xing/Info tag at header + side-info offset or a
+    * VBRI tag at header + 32 in the FIRST frame, declaring the stream's
+    * frame and byte totals — the standard O(1) duration path (the walk
+    * would be O(frames) and tools trust the header). When one is found,
+    * frames/duration come from the declared frame count (the tag frame
+    * itself excluded, the LAME convention), mean kbps = declared bytes
+    * over duration, and the ONE cheap integrity check the header enables
+    * runs: declared bytes must equal the remaining payload length, else
+    * `vbr_length_mismatch` (a truncated VBR file would otherwise report
+    * a silently wrong duration).
     */
-  private def parseMp3(b: Array[Byte]): Either[String, (Int, Int, Int, Long)] = {
+  private def parseMp3(b: Array[Byte])
+      : Either[String, (Int, Int, Int, Long, String)] = {
     var pos = 0
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
       val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
         ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
       pos = 10 + size
       if (pos > b.length) return Left("truncated")
+    }
+    // probe the first frame for a Xing/Info/VBRI header before walking
+    if (pos + 4 <= b.length && (b(pos) & 0xff) == 0xff &&
+      (b(pos + 1) & 0xe0) == 0xe0 && ((b(pos + 1) >> 3) & 3) == 3 &&
+      ((b(pos + 1) >> 1) & 3) == 1) {
+      val sridx = (b(pos + 2) >> 2) & 3
+      val bidx = (b(pos + 2) >> 4) & 0xf
+      if (bidx >= 1 && bidx <= 14 && sridx != 3) {
+        val sr = Mp3SampleRates(sridx)
+        val mode = (b(pos + 3) >> 6) & 3
+        val sideInfo = if (mode == 3) 17 else 32 // MPEG-1: mono 17, else 32
+        def tagAt(off: Int, magic: String): Boolean =
+          pos + off + 4 <= b.length &&
+            (0 until 4).forall(i => (b(pos + off + i) & 0xff) == magic(i))
+        def be32(off: Int): Long =
+          if (pos + off + 4 > b.length) -1L
+          else ((b(pos + off) & 0xffL) << 24) | ((b(pos + off + 1) & 0xffL) << 16) |
+            ((b(pos + off + 2) & 0xffL) << 8) | (b(pos + off + 3) & 0xffL)
+        val xingOff = 4 + sideInfo
+        val vbr: Option[(String, Long, Long)] =
+          if (tagAt(xingOff, "Xing") || tagAt(xingOff, "Info")) {
+            val flags = be32(xingOff + 4)
+            if (flags < 0) return Left("truncated")
+            // fields appear in flag order: frames (bit 0), bytes (bit 1)
+            if ((flags & 3L) != 3L) None // no frame+byte totals: walk
+            else {
+              val frames = be32(xingOff + 8)
+              val bytes = be32(xingOff + 12)
+              if (frames < 0 || bytes < 0) return Left("truncated")
+              Some(("xing", frames, bytes))
+            }
+          } else if (tagAt(36, "VBRI")) {
+            val bytes = be32(46)
+            val frames = be32(50)
+            if (bytes < 0 || frames < 0) return Left("truncated")
+            Some(("vbri", frames, bytes))
+          } else None
+        vbr match {
+          case Some((method, frames, bytes)) =>
+            if (frames <= 0) return Left("bad_header")
+            if (bytes != (b.length - pos).toLong)
+              return Left("vbr_length_mismatch")
+            val durMs = frames * 1152L * 1000L / sr
+            val kbps = if (durMs > 0) (bytes * 8L / durMs).toInt else 0
+            return Right((frames.toInt, sr, kbps, durMs, method))
+          case None => // fall through to the frame walk
+        }
+      }
     }
     var n = 0; var sr = -1; var kbpsSum = 0L
     while (pos < b.length) {
@@ -462,13 +565,16 @@ object Multimodal {
       pos += frameLen
     }
     if (n == 0) Left("bad_header")
-    else Right((n, sr, (kbpsSum / n).toInt, n * 1152L * 1000L / sr))
+    else Right((n, sr, (kbpsSum / n).toInt, n * 1152L * 1000L / sr, "walk"))
   }
 
-  /** Per-payload MP3 audit verdict. */
+  /** Per-payload MP3 audit verdict. `method` records how duration was
+    * derived: "walk" (frame-by-frame), "xing"/"vbri" (declared VBR-header
+    * totals, the O(1) shortcut); "" for unsupported/corrupt rows.
+    */
   case class Mp3Meta(doc_id: Long, n_bytes: Long, status: String,
       err: Option[String], n_frames: Int, sample_rate: Int,
-      bitrate_kbps: Int, duration_ms: Long)
+      bitrate_kbps: Int, duration_ms: Long, method: String = "")
 
   /** Partition-parallel MP3 metadata audit: binary column → typed
     * [[Mp3Meta]] with the ok/unsupported/corrupt fan-out — the lossy-
@@ -488,8 +594,8 @@ object Multimodal {
         if (!mp3Claims(d.payload))
           Mp3Meta(d.doc_id, n, "unsupported", None, 0, 0, 0, 0L)
         else parseMp3(d.payload) match {
-          case Right((frames, sr, kbps, durMs)) =>
-            Mp3Meta(d.doc_id, n, "ok", None, frames, sr, kbps, durMs)
+          case Right((frames, sr, kbps, durMs, method)) =>
+            Mp3Meta(d.doc_id, n, "ok", None, frames, sr, kbps, durMs, method)
           case Left(reason) =>
             Mp3Meta(d.doc_id, n, "corrupt", Some(reason), 0, 0, 0, 0L)
         }
@@ -551,21 +657,120 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** Extended ADTS fixture spec covering the two variants real corpora
+    * add on top of [[AacSpec]]'s MPEG-4/no-CRC baseline: `mpeg2` = 1 sets
+    * the ID bit (MPEG-2 AAC, ISO/IEC 13818-7 — same 1024-samples/frame
+    * timing, same rate table), `crc` = 1 clears protection_absent (the
+    * 9-byte header with a CRC-16 after the fixed 7 bytes — frame length
+    * counts it). `cls` 0 = clean, 3 = cut 5 bytes mid-final-frame,
+    * 4 = reserved sample-rate index 15, 5 = one payload byte flipped
+    * AFTER the CRC was computed (the corrupt-CRC case — requires
+    * crc = 1).
+    */
+  case class AacExtSpec(doc_id: Long, sr_idx: Int, profile: Int,
+      channels: Int, n_frames: Int, mpeg2: Int, crc: Int, cls: Int)
+
+  /** CRC-16 (poly 0x8005, init 0xFFFF, MSB-first, no reflection) over the
+    * 7 fixed header bytes + the raw payload — the frame-integrity
+    * contract [[synthesizeAacExt]] writes and [[parseAac]] verifies when
+    * protection_absent = 0. (ISO/IEC 13818-7 defines the on-air CRC over
+    * a bit-level subset; the fixture contract keeps the same polynomial
+    * and failure semantics with byte-aligned coverage so the oracle can
+    * predict every verdict without a bit-exact codec.)
+    */
+  private[operators] def adtsCrc16(bytes: Array[Byte], from: Int, until: Int,
+      cont: Int = 0xffff): Int = {
+    var crc = cont
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xff) << 8
+      var bit = 0
+      while (bit < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+        else (crc << 1) & 0xffff
+        bit += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** ADTS fixture synthesis for [[AacExtSpec]] — REAL 7- or 9-byte ADTS
+    * headers with the ID (MPEG-2/4) and protection_absent bits at their
+    * ISO positions; CRC-protected frames carry the [[adtsCrc16]] of
+    * header + payload in the 2 bytes after the fixed header, and the
+    * frame length field counts them.
+    */
+  def synthesizeAacExt(spark: SparkSession,
+      specs: Dataset[AacExtSpec]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureMinParallelism(specs.toDF()).as[AacExtSpec]
+      .mapPartitions { it =>
+        it.map { s =>
+          val out = new java.io.ByteArrayOutputStream()
+          for (j <- 0 until s.n_frames) {
+            val payload = new Array[Byte](20 + ((s.doc_id + j) % 30).toInt)
+            payload.indices.foreach(k =>
+              payload(k) = ((s.doc_id + j * 13 + k * 11) % 251).toByte)
+            val hdrLen = if (s.crc == 1) 9 else 7
+            val flen = hdrLen + payload.length
+            val sri = if (s.cls == 4 && j == 0) 15 else s.sr_idx
+            val hdr = new Array[Byte](hdrLen)
+            hdr(0) = 0xff.toByte
+            hdr(1) = (0xf0 | (s.mpeg2 << 3) | (1 - s.crc)).toByte
+            hdr(2) = ((s.profile << 6) | (sri << 2) |
+              ((s.channels >> 2) & 1)).toByte
+            hdr(3) = (((s.channels & 3) << 6) | ((flen >> 11) & 3)).toByte
+            hdr(4) = ((flen >> 3) & 0xff).toByte
+            hdr(5) = (((flen & 7) << 5) | 0x1f).toByte
+            hdr(6) = 0xfc.toByte
+            if (s.crc == 1) {
+              val crc = adtsCrc16(payload, 0, payload.length,
+                adtsCrc16(hdr, 0, 7))
+              hdr(7) = (crc >> 8).toByte
+              hdr(8) = crc.toByte
+              // cls 5: flip a payload byte AFTER the CRC — the mismatch
+              if (s.cls == 5 && j == 0) payload(0) = (payload(0) ^ 0xff).toByte
+            }
+            out.write(hdr); out.write(payload)
+          }
+          val bytes = out.toByteArray
+          val fuzzed =
+            if (s.cls == 3) java.util.Arrays.copyOf(bytes, bytes.length - 5)
+            else bytes
+          BinaryDoc(s.doc_id, fuzzed)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   private def aacClaims(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xf0) == 0xf0
 
   /** ADTS frame-header walk: hop by the explicit 13-bit frame length;
     * duration = frames · 1024 samples / rate. Returns (frames, rate,
-    * profile, channels, durationMs) or a stable failure reason.
+    * profile, channels, durationMs, version, crc) or a stable failure
+    * reason. The ID bit selects MPEG-4 vs MPEG-2 framing (version
+    * "mpeg4"/"mpeg2" — same timing, both walked); protection_absent = 0
+    * means a 9-byte header whose trailing CRC-16 is VERIFIED against
+    * [[adtsCrc16]] of the fixed header + payload — a flipped payload
+    * byte yields `crc_mismatch`, not a silently-ok row. `crc` output is
+    * "ok" when every frame carried a verified CRC, "none" when no frame
+    * did, "mixed" otherwise.
     */
   private def parseAac(b: Array[Byte])
-      : Either[String, (Int, Int, String, Int, Long)] = {
+      : Either[String, (Int, Int, String, Int, Long, String, String)] = {
     var pos = 0
-    var n = 0; var sr = -1; var prof = -1; var ch = -1
+    var n = 0; var sr = -1; var prof = -1; var ch = -1; var ver = -1
+    var crcFrames = 0
     while (pos < b.length) {
       if (pos + 7 > b.length) return Left("truncated")
       if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xf0) != 0xf0)
         return Left("bad_header")
+      val thisVer = (b(pos + 1) >> 3) & 1 // ID bit: 0 = MPEG-4, 1 = MPEG-2
+      if (ver < 0) ver = thisVer
+      else if (ver != thisVer) return Left("mixed_version")
+      val protAbsent = b(pos + 1) & 1
+      val hdrLen = if (protAbsent == 1) 7 else 9
       val sri = (b(pos + 2) >> 2) & 0xf
       if (sri >= AacSampleRates.length) return Left("bad_header")
       val thisSr = AacSampleRates(sri)
@@ -577,19 +782,32 @@ object Multimodal {
       if (ch < 0) ch = thisCh
       val flen = ((b(pos + 3) & 3) << 11) | ((b(pos + 4) & 0xff) << 3) |
         ((b(pos + 5) >> 5) & 7)
-      if (flen < 7) return Left("bad_header")
+      if (flen < hdrLen) return Left("bad_header")
       if (pos + flen > b.length) return Left("truncated")
+      if (protAbsent == 0) {
+        val stored = ((b(pos + 7) & 0xff) << 8) | (b(pos + 8) & 0xff)
+        val computed = adtsCrc16(b, pos + 9, pos + flen,
+          adtsCrc16(b, pos, pos + 7))
+        if (stored != computed) return Left("crc_mismatch")
+        crcFrames += 1
+      }
       n += 1
       pos += flen
     }
     if (n == 0) Left("bad_header")
-    else Right((n, sr, AacProfiles(prof), ch, n * 1024L * 1000L / sr))
+    else Right((n, sr, AacProfiles(prof), ch, n * 1024L * 1000L / sr,
+      if (ver == 1) "mpeg2" else "mpeg4",
+      if (crcFrames == 0) "none" else if (crcFrames == n) "ok" else "mixed"))
   }
 
-  /** Per-payload AAC-ADTS audit verdict. */
+  /** Per-payload AAC-ADTS audit verdict. `version` is the header ID bit
+    * ("mpeg4"/"mpeg2"); `crc` reports frame protection ("none"/"ok"/
+    * "mixed", "" for unsupported/corrupt rows).
+    */
   case class AacMeta(doc_id: Long, n_bytes: Long, status: String,
       err: Option[String], n_frames: Int, sample_rate: Int, profile: String,
-      channels: Int, duration_ms: Long)
+      channels: Int, duration_ms: Long, version: String = "",
+      crc: String = "")
 
   /** Partition-parallel AAC-ADTS metadata audit — [[mp3Audit]]'s sibling
     * for the other dominant lossy-audio codec: same ok/unsupported/
@@ -607,8 +825,9 @@ object Multimodal {
         if (!aacClaims(d.payload))
           AacMeta(d.doc_id, n, "unsupported", None, 0, 0, "", 0, 0L)
         else parseAac(d.payload) match {
-          case Right((frames, sr, prof, ch, durMs)) =>
-            AacMeta(d.doc_id, n, "ok", None, frames, sr, prof, ch, durMs)
+          case Right((frames, sr, prof, ch, durMs, ver, crc)) =>
+            AacMeta(d.doc_id, n, "ok", None, frames, sr, prof, ch, durMs,
+              ver, crc)
           case Left(reason) =>
             AacMeta(d.doc_id, n, "corrupt", Some(reason), 0, 0, "", 0, 0L)
         }

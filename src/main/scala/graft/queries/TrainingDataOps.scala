@@ -3112,6 +3112,130 @@ object TrainingDataOps {
       }
     ),
 
+    // ---- MP3 VBR headers: the Xing/VBRI duration shortcut ---------------
+    // Real VBR corpora carry a Xing (LAME) or VBRI (Fraunhofer) tag in
+    // the first frame declaring stream frame/byte totals; tools read
+    // duration from it in O(1) instead of walking O(frames). The row
+    // proves the shortcut is USED (declared frames exclude the tag frame
+    // — a walk would count one more), the mean bitrate comes from the
+    // declared byte total, and the one integrity check the header
+    // enables fires: a truncated stream's declared bytes no longer match
+    // → corrupt `vbr_length_mismatch`, never a silently wrong duration.
+    "mm_mp3_vbr_header" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val m = col("doc_id") % 4
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (col("doc_id") % 3).cast("int").as("sr_idx"),
+          (lit(5) + col("doc_id") % 20).cast("int").as("n_frames"),
+          when(m === 1, 5).when(m === 2, 6).when(m === 3, 7)
+            .otherwise(0).cast("int").as("cls")
+        ).as[Multimodal.Mp3Spec]
+        Multimodal.mp3Audit(s, Multimodal.synthesizeMp3(s, specs)).toDF()
+          .select(col("doc_id"), col("status"), col("err"), col("method"),
+            col("n_frames"), col("sample_rate"), col("bitrate_kbps"),
+            col("duration_ms"))
+          .orderBy("doc_id")
+      },
+      {
+        val lst = "[32,40,48,56,64,80,96,112,128,160,192,224,256,320]"
+        s"""WITH s AS (SELECT doc_id, doc_id % 4 AS m,
+           |    CAST(doc_id % 3 AS INTEGER) AS sri, 5 + doc_id % 20 AS n
+           |  FROM documents),
+           |b AS (SELECT doc_id, m, n,
+           |  CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr
+           |  FROM s),
+           |vbj AS (SELECT doc_id, n, sr, unnest(range(n)) AS j
+           |  FROM b WHERE m IN (1, 2)),
+           |vb AS (SELECT doc_id,
+           |  CAST(144 * 32 * 1000 // any_value(sr)
+           |    + sum(144 * $lst[CAST(1 + (doc_id + j) % 14 AS INTEGER)]
+           |      * 1000 // sr) AS BIGINT) AS total_bytes
+           |  FROM vbj GROUP BY doc_id)
+           |SELECT b.doc_id,
+           |  CASE WHEN m <= 2 THEN 'ok' ELSE 'corrupt' END AS status,
+           |  CASE WHEN m = 3 THEN 'vbr_length_mismatch' END AS err,
+           |  CASE m WHEN 0 THEN 'walk' WHEN 1 THEN 'xing'
+           |    WHEN 2 THEN 'vbri' ELSE '' END AS method,
+           |  CAST(CASE WHEN m <= 2 THEN n ELSE 0 END AS INTEGER) AS n_frames,
+           |  CAST(CASE WHEN m <= 2 THEN sr ELSE 0 END AS INTEGER)
+           |    AS sample_rate,
+           |  CAST(CASE WHEN m = 0 THEN $lst[CAST(1 + b.doc_id % 14 AS INTEGER)]
+           |    WHEN m IN (1, 2) THEN vb.total_bytes * 8
+           |      // (n * 1152 * 1000 // sr)
+           |    ELSE 0 END AS INTEGER) AS bitrate_kbps,
+           |  CAST(CASE WHEN m <= 2 THEN n * 1152 * 1000 // sr ELSE 0 END
+           |    AS BIGINT) AS duration_ms
+           |FROM b LEFT JOIN vb ON b.doc_id = vb.doc_id
+           |ORDER BY b.doc_id""".stripMargin
+      }
+    ),
+
+    // ---- AAC-ADTS variants: CRC-protected frames + MPEG-2 ID bit --------
+    // protection_absent = 0 adds a verified CRC-16 after the 7 fixed
+    // header bytes (frame length counts it); the ID bit selects MPEG-2
+    // framing (ISO/IEC 13818-7 — same timing). A payload byte flipped
+    // after the CRC was computed is a `crc_mismatch` corrupt row — the
+    // check actually runs, it is not a header-shape pass-through.
+    "mm_aac_ext_meta" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val m = col("doc_id") % 6
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          (col("doc_id") % 13).cast("int").as("sr_idx"),
+          (col("doc_id") % 4).cast("int").as("profile"),
+          (lit(1) + col("doc_id") % 3).cast("int").as("channels"),
+          (lit(4) + col("doc_id") % 12).cast("int").as("n_frames"),
+          when(m === 1 || m === 3, 1).otherwise(0).cast("int").as("mpeg2"),
+          when(m === 2 || m === 3 || m === 5, 1).otherwise(0)
+            .cast("int").as("crc"),
+          when(m === 3, 5).when(m === 5, 3).otherwise(0).cast("int").as("cls")
+        ).as[Multimodal.AacExtSpec]
+        val bin = Multimodal.synthesizeAacExt(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 6 === 4,
+              concat(lit("not audio #"), col("doc_id").cast("string"))
+                .cast("binary"))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.aacAudit(s, bin).toDF()
+          .select(col("doc_id"), col("status"), col("err"), col("version"),
+            col("crc"), col("n_frames"), col("sample_rate"), col("profile"),
+            col("channels"), col("duration_ms"))
+          .orderBy("doc_id")
+      },
+      {
+        val srl = "[96000,88200,64000,48000,44100,32000,24000,22050," +
+          "16000,12000,11025,8000,7350]"
+        s"""WITH s AS (SELECT doc_id, doc_id % 6 AS m,
+           |    $srl[CAST(1 + doc_id % 13 AS INTEGER)] AS sr,
+           |    ['main','lc','ssr','ltp'][CAST(1 + doc_id % 4 AS INTEGER)]
+           |      AS prof,
+           |    1 + doc_id % 3 AS ch, 4 + doc_id % 12 AS n
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN m IN (0, 1, 2) THEN 'ok' WHEN m = 4 THEN 'unsupported'
+           |    ELSE 'corrupt' END AS status,
+           |  CASE WHEN m = 3 THEN 'crc_mismatch'
+           |    WHEN m = 5 THEN 'truncated' END AS err,
+           |  CASE WHEN m = 1 THEN 'mpeg2' WHEN m IN (0, 2) THEN 'mpeg4'
+           |    ELSE '' END AS version,
+           |  CASE WHEN m = 2 THEN 'ok' WHEN m IN (0, 1) THEN 'none'
+           |    ELSE '' END AS crc,
+           |  CAST(CASE WHEN m IN (0, 1, 2) THEN n ELSE 0 END AS INTEGER)
+           |    AS n_frames,
+           |  CAST(CASE WHEN m IN (0, 1, 2) THEN sr ELSE 0 END AS INTEGER)
+           |    AS sample_rate,
+           |  CASE WHEN m IN (0, 1, 2) THEN prof ELSE '' END AS profile,
+           |  CAST(CASE WHEN m IN (0, 1, 2) THEN ch ELSE 0 END AS INTEGER)
+           |    AS channels,
+           |  CAST(CASE WHEN m IN (0, 1, 2) THEN n * 1024 * 1000 // sr
+           |    ELSE 0 END AS BIGINT) AS duration_ms
+           |FROM s ORDER BY doc_id""".stripMargin
+      }
+    ),
+
     // ---- native identity resolution (connected components) ------------
     "id_resolution_cc" -> QuerySpec(
       (s, dir) => {
