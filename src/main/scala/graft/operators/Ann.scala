@@ -393,15 +393,41 @@ object Ann {
     * layered-descent handoff: a finished upper-layer beam is already
     * scored against the same query vectors, so re-scoring it would buy
     * nothing and cost a round). Entry ids absent from the corpus drop
-    * out of the scoring join; an entry set that scores NO rows at all
-    * fails loudly instead of returning an empty result that reads as
-    * "no neighbors".
+    * out of the scoring join; an entry set whose first round scores NO
+    * rows at all fails loudly instead of returning an empty result that
+    * reads as "no neighbors".
     */
   def graphSearchFrom(graph: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, entries: DataFrame,
       beamWidth: Int, hops: Int, topK: Int,
       cutLineage: Boolean = true, expandHops: Int = 1): DataFrame = {
     require(beamWidth >= topK, s"beamWidth $beamWidth must cover topK $topK")
+    val beam = walkBeam(graph, corpus, queries, idCol, vecCol, entries,
+      beamWidth, hops, cutLineage, expandHops)
+    rankTopK(beam
+      .filter(col("query_id") =!= col("nid"))
+      .select(col("query_id"), col("nid").as("neighbor_id"), col("cos")),
+      topK)
+  }
+
+  /** The walk itself — shared by [[graphSearchFrom]] (which ranks the
+    * final beam) and [[layeredSearch]] (which hands a finished
+    * upper-layer beam down as the next layer's entries). Returns the
+    * final beam (query_id, nid, cos), self rows still present.
+    *
+    * Round structure: when `entries` arrive UNSCORED, round 1 scores
+    * entries ∪ their expansion in ONE job — algebraically identical to
+    * the score-entries-first formulation (score(E) ∪ score(adj(E)\E) =
+    * score(E ∪ adj(E)), and the beam cap is applied to the same union)
+    * but one fewer sequential barrier, which is the measured cost driver
+    * at single-query serve grain. Pre-scored entries are adopted as-is
+    * (their lineage ends at the previous layer's cut — no re-cut, no
+    * extra job) and pay the classic hops×(expand+score) rounds.
+    */
+  private def walkBeam(graph: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, entries: DataFrame,
+      beamWidth: Int, hops: Int,
+      cutLineage: Boolean, expandHops: Int): DataFrame = {
     require(hops >= 1, s"bad hops $hops")
     require(expandHops >= 1 && expandHops <= 3, s"bad expandHops $expandHops")
     val useReliable =
@@ -430,46 +456,171 @@ object Ann {
       .agg(Fns.topKByScore(col("cos"), col("nid"), beamWidth).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t.id").as("nid"), col("t.score").as("cos"))
-    // beam_0: the entry points, scored (self rows allowed during
-    // navigation — a query that IS a graph node must be able to start
-    // at itself; self is excluded only from the final ranking); entries
-    // arriving WITH a cos column are already exact — adopt them as-is
-    var beam = cut(
-      if (entries.columns.contains("cos"))
-        entries.select(col("query_id").cast("long"),
-          col("nid").cast("long"), col("cos").cast("double"))
-      else score(entries.select(col("query_id").cast("long"),
-        col("nid").cast("long"))))
-    // loud all-miss guard: entry ids absent from the corpus vanish in
-    // the scoring join, and a fully-missed entry set would walk to an
-    // empty result that reads as "no neighbors" (zero queries is the
-    // one legitimate empty beam_0 — the walk is then a typed no-op)
-    if (beam.isEmpty && !q.isEmpty)
-      throw new IllegalArgumentException(
-        "graphSearchFrom: no entry id scored — every entry is missing " +
-          "from the corpus (or the entry set was empty)")
-    for (_ <- 1 to hops) {
-      // expandHops > 1 trades per-round candidate volume
-      // (O(beam·degree^e)) for FEWER sequential round barriers — each
-      // round is a job (the checkpoint), and at single-query grain the
-      // barriers dominate latency (measured: 2 rounds × 2-hop ≈ the
-      // recall of 4 × 1-hop at roughly half the p50)
-      var frontier = beam.select(col("query_id"), col("nid"))
+    // expandHops > 1 trades per-round candidate volume (O(beam·degree^e))
+    // for FEWER sequential round barriers — each round is a job (the
+    // checkpoint), and at single-query grain the barriers dominate
+    // latency (measured: 2 rounds × 2-hop ≈ the recall of 4 × 1-hop at
+    // roughly half the p50)
+    def expandFrontier(nodes: DataFrame): DataFrame = {
+      var frontier = nodes
       var cand: DataFrame = null
       for (_ <- 1 to expandHops) {
         frontier = frontier.join(adj, "nid")
           .select(col("query_id"), col("dst").as("nid")).distinct()
         cand = if (cand == null) frontier else cand.unionByName(frontier)
       }
-      val expand = cand.distinct()
+      cand.distinct()
+    }
+    val preScored = entries.columns.contains("cos")
+    var beam =
+      if (preScored)
+        // a finished upper-layer beam: already exact, lineage already one
+        // cut deep — adopt without a scoring job or a re-cut
+        entries.select(col("query_id").cast("long"),
+          col("nid").cast("long"), col("cos").cast("double"))
+      else {
+        // merged round 1: entries (self rows allowed during navigation —
+        // a query that IS a graph node must be able to start at itself;
+        // self is excluded only from the final ranking) and their
+        // expansion scored in a single job
+        val e0 = entries.select(col("query_id").cast("long"),
+          col("nid").cast("long"))
+        cut(topBeam(score(e0.unionByName(expandFrontier(e0)).distinct())))
+      }
+    if (!preScored) {
+      // loud all-miss guard: ids absent from the corpus vanish in the
+      // scoring join, and a fully-missed entry set would walk to an
+      // empty result that reads as "no neighbors" (zero queries is the
+      // one legitimate empty first beam — the walk is then a typed no-op)
+      if (beam.isEmpty && !q.isEmpty)
+        throw new IllegalArgumentException(
+          "graphSearchFrom: no entry or entry-neighbor scored — every " +
+            "entry is missing from the corpus and graph (or the entry " +
+            "set was empty)")
+    }
+    val firstRound = if (preScored) 1 else 2
+    for (_ <- firstRound to hops) {
+      val expand = expandFrontier(beam.select(col("query_id"), col("nid")))
         .join(beam.select(col("query_id"), col("nid")),
           Seq("query_id", "nid"), "left_anti")
       beam = cut(topBeam(beam.unionByName(score(expand))))
     }
-    rankTopK(beam
-      .filter(col("query_id") =!= col("nid"))
-      .select(col("query_id"), col("nid").as("neighbor_id"), col("cos")),
-      topK)
+    beam
+  }
+
+  /** Deterministic HNSW layer level for node `vid` (Malkov & Yashunin
+    * 2016 §4's geometric level draw, rendered hash-deterministic so the
+    * assignment is reproducible across engines): P(level ≥ ℓ) = p^-ℓ via
+    * an LCG mix of the id compared against nested thresholds. Levels are
+    * CUMULATIVE — a level-2 node is a member of layers 0, 1 and 2. With
+    * a random-init k-NN graph, ids are uncorrelated with geometry, so a
+    * deterministic id-derived draw is exactly as good as a random one —
+    * and it replays in plain SQL.
+    */
+  def layerLevel(vid: Column, p: Int = 4, maxLevel: Int = 2): Column = {
+    require(p >= 2 && maxLevel >= 1, s"bad p=$p maxLevel=$maxLevel")
+    val m = 1L << 31
+    val u = pmod(vid.cast("long") * 1103515245L + 12345L, lit(m))
+    var level: Column = lit(0)
+    var thr = m
+    for (l <- 1 to maxLevel) {
+      thr = thr / p
+      level = when(u < lit(thr), lit(l)).otherwise(level)
+    }
+    level
+  }
+
+  /** Multi-layer serve graph — the HNSW hierarchy over [[nnDescent]]:
+    * layer 0 is the symmetrized base k-NN graph over the whole corpus;
+    * layer ℓ ≥ 1 is the symmetrized k-NN graph among the nodes with
+    * [[layerLevel]] ≥ ℓ (a p^-ℓ sample), built by the SAME nn-descent
+    * protocol on densified member ids (nnDescent's dense-id contract) and
+    * mapped back. Output: (layer, src, dst) — one table, partitionable
+    * on (layer, src), the standing index [[layeredSearch]] descends.
+    *
+    * Scale shape: layer ℓ holds n·p^-ℓ nodes, so the extra build cost
+    * over the flat graph is a geometric series ≤ 1/(p-1) of the base
+    * build; densification is one row_number over the ℓ ≥ 1 members
+    * (≤ n/p rows — the upper layers are the cheap part by construction).
+    */
+  def layeredBuild(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 2, p: Int = 4, maxLevel: Int = 2,
+      randomInit: Boolean = false): DataFrame = {
+    val base = serveGraph(nnDescent(emb, idCol, vecCol, k, iters, randomInit))
+      .withColumn("layer", lit(0))
+    val vecs = emb.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).as("v"))
+    (1 to maxLevel).foldLeft(base) { (acc, l) =>
+      val members = vecs
+        .filter(layerLevel(col("vid"), p, maxLevel) >= l)
+        .withColumn("did",
+          row_number().over(Window.orderBy("vid")).cast("long") - 1)
+      val ids = members.select(col("did"), col("vid")).localCheckpoint()
+      val knn = nnDescent(members.select(col("did"), col("v")),
+        "did", "v", k, iters, randomInit)
+      acc.unionByName(serveGraph(knn)
+        .join(ids.select(col("did").as("src"), col("vid").as("svid")), "src")
+        .join(ids.select(col("did").as("dst"), col("vid").as("dvid")), "dst")
+        .select(col("svid").as("src"), col("dvid").as("dst"))
+        .withColumn("layer", lit(l)))
+    }
+  }
+
+  /** The deterministic descent entry: the smallest node id in the top
+    * layer. One tiny aggregate over the layer column — compute it ONCE
+    * at index-build time and pass it to [[layeredSearch]]; a serve
+    * deployment must not pay this job per query batch.
+    */
+  def layeredEntry(layers: DataFrame, maxLevel: Int): Long =
+    layers.filter(col("layer") === maxLevel)
+      .agg(min(col("src"))).head().getLong(0)
+
+  /** HNSW-style layered descent serve (Malkov & Yashunin 2016 §4,
+    * batched): start every query at the single top-layer entry, walk ONE
+    * round per upper layer over that layer's tiny adjacency (beam
+    * `beamUpper`), and hand the finished beam DOWN as the next layer's
+    * pre-scored entries — the handoff costs nothing because an upper
+    * layer's members exist in every layer below (cumulative levels) and
+    * their cosines are already exact. The base layer then walks
+    * `hopsBase` rounds at `beamBase`. Layer ℓ localizes the entry in
+    * diameter p^-ℓ of the corpus, so the base layer starts NEAR the
+    * answer and needs fewer hops — total sequential rounds
+    * maxLevel + hopsBase, versus the flat walk's hops-to-cross-the-
+    * whole-diameter (the log-diameter descent that is HNSW's entire
+    * contribution over single-layer NSW).
+    *
+    * Scale shape: every round is the [[walkBeam]] keyed-join + bounded
+    * top-k shape; upper-layer rounds join against n·p^-ℓ-row adjacency
+    * slices (partition-prunable on `layer`), so the descent prepends
+    * CHEAPER-than-base rounds while removing base rounds.
+    */
+  def layeredSearch(layers: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, maxLevel: Int,
+      entryId: Long, beamUpper: Int = 8, beamBase: Int = 16,
+      hopsBase: Int = 1, topK: Int = 5, expandHops: Int = 2,
+      expandUpper: Int = 2, cutLineage: Boolean = true): DataFrame = {
+    require(maxLevel >= 1, s"bad maxLevel $maxLevel")
+    require(beamBase >= topK, s"beamBase $beamBase must cover topK $topK")
+    val q0 = queries.select(col(idCol).cast("long").as("query_id"))
+    // explode-of-literal (not a bare lit) keeps the entry id opaque to
+    // constant folding: a folded constant join key turns the first
+    // frontier expansion into a nested-loop join (plan-lock violation)
+    var entries: DataFrame =
+      q0.select(col("query_id"), explode(lit(Array(entryId))).as("nid"))
+    for (l <- maxLevel to 1 by -1) {
+      // one round per upper layer, expanded `expandUpper` hops deep: the
+      // layer is a p^-l sample, so a 2-hop ball there covers p²× the
+      // base-graph span for the SAME single barrier — the log-diameter
+      // descent; candidate volume is capped by the layer size itself
+      entries = walkBeam(
+        layers.filter(col("layer") === l).select(col("src"), col("dst")),
+        corpus, queries, idCol, vecCol, entries,
+        beamUpper, hops = 1, cutLineage, expandHops = expandUpper)
+    }
+    graphSearchFrom(
+      layers.filter(col("layer") === 0).select(col("src"), col("dst")),
+      corpus, queries, idCol, vecCol, entries,
+      beamBase, hopsBase, topK, cutLineage, expandHops)
   }
 
   /** Plane-count sizing for [[knnJoin]]/[[lshTopK]]: candidate volume is

@@ -137,6 +137,26 @@ object BenchOnlyOps {
       })
     }
 
+  // layered (HNSW-style) graph serve tier: the multi-layer adjacency
+  // persisted partitioned BY LAYER (the descent prunes to one layer's
+  // slice per round) plus the descent entry, computed once at build.
+  // Same base protocol as servedGraph (random init, k=12/iters=5);
+  // p=4/maxLevel=1 puts ~n/4 nodes in the upper layer.
+  private val layeredCache =
+    scala.collection.mutable.HashMap.empty[String, (DataFrame, Long)]
+  private def servedLayered(s: SparkSession, dir: String): (DataFrame, Long) =
+    layeredCache.synchronized {
+      layeredCache.getOrElseUpdate(dir, {
+        val d = benchTmp("graft_bench_layeredgraph")
+        val emb = t(s, dir, "embeddings")
+        Ann.layeredBuild(emb, "vec_id", "embedding",
+            k = 12, iters = 5, p = 4, maxLevel = 1, randomInit = true)
+          .write.mode("overwrite").partitionBy("layer").parquet(s"$d/adj")
+        val layers = s.read.parquet(s"$d/adj")
+        (layers, Ann.layeredEntry(layers, 1))
+      })
+    }
+
   private val lexCache =
     scala.collection.mutable.HashMap.empty[String, graft.operators.Retrieval.LexIndex]
   private def servedLex(s: SparkSession, dir: String)
@@ -196,6 +216,21 @@ object BenchOnlyOps {
         beamWidth = 48, hops = 2, topK = 10, expandHops = 2)
     }),
 
+    // layered (HNSW-style) descent serve: the same 100-query batch as
+    // ann_graph_serve, but ONE merged round over the ~n/4-node upper
+    // layer localizes every query and ONE base round finishes — 2
+    // sequential rounds against the flat walk's equal-recall 2×2-hop
+    // shape, with the upper round joining a quarter-size adjacency slice
+    // (partition-pruned on `layer`)
+    "ann_graph_serve_layered" -> ((s, dir) => {
+      val (layers, entry) = servedLayered(s, dir)
+      Ann.layeredSearch(layers, t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").filter(col("vec_id") < 100),
+        "vec_id", "embedding", maxLevel = 1, entryId = entry,
+        beamUpper = 16, beamBase = 48, hopsBase = 1, topK = 10,
+        expandHops = 2, expandUpper = 2)
+    }),
+
     // IVF-PQ append: incremental index maintenance — a 10% batch is
     // assigned + PQ-coded against the FROZEN quantizers and unioned with
     // the materialized code table (the FAISS add() shape). The measured
@@ -249,8 +284,9 @@ object BenchOnlyOps {
     }),
 
     // ANN serve LATENCY percentiles: the number a serving deployment
-    // actually quotes — per-query-batch wall latency for the five serve
-    // tiers (int8, Hamming, flat-PQ ADC, IVF-PQ ADC, graph walk) against
+    // actually quotes — per-query-batch wall latency for the six serve
+    // tiers (int8, Hamming, flat-PQ ADC, IVF-PQ ADC, flat graph walk,
+    // layered HNSW-style descent) against
     // the pre-materialized tables, sampled over SPARK_GRAFT_LAT_BATCHES
     // (default 8) sequential single-query batches each. p99 at n ≤ 100
     // samples is the interpolation-free upper order statistic (= max at
@@ -288,6 +324,13 @@ object BenchOnlyOps {
           Ann.graphSearch(adj, t(s, dir, "embeddings"),
             oneQuery(i), "vec_id", "embedding", entryIds = entries,
             beamWidth = 48, hops = 2, topK = 10, expandHops = 2)
+        },
+        "graph_layered" -> { i =>
+          val (layers, entry) = servedLayered(s, dir)
+          Ann.layeredSearch(layers, t(s, dir, "embeddings"),
+            oneQuery(i), "vec_id", "embedding", maxLevel = 1,
+            entryId = entry, beamUpper = 16, beamBase = 48, hopsBase = 1,
+            topK = 10, expandHops = 2, expandUpper = 2)
         })
       val rows = tiers.map { case (tier, mk) =>
         val ms = (0 until nBatches).map { i =>

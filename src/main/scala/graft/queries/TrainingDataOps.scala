@@ -765,8 +765,11 @@ object TrainingDataOps {
     * nn-descent rounds are the ann_nndescent oracle's, verbatim. Ends
     * with CTE `b$hops` = (query_id, nid, cos), self rows still present.
     */
-  private def duckGraphSearchCtes(nQueries: Int, beam: Int, hops: Int,
-      expandHops: Int = 1): String = {
+  /** Shared prefix of the graph-walk oracles: the base nn-descent graph
+    * (ring init, k=4, 2 rounds), its symmetrized serve adjacency `adj`,
+    * and the query/vector views `q`/`v`.
+    */
+  private def duckBaseGraphCtes(nQueries: Int): String = {
     def nnRound(r: Int) =
       s"""g$r AS (SELECT src, dst FROM e${r - 1}
          |  UNION ALL SELECT dst, src FROM e${r - 1}
@@ -780,8 +783,26 @@ object TrainingDataOps {
          |  SELECT src, dst, row_number() OVER (
          |    PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM s$r)
          |  WHERE rn <= 4)""".stripMargin
-    val qcos = "list_dot_product(q.qv, v.cv) / " +
-      "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.cv, v.cv)))"
+    s"""nn AS (SELECT count(*) AS n FROM embeddings),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.vec_id AS src, CAST((a.vec_id + j.j) % nn.n AS BIGINT) AS dst
+       |  FROM embeddings a, range(1, 5) j(j), nn
+       |  WHERE (a.vec_id + j.j) % nn.n <> a.vec_id),
+       |${nnRound(1)},
+       |${nnRound(2)},
+       |adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM e2 UNION ALL SELECT dst, src FROM e2)),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < $nQueries),
+       |v AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings)""".stripMargin
+  }
+
+  private val duckQcos = "list_dot_product(q.qv, v.cv) / " +
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.cv, v.cv)))"
+
+  private def duckGraphSearchCtes(nQueries: Int, beam: Int, hops: Int,
+      expandHops: Int = 1): String = {
+    val qcos = duckQcos
     val walkRounds = (1 to hops).map { r =>
       // expandHops-deep per-round frontier closure (mirrors graphSearch's
       // expandHops loop): f1 = beam's out-edges, f_e = f_{e-1}'s, the
@@ -806,21 +827,91 @@ object TrainingDataOps {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, nid) AS rn FROM u$r) WHERE rn <= $beam)""".stripMargin
     }.mkString(",\n")
-    s"""nn AS (SELECT count(*) AS n FROM embeddings),
-       |e0 AS MATERIALIZED (
-       |  SELECT a.vec_id AS src, CAST((a.vec_id + j.j) % nn.n AS BIGINT) AS dst
-       |  FROM embeddings a, range(1, 5) j(j), nn
-       |  WHERE (a.vec_id + j.j) % nn.n <> a.vec_id),
-       |${nnRound(1)},
-       |${nnRound(2)},
-       |adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-       |  SELECT src, dst FROM e2 UNION ALL SELECT dst, src FROM e2)),
-       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-       |  FROM embeddings WHERE vec_id < $nQueries),
-       |v AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+    s"""${duckBaseGraphCtes(nQueries)},
        |b0 AS MATERIALIZED (SELECT q.query_id, v.nid, $qcos AS cos
        |  FROM q JOIN v ON v.nid = 0),
        |$walkRounds""".stripMargin
+  }
+
+  /** DuckDB CTE chain mirroring the HNSW-style layered descent
+    * ([[Ann.layeredBuild]] maxLevel=1 p=4 + [[Ann.layeredSearch]]): the
+    * deterministic LCG level draw, the layer-1 k-NN graph built by the
+    * SAME nn-descent protocol on row_number-densified member ids, the
+    * single merged upper-layer round (entry ∪ its 2-hop closure over the
+    * layer-1 adjacency, scored, top `beamUpper`), and the base round
+    * seeded by that beam (2-hop closure over the base adjacency minus
+    * the handoff, scored, union, top `beamBase`). Reuses
+    * [[duckGraphSearchCtes]]'s base-graph protocol verbatim for layer 0
+    * (CTEs nn/e0..e2/adj/q/v). Ends with CTE `bb` = (query_id, nid,
+    * cos), self rows still present.
+    */
+  private def duckLayeredCtes(nQueries: Int, beamUpper: Int,
+      beamBase: Int): String = {
+    val qcos = duckQcos
+    def lNnRound(r: Int) =
+      s"""lg$r AS (SELECT src, dst FROM le${r - 1}
+         |  UNION ALL SELECT dst, src FROM le${r - 1}
+         |  UNION ALL SELECT x.src, y.dst FROM le${r - 1} x
+         |    JOIN le${r - 1} y ON x.dst = y.src),
+         |lc$r AS (SELECT DISTINCT src, dst FROM lg$r WHERE src <> dst),
+         |ls$r AS (SELECT c.src, c.dst, $duckCosine AS cos
+         |  FROM lc$r c
+         |  JOIN m1 ma ON ma.did = c.src JOIN embeddings a ON a.vec_id = ma.vec_id
+         |  JOIN m1 mb ON mb.did = c.dst JOIN embeddings b ON b.vec_id = mb.vec_id),
+         |le$r AS MATERIALIZED (SELECT src, dst FROM (
+         |  SELECT src, dst, row_number() OVER (
+         |    PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM ls$r)
+         |  WHERE rn <= 4)""".stripMargin
+    s"""${duckBaseGraphCtes(nQueries)},
+       |lv AS (SELECT vec_id,
+       |  (vec_id * 1103515245 + 12345) % 2147483648 AS u FROM embeddings),
+       |m1 AS MATERIALIZED (SELECT vec_id,
+       |  row_number() OVER (ORDER BY vec_id) - 1 AS did
+       |  FROM lv WHERE u < 536870912),
+       |n1 AS (SELECT count(*) AS n FROM m1),
+       |le0 AS MATERIALIZED (
+       |  SELECT m.did AS src, CAST((m.did + j.j) % n1.n AS BIGINT) AS dst
+       |  FROM m1 m, range(1, 5) j(j), n1
+       |  WHERE (m.did + j.j) % n1.n <> m.did),
+       |${lNnRound(1)},
+       |${lNnRound(2)},
+       |adj1 AS MATERIALIZED (SELECT DISTINCT ma.vec_id AS src,
+       |  mb.vec_id AS dst
+       |  FROM (SELECT src, dst FROM le2 UNION ALL SELECT dst, src FROM le2) e
+       |  JOIN m1 ma ON ma.did = e.src JOIN m1 mb ON mb.did = e.dst),
+       |ent1 AS (SELECT min(src) AS e FROM adj1),
+       |l1c0 AS (SELECT q.query_id, ent1.e AS nid FROM q, ent1),
+       |l1f1 AS (SELECT DISTINCT c.query_id, a.dst AS nid
+       |  FROM l1c0 c JOIN adj1 a ON a.src = c.nid),
+       |l1f2 AS (SELECT DISTINCT c.query_id, a.dst AS nid
+       |  FROM l1f1 c JOIN adj1 a ON a.src = c.nid),
+       |l1cand AS (SELECT DISTINCT query_id, nid FROM (
+       |  SELECT query_id, nid FROM l1c0
+       |  UNION SELECT query_id, nid FROM l1f1
+       |  UNION SELECT query_id, nid FROM l1f2)),
+       |l1w AS (SELECT c.query_id, c.nid, $qcos AS cos
+       |  FROM l1cand c JOIN q ON q.query_id = c.query_id
+       |    JOIN v ON v.nid = c.nid),
+       |h1 AS MATERIALIZED (SELECT query_id, nid, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, nid) AS rn FROM l1w) WHERE rn <= $beamUpper),
+       |bf1 AS (SELECT DISTINCT t.query_id, a.dst AS nid
+       |  FROM h1 t JOIN adj a ON a.src = t.nid),
+       |bf2 AS (SELECT DISTINCT t.query_id, a.dst AS nid
+       |  FROM bf1 t JOIN adj a ON a.src = t.nid),
+       |bx AS (SELECT DISTINCT query_id, nid FROM (
+       |  SELECT query_id, nid FROM bf1
+       |  UNION SELECT query_id, nid FROM bf2) u
+       |  WHERE NOT EXISTS (SELECT 1 FROM h1 p
+       |    WHERE p.query_id = u.query_id AND p.nid = u.nid)),
+       |bw AS (SELECT x.query_id, x.nid, $qcos AS cos
+       |  FROM bx x JOIN q ON q.query_id = x.query_id
+       |    JOIN v ON v.nid = x.nid),
+       |bu AS (SELECT query_id, nid, cos FROM h1
+       |  UNION ALL SELECT query_id, nid, cos FROM bw),
+       |bb AS MATERIALIZED (SELECT query_id, nid, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, nid) AS rn FROM bu) WHERE rn <= $beamBase)""".stripMargin
   }
 
   /** DuckDB CTE: sign-bit binary codes as two 32-bit words (must match
@@ -6949,6 +7040,100 @@ object TrainingDataOps {
          |  SELECT query_id, nid, row_number() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rn
          |  FROM b3 WHERE nid <> query_id) WHERE rn <= 5),
+         |bsc AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $duckCosine AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+         |bru AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM bsc)
+         |  WHERE rank <= 5)
+         |SELECT b.query_id,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4)
+         |    AS recall
+         |FROM bru b LEFT JOIN ap i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+    ),
+
+    // ---- HNSW layer assignment (deterministic geometric draw) -----------
+    // The hierarchy's membership table: P(level >= l) = 4^-l via an LCG
+    // mix of the node id (Malkov & Yashunin 2016 §4's level draw made
+    // hash-deterministic). Levels are cumulative — this row pins the
+    // draw itself; the descent row below pins what the layers buy.
+    "ann_graph_layers" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        emb.select(col("vec_id"),
+            Ann.layerLevel(col("vec_id"), p = 4, maxLevel = 2).as("level"))
+          .groupBy("level")
+          .agg(count(lit(1)).as("n_nodes"),
+            min("vec_id").as("min_id"), max("vec_id").as("max_id"))
+          .orderBy("level")
+      },
+      """WITH lv AS (SELECT vec_id,
+        |  (vec_id * 1103515245 + 12345) % 2147483648 AS u FROM embeddings)
+        |SELECT CAST(CASE WHEN u < 134217728 THEN 2
+        |  WHEN u < 536870912 THEN 1 ELSE 0 END AS INTEGER) AS level,
+        |  count(*) AS n_nodes, min(vec_id) AS min_id, max(vec_id) AS max_id
+        |FROM lv GROUP BY 1 ORDER BY level""".stripMargin
+    ),
+
+    // ---- HNSW-style layered descent serve --------------------------------
+    // The hierarchy at work: ONE merged round over the layer-1 graph
+    // (entry ∪ its 2-hop closure, beam 12) localizes every query, and the
+    // handed-down beam seeds ONE base round (2-hop closure, beam 16) —
+    // 2 sequential rounds total versus ann_graph_search's 3, the
+    // log-diameter descent that is HNSW's contribution over flat NSW.
+    // The oracle replays the level draw, the densified layer-1
+    // nn-descent, and both rounds exactly.
+    "ann_graph_layered_search" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val layers = Ann.layeredBuild(emb, "vec_id", "embedding",
+          k = 4, iters = 2, p = 4, maxLevel = 1)
+        Ann.layeredSearch(layers, emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", maxLevel = 1,
+            entryId = Ann.layeredEntry(layers, 1),
+            beamUpper = 12, beamBase = 16, hopsBase = 1, topK = 5,
+            expandHops = 2, expandUpper = 2)
+          .orderBy("query_id", "rank")
+      },
+      s"""WITH ${duckLayeredCtes(8, 12, 16)}
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id,
+         |  round(cos, 4) AS cos
+         |FROM (SELECT query_id, nid, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rn
+         |  FROM bb WHERE nid <> query_id)
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    ),
+
+    // ---- layered descent recall@5 vs exact cosine ------------------------
+    // The quality dial of the descent (same contract as ann_graph_recall):
+    // how much of the exact top-5 the 2-round layered walk recovers —
+    // adjudicated against the flat 3-round walk in Round14GraphSpec.
+    "ann_graph_layered_recall" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+        val layers = Ann.layeredBuild(emb, "vec_id", "embedding",
+          k = 4, iters = 2, p = 4, maxLevel = 1)
+        Ann.recallEval(
+            Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+            Ann.layeredSearch(layers, emb, q, "vec_id", "embedding",
+              maxLevel = 1, entryId = Ann.layeredEntry(layers, 1),
+              beamUpper = 12, beamBase = 16, hopsBase = 1, topK = 5,
+              expandHops = 2, expandUpper = 2),
+            5)
+          .orderBy("query_id")
+      },
+      s"""WITH ${duckLayeredCtes(8, 12, 16)},
+         |ap AS (SELECT query_id, nid AS neighbor_id FROM (
+         |  SELECT query_id, nid, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rn
+         |  FROM bb WHERE nid <> query_id) WHERE rn <= 5),
          |bsc AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $duckCosine AS cos
          |  FROM embeddings a JOIN embeddings b
