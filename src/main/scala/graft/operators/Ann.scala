@@ -623,6 +623,54 @@ object Ann {
       beamBase, hopsBase, topK, cutLineage, expandHops)
   }
 
+  /** NSW incremental insert (Malkov & Yashunin 2016 §4 alg. 1, the
+    * insert rule that makes the graph tier maintainable without a full
+    * [[nnDescent]] rebuild): each new vector SEARCHES the existing graph
+    * for its `kLink` nearest members ([[graphSearch]] over the standing
+    * adjacency — new vectors never scan the corpus) and links to them
+    * BIDIRECTIONALLY (the same symmetrization [[serveGraph]] applies at
+    * build). Returns the updated adjacency (old edges ∪ new edges).
+    *
+    * Batch semantics: every vector in `batch` searches the PRE-batch
+    * graph — batch members do not link to each other. Feeding arrivals
+    * through in micro-batches therefore grows the graph incrementally
+    * (later batches can link to earlier inserts), and a sequential fold
+    * of this function over the same splits is EXACTLY what the streaming
+    * path computes — the stream≡batch contract Round14GraphSpec pins.
+    *
+    * Scale shape: the search is the corpus-size-insensitive walk
+    * (O(beam·degree^e·hops) per insert); edge construction is two
+    * projections + distinct over |batch|·kLink rows; the old adjacency
+    * is UNIONED, never shuffled — at 100 TB the standing edge table
+    * stays where it is (an append-only file set) and only the new edges
+    * move.
+    */
+  def graphInsert(graph: DataFrame, corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, kLink: Int = 4,
+      entryIds: Seq[Long] = Seq(0L), beamWidth: Int = 16, hops: Int = 2,
+      expandHops: Int = 2, cutLineage: Boolean = true): DataFrame =
+    graph.select(col("src").cast("long"), col("dst").cast("long"))
+      .unionByName(graphInsertEdges(graph, corpus, batch, idCol, vecCol,
+        kLink, entryIds, beamWidth, hops, expandHops, cutLineage))
+
+  /** Just the NEW edges of [[graphInsert]] — the append set a streaming
+    * maintainer writes to the standing adjacency files. Output:
+    * (src, dst), both directions, deduped.
+    */
+  def graphInsertEdges(graph: DataFrame, corpus: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String, kLink: Int = 4,
+      entryIds: Seq[Long] = Seq(0L), beamWidth: Int = 16, hops: Int = 2,
+      expandHops: Int = 2, cutLineage: Boolean = true): DataFrame = {
+    require(kLink >= 1 && kLink <= beamWidth,
+      s"kLink $kLink must be within beamWidth $beamWidth")
+    val found = graphSearch(graph, corpus, batch, idCol, vecCol, entryIds,
+      beamWidth, hops, kLink, cutLineage, expandHops)
+    val e = found.select(col("query_id").as("src"),
+      col("neighbor_id").as("dst"))
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
   /** Plane-count sizing for [[knnJoin]]/[[lshTopK]]: candidate volume is
     * Σ(bucket²) ≈ n²/2^numPlanes, so a CONSTANT plane count grows
     * quadratically with the corpus — measured live: a pinned numPlanes=6

@@ -157,6 +157,36 @@ object BenchOnlyOps {
       })
     }
 
+  // streaming graph-ingest fixtures: the 90% base graph + corpus
+  // parquet-materialized once per corpus dir, and the 10% insert set
+  // staged as an NDJSON drop — each bench rep copies the index and
+  // replays the stream fresh
+  private val graphIngestCache =
+    scala.collection.mutable.HashMap.empty[String, (String, String, String, Seq[Long])]
+  private def servedGraphIngest(s: SparkSession, dir: String)
+      : (String, String, String, Seq[Long]) =
+    graphIngestCache.synchronized {
+      graphIngestCache.getOrElseUpdate(dir, {
+        val d = benchTmp("graft_bench_graph_ingest")
+        val emb = t(s, dir, "embeddings")
+        val n = emb.count()
+        val corpus = emb.filter(col("vec_id") < (n * 9) / 10)
+        Ann.serveGraph(Ann.nnDescent(corpus, "vec_id", "embedding",
+            k = 12, iters = 5, randomInit = true))
+          .write.mode("overwrite").parquet(s"$d/adj")
+        corpus.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+          .write.mode("overwrite").parquet(s"$d/corp")
+        t(s, dir, "embeddings").filter(col("vec_id") >= (n * 9) / 10)
+          .select(to_json(struct(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"),
+            (lit(1700000000L) + col("vec_id")).as("ingest_ts"))).as("value"))
+          .write.mode("overwrite").text(s"$d/staging")
+        (s"$d/adj", s"$d/corp", s"$d/staging",
+          Ann.spreadEntries((n * 9) / 10))
+      })
+    }
+
   private val lexCache =
     scala.collection.mutable.HashMap.empty[String, graft.operators.Retrieval.LexIndex]
   private def servedLex(s: SparkSession, dir: String)
@@ -378,6 +408,27 @@ object BenchOnlyOps {
         s, staging, idx, s"$out/idx", s"$out/ckpt")
       try { q.processAllAvailable() } finally q.stop()
       s.read.parquet(s"$out/idx")
+    }),
+
+    // streaming NSW graph ingest, end to end: a 10% vector drop replayed
+    // as NDJSON through the insert rule — per micro-batch ONE bounded
+    // graph walk against the standing adjacency plus two parquet appends.
+    // The 90% base graph is built once per corpus (servedGraphIngest);
+    // each rep copies it into a fresh index dir and replays the stream,
+    // so the timed work is the steady-state maintenance cost.
+    "stream_graph_ingest" -> ((s, dir) => {
+      val (adjSrc, corpSrc, staging, entries) = servedGraphIngest(s, dir)
+      val root = benchTmp("graft_bench_graph_ingest_rep")
+      val adjDir = s"$root/adj"
+      val corpDir = s"$root/corp"
+      s.read.parquet(adjSrc).write.parquet(adjDir)
+      s.read.parquet(corpSrc).write.parquet(corpDir)
+      val q = graft.streaming.StreamingAnn.graphIngestToParquet(
+        s, staging, adjDir, corpDir, s"$root/ckpt",
+        kLink = 12, entryIds = entries, beamWidth = 32, hops = 2,
+        expandHops = 2)
+      try { q.processAllAvailable() } finally q.stop()
+      s.read.parquet(adjDir)
     }),
 
     // streaming near-dup dedup, end to end: the full documents corpus

@@ -766,10 +766,18 @@ object TrainingDataOps {
     * with CTE `b$hops` = (query_id, nid, cos), self rows still present.
     */
   /** Shared prefix of the graph-walk oracles: the base nn-descent graph
-    * (ring init, k=4, 2 rounds), its symmetrized serve adjacency `adj`,
-    * and the query/vector views `q`/`v`.
+    * (ring init, k=4, 2 rounds) over the `corp` view, its symmetrized
+    * serve adjacency `adj`, and the query/vector views `q`/`v`.
+    * `corpusSql`/`querySql` parameterize the corpus and query sets (the
+    * insert oracle builds the graph on all-but-the-last-8 vectors and
+    * queries WITH the held-out 8); defaults reproduce the flat rows.
     */
-  private def duckBaseGraphCtes(nQueries: Int): String = {
+  private def duckBaseGraphCtes(nQueries: Int,
+      corpusSql: String = "SELECT vec_id, embedding FROM embeddings",
+      querySql: String = null): String = {
+    val qSql = Option(querySql).getOrElse(
+      "SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv " +
+        s"FROM embeddings WHERE vec_id < $nQueries")
     def nnRound(r: Int) =
       s"""g$r AS (SELECT src, dst FROM e${r - 1}
          |  UNION ALL SELECT dst, src FROM e${r - 1}
@@ -777,31 +785,35 @@ object TrainingDataOps {
          |    JOIN e${r - 1} y ON x.dst = y.src),
          |c$r AS (SELECT DISTINCT src, dst FROM g$r WHERE src <> dst),
          |s$r AS (SELECT c.src, c.dst, $duckCosine AS cos
-         |  FROM c$r c JOIN embeddings a ON a.vec_id = c.src
-         |    JOIN embeddings b ON b.vec_id = c.dst),
+         |  FROM c$r c JOIN corp a ON a.vec_id = c.src
+         |    JOIN corp b ON b.vec_id = c.dst),
          |e$r AS MATERIALIZED (SELECT src, dst FROM (
          |  SELECT src, dst, row_number() OVER (
          |    PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM s$r)
          |  WHERE rn <= 4)""".stripMargin
-    s"""nn AS (SELECT count(*) AS n FROM embeddings),
+    s"""corp AS ($corpusSql),
+       |nn AS (SELECT count(*) AS n FROM corp),
        |e0 AS MATERIALIZED (
        |  SELECT a.vec_id AS src, CAST((a.vec_id + j.j) % nn.n AS BIGINT) AS dst
-       |  FROM embeddings a, range(1, 5) j(j), nn
+       |  FROM corp a, range(1, 5) j(j), nn
        |  WHERE (a.vec_id + j.j) % nn.n <> a.vec_id),
        |${nnRound(1)},
        |${nnRound(2)},
        |adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |  SELECT src, dst FROM e2 UNION ALL SELECT dst, src FROM e2)),
-       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-       |  FROM embeddings WHERE vec_id < $nQueries),
-       |v AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings)""".stripMargin
+       |q AS ($qSql),
+       |v AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM corp)""".stripMargin
   }
 
   private val duckQcos = "list_dot_product(q.qv, v.cv) / " +
     "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.cv, v.cv)))"
 
-  private def duckGraphSearchCtes(nQueries: Int, beam: Int, hops: Int,
-      expandHops: Int = 1): String = {
+  /** The batched beam walk over `adj`/`q`/`v` (entry node 0): b0 = the
+    * scored entry, then `hops` rounds of expandHops-deep frontier closure
+    * minus the current beam, scored, capped at `beam`. Ends with CTE
+    * `b$hops`.
+    */
+  private def duckWalkRounds(beam: Int, hops: Int, expandHops: Int): String = {
     val qcos = duckQcos
     val walkRounds = (1 to hops).map { r =>
       // expandHops-deep per-round frontier closure (mirrors graphSearch's
@@ -827,11 +839,15 @@ object TrainingDataOps {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, nid) AS rn FROM u$r) WHERE rn <= $beam)""".stripMargin
     }.mkString(",\n")
-    s"""${duckBaseGraphCtes(nQueries)},
-       |b0 AS MATERIALIZED (SELECT q.query_id, v.nid, $qcos AS cos
+    s"""b0 AS MATERIALIZED (SELECT q.query_id, v.nid, $qcos AS cos
        |  FROM q JOIN v ON v.nid = 0),
        |$walkRounds""".stripMargin
   }
+
+  private def duckGraphSearchCtes(nQueries: Int, beam: Int, hops: Int,
+      expandHops: Int = 1): String =
+    s"""${duckBaseGraphCtes(nQueries)},
+       |${duckWalkRounds(beam, hops, expandHops)}""".stripMargin
 
   /** DuckDB CTE chain mirroring the HNSW-style layered descent
     * ([[Ann.layeredBuild]] maxLevel=1 p=4 + [[Ann.layeredSearch]]): the
@@ -7056,6 +7072,45 @@ object TrainingDataOps {
          |FROM bru b LEFT JOIN ap i
          |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+    ),
+
+    // ---- NSW incremental insert (graph maintenance without rebuild) -----
+    // The graph tier's answer to "a new vector arrived": hold out the
+    // last 8 vectors, build the standing graph on the rest, and insert
+    // them by the NSW rule — each searches the EXISTING graph for its
+    // top-4 members and links bidirectionally. The oracle replays the
+    // held-out walk over the corpus-only graph and derives the same
+    // edge set. Streaming ingest (StreamingAnn.graphIngestToParquet)
+    // appends exactly these edges per micro-batch — stream ≡ batch-fold,
+    // Round14GraphSpec.
+    "ann_graph_insert" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val n = emb.count()
+        val corpus = emb.filter(col("vec_id") < n - 8)
+        val batch = emb.filter(col("vec_id") >= n - 8)
+        val graph = Ann.serveGraph(
+          Ann.nnDescent(corpus, "vec_id", "embedding", k = 4, iters = 2))
+        Ann.graphInsertEdges(graph, corpus, batch, "vec_id", "embedding",
+            kLink = 4, entryIds = Seq(0L), beamWidth = 16, hops = 2,
+            expandHops = 2)
+          .orderBy("src", "dst")
+      },
+      s"""WITH ${duckBaseGraphCtes(0,
+            corpusSql = "SELECT vec_id, embedding FROM embeddings " +
+              "WHERE vec_id < (SELECT count(*) - 8 FROM embeddings)",
+            querySql = "SELECT vec_id AS query_id, " +
+              "embedding::DOUBLE[] AS qv FROM embeddings " +
+              "WHERE vec_id >= (SELECT count(*) - 8 FROM embeddings)")},
+         |${duckWalkRounds(16, 2, 2)},
+         |tk AS (SELECT query_id, nid FROM (
+         |  SELECT query_id, nid, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rn
+         |  FROM b2 WHERE nid <> query_id) WHERE rn <= 4)
+         |SELECT src, dst FROM (
+         |  SELECT query_id AS src, nid AS dst FROM tk
+         |  UNION SELECT nid AS src, query_id AS dst FROM tk)
+         |ORDER BY src, dst""".stripMargin
     ),
 
     // ---- HNSW layer assignment (deterministic geometric draw) -----------

@@ -51,4 +51,53 @@ object StreamingAnn {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .start()
+
+  /** Streaming NSW graph maintenance (VERDICT r13 #3): vectors landing in
+    * `stagingDir` are inserted into the standing graph index by the NSW
+    * insert rule — each micro-batch SEARCHES the current adjacency for
+    * its members' top-`kLink` neighbors ([[Ann.graphInsertEdges]], the
+    * corpus-size-insensitive walk) and APPENDS the bidirectional edges
+    * to `adjDir` and the vectors to `corpusDir`. The graph therefore
+    * grows in arrival order: later micro-batches link to earlier inserts
+    * exactly as a sequential [[Ann.graphInsert]] fold over the same
+    * splits would — stream ≡ batch-fold, edge-for-edge
+    * (Round14GraphSpec). No state store: the standing index IS the
+    * state, and each micro-batch's work is one bounded walk plus two
+    * appends.
+    *
+    * `foreachBatch` is the right sink shape because the batch must read
+    * the CURRENT index (self-referential append — the read's file
+    * listing happens before the write lands, and the edge set is
+    * checkpoint-cut first so the append never scans its own output).
+    */
+  def graphIngestToParquet(spark: SparkSession, stagingDir: String,
+      adjDir: String, corpusDir: String, checkpointDir: String,
+      kLink: Int = 4, entryIds: Seq[Long] = Seq(0L), beamWidth: Int = 16,
+      hops: Int = 2, expandHops: Int = 2,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(embSchema)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    reader.json(stagingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+          .localCheckpoint()
+        if (!b.isEmpty) {
+          val adj = spark.read.parquet(adjDir)
+          val corpus = spark.read.parquet(corpusDir)
+          val edges = Ann.graphInsertEdges(adj, corpus, b,
+              "vec_id", "embedding", kLink, entryIds, beamWidth, hops,
+              expandHops)
+            .localCheckpoint() // materialize BEFORE appending to adjDir
+          edges.write.mode("append").parquet(adjDir)
+          b.write.mode("append").parquet(corpusDir)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
 }

@@ -102,6 +102,113 @@ class Round14GraphSpec extends SparkSpec {
       "no single-partition window funnels in the serve path")
   }
 
+  test("graphInsert: NSW rule — searched top-k, linked bidirectionally") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val n = emb.count()
+    val corpus = emb.filter(col("vec_id") < n - 8)
+    val batch = emb.filter(col("vec_id") >= n - 8)
+    val graph = Ann.serveGraph(Ann.nnDescent(corpus, "vec_id", "embedding",
+      k = 8, iters = 3, randomInit = true)).localCheckpoint()
+    val found = Ann.graphSearch(graph, corpus, batch, "vec_id", "embedding",
+        entryIds = Seq(0L), beamWidth = 16, hops = 2, topK = 4,
+        expandHops = 2)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = found ++ found.map(_.swap)
+    val got = Ann.graphInsertEdges(graph, corpus, batch, "vec_id",
+        "embedding", kLink = 4, entryIds = Seq(0L), beamWidth = 16,
+        hops = 2, expandHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    // and graphInsert = old edges ∪ new edges, old edges untouched
+    val updated = Ann.graphInsert(graph, corpus, batch, "vec_id",
+        "embedding", kLink = 4, entryIds = Seq(0L), beamWidth = 16,
+        hops = 2, expandHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val old = graph.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(updated === (old ++ expected))
+  }
+
+  test("graphIngest: stream ≡ sequential graphInsert fold, edge-for-edge") {
+    import graft.streaming.StreamingAnn
+    val emb = Tables.t(spark, dir, "embeddings")
+    val n = emb.count()
+    val corpus0 = emb.filter(col("vec_id") < n - 20).localCheckpoint()
+    val splitA = emb.filter(col("vec_id") >= n - 20 && col("vec_id") < n - 10)
+    val splitB = emb.filter(col("vec_id") >= n - 10)
+    val graph0 = Ann.serveGraph(Ann.nnDescent(corpus0, "vec_id", "embedding",
+      k = 8, iters = 3, randomInit = true)).localCheckpoint()
+    // batch fold over the same two splits, in arrival order: split B can
+    // link to split A's nodes — the incremental semantics under test
+    val g1 = Ann.graphInsert(graph0, corpus0, splitA, "vec_id", "embedding",
+      kLink = 4, entryIds = Seq(0L), beamWidth = 16, hops = 2,
+      expandHops = 2).localCheckpoint()
+    val c1 = corpus0.unionByName(splitA).localCheckpoint()
+    val folded = Ann.graphInsert(g1, c1, splitB, "vec_id", "embedding",
+        kLink = 4, entryIds = Seq(0L), beamWidth = 16, hops = 2,
+        expandHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // streaming: the same splits as two staged NDJSON drops, mtime-ordered,
+    // one file per micro-batch
+    val root = java.nio.file.Files.createTempDirectory("graft_graph_ingest")
+    val (adjDir, corpDir, staging, ckpt) = (s"$root/adj", s"$root/corp",
+      s"$root/staging", s"$root/ckpt")
+    graph0.write.parquet(adjDir)
+    corpus0.select("vec_id", "embedding").write.parquet(corpDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long) = {
+      val lines = df
+        .select(to_json(struct(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"),
+          lit(1700000000L).as("ingest_ts"))))
+        .collect().map(_.getString(0)).mkString("\n")
+      val p = java.nio.file.Paths.get(staging, name)
+      java.nio.file.Files.writeString(p, lines)
+      p.toFile.setLastModified(mtime)
+    }
+    stage(splitA, "batch_a.json", 1700000000000L)
+    stage(splitB, "batch_b.json", 1700000060000L)
+    val q = StreamingAnn.graphIngestToParquet(spark, staging, adjDir,
+      corpDir, ckpt, kLink = 4, entryIds = Seq(0L), beamWidth = 16,
+      hops = 2, expandHops = 2, maxFilesPerTrigger = Some(1))
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(adjDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === folded,
+      s"stream adjacency (${streamed.size} edges) must equal the " +
+        s"sequential fold (${folded.size})")
+    // and the streamed corpus is the full vector set
+    assert(spark.read.parquet(corpDir).count() === n)
+  }
+
+  test("graphInsert: serve recall on incrementally-built graph ≈ full rebuild") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val n = emb.count()
+    val corpus0 = emb.filter(col("vec_id") < (n * 9) / 10).localCheckpoint()
+    val batch = emb.filter(col("vec_id") >= (n * 9) / 10)
+    val gInc = Ann.graphInsert(
+      Ann.serveGraph(Ann.nnDescent(corpus0, "vec_id", "embedding",
+        k = 12, iters = 5, randomInit = true)),
+      corpus0, batch, "vec_id", "embedding", kLink = 12,
+      entryIds = Ann.spreadEntries(corpus0.count()), beamWidth = 32,
+      hops = 2, expandHops = 2).localCheckpoint()
+    val gFull = Ann.serveGraph(Ann.nnDescent(emb, "vec_id", "embedding",
+      k = 12, iters = 5, randomInit = true)).localCheckpoint()
+    val queries = emb.filter(col("vec_id") % 47 === 0)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .localCheckpoint()
+    def recall(g: org.apache.spark.sql.DataFrame): Double =
+      Ann.recallEval(exact,
+        Ann.graphSearch(g, emb, queries, "vec_id", "embedding",
+          entryIds = Ann.spreadEntries(n), beamWidth = 64, hops = 4,
+          topK = 5), 5)
+        .agg(avg("recall")).head.getDouble(0)
+    val (rInc, rFull) = (recall(gInc), recall(gFull))
+    assert(rInc >= rFull - 0.05,
+      s"incremental graph recall $rInc too far below rebuild $rFull")
+    assert(rInc >= 0.9, s"incremental graph recall too low: $rInc")
+  }
+
   test("graphSearch: all-miss entry set (absent from corpus AND graph) throws") {
     val emb = Tables.t(spark, dir, "embeddings")
     val graph = Ann.serveGraph(Ann.nnDescent(emb, "vec_id", "embedding",
