@@ -671,6 +671,46 @@ object Ann {
       .distinct()
   }
 
+  /** [[graphInsert]] for the LAYERED index (the full HNSW insert rule):
+    * each new vector draws its deterministic [[layerLevel]] and, for
+    * every layer ℓ ≤ level, searches THAT layer's adjacency for its
+    * `kLink` nearest members and links bidirectionally — so the
+    * hierarchy keeps its invariants under maintenance (upper layers stay
+    * p^-ℓ samples because the level draw is the same id-deterministic
+    * geometric; cumulative membership because a level-ℓ node links into
+    * every layer below). Returns the updated (layer, src, dst) table.
+    *
+    * Each layer's insert is one [[graphInsertEdges]] walk over that
+    * layer's slice — upper layers are geometrically smaller, so the
+    * whole maintenance pass costs ≤ 1/(p-1) more than the base insert.
+    */
+  def layeredInsert(layers: DataFrame, corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, maxLevel: Int, p: Int = 4,
+      kLink: Int = 4, beamWidth: Int = 16,
+      hops: Int = 2, expandHops: Int = 2,
+      cutLineage: Boolean = true): DataFrame = {
+    val leveled = batch.withColumn("__lvl",
+      layerLevel(col(idCol), p, maxLevel))
+    (0 to maxLevel).foldLeft(layers) { (acc, l) =>
+      val sub = leveled.filter(col("__lvl") >= l).drop("__lvl")
+      val adj = layers.filter(col("layer") === l).select(col("src"), col("dst"))
+      // a layer with no inserts at this level contributes nothing; the
+      // isEmpty probe is one cheap job against the (tiny) filtered batch
+      if (sub.isEmpty) acc
+      else {
+        // the walk's entry must be a MEMBER of this layer (a base-layer
+        // entry id has no out-edges in an upper slice and the walk would
+        // stall on it) — the same deterministic min-id [[layeredEntry]]
+        // picks; one tiny aggregate per non-empty layer
+        val entry = adj.agg(min(col("src"))).head().getLong(0)
+        acc.unionByName(
+          graphInsertEdges(adj, corpus, sub, idCol, vecCol, kLink,
+            Seq(entry), beamWidth, hops, expandHops, cutLineage)
+            .withColumn("layer", lit(l)))
+      }
+    }
+  }
+
   /** Plane-count sizing for [[knnJoin]]/[[lshTopK]]: candidate volume is
     * Σ(bucket²) ≈ n²/2^numPlanes, so a CONSTANT plane count grows
     * quadratically with the corpus — measured live: a pinned numPlanes=6

@@ -249,15 +249,17 @@ object BenchOnlyOps {
     // layered (HNSW-style) descent serve: the same 100-query batch as
     // ann_graph_serve, but ONE merged round over the ~n/4-node upper
     // layer localizes every query and ONE base round finishes — 2
-    // sequential rounds against the flat walk's equal-recall 2×2-hop
-    // shape, with the upper round joining a quarter-size adjacency slice
-    // (partition-pruned on `layer`)
+    // sequential rounds, with the upper round joining a quarter-size
+    // adjacency slice (partition-pruned on `layer`). Measured at this
+    // config (sf0.1): recall@10 0.999 vs the flat tier's 1.000
+    // (ProfLayered sweep; beamUpper drives the knee: 16→0.937,
+    // 32→0.987, 48→0.994, 64→0.999)
     "ann_graph_serve_layered" -> ((s, dir) => {
       val (layers, entry) = servedLayered(s, dir)
       Ann.layeredSearch(layers, t(s, dir, "embeddings"),
         t(s, dir, "embeddings").filter(col("vec_id") < 100),
         "vec_id", "embedding", maxLevel = 1, entryId = entry,
-        beamUpper = 16, beamBase = 48, hopsBase = 1, topK = 10,
+        beamUpper = 64, beamBase = 48, hopsBase = 1, topK = 10,
         expandHops = 2, expandUpper = 2)
     }),
 
@@ -359,7 +361,7 @@ object BenchOnlyOps {
           val (layers, entry) = servedLayered(s, dir)
           Ann.layeredSearch(layers, t(s, dir, "embeddings"),
             oneQuery(i), "vec_id", "embedding", maxLevel = 1,
-            entryId = entry, beamUpper = 16, beamBase = 48, hopsBase = 1,
+            entryId = entry, beamUpper = 64, beamBase = 48, hopsBase = 1,
             topK = 10, expandHops = 2, expandUpper = 2)
         })
       val rows = tiers.map { case (tier, mk) =>

@@ -6839,6 +6839,122 @@ object TrainingDataOps {
       }
     ),
 
+    // ---- END-TO-END multimodal curation funnel ---------------------------
+    // The image-corpus mirror of pipeline_pretrain_funnel (VERDICT r13
+    // #6), chained from individually-verified stages: decode-audit gate
+    // (corrupt payloads quarantined, mm_phash_dedup's fixture) →
+    // exact-perceptual dedup (keep-best per aHash via the ONE-aggregation
+    // keepBestPerKey — key is two LONGs, never pixels) → caption quality
+    // gate (the paired documents text, token floor) → shard layout
+    // (padded entry accounting, mm_shard_layout's formula). One row per
+    // stage with surviving item count and pixel mass; the final stage
+    // reports the laid-out shard-file byte mass (entries padded to
+    // 512-byte blocks) — encoded payload bytes are never oracled
+    // (encoder-version-dependent), pixel and layout arithmetic is.
+    // Stages are checkpoint-cut so each executes once (the
+    // pipeline_pretrain_funnel discipline).
+    "pipeline_multimodal_funnel" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val g = expr("doc_id div 3")
+        val specs = docs.select(
+          col("doc_id").cast("long").as("doc_id"),
+          (lit(16) + (g % 12) * 2).cast("int").as("w"),
+          (lit(16) + (g % 9) * 2).cast("int").as("h"),
+          ((g * 19) % 250 + col("doc_id") % 3).cast("int").as("shade")
+        ).as[Multimodal.PatternImageSpec]
+        val bin = Multimodal.synthesizePatternImages(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 17 === 5, col("payload").substr(1, 20))
+              .otherwise(col("payload")).as("payload"))
+        val hashed = Multimodal.perceptualHash(s, bin).toDF()
+          .localCheckpoint()
+        val ok = hashed.filter(col("status") === "ok")
+        val deduped = Dedup.keepBestPerKey(ok,
+            Seq("ahash_hi", "ahash_lo"), Seq(col("doc_id")),
+            Seq("doc_id", "in_w", "in_h"))
+          .localCheckpoint()
+        val captioned = deduped
+          .join(docs.select(col("doc_id"), col("text")), "doc_id")
+          .filter(TextAnalysis.tokenCount(col("text")) >= 60)
+          .localCheckpoint()
+        val sharded = graft.operators.Packing.shardLayout(
+          captioned.withColumn("n_px",
+            (col("in_w").cast("long") * col("in_h"))),
+          "doc_id", col("n_px"), nShards = 8)
+        def stage(name: String, idx: Int,
+            df: org.apache.spark.sql.DataFrame,
+            px: org.apache.spark.sql.Column) =
+          df.agg(count(lit(1)).as("n_items"),
+            coalesce(sum(px.cast("long")), lit(0L)).as("n_px"))
+            .select(lit(name).as("stage"), lit(idx).as("stage_idx"),
+              col("n_items"), col("n_px"))
+        stage("raw", 1, specs.toDF(), col("w") * col("h"))
+          .unionByName(stage("decode_ok", 2, ok,
+            col("in_w") * col("in_h")))
+          .unionByName(stage("phash_dedup", 3, deduped,
+            col("in_w") * col("in_h")))
+          .unionByName(stage("caption_gate", 4, captioned,
+            col("in_w") * col("in_h")))
+          .unionByName(stage("shard_layout", 5, sharded,
+            col("entry_bytes")))
+          .orderBy("stage_idx")
+      },
+      """WITH s AS (
+        |  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS rep,
+        |    doc_id % 17 = 5 AS bad
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, bad,
+        |    16 + (g % 12) * 2 AS w, 16 + (g % 9) * 2 AS h,
+        |    (g * 19) % 250 + rep AS shade
+        |  FROM s),
+        |px AS (SELECT doc_id, w, h, shade, unnest(range(0, w)) AS x
+        |  FROM d WHERE NOT bad),
+        |pxy AS (SELECT *, unnest(range(0, h)) AS y FROM px),
+        |v AS (SELECT doc_id,
+        |    (y * 8 // h) * 8 + (x * 8 // w) AS idx,
+        |    (x * 7 + y * 13 + shade) % 256 AS gval
+        |  FROM pxy),
+        |tot AS (SELECT doc_id, sum(gval) AS ts, count(*) AS tn
+        |  FROM v GROUP BY 1),
+        |cell AS (SELECT doc_id, idx, sum(gval) AS bs, count(*) AS cn
+        |  FROM v GROUP BY 1, 2),
+        |bits AS (SELECT c.doc_id, c.idx,
+        |    CASE WHEN c.bs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS b
+        |  FROM cell c JOIN tot t USING (doc_id)),
+        |hs AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN idx < 32
+        |      THEN b * (CAST(1 AS BIGINT) << (31 - idx)) ELSE 0 END)
+        |      AS BIGINT) AS ahash_hi,
+        |    CAST(sum(CASE WHEN idx >= 32
+        |      THEN b * (CAST(1 AS BIGINT) << (63 - idx)) ELSE 0 END)
+        |      AS BIGINT) AS ahash_lo
+        |  FROM bits GROUP BY 1),
+        |okk AS MATERIALIZED (SELECT d.doc_id, d.w, d.h, h.ahash_hi, h.ahash_lo
+        |  FROM d JOIN hs h USING (doc_id) WHERE NOT d.bad),
+        |ddp AS MATERIALIZED (SELECT doc_id, w, h FROM (
+        |  SELECT doc_id, w, h, row_number() OVER (
+        |    PARTITION BY ahash_hi, ahash_lo ORDER BY doc_id) AS rn
+        |  FROM okk) WHERE rn = 1),
+        |cap AS MATERIALIZED (SELECT ddp.doc_id, ddp.w, ddp.h
+        |  FROM ddp JOIN documents dd ON dd.doc_id = ddp.doc_id
+        |  WHERE len(string_split_regex(trim(lower(dd.text)), '\s+')) >= 60),
+        |sh AS (SELECT doc_id, w * h AS npx,
+        |  ((w * h + 511) // 512) * 512 + 512 AS entry_bytes FROM cap)
+        |SELECT stage, CAST(stage_idx AS INTEGER) AS stage_idx,
+        |  CAST(n_items AS BIGINT) AS n_items, CAST(n_px AS BIGINT) AS n_px
+        |FROM (
+        |  SELECT 'raw' AS stage, 1 AS stage_idx, count(*) AS n_items,
+        |    sum(w * h) AS n_px FROM d
+        |  UNION ALL SELECT 'decode_ok', 2, count(*), sum(w * h) FROM okk
+        |  UNION ALL SELECT 'phash_dedup', 3, count(*), sum(w * h) FROM ddp
+        |  UNION ALL SELECT 'caption_gate', 4, count(*), sum(w * h) FROM cap
+        |  UNION ALL SELECT 'shard_layout', 5, count(*), sum(entry_bytes) FROM sh)
+        |ORDER BY stage_idx""".stripMargin
+    ),
+
     // ---- CCNet-style perplexity-band sampling ---------------------------
     // Band docs by the corpus-trained LM score (head/middle/tail), keep
     // head fully, sample middle at 50%, tail at 10% — deterministic hash

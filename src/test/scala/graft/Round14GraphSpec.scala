@@ -209,6 +209,51 @@ class Round14GraphSpec extends SparkSpec {
     assert(rInc >= 0.9, s"incremental graph recall too low: $rInc")
   }
 
+  test("layeredInsert: hierarchy invariants hold and serve recall survives") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val n = emb.count()
+    val corpus0 = emb.filter(col("vec_id") < (n * 9) / 10).localCheckpoint()
+    val batch = emb.filter(col("vec_id") >= (n * 9) / 10)
+    val layers0 = Ann.layeredBuild(corpus0, "vec_id", "embedding",
+      k = 12, iters = 5, p = 4, maxLevel = 1, randomInit = true)
+      .localCheckpoint()
+    val layers1 = Ann.layeredInsert(layers0, corpus0, batch, "vec_id",
+      "embedding", maxLevel = 1, p = 4, kLink = 12, beamWidth = 32,
+      hops = 2, expandHops = 2).localCheckpoint()
+    // every inserted node appears in the base layer; level>=1 inserts
+    // also appear in layer 1; level-0 inserts do NOT
+    val newBase = layers1.filter(col("layer") === 0)
+      .join(layers0.filter(col("layer") === 0),
+        Seq("layer", "src", "dst"), "left_anti")
+    val inserted = batch.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val baseTouched = newBase
+      .select(explode(array(col("src"), col("dst"))).as("vid"))
+      .filter(col("vid") >= (n * 9) / 10)
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(baseTouched === inserted, "every insert must link into layer 0")
+    val upTouched = layers1.filter(col("layer") === 1)
+      .join(layers0.filter(col("layer") === 1),
+        Seq("layer", "src", "dst"), "left_anti")
+      .select(explode(array(col("src"), col("dst"))).as("vid"))
+      .filter(col("vid") >= (n * 9) / 10)
+      .distinct().collect().map(_.getLong(0)).toSet
+    val upExpected = batch
+      .filter(Ann.layerLevel(col("vec_id"), 4, 1) >= 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(upTouched === upExpected,
+      "level>=1 inserts (and only those) must link into layer 1")
+    // descent recall on the maintained hierarchy stays serve-grade
+    val queries = emb.filter(col("vec_id") % 47 === 0)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val r = Ann.recallEval(exact,
+        Ann.layeredSearch(layers1, emb, queries, "vec_id", "embedding",
+          maxLevel = 1, entryId = Ann.layeredEntry(layers1, 1),
+          beamUpper = 32, beamBase = 48, hopsBase = 1, topK = 5,
+          expandHops = 2, expandUpper = 2), 5)
+      .agg(avg("recall")).head.getDouble(0)
+    assert(r >= 0.9, s"maintained-hierarchy descent recall too low: $r")
+  }
+
   test("graphSearch: all-miss entry set (absent from corpus AND graph) throws") {
     val emb = Tables.t(spark, dir, "embeddings")
     val graph = Ann.serveGraph(Ann.nnDescent(emb, "vec_id", "embedding",
