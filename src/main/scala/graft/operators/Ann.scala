@@ -711,6 +711,127 @@ object Ann {
     }
   }
 
+  /** Filtered graph serve — the "vector search WHERE metadata predicate"
+    * shape every serving deployment grows into: the walk navigates the
+    * UNRESTRICTED graph (restricting navigation to the allowed subset
+    * strands queries — the filtered-HNSW folklore result; the graph's
+    * connectivity is a property of the whole corpus) and the predicate
+    * is applied as a keyed semi-join on the final beam before ranking.
+    * Post-filter over-fetch contract: with predicate selectivity s, set
+    * `beamWidth ≳ topK / s` so the filtered beam still covers topK —
+    * the caller-visible dial, same economics as FAISS's
+    * `IndexIDMap`+selector serving. `allowed` is an id set (one column,
+    * `idCol`) — relational, so the predicate can be any DataFrame the
+    * caller derives (source gates, freshness windows, tenant scopes).
+    */
+  def graphSearchWhere(graph: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      entryIds: Seq[Long], allowed: DataFrame,
+      beamWidth: Int, hops: Int, topK: Int,
+      cutLineage: Boolean = true, expandHops: Int = 1): DataFrame = {
+    require(beamWidth >= topK, s"beamWidth $beamWidth must cover topK $topK")
+    val q0 = queries.select(col(idCol).cast("long").as("query_id"))
+    val entries = q0.select(col("query_id"),
+      explode(lit(entryIds.toArray)).as("nid"))
+    val beam = walkBeam(graph, corpus, queries, idCol, vecCol, entries,
+      beamWidth, hops, cutLineage, expandHops)
+    rankTopK(beam
+      .filter(col("query_id") =!= col("nid"))
+      .join(allowed.select(col(idCol).cast("long").as("nid")),
+        Seq("nid"), "left_semi")
+      .select(col("query_id"), col("nid").as("neighbor_id"), col("cos")),
+      topK)
+  }
+
+  /** Graph DELETION with bridge repair — the third leg of index
+    * maintenance (build = [[nnDescent]], insert = [[graphInsert]]):
+    * tombstoned ids are removed from the adjacency, and the hole each
+    * deletion leaves is BRIDGED by connecting the deleted node's
+    * surviving neighbors to each other (the standard HNSW repair rule —
+    * without it, deletions fragment the graph and recall decays with
+    * churn). Bridge candidates are the per-deleted-node neighbor pairs
+    * (≤ degree² ≤ (2k)² per deletion, bounded), scored exactly, and
+    * kept top-`kLink` per surviving endpoint (cos desc, id asc —
+    * deterministic), then symmetrized. Output: the repaired (src, dst)
+    * adjacency.
+    *
+    * Scale shape: two anti-joins on the edge table (the only scan of the
+    * standing adjacency), one keyed self-join THROUGH the deleted node
+    * (volume Σ degree², never corpus-wide), two vector-table joins to
+    * score, one bounded top-k. At 100 TB deletions are a trickle against
+    * a bucketed edge table — nothing corpus-sized moves.
+    */
+  def graphDelete(adj: DataFrame, corpus: DataFrame, deleted: DataFrame,
+      idCol: String, vecCol: String, kLink: Int = 4): DataFrame = {
+    val del = deleted.select(col(idCol).cast("long").as("vid"))
+    val e = adj.select(col("src").cast("long"), col("dst").cast("long"))
+    val kept = e
+      .join(del.select(col("vid").as("src")), Seq("src"), "left_anti")
+      .join(del.select(col("vid").as("dst")), Seq("dst"), "left_anti")
+    // surviving neighbors of each deleted node: x deleted, n survives
+    val nb = e
+      .join(del.select(col("vid").as("src")), Seq("src"), "left_semi")
+      .join(del.select(col("vid").as("dst")), Seq("dst"), "left_anti")
+      .select(col("src").as("x"), col("dst").as("n"))
+    val vecs = corpus.select(col(idCol).cast("long").as("nid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cand = nb.select(col("x"), col("n").as("a"))
+      .join(nb.select(col("x"), col("n").as("b")), "x")
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    val scored = cand
+      .join(vecs.select(col("nid").as("a"), col("v").as("av")), "a")
+      .join(vecs.select(col("nid").as("b"), col("v").as("bv")), "b")
+      .select(col("a"), col("b"), Fns.cosineSim(col("av"), col("bv")).as("cos"))
+    val bridges = scored.groupBy("a")
+      .agg(Fns.topKByScore(col("cos"), col("b"), kLink).as("top"))
+      .select(col("a").as("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.id").as("dst"))
+    val sym = bridges.unionByName(
+      bridges.select(col("dst").as("src"), col("src").as("dst")))
+    kept.unionByName(sym).distinct()
+  }
+
+  /** Two-stage ADC serve with exact re-ranking (the FAISS `IndexRefine`
+    * pattern — the deployment answer to "PQ distances are approximate"):
+    * the PQ-ADC pass produces a `shortlist`-deep candidate set per query
+    * (cheap — m byte-code lookups per corpus vector), then ONLY those
+    * shortlist rows are re-scored with exact cosine against the raw
+    * vectors and re-ranked to topK. Serving cost =
+    * ADC-scan + |queries|·shortlist exact scores instead of a full exact
+    * scan; recall approaches exact as `shortlist` grows (the caller's
+    * quality/cost dial). Output: (query_id, rank, neighbor_id, cos).
+    */
+  def pqAdcRerank(encoded: DataFrame, books: Seq[Seq[(Int, Seq[Double])]],
+      k: Int, corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, shortlist: Int, topK: Int): DataFrame = {
+    require(shortlist >= topK,
+      s"shortlist $shortlist must cover topK $topK")
+    val short = pqAdcTopK(encoded, books, k, queries, idCol, vecCol,
+        shortlist)
+      .select(col("query_id"), col("neighbor_id").as("nid"))
+    val vecs = corpus.select(col(idCol).cast("long").as("nid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    rankTopK(short
+      .join(q, "query_id").join(vecs, "nid")
+      .select(col("query_id"), col("nid").as("neighbor_id"),
+        Fns.cosineSim(col("qv"), col("cv")).as("cos")),
+      topK)
+  }
+
+  /** [[pqAdcRerank]] with the codebooks trained in-query (the oracle-
+    * harness shape, mirroring [[pqTopK]]).
+    */
+  def pqRerankTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, m: Int, k: Int, shortlist: Int,
+      topK: Int): DataFrame = {
+    val books = pqCodebooks(emb, idCol, vecCol, m, k)
+    pqAdcRerank(pqEncode(emb, idCol, vecCol, books), books, k, emb,
+      queries, idCol, vecCol, shortlist, topK)
+  }
+
   /** Plane-count sizing for [[knnJoin]]/[[lshTopK]]: candidate volume is
     * Σ(bucket²) ≈ n²/2^numPlanes, so a CONSTANT plane count grows
     * quadratically with the corpus — measured live: a pinned numPlanes=6

@@ -263,6 +263,31 @@ object BenchOnlyOps {
         expandHops = 2, expandUpper = 2)
     }),
 
+    // filtered graph serve: the ann_graph_serve batch under a 1/3-
+    // selectivity id predicate with a 2× over-fetched beam (the
+    // post-filter contract) — prices what "vector search WHERE
+    // predicate" costs over the same standing index
+    "ann_graph_serve_filtered" -> ((s, dir) => {
+      val (adj, entries) = servedGraph(s, dir)
+      val emb = t(s, dir, "embeddings")
+      Ann.graphSearchWhere(adj, emb, emb.filter(col("vec_id") < 100),
+        "vec_id", "embedding", entryIds = entries,
+        allowed = emb.filter(col("vec_id") % 3 === 0),
+        beamWidth = 96, hops = 2, topK = 10, expandHops = 2)
+    }),
+
+    // two-stage ADC + exact re-rank serve (FAISS IndexRefine): ADC scan
+    // of the standing code table to a 40-deep shortlist, exact cosine
+    // over shortlist rows only — prices the refine stage against the
+    // raw ADC tier above
+    "ann_pq_rerank_serve" -> ((s, dir) => {
+      val tbl = servedPq(s, dir)
+      Ann.pqAdcRerank(tbl.encoded, tbl.books, k = 16,
+        t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").filter(col("vec_id") < 100),
+        "vec_id", "embedding", shortlist = 40, topK = 10)
+    }),
+
     // IVF-PQ append: incremental index maintenance — a 10% batch is
     // assigned + PQ-coded against the FROZEN quantizers and unioned with
     // the materialized code table (the FAISS add() shape). The measured

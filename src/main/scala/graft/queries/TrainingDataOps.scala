@@ -7229,6 +7229,127 @@ object TrainingDataOps {
          |ORDER BY src, dst""".stripMargin
     ),
 
+    // ---- filtered graph serve (metadata predicate + over-fetch) ---------
+    // "Vector search WHERE predicate": the walk navigates the
+    // UNRESTRICTED graph (restricting navigation strands queries — the
+    // filtered-HNSW folklore result) and the predicate lands as a keyed
+    // semi-join on the final beam; the over-fetched beamWidth (32 for
+    // topK=5 at 1/3 selectivity) is the caller's recall dial.
+    "ann_graph_filtered" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val graph = Ann.serveGraph(
+          Ann.nnDescent(emb, "vec_id", "embedding", k = 4, iters = 2))
+        Ann.graphSearchWhere(graph, emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", entryIds = Seq(0L),
+            allowed = emb.filter(col("vec_id") % 3 === 0),
+            beamWidth = 32, hops = 3, topK = 5)
+          .orderBy("query_id", "rank")
+      },
+      s"""WITH ${duckGraphSearchCtes(8, 32, 3)}
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id,
+         |  round(cos, 4) AS cos
+         |FROM (SELECT query_id, nid, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rn
+         |  FROM b3 WHERE nid <> query_id AND nid % 3 = 0)
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    ),
+
+    // ---- graph deletion with bridge repair ------------------------------
+    // The third leg of graph-index maintenance (build/insert/DELETE):
+    // tombstoned ids leave the adjacency, and each hole is bridged by
+    // connecting the deleted node's surviving neighbors pairwise —
+    // exact-scored, top-kLink per endpoint, symmetrized (the HNSW repair
+    // rule; without it churn fragments the graph). Candidate volume is
+    // Σ degree² per deletion, never corpus-wide.
+    "ann_graph_delete" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val graph = Ann.serveGraph(
+          Ann.nnDescent(emb, "vec_id", "embedding", k = 4, iters = 2))
+        Ann.graphDelete(graph, emb, emb.filter(col("vec_id") % 7 === 0),
+            "vec_id", "embedding", kLink = 4)
+          .orderBy("src", "dst")
+      },
+      s"""WITH ${duckBaseGraphCtes(0)},
+         |del AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 0),
+         |kept AS (SELECT src, dst FROM adj
+         |  WHERE src NOT IN (SELECT vec_id FROM del)
+         |    AND dst NOT IN (SELECT vec_id FROM del)),
+         |nbr AS (SELECT src AS x, dst AS n FROM adj
+         |  WHERE src IN (SELECT vec_id FROM del)
+         |    AND dst NOT IN (SELECT vec_id FROM del)),
+         |cand AS (SELECT DISTINCT p.n AS ca, r.n AS cb
+         |  FROM nbr p JOIN nbr r ON p.x = r.x AND p.n <> r.n),
+         |csc AS (SELECT c.ca, c.cb, $duckCosine AS cos
+         |  FROM cand c JOIN corp a ON a.vec_id = c.ca
+         |    JOIN corp b ON b.vec_id = c.cb),
+         |br AS (SELECT ca AS src, cb AS dst FROM (
+         |  SELECT ca, cb, row_number() OVER (
+         |    PARTITION BY ca ORDER BY cos DESC, cb) AS rn FROM csc)
+         |  WHERE rn <= 4)
+         |SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM kept
+         |  UNION ALL SELECT src, dst FROM br
+         |  UNION ALL SELECT dst AS src, src AS dst FROM br)
+         |ORDER BY src, dst""".stripMargin
+    ),
+
+    // ---- two-stage ADC serve with exact re-rank (FAISS IndexRefine) -----
+    // PQ-ADC produces a 20-deep shortlist per query; ONLY those rows are
+    // re-scored with exact cosine and re-ranked to top-5 — serving cost
+    // = code-scan + |queries|·shortlist exact scores, recall → exact as
+    // the shortlist grows (the quality/cost dial).
+    "ann_pq_rerank" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Ann.pqRerankTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", m = 4, k = 8, shortlist = 20, topK = 5)
+          .orderBy("query_id", "rank")
+      },
+      {
+        val sub = 16
+        val luts = (0 until 4).map { sp =>
+          val lo = sp * sub + 1
+          s"""ld_$sp AS (
+             |  SELECT q.query_id, cc.c,
+             |    list_reduce(list_transform(range(1, $sub+1),
+             |      i -> ((q.qv)[$lo+i-1]-cc.center[i])*((q.qv)[$lo+i-1]-cc.center[i])),
+             |      (a, x) -> a + x) AS t
+             |  FROM q CROSS JOIN c2_$sp cc)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${duckPqCtes(4, 8, 64)},
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |$luts,
+           |sc AS (
+           |  SELECT d0.query_id, e0.id AS neighbor_id,
+           |    d0.t + d1.t + d2.t + d3.t AS dist
+           |  FROM a3_0 e0
+           |  JOIN a3_1 e1 ON e1.id = e0.id
+           |  JOIN a3_2 e2 ON e2.id = e0.id
+           |  JOIN a3_3 e3 ON e3.id = e0.id
+           |  JOIN ld_0 d0 ON d0.c = e0.c
+           |  JOIN ld_1 d1 ON d1.query_id = d0.query_id AND d1.c = e1.c
+           |  JOIN ld_2 d2 ON d2.query_id = d0.query_id AND d2.c = e2.c
+           |  JOIN ld_3 d3 ON d3.query_id = d0.query_id AND d3.c = e3.c
+           |  WHERE e0.id <> d0.query_id),
+           |sl AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn FROM sc)
+           |  WHERE rn <= 20),
+           |ex AS (SELECT s.query_id, s.neighbor_id, $duckCosine AS cos
+           |  FROM sl s JOIN embeddings a ON a.vec_id = s.query_id
+           |    JOIN embeddings b ON b.vec_id = s.neighbor_id)
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+           |  round(cos, 4) AS cos
+           |FROM (SELECT query_id, neighbor_id, cos, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM ex)
+           |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
     // ---- HNSW layer assignment (deterministic geometric draw) -----------
     // The hierarchy's membership table: P(level >= l) = 4^-l via an LCG
     // mix of the node id (Malkov & Yashunin 2016 §4's level draw made
