@@ -688,10 +688,22 @@ object Ann {
       idCol: String, vecCol: String, maxLevel: Int, p: Int = 4,
       kLink: Int = 4, beamWidth: Int = 16,
       hops: Int = 2, expandHops: Int = 2,
+      cutLineage: Boolean = true): DataFrame =
+    layers.unionByName(layeredInsertEdges(layers, corpus, batch, idCol,
+      vecCol, maxLevel, p, kLink, beamWidth, hops, expandHops, cutLineage))
+
+  /** Just the NEW (layer, src, dst) edges of [[layeredInsert]] — the
+    * append set a streaming maintainer writes to the layer-partitioned
+    * standing adjacency.
+    */
+  def layeredInsertEdges(layers: DataFrame, corpus: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String, maxLevel: Int,
+      p: Int = 4, kLink: Int = 4, beamWidth: Int = 16,
+      hops: Int = 2, expandHops: Int = 2,
       cutLineage: Boolean = true): DataFrame = {
     val leveled = batch.withColumn("__lvl",
       layerLevel(col(idCol), p, maxLevel))
-    (0 to maxLevel).foldLeft(layers) { (acc, l) =>
+    (0 to maxLevel).foldLeft(Option.empty[DataFrame]) { (acc, l) =>
       val sub = leveled.filter(col("__lvl") >= l).drop("__lvl")
       val adj = layers.filter(col("layer") === l).select(col("src"), col("dst"))
       // a layer with no inserts at this level contributes nothing; the
@@ -703,12 +715,14 @@ object Ann {
         // stall on it) — the same deterministic min-id [[layeredEntry]]
         // picks; one tiny aggregate per non-empty layer
         val entry = adj.agg(min(col("src"))).head().getLong(0)
-        acc.unionByName(
-          graphInsertEdges(adj, corpus, sub, idCol, vecCol, kLink,
-            Seq(entry), beamWidth, hops, expandHops, cutLineage)
-            .withColumn("layer", lit(l)))
+        val edges = graphInsertEdges(adj, corpus, sub, idCol, vecCol,
+            kLink, Seq(entry), beamWidth, hops, expandHops, cutLineage)
+          .withColumn("layer", lit(l))
+          .select(col("layer"), col("src"), col("dst"))
+        Some(acc.map(_.unionByName(edges)).getOrElse(edges))
       }
-    }
+    }.getOrElse(
+      layers.filter(lit(false)).select(col("layer"), col("src"), col("dst")))
   }
 
   /** Filtered graph serve — the "vector search WHERE metadata predicate"

@@ -861,6 +861,113 @@ object TrainingDataOps {
     * (CTEs nn/e0..e2/adj/q/v). Ends with CTE `bb` = (query_id, nid,
     * cos), self rows still present.
     */
+  /** The L-level generalization of [[duckLayeredCtes]]: per-layer member
+    * tables (nested LCG thresholds), per-layer densified nn-descent +
+    * symmetrized adjacency `adj_l`, the TOP layer's merged entry round,
+    * pre-scored handoff rounds down the hierarchy, and the base round.
+    * Ends with CTE `bb`.
+    */
+  private def duckLayeredCtesL(nQueries: Int, beamUpper: Int,
+      beamBase: Int, maxLevel: Int, p: Int = 4): String = {
+    val qcos = duckQcos
+    def thr(l: Int): Long = {
+      var t = 1L << 31; for (_ <- 1 to l) t /= p; t
+    }
+    def layerCtes(l: Int): String = {
+      def rnd(r: Int) =
+        s"""lg${r}_$l AS (SELECT src, dst FROM le${r - 1}_$l
+           |  UNION ALL SELECT dst, src FROM le${r - 1}_$l
+           |  UNION ALL SELECT x.src, y.dst FROM le${r - 1}_$l x
+           |    JOIN le${r - 1}_$l y ON x.dst = y.src),
+           |lc${r}_$l AS (SELECT DISTINCT src, dst FROM lg${r}_$l WHERE src <> dst),
+           |ls${r}_$l AS (SELECT c.src, c.dst, $duckCosine AS cos
+           |  FROM lc${r}_$l c
+           |  JOIN m_$l ma ON ma.did = c.src JOIN embeddings a ON a.vec_id = ma.vec_id
+           |  JOIN m_$l mb ON mb.did = c.dst JOIN embeddings b ON b.vec_id = mb.vec_id),
+           |le${r}_$l AS MATERIALIZED (SELECT src, dst FROM (
+           |  SELECT src, dst, row_number() OVER (
+           |    PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM ls${r}_$l)
+           |  WHERE rn <= 4)""".stripMargin
+      s"""m_$l AS MATERIALIZED (SELECT vec_id,
+         |  row_number() OVER (ORDER BY vec_id) - 1 AS did
+         |  FROM lv WHERE u < ${thr(l)}),
+         |n_$l AS (SELECT count(*) AS n FROM m_$l),
+         |le0_$l AS MATERIALIZED (
+         |  SELECT m.did AS src, CAST((m.did + j.j) % n_$l.n AS BIGINT) AS dst
+         |  FROM m_$l m, range(1, 5) j(j), n_$l
+         |  WHERE (m.did + j.j) % n_$l.n <> m.did),
+         |${rnd(1)},
+         |${rnd(2)},
+         |adj_$l AS MATERIALIZED (SELECT DISTINCT ma.vec_id AS src,
+         |  mb.vec_id AS dst
+         |  FROM (SELECT src, dst FROM le2_$l
+         |    UNION ALL SELECT dst, src FROM le2_$l) e
+         |  JOIN m_$l ma ON ma.did = e.src JOIN m_$l mb ON mb.did = e.dst)""".stripMargin
+    }
+    // top layer: merged entry round (entry ∪ its 2-hop closure, scored)
+    val top = maxLevel
+    val topWalk =
+      s"""ent AS (SELECT min(src) AS e FROM adj_$top),
+         |c0_$top AS (SELECT q.query_id, ent.e AS nid FROM q, ent),
+         |f1_$top AS (SELECT DISTINCT c.query_id, a.dst AS nid
+         |  FROM c0_$top c JOIN adj_$top a ON a.src = c.nid),
+         |f2_$top AS (SELECT DISTINCT c.query_id, a.dst AS nid
+         |  FROM f1_$top c JOIN adj_$top a ON a.src = c.nid),
+         |cand_$top AS (SELECT DISTINCT query_id, nid FROM (
+         |  SELECT query_id, nid FROM c0_$top
+         |  UNION SELECT query_id, nid FROM f1_$top
+         |  UNION SELECT query_id, nid FROM f2_$top)),
+         |w_$top AS (SELECT c.query_id, c.nid, $qcos AS cos
+         |  FROM cand_$top c JOIN q ON q.query_id = c.query_id
+         |    JOIN v ON v.nid = c.nid),
+         |h_$top AS MATERIALIZED (SELECT query_id, nid, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, nid) AS rn FROM w_$top) WHERE rn <= $beamUpper)""".stripMargin
+    // lower upper layers: pre-scored handoff + one 2-hop round each
+    val lowerWalks = (maxLevel - 1 to 1 by -1).map { l =>
+      s"""f1_$l AS (SELECT DISTINCT t.query_id, a.dst AS nid
+         |  FROM h_${l + 1} t JOIN adj_$l a ON a.src = t.nid),
+         |f2_$l AS (SELECT DISTINCT c.query_id, a.dst AS nid
+         |  FROM f1_$l c JOIN adj_$l a ON a.src = c.nid),
+         |x_$l AS (SELECT DISTINCT query_id, nid FROM (
+         |  SELECT query_id, nid FROM f1_$l
+         |  UNION SELECT query_id, nid FROM f2_$l) u
+         |  WHERE NOT EXISTS (SELECT 1 FROM h_${l + 1} p
+         |    WHERE p.query_id = u.query_id AND p.nid = u.nid)),
+         |w_$l AS (SELECT x.query_id, x.nid, $qcos AS cos
+         |  FROM x_$l x JOIN q ON q.query_id = x.query_id
+         |    JOIN v ON v.nid = x.nid),
+         |u_$l AS (SELECT query_id, nid, cos FROM h_${l + 1}
+         |  UNION ALL SELECT query_id, nid, cos FROM w_$l),
+         |h_$l AS MATERIALIZED (SELECT query_id, nid, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, nid) AS rn FROM u_$l) WHERE rn <= $beamUpper)""".stripMargin
+    }
+    val baseWalk =
+      s"""bf1 AS (SELECT DISTINCT t.query_id, a.dst AS nid
+         |  FROM h_1 t JOIN adj a ON a.src = t.nid),
+         |bf2 AS (SELECT DISTINCT t.query_id, a.dst AS nid
+         |  FROM bf1 t JOIN adj a ON a.src = t.nid),
+         |bx AS (SELECT DISTINCT query_id, nid FROM (
+         |  SELECT query_id, nid FROM bf1
+         |  UNION SELECT query_id, nid FROM bf2) u
+         |  WHERE NOT EXISTS (SELECT 1 FROM h_1 p
+         |    WHERE p.query_id = u.query_id AND p.nid = u.nid)),
+         |bw AS (SELECT x.query_id, x.nid, $qcos AS cos
+         |  FROM bx x JOIN q ON q.query_id = x.query_id
+         |    JOIN v ON v.nid = x.nid),
+         |bu AS (SELECT query_id, nid, cos FROM h_1
+         |  UNION ALL SELECT query_id, nid, cos FROM bw),
+         |bb AS MATERIALIZED (SELECT query_id, nid, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, nid) AS rn FROM bu) WHERE rn <= $beamBase)""".stripMargin
+    (Seq(duckBaseGraphCtes(nQueries),
+      """lv AS (SELECT vec_id,
+        |  (vec_id * 1103515245 + 12345) % 2147483648 AS u FROM embeddings)""".stripMargin) ++
+      (1 to maxLevel).map(layerCtes) ++
+      Seq(topWalk) ++ lowerWalks ++ Seq(baseWalk)).mkString(",\n")
+  }
+
   private def duckLayeredCtes(nQueries: Int, beamUpper: Int,
       beamBase: Int): String = {
     val qcos = duckQcos
@@ -7394,6 +7501,33 @@ object TrainingDataOps {
           .orderBy("query_id", "rank")
       },
       s"""WITH ${duckLayeredCtes(8, 12, 16)}
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id,
+         |  round(cos, 4) AS cos
+         |FROM (SELECT query_id, nid, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rn
+         |  FROM bb WHERE nid <> query_id)
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    ),
+
+    // ---- TWO-level descent (the full hierarchy recursion) ---------------
+    // maxLevel=2: the ~n/16-node layer-2 graph localizes from its entry
+    // in one merged round, hands down to layer 1 (pre-scored, one 2-hop
+    // round over the ~n/4 slice), then the base round — 3 rounds total,
+    // each over a geometrically larger slice: the log-diameter descent
+    // at depth > 1, every handoff replayed in DuckDB.
+    "ann_graph_layered2_search" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val layers = Ann.layeredBuild(emb, "vec_id", "embedding",
+          k = 4, iters = 2, p = 4, maxLevel = 2)
+        Ann.layeredSearch(layers, emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", maxLevel = 2,
+            entryId = Ann.layeredEntry(layers, 2),
+            beamUpper = 12, beamBase = 16, hopsBase = 1, topK = 5,
+            expandHops = 2, expandUpper = 2)
+          .orderBy("query_id", "rank")
+      },
+      s"""WITH ${duckLayeredCtesL(8, 12, 16, maxLevel = 2)}
          |SELECT query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id,
          |  round(cos, 4) AS cos
          |FROM (SELECT query_id, nid, cos, row_number() OVER (

@@ -100,4 +100,43 @@ object StreamingAnn {
       .option("checkpointLocation", checkpointDir)
       .start()
   }
+
+  /** [[graphIngestToParquet]] for the LAYERED (HNSW) index: each
+    * micro-batch runs [[Ann.layeredInsertEdges]] — new vectors draw their
+    * deterministic level and link into every layer ≤ level — and appends
+    * the (layer, src, dst) edges to the layer-partitioned standing
+    * adjacency plus the vectors to the corpus. Same stream ≡ batch-fold
+    * contract as the flat maintainer (arrival-order growth; within a
+    * micro-batch inserts never link to each other).
+    */
+  def layeredIngestToParquet(spark: SparkSession, stagingDir: String,
+      layersDir: String, corpusDir: String, checkpointDir: String,
+      maxLevel: Int, p: Int = 4, kLink: Int = 4, beamWidth: Int = 16,
+      hops: Int = 2, expandHops: Int = 2,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(embSchema)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    reader.json(stagingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+          .localCheckpoint()
+        if (!b.isEmpty) {
+          val layers = spark.read.parquet(layersDir)
+          val corpus = spark.read.parquet(corpusDir)
+          val edges = Ann.layeredInsertEdges(layers, corpus, b,
+              "vec_id", "embedding", maxLevel, p, kLink, beamWidth, hops,
+              expandHops)
+            .localCheckpoint() // materialize BEFORE appending to layersDir
+          edges.write.mode("append").partitionBy("layer").parquet(layersDir)
+          b.write.mode("append").parquet(corpusDir)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
 }

@@ -154,7 +154,11 @@ class Round14GraphSpec extends SparkSpec {
     val (adjDir, corpDir, staging, ckpt) = (s"$root/adj", s"$root/corp",
       s"$root/staging", s"$root/ckpt")
     graph0.write.parquet(adjDir)
-    corpus0.select("vec_id", "embedding").write.parquet(corpDir)
+    // the standing corpus is double-typed (the appends' schema) — a
+    // float-typed initial file would make the mixed dir unreadable
+    corpus0.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .write.parquet(corpDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
     def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long) = {
       val lines = df
@@ -252,6 +256,57 @@ class Round14GraphSpec extends SparkSpec {
           expandHops = 2, expandUpper = 2), 5)
       .agg(avg("recall")).head.getDouble(0)
     assert(r >= 0.9, s"maintained-hierarchy descent recall too low: $r")
+  }
+
+  test("layeredIngest: stream ≡ sequential layeredInsert fold, edge-for-edge") {
+    import graft.streaming.StreamingAnn
+    val emb = Tables.t(spark, dir, "embeddings")
+    val n = emb.count()
+    val corpus0 = emb.filter(col("vec_id") < n - 20).localCheckpoint()
+    val splitA = emb.filter(col("vec_id") >= n - 20 && col("vec_id") < n - 10)
+    val splitB = emb.filter(col("vec_id") >= n - 10)
+    val layers0 = Ann.layeredBuild(corpus0, "vec_id", "embedding",
+      k = 8, iters = 3, p = 4, maxLevel = 1, randomInit = true)
+      .localCheckpoint()
+    val l1 = Ann.layeredInsert(layers0, corpus0, splitA, "vec_id",
+      "embedding", maxLevel = 1, p = 4, kLink = 4, beamWidth = 16,
+      hops = 2, expandHops = 2).localCheckpoint()
+    val c1 = corpus0.unionByName(splitA).localCheckpoint()
+    val folded = Ann.layeredInsert(l1, c1, splitB, "vec_id", "embedding",
+        maxLevel = 1, p = 4, kLink = 4, beamWidth = 16, hops = 2,
+        expandHops = 2)
+      .collect().map(r => (r.getAs[Int]("layer"), r.getAs[Long]("src"),
+        r.getAs[Long]("dst"))).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_lay_ingest")
+    val (layDir, corpDir, staging, ckpt) = (s"$root/layers", s"$root/corp",
+      s"$root/staging", s"$root/ckpt")
+    layers0.write.partitionBy("layer").parquet(layDir)
+    corpus0.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .write.parquet(corpDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long) = {
+      val lines = df
+        .select(to_json(struct(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"),
+          lit(1700000000L).as("ingest_ts"))))
+        .collect().map(_.getString(0)).mkString("\n")
+      val p = java.nio.file.Paths.get(staging, name)
+      java.nio.file.Files.writeString(p, lines)
+      p.toFile.setLastModified(mtime)
+    }
+    stage(splitA, "batch_a.json", 1700000000000L)
+    stage(splitB, "batch_b.json", 1700000060000L)
+    val q = StreamingAnn.layeredIngestToParquet(spark, staging, layDir,
+      corpDir, ckpt, maxLevel = 1, p = 4, kLink = 4, beamWidth = 16,
+      hops = 2, expandHops = 2, maxFilesPerTrigger = Some(1))
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(layDir)
+      .collect().map(r => (r.getAs[Int]("layer"), r.getAs[Long]("src"),
+        r.getAs[Long]("dst"))).toSet
+    assert(streamed === folded,
+      s"streamed layered adjacency (${streamed.size}) must equal the " +
+        s"sequential fold (${folded.size})")
   }
 
   test("graphSearch: all-miss entry set (absent from corpus AND graph) throws") {
