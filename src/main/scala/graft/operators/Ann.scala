@@ -278,7 +278,43 @@ object Ann {
     * Output: (query_id, rank, neighbor_id, cos) — the k-NN graph.
     */
   def nnDescent(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 2, randomInit: Boolean = false): DataFrame =
+    nnDescentCore(emb, idCol, vecCol, k, iters, randomInit, delta = None)._1
+
+  /** [[nnDescent]] with Dong et al. 2011 §2.3's ACTUAL termination rule:
+    * iterate until the round's edge-set update count falls below
+    * ⌈delta·k·n⌉ (or `maxIters`, the runaway bound). Each round pays one
+    * extra left-anti count against the previous edge set — the price of
+    * not running fixed rounds past convergence, which on a converged
+    * graph is the whole O(n·k²) candidate pass. The stop is
+    * data-deterministic (a set-difference count), so the result is
+    * reproducible like the fixed-round variant.
+    */
+  def nnDescentAuto(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, maxIters: Int = 10, delta: Double = 0.002,
+      randomInit: Boolean = false): DataFrame = {
+    require(delta > 0, s"bad delta $delta")
+    nnDescentCore(emb, idCol, vecCol, k, maxIters, randomInit,
+      delta = Some(delta))._1
+  }
+
+  /** Per-round convergence telemetry of [[nnDescent]]: (round,
+    * n_changed) where n_changed = |edges_r \ edges_{r-1}| — the quantity
+    * [[nnDescentAuto]]'s stop rule watches, exposed so an operator can
+    * SIZE `iters`/`delta` for a corpus instead of guessing.
+    */
+  def nnDescentConvergence(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 4, iters: Int = 2, randomInit: Boolean = false): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    nnDescentCore(emb, idCol, vecCol, k, iters, randomInit,
+      delta = None, track = true)._2
+      .toDF("round", "n_changed")
+  }
+
+  private def nnDescentCore(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, randomInit: Boolean, delta: Option[Double],
+      track: Boolean = false): (DataFrame, Seq[(Int, Long)]) = {
     require(k >= 1 && iters >= 1, s"bad k=$k iters=$iters")
     val useReliable = emb.sparkSession.sparkContext.getCheckpointDir.isDefined
     def cut(df: DataFrame): DataFrame =
@@ -310,16 +346,31 @@ object Ann {
       vecs.select(col("vid").as("src"),
           explode(transform(sequence(lit(1), lit(k)), j => initDst(j))).as("dst"))
         .filter(col("src") =!= col("dst")))
-    for (_ <- 1 to iters) {
+    // convergence accounting (only when asked — the fixed-round path
+    // stays job-identical to the original): threshold = ⌈delta·k·n⌉,
+    // change = |edges_r \ edges_{r-1}| via one keyed left-anti count
+    val threshold = delta.map(d => math.ceil(d * k * n).toLong)
+    val counting = track || threshold.isDefined
+    val telemetry = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var r = 0
+    var converged = false
+    while (r < iters && !converged) {
+      r += 1
       val rev = cur.select(col("dst").as("src"), col("src").as("dst"))
       val two = cur.select(col("src"), col("dst").as("mid"))
         .join(cur.select(col("src").as("mid"), col("dst")), "mid")
         .select("src", "dst")
       val cand = cur.unionByName(rev).unionByName(two)
         .filter(col("src") =!= col("dst")).distinct()
-      cur = cut(topK(score(cand)))
+      val next = cut(topK(score(cand)))
+      if (counting) {
+        val changed = next.join(cur, Seq("src", "dst"), "left_anti").count()
+        telemetry += (r -> changed)
+        converged = threshold.exists(changed < _)
+      }
+      cur = next
     }
-    rankTopK(score(cur), k)
+    (rankTopK(score(cur), k), telemetry.toSeq)
   }
 
   /** Graph-walk ANN serve (the HNSW/NSW family's search shape — Malkov &

@@ -211,6 +211,80 @@ object Retrieval {
       queries: DataFrame, k: Int): DataFrame =
     bm25TopK(lexIndexBuild(docs, idCol, textCol), queries, k)
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009 — the default hybrid-
+    * search combiner): each input ranking contributes
+    * ⌊1e6 / (kConst + rank)⌋ per (query, id) hit and the fused score is
+    * the sum — rank-only, so lexical scores (integer BM25 units) and
+    * vector scores (cosine) fuse without calibration. Micro-integer
+    * contributions keep the fusion ORDER-INDEPENDENT and engine-exact
+    * (the library-wide integer discipline). Inputs are normalized
+    * rankings: (query_id, rank, id) — select/alias from [[bm25TopK]]
+    * (`doc_id`) or the ANN tiers (`neighbor_id`) at the call site.
+    *
+    * Scale shape: one union of bounded top-k outputs (≤ Σ inputs·k rows
+    * per query — never corpus-sized), one keyed sum, one bounded top-k.
+    * Output: (query_id, rank, id, rrf_micro).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kConst: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kConst >= 0 && topK > 0, s"bad kConst=$kConst topK=$topK")
+    val all = rankings.map(_.select(col("query_id").cast("long"),
+        col("id").cast("long"),
+        expr(s"1000000 div ($kConst + rank)").cast("long").as("contrib")))
+      .reduce(_ unionByName _)
+    all.groupBy("query_id", "id").agg(sum("contrib").as("rrf_micro"))
+      .groupBy("query_id")
+      .agg(Fns.topKByLongScore(col("rrf_micro"), col("id"), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("id"), col("hit.score").as("rrf_micro"))
+  }
+
+  /** ColBERT-style late-interaction re-rank (Khattab & Zaharia 2020's
+    * MaxSim): score(q, d) = Σ over query slots of the MAX cosine against
+    * any doc slot, computed ONLY over an explicit first-stage candidate
+    * set (the PLAID serving shape — a cheap single-vector retrieval
+    * proposes, MaxSim re-ranks). Per-slot cosines are rounded to 1e-4
+    * units and cast to LONG before max/sum (round-THEN-cast — DuckDB's
+    * double→bigint cast rounds while Spark's truncates, so the rounding
+    * must happen explicitly on both sides) so the score is
+    * order-independent and engine-exact.
+    * `queryVecs`/`docVecs`: (query_id|doc_id, slot, vec).
+    *
+    * Scale shape: two keyed joins fan the candidate pairs out to
+    * slot-pair grain (|cand|·qSlots·dSlots rows — candidate-bounded,
+    * never corpus×corpus), then two bounded aggregations (max per query
+    * slot, sum per pair) and the bounded top-k.
+    * Output: (query_id, rank, doc_id, maxsim_micro).
+    */
+  def maxSimRerank(candidates: DataFrame, queryVecs: DataFrame,
+      docVecs: DataFrame, topK: Int): DataFrame = {
+    require(topK > 0, s"bad topK $topK")
+    val qv = queryVecs.select(col("query_id").cast("long"),
+      col("slot").cast("int").as("qslot"),
+      col("vec").cast("array<double>").as("qv"))
+    val dv = docVecs.select(col("doc_id").cast("long"),
+      col("slot").cast("int").as("dslot"),
+      col("vec").cast("array<double>").as("dv"))
+    val pairs = candidates
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"))
+      .join(qv, "query_id").join(dv, "doc_id")
+      .select(col("query_id"), col("doc_id"), col("qslot"),
+        round(Fns.cosineSim(col("qv"), col("dv")) * 10000L)
+          .cast("long").as("cos_micro"))
+    pairs.groupBy("query_id", "doc_id", "qslot")
+      .agg(max("cos_micro").as("best"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("best").as("maxsim_micro"))
+      .groupBy("query_id")
+      .agg(Fns.topKByLongScore(col("maxsim_micro"), col("doc_id"), topK)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("hit.id").as("doc_id"), col("hit.score").as("maxsim_micro"))
+  }
+
   /** Serving form of [[tfIdfTopK]]: postings and the folded idf table
     * come from the PRE-BUILT index — per batch the plan is one posting
     * join + one idf join + the bounded top-k aggregate.

@@ -65,6 +65,132 @@ object AnalysisOps {
         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
     ),
 
+    // ---- reciprocal-rank fusion (hybrid lexical + vector search) --------
+    // The default hybrid-search combiner (Cormack et al. 2009): the
+    // tx_tfidf_topk lexical ranking and a brute-force cosine ranking over
+    // the paired embeddings fuse by rank alone — each hit contributes
+    // ⌊1e6/(60+rank)⌋ micro-units, so BM25-unit and cosine-unit scores
+    // need no calibration and the fusion is integer-exact.
+    "tx_rrf_hybrid" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          (0, "slow"), (0, "key"),
+          (1, "table"), (1, "hash"), (1, "merge"),
+          (2, "vector"), (2, "zzz_absent")).toDF("query_id", "term")
+        val lex = Retrieval.tfIdfTopK(t(s, dir, "documents"), "doc_id",
+            "text", queries, k = 10)
+          .select(col("query_id"), col("rank"), col("doc_id").as("id"))
+        val emb = t(s, dir, "embeddings")
+        val vec = graft.operators.Ann.bruteForceTopK(emb,
+            emb.filter(col("vec_id") < 3), "vec_id", "embedding", 10)
+          .select(col("query_id"), col("rank"),
+            col("neighbor_id").as("id"))
+        Retrieval.rrfFuse(Seq(lex, vec), kConst = 60, topK = 5)
+          .orderBy("query_id", "rank")
+      },
+      {
+        val cosqd = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+          "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+          "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |  FROM documents),
+           |p AS (SELECT term, doc_id, count(*) AS tf FROM toks
+           |  WHERE term != '' GROUP BY 1, 2),
+           |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+           |dfq AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+           |q(query_id, term) AS (VALUES (0, 'slow'), (0, 'key'),
+           |  (1, 'table'), (1, 'hash'), (1, 'merge'),
+           |  (2, 'vector'), (2, 'zzz_absent')),
+           |lsc AS (SELECT q.query_id, p.doc_id,
+           |    sum(p.tf * ((nd.n * 1000000) // dfq.df)) AS score
+           |  FROM q JOIN p USING (term) JOIN dfq USING (term), nd
+           |  GROUP BY 1, 2),
+           |lrk AS (SELECT query_id, doc_id AS id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+           |  FROM lsc),
+           |vsc AS (SELECT a.vec_id AS query_id, b.vec_id AS id, $cosqd AS cos
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.vec_id < 3 AND b.vec_id <> a.vec_id),
+           |vrk AS (SELECT query_id, id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, id) AS rnk
+           |  FROM vsc),
+           |contrib AS (
+           |  SELECT query_id, id, 1000000 // (60 + rnk) AS c
+           |  FROM lrk WHERE rnk <= 10
+           |  UNION ALL
+           |  SELECT query_id, id, 1000000 // (60 + rnk) AS c
+           |  FROM vrk WHERE rnk <= 10),
+           |fused AS (SELECT query_id, id, sum(c) AS rrf_micro
+           |  FROM contrib GROUP BY 1, 2),
+           |rk AS (SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY rrf_micro DESC, id) AS rnk
+           |  FROM fused)
+           |SELECT CAST(query_id AS BIGINT) AS query_id,
+           |  CAST(rnk AS INTEGER) AS rank, CAST(id AS BIGINT) AS id,
+           |  CAST(rrf_micro AS BIGINT) AS rrf_micro
+           |FROM rk WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
+    // ---- ColBERT-style MaxSim late-interaction re-rank ------------------
+    // Multi-vector retrieval (Khattab & Zaharia 2020) in the PLAID
+    // serving shape: slot-0 single-vector cosine proposes a 20-deep
+    // candidate set per query; MaxSim (Σ over query slots of the max
+    // doc-slot cosine, in exact 1e-4 integer units) re-ranks to top-5.
+    // Multi-vector fixtures: embeddings grouped 4 slots per document.
+    "tx_maxsim_rerank" -> QuerySpec(
+      (s, dir) => {
+        import graft.operators.Ann
+        val emb = t(s, dir, "embeddings")
+        val dv = emb.select(expr("vec_id div 4").as("doc_id"),
+          (col("vec_id") % 4).cast("int").as("slot"),
+          col("embedding").as("vec"))
+        val qv = dv.filter(col("doc_id") < 2)
+          .withColumnRenamed("doc_id", "query_id")
+        val cand = Ann.bruteForceTopK(
+            dv.filter(col("slot") === 0).select(col("doc_id"), col("vec")),
+            qv.filter(col("slot") === 0)
+              .select(col("query_id").as("doc_id"), col("vec")),
+            "doc_id", "vec", 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"))
+        Retrieval.maxSimRerank(cand, qv, dv, topK = 5)
+          .orderBy("query_id", "rank")
+      },
+      {
+        def cosv(l: String, r: String) =
+          s"list_dot_product($l, $r) / (sqrt(list_dot_product($l, $l)) * " +
+            s"sqrt(list_dot_product($r, $r)))"
+        s"""WITH dv AS (SELECT vec_id // 4 AS doc_id, vec_id % 4 AS slot,
+           |    embedding::DOUBLE[] AS v FROM embeddings),
+           |qv AS (SELECT doc_id AS query_id, slot, v FROM dv WHERE doc_id < 2),
+           |s0q AS (SELECT query_id, v FROM qv WHERE slot = 0),
+           |s0d AS (SELECT doc_id, v FROM dv WHERE slot = 0),
+           |csc AS (SELECT q.query_id, d.doc_id, ${cosv("q.v", "d.v")} AS cos
+           |  FROM s0q q JOIN s0d d ON d.doc_id <> q.query_id),
+           |cand AS (SELECT query_id, doc_id FROM (
+           |  SELECT query_id, doc_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rn
+           |  FROM csc) WHERE rn <= 20),
+           |pr AS (SELECT c.query_id, c.doc_id, q.slot AS qslot,
+           |    CAST(round(${cosv("q.v", "d.v")} * 10000) AS BIGINT) AS cm
+           |  FROM cand c JOIN qv q ON q.query_id = c.query_id
+           |    JOIN dv d ON d.doc_id = c.doc_id),
+           |mx AS (SELECT query_id, doc_id, qslot, max(cm) AS best
+           |  FROM pr GROUP BY 1, 2, 3),
+           |sm AS (SELECT query_id, doc_id, sum(best) AS maxsim_micro
+           |  FROM mx GROUP BY 1, 2),
+           |rk AS (SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY maxsim_micro DESC, doc_id) AS rnk
+           |  FROM sm)
+           |SELECT CAST(query_id AS BIGINT) AS query_id,
+           |  CAST(rnk AS INTEGER) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(maxsim_micro AS BIGINT) AS maxsim_micro
+           |FROM rk WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
     // ---- Zipf rank-frequency slope -------------------------------------
     // Corpus health check (natural text ⇒ slope ≈ −1; template/spam
     // corpora deviate). The distributed part is the term-frequency

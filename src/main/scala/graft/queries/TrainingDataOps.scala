@@ -772,12 +772,12 @@ object TrainingDataOps {
     * insert oracle builds the graph on all-but-the-last-8 vectors and
     * queries WITH the held-out 8); defaults reproduce the flat rows.
     */
-  private def duckBaseGraphCtes(nQueries: Int,
-      corpusSql: String = "SELECT vec_id, embedding FROM embeddings",
-      querySql: String = null): String = {
-    val qSql = Option(querySql).getOrElse(
-      "SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv " +
-        s"FROM embeddings WHERE vec_id < $nQueries")
+  /** The nn-descent round CTEs alone (corp/nn/e0/e1..eR, ring init,
+    * k=4) — shared by [[duckBaseGraphCtes]] and the convergence oracle.
+    */
+  private def duckNnRounds(rounds: Int,
+      corpusSql: String = "SELECT vec_id, embedding FROM embeddings")
+      : String = {
     def nnRound(r: Int) =
       s"""g$r AS (SELECT src, dst FROM e${r - 1}
          |  UNION ALL SELECT dst, src FROM e${r - 1}
@@ -797,8 +797,16 @@ object TrainingDataOps {
        |  SELECT a.vec_id AS src, CAST((a.vec_id + j.j) % nn.n AS BIGINT) AS dst
        |  FROM corp a, range(1, 5) j(j), nn
        |  WHERE (a.vec_id + j.j) % nn.n <> a.vec_id),
-       |${nnRound(1)},
-       |${nnRound(2)},
+       |${(1 to rounds).map(nnRound).mkString(",\n")}""".stripMargin
+  }
+
+  private def duckBaseGraphCtes(nQueries: Int,
+      corpusSql: String = "SELECT vec_id, embedding FROM embeddings",
+      querySql: String = null): String = {
+    val qSql = Option(querySql).getOrElse(
+      "SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv " +
+        s"FROM embeddings WHERE vec_id < $nQueries")
+    s"""${duckNnRounds(2, corpusSql)},
        |adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |  SELECT src, dst FROM e2 UNION ALL SELECT dst, src FROM e2)),
        |q AS ($qSql),
@@ -7454,6 +7462,32 @@ object TrainingDataOps {
            |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
            |  FROM ex)
            |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
+    // ---- nn-descent convergence telemetry --------------------------------
+    // The quantity nnDescentAuto's Dong-et-al. stop rule watches —
+    // per-round |edges_r \ edges_{r-1}| — exposed so an operator can SIZE
+    // iters/delta for a corpus instead of guessing. The oracle recomputes
+    // every round's edge set and the exact set-difference counts.
+    "ann_nndescent_convergence" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Ann.nnDescentConvergence(emb, "vec_id", "embedding",
+            k = 4, iters = 3)
+          .orderBy("round")
+      },
+      {
+        def diff(a: String, b: String) =
+          s"""(SELECT count(*) FROM $a x WHERE NOT EXISTS (
+             |  SELECT 1 FROM $b p WHERE p.src = x.src AND p.dst = x.dst))""".stripMargin
+        s"""WITH ${duckNnRounds(3)}
+           |SELECT CAST(round AS INTEGER) AS round,
+           |  CAST(n_changed AS BIGINT) AS n_changed FROM (
+           |  SELECT 1 AS round, ${diff("e1", "e0")} AS n_changed
+           |  UNION ALL SELECT 2, ${diff("e2", "e1")}
+           |  UNION ALL SELECT 3, ${diff("e3", "e2")})
+           |ORDER BY round""".stripMargin
       }
     ),
 

@@ -61,6 +61,78 @@ class Round14ServeSpec extends SparkSpec {
     assert(rBridged >= 0.9, s"post-churn recall too low: $rBridged")
   }
 
+  test("rrfFuse: exact integer contributions, agreement dominates") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // leg A ranks doc 7 first, doc 8 second; leg B ranks 8 first, 7 third:
+    // fused(7) = 1e6/61 + 1e6/63 = 16393 + 15873; fused(8) = 1e6/62 + 1e6/61
+    val a = Seq((0L, 1, 7L), (0L, 2, 8L), (0L, 3, 9L))
+      .toDF("query_id", "rank", "id")
+    val b = Seq((0L, 1, 8L), (0L, 2, 9L), (0L, 3, 7L))
+      .toDF("query_id", "rank", "id")
+    val got = Retrieval.rrfFuse(Seq(a, b), kConst = 60, topK = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    val exp7 = 1000000L / 61 + 1000000L / 63
+    val exp8 = 1000000L / 62 + 1000000L / 61
+    val exp9 = 1000000L / 63 + 1000000L / 62
+    assert(got.toSeq === Seq((8L, exp8), (7L, exp7), (9L, exp9)))
+  }
+
+  test("maxSimRerank: late interaction beats any single slot on a constructed case") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    def unit(i: Int): Array[Double] =
+      Array.tabulate(4)(d => if (d == i) 1.0 else 0.0)
+    // query has two aspects (axes 0 and 1). doc 10 covers BOTH (one slot
+    // each); doc 11 nails axis 0 twice but never axis 1. Slot-0-only
+    // ranking ties them; MaxSim must prefer the covering doc 10.
+    val qv = Seq((0L, 0, unit(0)), (0L, 1, unit(1)))
+      .toDF("query_id", "slot", "vec")
+    val dv = Seq(
+      (10L, 0, unit(0)), (10L, 1, unit(1)),
+      (11L, 0, unit(0)), (11L, 1, unit(0)))
+      .toDF("doc_id", "slot", "vec")
+    val cand = Seq((0L, 10L), (0L, 11L)).toDF("query_id", "doc_id")
+    val got = Retrieval.maxSimRerank(cand, qv, dv, topK = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    // doc 10: qslot0 max cos 1, qslot1 max cos 1 → 20000 micro
+    // doc 11: qslot0 max 1, qslot1 max 0 → 10000 micro
+    assert(got.toSeq === Seq((10L, 20000L), (11L, 10000L)))
+  }
+
+  test("nnDescentAuto: stops at convergence, result == fixed-round run of that depth") {
+    import spark.implicits._
+    // a corpus small enough that the two-hop closure saturates fast: the
+    // descent MUST stop before maxIters
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(d =>
+        math.sin(i * 1.7 + d * 0.37) + math.cos((i + 2) * d * 0.11)).toArray)
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val tele = Ann.nnDescentConvergence(vecs, "vec_id", "embedding",
+        k = 6, iters = 6)
+      .orderBy("round").collect().map(r => r.getInt(0) -> r.getLong(1))
+    // convergence is real on this corpus: late rounds change (almost)
+    // nothing
+    assert(tele.last._2 <= math.ceil(0.01 * 6 * 40).toLong,
+      s"corpus did not converge: ${tele.mkString(",")}")
+    // auto with a generous delta stops strictly before maxIters, and its
+    // result is IDENTICAL to the fixed-round run of the same depth
+    val threshold = math.ceil(0.01 * 6 * 40).toLong
+    val stopRound = tele.find(_._2 < threshold).map(_._1)
+      .getOrElse(fail(s"no round under threshold: ${tele.mkString(",")}"))
+    assert(stopRound < 6, "early stop must fire before maxIters")
+    val auto = Ann.nnDescentAuto(vecs, "vec_id", "embedding",
+        k = 6, maxIters = 6, delta = 0.01)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fixed = Ann.nnDescent(vecs, "vec_id", "embedding",
+        k = 6, iters = stopRound)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(auto === fixed,
+      s"auto (stopped at $stopRound) must equal the fixed-$stopRound run")
+  }
+
   test("pqAdcRerank: recall >= raw ADC; full-corpus shortlist == exact ranking") {
     val emb = Tables.t(spark, dir, "embeddings")
     val n = emb.count()
