@@ -26,10 +26,23 @@ import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // Guard (VERDICT r14 #3): a flag-looking positional arg once created a
+    // committed `--help/` output dir with 167 MB of parquet. Paths never
+    // start with '-'; refuse loudly instead of mkdir-ing a flag.
+    args.take(2).filter(_.startsWith("-")) match {
+      case bad if bad.nonEmpty =>
+        System.err.println(
+          s"usage: graft.Verify <sfDir> <outDir> [queryName...] — got flag-like path(s): ${bad.mkString(", ")}")
+        sys.exit(2)
+      case _ =>
+    }
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet // optional query-name filter (dev loop)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt.max(1)
+    // Default lifted 8→16 (VERDICT r14 #1b): at sf0.01 queries are
+    // planning-dominated; 338 queries ran 297 s at 16 threads vs ~8-10 min
+    // at 8 — the latter drifts into the driver's check budget.
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "16").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -66,9 +79,15 @@ object Verify {
     selected.foreach { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
+          try {
+            val q0 = System.nanoTime()
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            // per-query wall time to stderr — the tail-hunting signal
+            // (concurrent, so times overlap; relative order still ranks)
+            System.err.println(
+              f"[verify] $name ok in ${(System.nanoTime() - q0) / 1e9}%.1f s")
+          } catch { case e: Throwable =>
             failed.add(name)
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }

@@ -13,6 +13,53 @@ import graft.operators.{Ann, Contamination, Dedup, LinkGraph, Multimodal, Retrie
   */
 object TrainingDataOps {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** The standing flat serve graph over `embeddings` (k=4, iters=2) —
+    * the index five graph rows walk. Built ONCE per session per sfDir
+    * via [[FixtureCache]] (deterministic build, so sharing is
+    * result-identical; it just removes four redundant nn-descent runs
+    * from the verify gate's wall time).
+    */
+  private def flatServeGraph(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, s"flatServeGraph|$dir") {
+      Ann.serveGraph(Ann.nnDescent(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2))
+    }
+
+  /** The standing layered (HNSW) index at `maxLevel` — shared by the
+    * descent rows, same [[FixtureCache]] contract.
+    */
+  private def layeredIndex(s: SparkSession, dir: String,
+      maxLevel: Int): DataFrame =
+    FixtureCache.cached(s, s"layeredIndex|$maxLevel|$dir") {
+      Ann.layeredBuild(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 2, p = 4, maxLevel = maxLevel)
+    }
+
+  /** PQ codebooks trained on `embeddings` at the oracle config
+    * (m=4, k=8, 2 Lloyd rounds) — shared by the ADC / recall / re-rank
+    * rows ([[FixtureCache]]; training is deterministic).
+    */
+  private def pqBooksFixture(s: SparkSession,
+      dir: String): Seq[Seq[(Int, Seq[Double])]] =
+    FixtureCache.cachedAny(s, s"pqBooks|4|8|$dir") {
+      Ann.pqCodebooks(t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, k = 8)
+    }
+
+  /** Built IVF-PQ index at the oracle config (nLists=8, m=4, k=8),
+    * absolute or residual-coded — encoded table checkpoint-materialized
+    * so the shared copy is compute-once.
+    */
+  private def ivfPqFixture(s: SparkSession, dir: String,
+      byResidual: Boolean): Ann.IvfPqIndex =
+    FixtureCache.cachedAny(s, s"ivfPq|8|4|8|$byResidual|$dir") {
+      val idx = Ann.ivfPqBuild(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nLists = 8, m = 4, k = 8, byResidual)
+      idx.copy(encoded = idx.encoded.localCheckpoint())
+    }
+
   /** DuckDB fragment: portable rolling hash of column/expr `e` (must match
     * [[Fns.rollingHash]]).
     */
@@ -3913,7 +3960,7 @@ object TrainingDataOps {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         Ann.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          m = 4, k = 8, topK = 5)
+          books = pqBooksFixture(s, dir), k = 8, topK = 5)
           .orderBy("query_id", "rank")
       },
       {
@@ -3959,8 +4006,9 @@ object TrainingDataOps {
     "ann_ivfpq_adc" -> QuerySpec(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
-          "embedding", nLists = 8, nprobe = 3, m = 4, k = 8, topK = 5)
+        Ann.ivfPqSearch(ivfPqFixture(s, dir, byResidual = false),
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            nprobe = 3, topK = 5)
           .orderBy("query_id", "rank")
       },
       {
@@ -4018,9 +4066,9 @@ object TrainingDataOps {
     "ann_ivfpq_residual" -> QuerySpec(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
-          "embedding", nLists = 8, nprobe = 3, m = 4, k = 8, topK = 5,
-          byResidual = true)
+        Ann.ivfPqSearch(ivfPqFixture(s, dir, byResidual = true),
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            nprobe = 3, topK = 5)
           .orderBy("query_id", "rank")
       },
       {
@@ -4100,7 +4148,8 @@ object TrainingDataOps {
           .select(col("query_id"), posexplode(col("top")).as(Seq("r", "t")))
           .select(col("query_id"), col("t.id").as("neighbor_id"))
         Ann.recallEval(exact,
-            Ann.pqTopK(emb, q, "vec_id", "embedding", m = 4, k = 8, topK = 5),
+            Ann.pqTopK(emb, q, "vec_id", "embedding",
+              books = pqBooksFixture(s, dir), k = 8, topK = 5),
             5)
           .orderBy("query_id")
       },
@@ -7225,8 +7274,7 @@ object TrainingDataOps {
     "ann_graph_search" -> QuerySpec(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val graph = Ann.serveGraph(
-          Ann.nnDescent(emb, "vec_id", "embedding", k = 4, iters = 2))
+        val graph = flatServeGraph(s, dir)
         Ann.graphSearch(graph, emb, emb.filter(col("vec_id") < 8),
             "vec_id", "embedding", entryIds = Seq(0L),
             beamWidth = 16, hops = 3, topK = 5)
@@ -7249,8 +7297,7 @@ object TrainingDataOps {
     "ann_graph_search_deep" -> QuerySpec(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val graph = Ann.serveGraph(
-          Ann.nnDescent(emb, "vec_id", "embedding", k = 4, iters = 2))
+        val graph = flatServeGraph(s, dir)
         Ann.graphSearch(graph, emb, emb.filter(col("vec_id") < 8),
             "vec_id", "embedding", entryIds = Seq(0L),
             beamWidth = 16, hops = 2, topK = 5, expandHops = 2)
@@ -7273,8 +7320,7 @@ object TrainingDataOps {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 8)
-        val graph = Ann.serveGraph(
-          Ann.nnDescent(emb, "vec_id", "embedding", k = 4, iters = 2))
+        val graph = flatServeGraph(s, dir)
         Ann.recallEval(
             Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
             Ann.graphSearch(graph, emb, q, "vec_id", "embedding",
@@ -7353,8 +7399,7 @@ object TrainingDataOps {
     "ann_graph_filtered" -> QuerySpec(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val graph = Ann.serveGraph(
-          Ann.nnDescent(emb, "vec_id", "embedding", k = 4, iters = 2))
+        val graph = flatServeGraph(s, dir)
         Ann.graphSearchWhere(graph, emb, emb.filter(col("vec_id") < 8),
             "vec_id", "embedding", entryIds = Seq(0L),
             allowed = emb.filter(col("vec_id") % 3 === 0),
@@ -7380,8 +7425,7 @@ object TrainingDataOps {
     "ann_graph_delete" -> QuerySpec(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val graph = Ann.serveGraph(
-          Ann.nnDescent(emb, "vec_id", "embedding", k = 4, iters = 2))
+        val graph = flatServeGraph(s, dir)
         Ann.graphDelete(graph, emb, emb.filter(col("vec_id") % 7 === 0),
             "vec_id", "embedding", kLink = 4)
           .orderBy("src", "dst")
@@ -7418,8 +7462,10 @@ object TrainingDataOps {
     "ann_pq_rerank" -> QuerySpec(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Ann.pqRerankTopK(emb, emb.filter(col("vec_id") < 10),
-            "vec_id", "embedding", m = 4, k = 8, shortlist = 20, topK = 5)
+        val books = pqBooksFixture(s, dir)
+        Ann.pqAdcRerank(Ann.pqEncode(emb, "vec_id", "embedding", books),
+            books, k = 8, emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", shortlist = 20, topK = 5)
           .orderBy("query_id", "rank")
       },
       {
@@ -7525,8 +7571,7 @@ object TrainingDataOps {
     "ann_graph_layered_search" -> QuerySpec(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val layers = Ann.layeredBuild(emb, "vec_id", "embedding",
-          k = 4, iters = 2, p = 4, maxLevel = 1)
+        val layers = layeredIndex(s, dir, maxLevel = 1)
         Ann.layeredSearch(layers, emb, emb.filter(col("vec_id") < 8),
             "vec_id", "embedding", maxLevel = 1,
             entryId = Ann.layeredEntry(layers, 1),
@@ -7552,8 +7597,7 @@ object TrainingDataOps {
     "ann_graph_layered2_search" -> QuerySpec(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val layers = Ann.layeredBuild(emb, "vec_id", "embedding",
-          k = 4, iters = 2, p = 4, maxLevel = 2)
+        val layers = layeredIndex(s, dir, maxLevel = 2)
         Ann.layeredSearch(layers, emb, emb.filter(col("vec_id") < 8),
             "vec_id", "embedding", maxLevel = 2,
             entryId = Ann.layeredEntry(layers, 2),
@@ -7578,8 +7622,7 @@ object TrainingDataOps {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 8)
-        val layers = Ann.layeredBuild(emb, "vec_id", "embedding",
-          k = 4, iters = 2, p = 4, maxLevel = 1)
+        val layers = layeredIndex(s, dir, maxLevel = 1)
         Ann.recallEval(
             Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
             Ann.layeredSearch(layers, emb, q, "vec_id", "embedding",
@@ -7610,6 +7653,79 @@ object TrainingDataOps {
          |FROM bru b LEFT JOIN ap i
          |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+    ),
+
+    // ---- filtered LAYERED serve (predicate on the descent's tier) -------
+    // VERDICT r14 #5: predicate + churn must hit the SAME index. The
+    // descent navigates every layer unrestricted; the predicate is one
+    // keyed semi-join on the final base beam (over-fetched to 32 for
+    // topK=5 at 1/3 selectivity — the post-filter contract, identical
+    // economics to the flat ann_graph_filtered).
+    "ann_graph_layered_filtered" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val layers = layeredIndex(s, dir, maxLevel = 1)
+        Ann.layeredSearchWhere(layers, emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", maxLevel = 1,
+            entryId = Ann.layeredEntry(layers, 1),
+            allowed = emb.filter(col("vec_id") % 3 === 0),
+            beamUpper = 12, beamBase = 32, hopsBase = 1, topK = 5,
+            expandHops = 2, expandUpper = 2)
+          .orderBy("query_id", "rank")
+      },
+      s"""WITH ${duckLayeredCtes(8, 12, 32)}
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id,
+         |  round(cos, 4) AS cos
+         |FROM (SELECT query_id, nid, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rn
+         |  FROM bb WHERE nid <> query_id AND nid % 3 = 0)
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    ),
+
+    // ---- LAYERED deletion with per-layer bridge repair -------------------
+    // The full HNSW deletion rule: a tombstoned node leaves — and is
+    // bridge-repaired in — EVERY layer it belongs to (cumulative
+    // membership); ann_graph_delete's kernel applied per layer slice.
+    // The oracle replays both layers' anti-join + neighbor-pair bridge
+    // chains over the layered CTEs' adj / adj1.
+    "ann_graph_layered_delete" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Ann.layeredDelete(layeredIndex(s, dir, maxLevel = 1), emb,
+            emb.filter(col("vec_id") % 7 === 0),
+            "vec_id", "embedding", maxLevel = 1, kLink = 4)
+          .orderBy("layer", "src", "dst")
+      },
+      {
+        def layerDel(adj: String, i: Int) =
+          s"""kept$i AS (SELECT src, dst FROM $adj
+             |  WHERE src NOT IN (SELECT vec_id FROM del)
+             |    AND dst NOT IN (SELECT vec_id FROM del)),
+             |nbr$i AS (SELECT src AS x, dst AS n FROM $adj
+             |  WHERE src IN (SELECT vec_id FROM del)
+             |    AND dst NOT IN (SELECT vec_id FROM del)),
+             |cand$i AS (SELECT DISTINCT p.n AS ca, r.n AS cb
+             |  FROM nbr$i p JOIN nbr$i r ON p.x = r.x AND p.n <> r.n),
+             |csc$i AS (SELECT c.ca, c.cb, $duckCosine AS cos
+             |  FROM cand$i c JOIN corp a ON a.vec_id = c.ca
+             |    JOIN corp b ON b.vec_id = c.cb),
+             |br$i AS (SELECT ca AS src, cb AS dst FROM (
+             |  SELECT ca, cb, row_number() OVER (
+             |    PARTITION BY ca ORDER BY cos DESC, cb) AS rn FROM csc$i)
+             |  WHERE rn <= 4),
+             |rep$i AS (SELECT DISTINCT src, dst FROM (
+             |  SELECT src, dst FROM kept$i
+             |  UNION ALL SELECT src, dst FROM br$i
+             |  UNION ALL SELECT dst AS src, src AS dst FROM br$i))""".stripMargin
+        s"""WITH ${duckLayeredCtes(8, 12, 16)},
+           |del AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 0),
+           |${layerDel("adj", 0)},
+           |${layerDel("adj1", 1)}
+           |SELECT CAST(layer AS INTEGER) AS layer, src, dst FROM (
+           |  SELECT 0 AS layer, src, dst FROM rep0
+           |  UNION ALL SELECT 1 AS layer, src, dst FROM rep1)
+           |ORDER BY layer, src, dst""".stripMargin
+      }
     )
   )
 }

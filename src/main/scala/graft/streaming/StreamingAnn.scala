@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -52,6 +53,82 @@ object StreamingAnn {
       .outputMode("append")
       .start()
 
+  /** Exactly-once append for the foreachBatch maintainers (`foreachBatch`
+    * is at-least-once: a micro-batch replayed after a crash would
+    * blind-append duplicate edges and duplicate corpus rows, silently
+    * breaking the stream≡batch-fold contract). Idempotency protocol,
+    * per (batchId, tag):
+    *
+    *   1. every file this batch lands in `targetDir` carries the
+    *      deterministic prefix `graft-b<batchId>-<tag>-`;
+    *   2. on entry, delete any file under `targetDir` with that prefix —
+    *      a replay first erases the prior attempt, restoring the exact
+    *      pre-batch state (callers must run this cleanup BEFORE reading
+    *      the standing index, so the recomputed walk sees the same
+    *      adjacency the first attempt saw);
+    *   3. write the batch to a staging dir (mode overwrite — itself
+    *      idempotent), then rename each part file into `targetDir` under
+    *      the prefixed name (subdir-preserving, so partitioned layouts
+    *      keep their `layer=N/` structure).
+    *
+    * Hadoop FileSystem API throughout — local, HDFS, and object stores
+    * alike (rename degrades to copy on object stores; micro-batch part
+    * files are a trickle, not corpus-scale data).
+    */
+  private[graft] def batchFilePrefix(batchId: Long, tag: String): String =
+    f"graft-b$batchId%019d-$tag-"
+
+  private[graft] def cleanupBatchFiles(spark: SparkSession,
+      targetDir: String, batchId: Long, tag: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(targetDir)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) {
+      val prefix = batchFilePrefix(batchId, tag)
+      val it = fs.listFiles(root, /*recursive=*/ true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith(prefix))
+          fs.delete(f.getPath, false)
+      }
+    }
+  }
+
+  private[graft] def idempotentAppend(df: DataFrame, targetDir: String,
+      stagingRoot: String, batchId: Long, tag: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staged = new Path(s"$stagingRoot/b$batchId/$tag")
+    val w0 = df.write.mode("overwrite")
+    val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
+    w.parquet(staged.toString)
+    val fs = staged.getFileSystem(conf)
+    val root = new Path(targetDir)
+    fs.mkdirs(root)
+    val prefix = batchFilePrefix(batchId, tag)
+    // listFiles returns scheme-qualified paths (file:/...); qualify the
+    // staging root the same way or the prefix strip silently fails and
+    // the relative subpath keeps the full URI
+    val stagedQ = fs.makeQualified(staged).toString
+    var i = 0
+    val it = fs.listFiles(staged, /*recursive=*/ true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")) {
+        // preserve the partition-subdir structure relative to staging
+        val rel = fs.makeQualified(f.getPath.getParent).toString
+          .stripPrefix(stagedQ).stripPrefix("/")
+        val destDir = if (rel.isEmpty) root else new Path(root, rel)
+        fs.mkdirs(destDir)
+        fs.rename(f.getPath, new Path(destDir, s"$prefix$i.parquet"))
+        i += 1
+      }
+    }
+    fs.delete(staged, true)
+  }
+
   /** Streaming NSW graph maintenance (VERDICT r13 #3): vectors landing in
     * `stagingDir` are inserted into the standing graph index by the NSW
     * insert rule — each micro-batch SEARCHES the current adjacency for
@@ -81,19 +158,24 @@ object StreamingAnn {
       reader.option("maxFilesPerTrigger", m.toString))
     reader.json(stagingDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.select(col("vec_id"),
           col("embedding").cast("array<double>").as("embedding"))
           .localCheckpoint()
         if (!b.isEmpty) {
+          // replay-erase BEFORE reading the index: a crashed attempt's
+          // partial appends must not be visible to the recomputed walk
+          cleanupBatchFiles(spark, adjDir, batchId, "edges")
+          cleanupBatchFiles(spark, corpusDir, batchId, "corpus")
           val adj = spark.read.parquet(adjDir)
           val corpus = spark.read.parquet(corpusDir)
           val edges = Ann.graphInsertEdges(adj, corpus, b,
               "vec_id", "embedding", kLink, entryIds, beamWidth, hops,
               expandHops)
             .localCheckpoint() // materialize BEFORE appending to adjDir
-          edges.write.mode("append").parquet(adjDir)
-          b.write.mode("append").parquet(corpusDir)
+          val staging = s"$checkpointDir/_graft_staging"
+          idempotentAppend(edges, adjDir, staging, batchId, "edges")
+          idempotentAppend(b, corpusDir, staging, batchId, "corpus")
         }
         ()
       }
@@ -120,19 +202,23 @@ object StreamingAnn {
       reader.option("maxFilesPerTrigger", m.toString))
     reader.json(stagingDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.select(col("vec_id"),
           col("embedding").cast("array<double>").as("embedding"))
           .localCheckpoint()
         if (!b.isEmpty) {
+          cleanupBatchFiles(spark, layersDir, batchId, "edges")
+          cleanupBatchFiles(spark, corpusDir, batchId, "corpus")
           val layers = spark.read.parquet(layersDir)
           val corpus = spark.read.parquet(corpusDir)
           val edges = Ann.layeredInsertEdges(layers, corpus, b,
               "vec_id", "embedding", maxLevel, p, kLink, beamWidth, hops,
               expandHops)
             .localCheckpoint() // materialize BEFORE appending to layersDir
-          edges.write.mode("append").partitionBy("layer").parquet(layersDir)
-          b.write.mode("append").parquet(corpusDir)
+          val staging = s"$checkpointDir/_graft_staging"
+          idempotentAppend(edges, layersDir, staging, batchId, "edges",
+            partitionCols = Seq("layer"))
+          idempotentAppend(b, corpusDir, staging, batchId, "corpus")
         }
         ()
       }

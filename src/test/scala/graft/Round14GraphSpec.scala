@@ -51,6 +51,19 @@ class Round14GraphSpec extends SparkSpec {
     assert(missing === 0L, "upper-layer nodes must exist in the base layer")
   }
 
+  test("layeredBuild: BUILD plan has no partition-less window (r15 fix)") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    // un-checkpointed so the whole build — densification included — is
+    // visible to the plan; the old row_number().over(Window.orderBy(vid))
+    // showed up here as a single-partition Window exchange
+    val layers = Ann.layeredBuild(emb, "vec_id", "embedding",
+      k = 4, iters = 2, p = 4, maxLevel = 2)
+    layers.count()
+    assert(partitionlessWindows(layers).isEmpty,
+      "densification must be the distributed bucket-histogram rank, " +
+        "not a global window")
+  }
+
   test("layeredSearch: recall >= flat walk at FEWER sequential rounds") {
     val emb = Tables.t(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 10)

@@ -15,6 +15,11 @@ import sys, os, json, glob
 import duckdb
 import pandas as pd
 
+# Optional: write a per-query result map (the committed CORRECTNESS_SELF
+# artifact — VERDICT r14 #1a: the driver's own capture shipped empty in
+# r11 and r14, zeroing a green round; a committed self-artifact makes the
+# gate un-zeroable). Set LOCALVERIFY_JSON=/path/to/out.json.
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -35,30 +40,36 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    results = {}
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         if only and name not in only:
             continue
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1
+            results[name] = "fail:no_output"; continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
         if name not in oracle:
             print(f"SKIP {name}: rows-only check (rows={len(got)})")
             n_skip += 1
+            results[name] = f"rows_only:{len(got)}"
             if len(got) == 0:
                 print(f"  WARN {name}: zero rows"); n_fail += 1
+                results[name] = "fail:zero_rows"
             continue
         try:
             exp = con.execute(oracle[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1
+            results[name] = "fail:oracle_error"; continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
-            n_fail += 1; continue
+            n_fail += 1; results[name] = "fail:columns"; continue
         if len(g) != len(e):
-            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1
+            results[name] = "fail:rowcount"; continue
         # compare column-wise with dtype awareness
         bad = None
         for c in g.columns:
@@ -93,9 +104,18 @@ def main():
                 print("  spark:", g[g[bad] != e[bad]].head(3).to_dict('records'))
                 print("  duck :", e[g[bad] != e[bad]].head(3).to_dict('records'))
             n_fail += 1
+            results[name] = "fail:values"
         else:
             print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+            results[name] = "pass"
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    out_json = os.environ.get("LOCALVERIFY_JSON")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "n_rows_only": n_skip, "queries": results}, f,
+                      indent=0, sort_keys=True)
+        print(f"wrote {out_json}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
