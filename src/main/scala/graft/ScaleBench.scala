@@ -51,6 +51,66 @@ object ScaleBench {
       served
     }
 
+    // 90% standing graph (bench config k=12/iters=5 random-init) + the
+    // 10%/5% tails staged as NDJSON — built once, ~32 part files per
+    // staging dir so maxFilesPerTrigger dials the batch count
+    lazy val graphIngestFix: (String, Seq[Long], Long) = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_scale_ingest_fix").toString
+      val n = emb.count()
+      val cut = (n * 9) / 10
+      val corpus = emb.filter(col("vec_id") < cut)
+      Ann.serveGraph(Ann.nnDescent(corpus, "vec_id", "embedding",
+          k = 12, iters = 5, randomInit = true))
+        .write.mode("overwrite").parquet(s"$d/adj")
+      corpus.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .write.mode("overwrite").parquet(s"$d/corp")
+      def stage(pred: org.apache.spark.sql.Column, name: String): Unit =
+        emb.filter(pred)
+          .select(to_json(struct(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"),
+            (lit(1700000000L) + col("vec_id")).as("ingest_ts"))).as("value"))
+          // 32 part files so maxFilesPerTrigger can DIAL the batch count
+          // (a single-file drop is always one micro-batch — measured:
+          // mft had no effect until this repartition)
+          .repartition(32)
+          .write.mode("overwrite").text(s"$d/$name")
+      stage(col("vec_id") >= cut, "staging10")
+      stage(col("vec_id") >= (n * 95) / 100, "staging5")
+      (d, Ann.spreadEntries(cut), n - cut)
+    }
+
+    def streamIngestProfile(mft: Option[Int], stagingName: String): Long = {
+      val (d, entries, drop10) = graphIngestFix
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_scale_ingest_rep").toString
+      spark.read.parquet(s"$d/adj").write.parquet(s"$root/adj")
+      spark.read.parquet(s"$d/corp").write.parquet(s"$root/corp")
+      val jobs = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingAnn.graphIngestToParquet(spark,
+        s"$d/$stagingName", s"$root/adj", s"$root/corp", s"$root/ckpt",
+        kLink = 12, entryIds = entries, beamWidth = 32, hops = 2,
+        expandHops = 2, maxFilesPerTrigger = mft)
+      try q.processAllAvailable() finally q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(listener)
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      println(f"STREAM_INGEST staging=$stagingName mft=${mft.getOrElse(0)}%d " +
+        f"drop10=$drop10 batches=$batches jobs=${jobs.get}%d sec=$sec%.1f " +
+        f"jobs_per_batch=${if (batches > 0) jobs.get.toDouble / batches else 0.0}%.1f")
+      spark.read.parquet(s"$root/adj").count()
+    }
+
+
     val ops: Seq[(String, () => Long)] = Seq(
       // stop-shingle cap = the documented dial for duplication-adversarial
       // corpora (shingles in more docs than the cap are dropped from
@@ -178,7 +238,26 @@ object ScaleBench {
         Ann.pqAdcTopK(idx.encoded, idx.books, idx.k,
           emb.filter(col("vec_id") < 100), "vec_id", "embedding",
           topK = 10).count()
-      })
+      }),
+
+      // ---- streaming NSW ingest decomposition (r15 directive #8):
+      // batches × per-batch-walk pricing. The fixture (90% standing
+      // graph + two NDJSON drops, 10% and 5% of the corpus) is built
+      // once; each op replays a fresh copy of the index with a chosen
+      // micro-batch split and prints batches / Spark jobs / seconds —
+      // the claim under test: per-batch cost = ONE bounded walk (a
+      // fixed job count per batch, NOT per vector), so total time is
+      // ~linear in BATCH COUNT at fixed drop and SUB-linear in drop
+      // size at fixed batch count (barriers amortize).
+      // untimed-in-spirit warmup: identical work to the rows below; its
+      // number absorbs the one-time JVM/codegen/page-cache cost that
+      // otherwise lands on whichever row runs first (measured: the same
+      // 28-job single-batch ingest was 256 s as run-1 and 33 s as run-4)
+      "stream_ingest_warmup" -> (() => streamIngestProfile(Some(2), "staging10")),
+      "stream_ingest_10pct_1batch" -> (() => streamIngestProfile(None, "staging10")),
+      "stream_ingest_5pct_1batch" -> (() => streamIngestProfile(None, "staging5")),
+      "stream_ingest_10pct_4batches" -> (() => streamIngestProfile(Some(8), "staging10")),
+      "stream_ingest_10pct_16batches" -> (() => streamIngestProfile(Some(2), "staging10"))
     )
     val results = ops
       .filter { case (n, _) => only.isEmpty || only(n) }

@@ -980,6 +980,73 @@ object Ann {
       queries, idCol, vecCol, shortlist, topK)
   }
 
+  /** Diverse neighbor selection — HNSW's SELECT-NEIGHBORS-HEURISTIC
+    * (Malkov & Yashunin 2016, Algorithm 4; the relative-neighborhood-
+    * graph prune every production HNSW applies at build): per node,
+    * scan its candidate out-edges in rank order (cos to the node desc,
+    * id asc) and KEEP a candidate only if it is closer to the node than
+    * to every already-kept neighbor — redundant same-direction edges are
+    * dropped, so a degree budget of `m` buys edges that span DISTINCT
+    * directions. The payoff is at serve time: per-hop candidate volume
+    * is O(beam·degree^expand), so halving degree at held navigability
+    * halves every walk's work.
+    *
+    * Execution is the greedy unrolled by SELECTION (not by candidate):
+    * selected₁ = rank-1; selectedₜ = the minimum-rank candidate ranked
+    * above selectedₜ₋₁ that is closer to the node than to ALL of
+    * selected₁..ₜ₋₁ — provably the same set as the per-candidate scan,
+    * because a candidate's admission test quantifies over exactly the
+    * selected set below its own rank. m-1 rounds, each ONE keyed join of
+    * the ranked candidates against the ≤(t-1)-row-per-node selected set
+    * (volume ≤ Σ degree·t — bridge-candidate economics, never
+    * corpus-wide), one exact re-score, one bounded argmin. Build-time
+    * refinement: run once after [[nnDescent]]+[[serveGraph]], persist
+    * the pruned adjacency as the standing index.
+    *
+    * Output: the kept DIRECTED edges (src, dst), out-degree ≤ m;
+    * symmetrize with [[serveGraph]]'s union-reverse for serving (the
+    * HNSW bidirectional-link rule applies after pruning too).
+    */
+  def rngPrune(adj: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int): DataFrame = {
+    require(m >= 1, s"bad m $m")
+    val vecs = corpus.select(col(idCol).cast("long").as("nid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val ranked = adj
+      .select(col("src").cast("long"), col("dst").cast("long")).distinct()
+      .join(vecs.select(col("nid").as("src"), col("v").as("qv")), "src")
+      .join(vecs.select(col("nid").as("dst"), col("v").as("cv")), "dst")
+      .select(col("src"), col("dst"), col("cv"),
+        Fns.cosineSim(col("qv"), col("cv")).as("cosq"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("cosq").desc, col("dst"))))
+      .localCheckpoint() // each selection round re-reads the ranking
+    var sel = ranked.filter(col("rk") === 1)
+      .select(col("src"), col("dst").as("sid"), col("cv").as("sv"),
+        col("rk").as("srk"))
+      .localCheckpoint()
+    for (_ <- 2 to m) {
+      // pass = candidate closer to the node than to EVERY selected
+      // neighbor (cos to node > cos to each selected — the cosine
+      // rendering of Alg. 4's distance test); `last` gates the scan
+      // order (only candidates ranked below the latest selection are
+      // still unconsidered)
+      val verdicts = ranked.join(sel, "src")
+        .groupBy(col("src"), col("dst"), col("rk"))
+        .agg(
+          min(when(col("cosq") > Fns.cosineSim(col("cv"), col("sv")), 1L)
+            .otherwise(0L)).as("pass"),
+          max(col("srk")).as("last"))
+        .filter(col("pass") === 1L && col("rk") > col("last"))
+      val next = verdicts.groupBy("src").agg(min("rk").as("rk"))
+        .join(ranked, Seq("src", "rk"))
+        .select(col("src"), col("dst").as("sid"), col("cv").as("sv"),
+          col("rk").as("srk"))
+      sel = sel.unionByName(next).localCheckpoint()
+    }
+    sel.select(col("src"), col("sid").as("dst"))
+  }
+
   /** Plane-count sizing for [[knnJoin]]/[[lshTopK]]: candidate volume is
     * Σ(bucket²) ≈ n²/2^numPlanes, so a CONSTANT plane count grows
     * quadratically with the corpus — measured live: a pinned numPlanes=6

@@ -7655,6 +7655,49 @@ object TrainingDataOps {
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
     ),
 
+    // ---- RNG prune: HNSW Alg. 4 diverse neighbor selection ---------------
+    // The degree-budget refinement every production HNSW applies at
+    // build: per node, keep a candidate out-edge only if the candidate
+    // is closer to the node than to every already-kept neighbor —
+    // same-direction redundancy dropped, serve-time per-hop candidate
+    // volume (O(beam·degree^expand)) cut with navigability held. The
+    // oracle replays the greedy unrolled by selection: s1 = rank-1,
+    // s_t = min-rank candidate above s_{t-1} passing vs all selected.
+    "ann_graph_rng_prune" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Ann.rngPrune(flatServeGraph(s, dir), emb, "vec_id", "embedding",
+            m = 3)
+          .orderBy("src", "dst")
+      },
+      {
+        val candCos = duckCosine // a = candidate row alias, b = other side
+        def step(t: Int) =
+          s"""p$t AS (SELECT c.src, c.dst, c.rk,
+             |  min(CASE WHEN c.cosq > $candCos THEN 1 ELSE 0 END) AS pass,
+             |  max(s.rk) AS last
+             |  FROM rk c JOIN sel${t - 1} s ON s.src = c.src
+             |  JOIN corp a ON a.vec_id = c.dst
+             |  JOIN corp b ON b.vec_id = s.dst
+             |  GROUP BY c.src, c.dst, c.rk),
+             |n$t AS (SELECT src, min(rk) AS rk FROM p$t
+             |  WHERE pass = 1 AND rk > last GROUP BY src),
+             |sel$t AS (SELECT src, dst, rk FROM sel${t - 1}
+             |  UNION ALL SELECT r.src, r.dst, r.rk
+             |  FROM rk r JOIN n$t USING (src, rk))""".stripMargin
+        s"""WITH ${duckBaseGraphCtes(0)},
+           |rc AS (SELECT e.src, e.dst, $duckCosine AS cosq
+           |  FROM adj e JOIN corp a ON a.vec_id = e.src
+           |  JOIN corp b ON b.vec_id = e.dst),
+           |rk AS (SELECT src, dst, cosq, row_number() OVER (
+           |  PARTITION BY src ORDER BY cosq DESC, dst) AS rk FROM rc),
+           |sel1 AS (SELECT src, dst, rk FROM rk WHERE rk = 1),
+           |${step(2)},
+           |${step(3)}
+           |SELECT src, dst FROM sel3 ORDER BY src, dst""".stripMargin
+      }
+    ),
+
     // ---- filtered LAYERED serve (predicate on the descent's tier) -------
     // VERDICT r14 #5: predicate + churn must hit the SAME index. The
     // descent navigates every layer unrestricted; the predicate is one

@@ -48,6 +48,56 @@ class Round15GraphSpec extends SparkSpec {
     assert(recall >= 0.8, s"filtered layered recall too low: $recall")
   }
 
+  test("rngPrune: matches the reference Alg-4 greedy, degree <= m, recall holds") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val adj = Ann.serveGraph(Ann.nnDescent(emb, "vec_id", "embedding",
+      k = 8, iters = 3, randomInit = true)).localCheckpoint()
+    val m = 3
+    val got = Ann.rngPrune(adj, emb, "vec_id", "embedding", m)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the per-candidate greedy scan (Malkov & Yashunin Alg. 4)
+    // run driver-side on the collected small corpus
+    val vec = emb.select(col("vec_id").cast("long"), col("embedding")
+        .cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bySrc = adj.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+    // .toSeq first: flatMap on a Map of (src, dst) pairs would collapse
+    // to one edge per src (Map semantics), silently shrinking the reference
+    val expected = bySrc.toSeq.flatMap { case (src, es) =>
+      val cands = es.map(_._2).distinct
+        .map(d => (d, cos(vec(src), vec(d))))
+        .sortBy { case (d, c) => (-c, d) }
+      val r = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      for ((d, c) <- cands if r.size < m)
+        if (r.forall { case (s, _) => c > cos(vec(d), vec(s)) }) r += ((d, c))
+      r.map { case (d, _) => (src, d) }
+    }.toSet
+    assert(got === expected, "relational unroll must equal the greedy scan")
+    // out-degree bound
+    val overM = got.groupBy(_._1).count(_._2.size > m)
+    assert(overM === 0, s"out-degree must be <= $m")
+    // serve recall on the pruned+symmetrized graph stays high — the
+    // diversity claim: fewer edges, held navigability
+    val pruned = Ann.rngPrune(adj, emb, "vec_id", "embedding", 6)
+    val sym = pruned.unionByName(
+        pruned.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    val recall = Ann.recallEval(exact,
+        Ann.graphSearch(sym, emb, q, "vec_id", "embedding",
+          entryIds = Ann.spreadEntries(emb.count()), beamWidth = 32,
+          hops = 3, topK = 5, expandHops = 2), 5)
+      .agg(avg("recall")).head.getDouble(0)
+    assert(recall >= 0.9, s"pruned-graph recall too low: $recall")
+  }
+
   test("layeredDelete: tombstones gone from every layer, post-churn recall >= tombstone-only") {
     val emb = Tables.t(spark, dir, "embeddings")
     val deleted = emb.filter(col("vec_id") % 7 === 0)
