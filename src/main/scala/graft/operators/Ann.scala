@@ -63,6 +63,45 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** Matryoshka (MRL-style) two-stage serve — the dimension-budget dual
+    * of [[pqAdcRerank]]'s code-budget refine: matryoshka-trained
+    * embeddings (Kusupati et al. 2022) carry their information
+    * front-loaded, so stage 1 scans only the FIRST `prefixDims`
+    * dimensions of every corpus vector (a dims/prefixDims× cheaper
+    * exact scan — at 100 TB the prefix can live as its own thin column,
+    * so the scan reads prefixDims/dims of the bytes) to a
+    * `shortlist`-deep candidate set, and stage 2 re-scores ONLY the
+    * shortlist with full-dimension exact cosine. Recall approaches
+    * exact as `shortlist` grows — the same quality/cost dial as the
+    * ADC refine, with no quantizer to train. Output: (query_id, rank,
+    * neighbor_id, cos).
+    */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, prefixDims: Int, shortlist: Int,
+      topK: Int): DataFrame = {
+    require(prefixDims >= 1, s"bad prefixDims $prefixDims")
+    require(shortlist >= topK, s"shortlist $shortlist must cover topK $topK")
+    val vfull = corpus.select(col(idCol).cast("long").as("nid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val short = rankTopK(
+      vfull.select(col("nid").as("neighbor_id"),
+          slice(col("cv"), 1, prefixDims).as("pv"))
+        .join(broadcast(q.select(col("query_id"),
+          slice(col("qv"), 1, prefixDims).as("qp"))),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Fns.cosineSim(col("qp"), col("pv")).as("cos")),
+      shortlist)
+      .select(col("query_id"), col("neighbor_id").as("nid"))
+    rankTopK(short
+      .join(q, "query_id").join(vfull, "nid")
+      .select(col("query_id"), col("nid").as("neighbor_id"),
+        Fns.cosineSim(col("qv"), col("cv")).as("cos")),
+      topK)
+  }
+
   /** Nearest-centroid argmin fold over a broadcast centroid array
     * (`array<struct<c,center>>`, c-ascending — fold order is the
     * tie-break order). The per-centroid distance is the codegen'd

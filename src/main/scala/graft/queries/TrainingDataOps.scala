@@ -7655,6 +7655,45 @@ object TrainingDataOps {
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
     ),
 
+    // ---- matryoshka two-stage serve (MRL dim-prefix shortlist) ----------
+    // The dimension-budget dual of ann_pq_rerank: stage 1 exact-scans
+    // only the first 16 of 64 dims (a 4x cheaper scan; at scale the
+    // prefix is its own thin column) to a 20-deep shortlist, stage 2
+    // re-scores the shortlist with full-dimension cosine. No quantizer
+    // to train; recall -> exact as the shortlist grows.
+    "ann_matryoshka_rerank" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Ann.matryoshkaTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", prefixDims = 16, shortlist = 20,
+            topK = 5)
+          .orderBy("query_id", "rank")
+      },
+      {
+        val preCos =
+          "list_dot_product((a.embedding::DOUBLE[])[1:16], (b.embedding::DOUBLE[])[1:16]) / " +
+            "(sqrt(list_dot_product((a.embedding::DOUBLE[])[1:16], (a.embedding::DOUBLE[])[1:16])) * " +
+            "sqrt(list_dot_product((b.embedding::DOUBLE[])[1:16], (b.embedding::DOUBLE[])[1:16])))"
+        s"""WITH pre AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $preCos AS cos
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+           |short AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM pre) WHERE rn <= 20),
+           |sc AS (SELECT s.query_id, s.neighbor_id, $duckCosine AS cos
+           |  FROM short s JOIN embeddings a ON a.vec_id = s.query_id
+           |  JOIN embeddings b ON b.vec_id = s.neighbor_id)
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id,
+           |  round(cos, 4) AS cos
+           |FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM sc)
+           |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
     // ---- RNG prune: HNSW Alg. 4 diverse neighbor selection ---------------
     // The degree-budget refinement every production HNSW applies at
     // build: per node, keep a candidate out-edge only if the candidate

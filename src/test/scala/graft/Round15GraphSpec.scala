@@ -98,6 +98,41 @@ class Round15GraphSpec extends SparkSpec {
     assert(recall >= 0.9, s"pruned-graph recall too low: $recall")
   }
 
+  test("matryoshkaTopK: full-corpus shortlist ≡ exact; 16-dim prefix recall holds") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val n = emb.count().toInt
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .localCheckpoint()
+    // shortlist = whole corpus -> stage 2 re-ranks everything exactly:
+    // result must equal the exact ranker row-for-row
+    val full = Ann.matryoshkaTopK(emb, q, "vec_id", "embedding",
+      prefixDims = 16, shortlist = n - 1, topK = 5)
+    val mismatch = exact
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .exceptAll(full.select(col("query_id"), col("rank"),
+        col("neighbor_id").cast("long")))
+      .count()
+    assert(mismatch === 0L, "full-corpus shortlist must equal exact")
+    // the shortlist is the recall dial. NOTE the fixture ceiling: these
+    // synthetic embeddings are isotropic (not matryoshka-trained), so a
+    // 16-dim prefix carries only ~1/4 of the signal — recall@shortlist=20
+    // measures ~0.38 here, where MRL-trained vectors front-load
+    // information precisely so this number approaches 1. The operator
+    // contract pinned is therefore the DIAL (monotone in shortlist) and
+    // the exact-at-full-corpus identity above, not an absolute recall.
+    def recallAt(shortlist: Int): Double =
+      Ann.recallEval(exact,
+        Ann.matryoshkaTopK(emb, q, "vec_id", "embedding",
+          prefixDims = 16, shortlist = shortlist, topK = 5), 5)
+        .agg(avg("recall")).head.getDouble(0)
+    val (r20, r100) = (recallAt(20), recallAt(100))
+    assert(r20 >= 0.2, s"matryoshka recall@20 implausibly low: $r20")
+    assert(r100 >= r20,
+      s"shortlist dial must not lose recall: @100 $r100 < @20 $r20")
+    assert(r100 >= 0.6, s"matryoshka recall@100 too low: $r100")
+  }
+
   test("layeredDelete: tombstones gone from every layer, post-churn recall >= tombstone-only") {
     val emb = Tables.t(spark, dir, "embeddings")
     val deleted = emb.filter(col("vec_id") % 7 === 0)
