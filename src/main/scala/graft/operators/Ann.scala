@@ -63,6 +63,91 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** ADC-scored graph walk with exact re-rank — the DiskANN serving
+    * composition (Subramanya et al. 2019: navigate a graph, score with
+    * compressed codes, refine the final candidates exactly): the beam
+    * search runs over the standing adjacency exactly like
+    * [[graphSearch]], but frontier nodes are scored by PQ-ADC distance
+    * against the query's lookup table — the walk touches m BYTES of
+    * codes per candidate instead of dims×8 of raw vector (the 100 TB
+    * point: the hot navigation working set shrinks by the code rate,
+    * e.g. 64×8B → 4B here) — and only the FINAL beam is re-scored with
+    * full-precision cosine against the raw vectors (the IndexRefine
+    * stage, [[pqAdcRerank]]'s contract applied to a graph tier).
+    * Output: (query_id, rank, neighbor_id, cos) — exact cosines, so
+    * downstream consumers cannot tell which tier served them.
+    *
+    * Scale shape: identical join skeleton to [[graphSearch]] (keyed
+    * frontier joins + bounded top-beam), with the per-hop scoring join
+    * landing on the (id, codes) table; the LUT rides as a broadcast
+    * (|queries|·m·k doubles); the raw-vector table is touched once, by
+    * |queries|·beamWidth rerank rows.
+    */
+  def graphSearchAdc(graph: DataFrame, encoded: DataFrame,
+      books: Seq[Seq[(Int, Seq[Double])]], k: Int, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      entryIds: Seq[Long], beamWidth: Int, hops: Int, topK: Int,
+      cutLineage: Boolean = true, expandHops: Int = 1): DataFrame = {
+    require(entryIds.nonEmpty, "need at least one entry point")
+    require(beamWidth >= topK, s"beamWidth $beamWidth must cover topK $topK")
+    require(hops >= 1, s"bad hops $hops")
+    require(expandHops >= 1 && expandHops <= 3, s"bad expandHops $expandHops")
+    val m = books.size
+    val useReliable =
+      corpus.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (!cutLineage) df
+      else if (useReliable) df.checkpoint() else df.localCheckpoint()
+    val codes = encoded.select(col("id").cast("long").as("nid"), col("codes"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val qLut = q.select(col("query_id"), pqLut(books, k, col("qv")).as("lut"))
+    val adj = graph.select(col("src").cast("long").as("nid"),
+      col("dst").cast("long"))
+    def score(nodes: DataFrame): DataFrame = nodes
+      .join(broadcast(qLut), "query_id").join(codes, "nid")
+      .select(col("query_id"), col("nid"), pqAdc(m).as("dist"))
+    def topBeam(cands: DataFrame): DataFrame = cands
+      .groupBy("query_id")
+      .agg(Fns.topKByScore(-col("dist"), col("nid"), beamWidth).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("nid"),
+        (-col("t.score")).as("dist"))
+    def expandFrontier(nodes: DataFrame): DataFrame = {
+      var frontier = nodes
+      var cand: DataFrame = null
+      for (_ <- 1 to expandHops) {
+        frontier = frontier.join(adj, "nid")
+          .select(col("query_id"), col("dst").as("nid")).distinct()
+        cand = if (cand == null) frontier else cand.unionByName(frontier)
+      }
+      cand.distinct()
+    }
+    val e0 = q.select(col("query_id"),
+      explode(lit(entryIds.toArray)).as("nid"))
+    var beam = cut(topBeam(score(
+      e0.unionByName(expandFrontier(e0)).distinct())))
+    if (beam.isEmpty && !q.isEmpty)
+      throw new IllegalArgumentException(
+        "graphSearchAdc: no entry or entry-neighbor has a code row — " +
+          "every entry is missing from the encoded corpus and graph")
+    for (_ <- 2 to hops) {
+      val expand = expandFrontier(beam.select(col("query_id"), col("nid")))
+        .join(beam.select(col("query_id"), col("nid")),
+          Seq("query_id", "nid"), "left_anti")
+      beam = cut(topBeam(beam.unionByName(score(expand))))
+    }
+    // IndexRefine stage: exact full-precision rescoring of the beam only
+    val vecs = corpus.select(col(idCol).cast("long").as("nid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    rankTopK(beam
+      .filter(col("query_id") =!= col("nid"))
+      .join(q, "query_id").join(vecs, "nid")
+      .select(col("query_id"), col("nid").as("neighbor_id"),
+        Fns.cosineSim(col("qv"), col("cv")).as("cos")),
+      topK)
+  }
+
   /** Matryoshka (MRL-style) two-stage serve — the dimension-budget dual
     * of [[pqAdcRerank]]'s code-budget refine: matryoshka-trained
     * embeddings (Kusupati et al. 2022) carry their information

@@ -359,6 +359,21 @@ object BenchOnlyOps {
         beamWidth = 48, hops = 2, topK = 10, expandHops = 2)
     }),
 
+    // DiskANN-composition serve: the ann_graph_serve batch navigated
+    // with PQ-ADC code scoring over the standing graph + the standing
+    // code table (servedPq), exact rerank on the final beam only —
+    // prices the code-rate navigation working set against the
+    // raw-vector walk above (r15)
+    "ann_graph_serve_adc" -> ((s, dir) => {
+      val (adj, entries) = servedGraph(s, dir)
+      val tbl = servedPq(s, dir)
+      val emb = t(s, dir, "embeddings")
+      Ann.graphSearchAdc(adj, tbl.encoded, tbl.books, k = 16, emb,
+        emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+        entryIds = entries, beamWidth = 48, hops = 2, topK = 10,
+        expandHops = 2)
+    }),
+
     // filtered LAYERED serve: the ann_graph_serve_layered batch under
     // the same 1/3-selectivity predicate + 2× over-fetch as the flat
     // filtered row — prices "vector search WHERE predicate" on the

@@ -7655,6 +7655,88 @@ object TrainingDataOps {
          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
     ),
 
+    // ---- ADC-scored graph walk + exact re-rank (DiskANN composition) ----
+    // Navigate the standing graph scoring frontier nodes with PQ-ADC
+    // code distances (m bytes per candidate instead of the raw vector),
+    // exact-rerank only the final beam (IndexRefine). The oracle replays
+    // the LUT build, every ADC-scored walk round, and the rerank.
+    "ann_graph_adc_walk" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val books = pqBooksFixture(s, dir)
+        Ann.graphSearchAdc(flatServeGraph(s, dir),
+            Ann.pqEncode(emb, "vec_id", "embedding", books), books, k = 8,
+            emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            entryIds = Seq(0L), beamWidth = 16, hops = 2, topK = 5,
+            expandHops = 2)
+          .orderBy("query_id", "rank")
+      },
+      {
+        val sub = 16
+        val luts = (0 until 4).map { sp =>
+          val lo = sp * sub + 1
+          s"""ld_$sp AS (
+             |  SELECT q.query_id, cc.c,
+             |    list_reduce(list_transform(range(1, $sub+1),
+             |      i -> ((q.qv)[$lo+i-1]-cc.center[i])*((q.qv)[$lo+i-1]-cc.center[i])),
+             |      (a, x) -> a + x) AS t
+             |  FROM q CROSS JOIN c2_$sp cc)""".stripMargin
+        }.mkString(",\n")
+        def adcScore(src: String, out: String) =
+          s"""$out AS (SELECT x.query_id, x.nid,
+             |  d0.t + d1.t + d2.t + d3.t AS dist
+             |  FROM $src x
+             |  JOIN a3_0 z0 ON z0.id = x.nid
+             |  JOIN a3_1 z1 ON z1.id = x.nid
+             |  JOIN a3_2 z2 ON z2.id = x.nid
+             |  JOIN a3_3 z3 ON z3.id = x.nid
+             |  JOIN ld_0 d0 ON d0.query_id = x.query_id AND d0.c = z0.c
+             |  JOIN ld_1 d1 ON d1.query_id = x.query_id AND d1.c = z1.c
+             |  JOIN ld_2 d2 ON d2.query_id = x.query_id AND d2.c = z2.c
+             |  JOIN ld_3 d3 ON d3.query_id = x.query_id AND d3.c = z3.c)""".stripMargin
+        s"""WITH ${duckBaseGraphCtes(8)},
+           |${duckPqCtes(4, 8, 64)},
+           |$luts,
+           |ac0 AS (SELECT q.query_id, CAST(0 AS BIGINT) AS nid FROM q),
+           |af1 AS (SELECT DISTINCT c.query_id, a.dst AS nid
+           |  FROM ac0 c JOIN adj a ON a.src = c.nid),
+           |af2 AS (SELECT DISTINCT c.query_id, a.dst AS nid
+           |  FROM af1 c JOIN adj a ON a.src = c.nid),
+           |acand AS (SELECT DISTINCT query_id, nid FROM (
+           |  SELECT query_id, nid FROM ac0
+           |  UNION SELECT query_id, nid FROM af1
+           |  UNION SELECT query_id, nid FROM af2)),
+           |${adcScore("acand", "aw0")},
+           |ab0 AS (SELECT query_id, nid, dist FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY dist, nid) AS rn FROM aw0) WHERE rn <= 16),
+           |bf1 AS (SELECT DISTINCT t.query_id, a.dst AS nid
+           |  FROM ab0 t JOIN adj a ON a.src = t.nid),
+           |bf2 AS (SELECT DISTINCT t.query_id, a.dst AS nid
+           |  FROM bf1 t JOIN adj a ON a.src = t.nid),
+           |bx AS (SELECT DISTINCT query_id, nid FROM (
+           |  SELECT query_id, nid FROM bf1
+           |  UNION SELECT query_id, nid FROM bf2) u
+           |  WHERE NOT EXISTS (SELECT 1 FROM ab0 p
+           |    WHERE p.query_id = u.query_id AND p.nid = u.nid)),
+           |${adcScore("bx", "bw")},
+           |bu AS (SELECT query_id, nid, dist FROM ab0
+           |  UNION ALL SELECT query_id, nid, dist FROM bw),
+           |ab1 AS (SELECT query_id, nid, dist FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY dist, nid) AS rn FROM bu) WHERE rn <= 16),
+           |rr AS (SELECT b.query_id, b.nid, $duckQcos AS cos
+           |  FROM ab1 b JOIN q ON q.query_id = b.query_id
+           |  JOIN v ON v.nid = b.nid
+           |  WHERE b.nid <> b.query_id)
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id,
+           |  round(cos, 4) AS cos
+           |FROM (SELECT query_id, nid, cos, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rn FROM rr)
+           |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+
     // ---- matryoshka two-stage serve (MRL dim-prefix shortlist) ----------
     // The dimension-budget dual of ann_pq_rerank: stage 1 exact-scans
     // only the first 16 of 64 dims (a 4x cheaper scan; at scale the

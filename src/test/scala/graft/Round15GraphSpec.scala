@@ -98,6 +98,47 @@ class Round15GraphSpec extends SparkSpec {
     assert(recall >= 0.9, s"pruned-graph recall too low: $recall")
   }
 
+  test("graphSearchAdc: DiskANN composition — code-scored walk, exact rerank, recall holds") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val n = emb.count()
+    val adj = Ann.serveGraph(Ann.nnDescent(emb, "vec_id", "embedding",
+      k = 8, iters = 3, randomInit = true)).localCheckpoint()
+    val books = Ann.pqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+    val enc = Ann.pqEncode(emb, "vec_id", "embedding", books)
+      .localCheckpoint()
+    val q = emb.filter(col("vec_id") < 10)
+    val got = Ann.graphSearchAdc(adj, enc, books, k = 16, emb, q,
+        "vec_id", "embedding", entryIds = Ann.spreadEntries(n),
+        beamWidth = 64, hops = 3, topK = 5, expandHops = 2)
+      .localCheckpoint()
+    // the rerank stage emits EXACT cosines: every (query, neighbor) cos
+    // must equal the full-precision cosine recomputed from raw vectors
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding")
+        .cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosRef(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.collect().foreach { r =>
+      val (qid, nid, c) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val exact = cosRef(vecs(qid), vecs(nid))
+      assert(math.abs(c - math.rint(exact * 10000) / 10000) < 1e-9,
+        s"rerank cos must be exact: q=$qid n=$nid got=$c want=$exact")
+    }
+    // navigation quality: the code-scored walk still finds the true
+    // neighbors (codes guide, exactness comes from the refine stage)
+    val exact5 = Ann.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    val recall = Ann.recallEval(exact5, got, 5)
+      .agg(avg("recall")).head.getDouble(0)
+    // coarse m=8/k=16 codes on isotropic 64-dim vectors guide noisily;
+    // beam width is the dial (32 -> 0.66, 64 -> measured below) — on
+    // quantization-friendly (clustered / MRL) embeddings the same codes
+    // navigate far tighter
+    assert(recall >= 0.8, s"ADC-walk recall too low: $recall")
+  }
+
   test("matryoshkaTopK: full-corpus shortlist ≡ exact; 16-dim prefix recall holds") {
     val emb = Tables.t(spark, dir, "embeddings")
     val n = emb.count().toInt
