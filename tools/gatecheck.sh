@@ -9,14 +9,18 @@
 #   3. the DuckDB replay (tools/localverify.py) must report 0 fail
 #
 # Usage: tools/gatecheck.sh [sfDir] [outDir]
+#
+# Defaults: local[4] + 16 verify threads — measured fastest at sf0.01
+# (340 queries / 147 s; local[16] was 427 s: 4x the tasks per tiny-job
+# barrier buys nothing on planning-bound oracle queries).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
 OUT="${2:-/tmp/gatecheck_out}"
 rm -rf "$OUT"
 
-SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-SPARK_GRAFT_VERIFY_THREADS="${SPARK_GRAFT_VERIFY_THREADS:-8}" \
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-4}" \
+SPARK_GRAFT_VERIFY_THREADS="${SPARK_GRAFT_VERIFY_THREADS:-16}" \
   sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 | tail -3
 
 # Declared query count = number of oracle entries is a lower bound only
