@@ -87,7 +87,36 @@ object Ann {
       books: Seq[Seq[(Int, Seq[Double])]], k: Int, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
       entryIds: Seq[Long], beamWidth: Int, hops: Int, topK: Int,
-      cutLineage: Boolean = true, expandHops: Int = 1): DataFrame = {
+      cutLineage: Boolean = true, expandHops: Int = 1): DataFrame =
+    graphSearchAdcCore(graph, encoded, books, k, corpus, queries, idCol,
+      vecCol, entryIds, None, beamWidth, hops, topK, cutLineage,
+      expandHops)
+
+  /** [[graphSearchAdc]] under a metadata predicate — the same
+    * post-filter contract as [[graphSearchWhere]]/[[layeredSearchWhere]]
+    * (navigation unrestricted, predicate as ONE keyed semi-join on the
+    * final beam, over-fetch dial beamWidth ≳ topK/selectivity), applied
+    * to the code-scored tier: the semi-join lands BEFORE the exact
+    * re-rank, so disallowed candidates never cost a raw-vector read.
+    * With this, every serve tier — flat, layered, and ADC-walked —
+    * answers "vector search WHERE predicate".
+    */
+  def graphSearchAdcWhere(graph: DataFrame, encoded: DataFrame,
+      books: Seq[Seq[(Int, Seq[Double])]], k: Int, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      entryIds: Seq[Long], allowed: DataFrame, beamWidth: Int, hops: Int,
+      topK: Int, cutLineage: Boolean = true,
+      expandHops: Int = 1): DataFrame =
+    graphSearchAdcCore(graph, encoded, books, k, corpus, queries, idCol,
+      vecCol, entryIds, Some(allowed), beamWidth, hops, topK, cutLineage,
+      expandHops)
+
+  private def graphSearchAdcCore(graph: DataFrame, encoded: DataFrame,
+      books: Seq[Seq[(Int, Seq[Double])]], k: Int, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      entryIds: Seq[Long], allowed: Option[DataFrame], beamWidth: Int,
+      hops: Int, topK: Int, cutLineage: Boolean,
+      expandHops: Int): DataFrame = {
     require(entryIds.nonEmpty, "need at least one entry point")
     require(beamWidth >= topK, s"beamWidth $beamWidth must cover topK $topK")
     require(hops >= 1, s"bad hops $hops")
@@ -138,9 +167,16 @@ object Ann {
       beam = cut(topBeam(beam.unionByName(score(expand))))
     }
     // IndexRefine stage: exact full-precision rescoring of the beam only
+    // (post-filter semi-join first, when present — disallowed candidates
+    // never cost a raw-vector read)
     val vecs = corpus.select(col(idCol).cast("long").as("nid"),
       col(vecCol).cast("array<double>").as("cv"))
-    rankTopK(beam
+    val kept = allowed match {
+      case Some(a) => beam.join(
+        a.select(col(idCol).cast("long").as("nid")), Seq("nid"), "left_semi")
+      case None => beam
+    }
+    rankTopK(kept
       .filter(col("query_id") =!= col("nid"))
       .join(q, "query_id").join(vecs, "nid")
       .select(col("query_id"), col("nid").as("neighbor_id"),

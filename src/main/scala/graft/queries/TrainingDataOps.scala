@@ -60,6 +60,77 @@ object TrainingDataOps {
       idx.copy(encoded = idx.encoded.localCheckpoint())
     }
 
+  /** DuckDB SQL for the ADC-scored graph walk (+ exact re-rank):
+    * duckBaseGraphCtes + duckPqCtes + per-query LUTs + the merged entry
+    * round and one 2-hop round, beam `beam`, final filter `extraWhere`
+    * applied with the self-exclusion before the re-rank (the
+    * post-filter serve contract).
+    */
+  private def duckAdcWalkSql(beam: Int, extraWhere: String = ""): String = {
+    val sub = 16
+    val luts = (0 until 4).map { sp =>
+      val lo = sp * sub + 1
+      s"""ld_$sp AS (
+         |  SELECT q.query_id, cc.c,
+         |    list_reduce(list_transform(range(1, $sub+1),
+         |      i -> ((q.qv)[$lo+i-1]-cc.center[i])*((q.qv)[$lo+i-1]-cc.center[i])),
+         |      (a, x) -> a + x) AS t
+         |  FROM q CROSS JOIN c2_$sp cc)""".stripMargin
+    }.mkString(",\n")
+    def adcScore(src: String, out: String) =
+      s"""$out AS (SELECT x.query_id, x.nid,
+         |  d0.t + d1.t + d2.t + d3.t AS dist
+         |  FROM $src x
+         |  JOIN a3_0 z0 ON z0.id = x.nid
+         |  JOIN a3_1 z1 ON z1.id = x.nid
+         |  JOIN a3_2 z2 ON z2.id = x.nid
+         |  JOIN a3_3 z3 ON z3.id = x.nid
+         |  JOIN ld_0 d0 ON d0.query_id = x.query_id AND d0.c = z0.c
+         |  JOIN ld_1 d1 ON d1.query_id = x.query_id AND d1.c = z1.c
+         |  JOIN ld_2 d2 ON d2.query_id = x.query_id AND d2.c = z2.c
+         |  JOIN ld_3 d3 ON d3.query_id = x.query_id AND d3.c = z3.c)""".stripMargin
+    s"""WITH ${duckBaseGraphCtes(8)},
+       |${duckPqCtes(4, 8, 64)},
+       |$luts,
+       |ac0 AS (SELECT q.query_id, CAST(0 AS BIGINT) AS nid FROM q),
+       |af1 AS (SELECT DISTINCT c.query_id, a.dst AS nid
+       |  FROM ac0 c JOIN adj a ON a.src = c.nid),
+       |af2 AS (SELECT DISTINCT c.query_id, a.dst AS nid
+       |  FROM af1 c JOIN adj a ON a.src = c.nid),
+       |acand AS (SELECT DISTINCT query_id, nid FROM (
+       |  SELECT query_id, nid FROM ac0
+       |  UNION SELECT query_id, nid FROM af1
+       |  UNION SELECT query_id, nid FROM af2)),
+       |${adcScore("acand", "aw0")},
+       |ab0 AS (SELECT query_id, nid, dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist, nid) AS rn FROM aw0) WHERE rn <= $beam),
+       |bf1 AS (SELECT DISTINCT t.query_id, a.dst AS nid
+       |  FROM ab0 t JOIN adj a ON a.src = t.nid),
+       |bf2 AS (SELECT DISTINCT t.query_id, a.dst AS nid
+       |  FROM bf1 t JOIN adj a ON a.src = t.nid),
+       |bx AS (SELECT DISTINCT query_id, nid FROM (
+       |  SELECT query_id, nid FROM bf1
+       |  UNION SELECT query_id, nid FROM bf2) u
+       |  WHERE NOT EXISTS (SELECT 1 FROM ab0 p
+       |    WHERE p.query_id = u.query_id AND p.nid = u.nid)),
+       |${adcScore("bx", "bw")},
+       |bu AS (SELECT query_id, nid, dist FROM ab0
+       |  UNION ALL SELECT query_id, nid, dist FROM bw),
+       |ab1 AS (SELECT query_id, nid, dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist, nid) AS rn FROM bu) WHERE rn <= $beam),
+       |rr AS (SELECT b.query_id, b.nid, $duckQcos AS cos
+       |  FROM ab1 b JOIN q ON q.query_id = b.query_id
+       |  JOIN v ON v.nid = b.nid
+       |  WHERE b.nid <> b.query_id$extraWhere)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id,
+       |  round(cos, 4) AS cos
+       |FROM (SELECT query_id, nid, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rn FROM rr)
+       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB fragment: portable rolling hash of column/expr `e` (must match
     * [[Fns.rollingHash]]).
     */
@@ -7671,70 +7742,27 @@ object TrainingDataOps {
             expandHops = 2)
           .orderBy("query_id", "rank")
       },
-      {
-        val sub = 16
-        val luts = (0 until 4).map { sp =>
-          val lo = sp * sub + 1
-          s"""ld_$sp AS (
-             |  SELECT q.query_id, cc.c,
-             |    list_reduce(list_transform(range(1, $sub+1),
-             |      i -> ((q.qv)[$lo+i-1]-cc.center[i])*((q.qv)[$lo+i-1]-cc.center[i])),
-             |      (a, x) -> a + x) AS t
-             |  FROM q CROSS JOIN c2_$sp cc)""".stripMargin
-        }.mkString(",\n")
-        def adcScore(src: String, out: String) =
-          s"""$out AS (SELECT x.query_id, x.nid,
-             |  d0.t + d1.t + d2.t + d3.t AS dist
-             |  FROM $src x
-             |  JOIN a3_0 z0 ON z0.id = x.nid
-             |  JOIN a3_1 z1 ON z1.id = x.nid
-             |  JOIN a3_2 z2 ON z2.id = x.nid
-             |  JOIN a3_3 z3 ON z3.id = x.nid
-             |  JOIN ld_0 d0 ON d0.query_id = x.query_id AND d0.c = z0.c
-             |  JOIN ld_1 d1 ON d1.query_id = x.query_id AND d1.c = z1.c
-             |  JOIN ld_2 d2 ON d2.query_id = x.query_id AND d2.c = z2.c
-             |  JOIN ld_3 d3 ON d3.query_id = x.query_id AND d3.c = z3.c)""".stripMargin
-        s"""WITH ${duckBaseGraphCtes(8)},
-           |${duckPqCtes(4, 8, 64)},
-           |$luts,
-           |ac0 AS (SELECT q.query_id, CAST(0 AS BIGINT) AS nid FROM q),
-           |af1 AS (SELECT DISTINCT c.query_id, a.dst AS nid
-           |  FROM ac0 c JOIN adj a ON a.src = c.nid),
-           |af2 AS (SELECT DISTINCT c.query_id, a.dst AS nid
-           |  FROM af1 c JOIN adj a ON a.src = c.nid),
-           |acand AS (SELECT DISTINCT query_id, nid FROM (
-           |  SELECT query_id, nid FROM ac0
-           |  UNION SELECT query_id, nid FROM af1
-           |  UNION SELECT query_id, nid FROM af2)),
-           |${adcScore("acand", "aw0")},
-           |ab0 AS (SELECT query_id, nid, dist FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id
-           |    ORDER BY dist, nid) AS rn FROM aw0) WHERE rn <= 16),
-           |bf1 AS (SELECT DISTINCT t.query_id, a.dst AS nid
-           |  FROM ab0 t JOIN adj a ON a.src = t.nid),
-           |bf2 AS (SELECT DISTINCT t.query_id, a.dst AS nid
-           |  FROM bf1 t JOIN adj a ON a.src = t.nid),
-           |bx AS (SELECT DISTINCT query_id, nid FROM (
-           |  SELECT query_id, nid FROM bf1
-           |  UNION SELECT query_id, nid FROM bf2) u
-           |  WHERE NOT EXISTS (SELECT 1 FROM ab0 p
-           |    WHERE p.query_id = u.query_id AND p.nid = u.nid)),
-           |${adcScore("bx", "bw")},
-           |bu AS (SELECT query_id, nid, dist FROM ab0
-           |  UNION ALL SELECT query_id, nid, dist FROM bw),
-           |ab1 AS (SELECT query_id, nid, dist FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id
-           |    ORDER BY dist, nid) AS rn FROM bu) WHERE rn <= 16),
-           |rr AS (SELECT b.query_id, b.nid, $duckQcos AS cos
-           |  FROM ab1 b JOIN q ON q.query_id = b.query_id
-           |  JOIN v ON v.nid = b.nid
-           |  WHERE b.nid <> b.query_id)
-           |SELECT query_id, CAST(rn AS INTEGER) AS rank, nid AS neighbor_id,
-           |  round(cos, 4) AS cos
-           |FROM (SELECT query_id, nid, cos, row_number() OVER (
-           |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rn FROM rr)
-           |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
-      }
+      duckAdcWalkSql(beam = 16)
+    ),
+
+    // ---- filtered ADC walk (predicate on the code-scored tier) ----------
+    // "vector search WHERE predicate" on the DiskANN tier: navigation
+    // unrestricted, predicate semi-join on the final beam BEFORE the
+    // exact re-rank (disallowed candidates never read a raw vector);
+    // beam over-fetched to 32 for topK=5 at 1/3 selectivity.
+    "ann_graph_adc_filtered" -> QuerySpec(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val books = pqBooksFixture(s, dir)
+        Ann.graphSearchAdcWhere(flatServeGraph(s, dir),
+            Ann.pqEncode(emb, "vec_id", "embedding", books), books, k = 8,
+            emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+            entryIds = Seq(0L),
+            allowed = emb.filter(col("vec_id") % 3 === 0),
+            beamWidth = 32, hops = 2, topK = 5, expandHops = 2)
+          .orderBy("query_id", "rank")
+      },
+      duckAdcWalkSql(beam = 32, extraWhere = " AND b.nid % 3 = 0")
     ),
 
     // ---- matryoshka two-stage serve (MRL dim-prefix shortlist) ----------
