@@ -512,6 +512,22 @@ object BenchOnlyOps {
             oneQuery(i), "vec_id", "embedding", maxLevel = 1,
             entryId = entry, beamUpper = 64, beamBase = 48, hopsBase = 1,
             topK = 10, expandHops = 2, expandUpper = 2)
+        },
+        // r15 tiers: degree-budget pruned walk and the DiskANN
+        // (code-scored + exact-rerank) walk — same single-query grain
+        "graph_rng" -> { i =>
+          val (adj, entries) = servedRngGraph(s, dir)
+          Ann.graphSearch(adj, t(s, dir, "embeddings"),
+            oneQuery(i), "vec_id", "embedding", entryIds = entries,
+            beamWidth = 48, hops = 2, topK = 10, expandHops = 2)
+        },
+        "graph_adc" -> { i =>
+          val (adj, entries) = servedGraph(s, dir)
+          val tbl = servedPq(s, dir)
+          Ann.graphSearchAdc(adj, tbl.encoded, tbl.books, k = 16,
+            t(s, dir, "embeddings"), oneQuery(i), "vec_id", "embedding",
+            entryIds = entries, beamWidth = 48, hops = 2, topK = 10,
+            expandHops = 2)
         })
       val rows = tiers.map { case (tier, mk) =>
         val ms = (0 until nBatches).map { i =>
