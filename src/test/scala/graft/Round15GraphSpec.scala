@@ -139,6 +139,34 @@ class Round15GraphSpec extends SparkSpec {
     assert(recall >= 0.8, s"ADC-walk recall too low: $recall")
   }
 
+  test("plan locks: rngPrune and graphSearchAdc stay keyed-join + bounded top-k") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val adj = Ann.serveGraph(Ann.nnDescent(emb, "vec_id", "embedding",
+      k = 4, iters = 2)).localCheckpoint()
+    // rngPrune: every selection round is keyed joins + a partitioned
+    // window over src — no cartesian, no partition-less window
+    val pruned = Ann.rngPrune(adj, emb, "vec_id", "embedding", 3)
+    pruned.count()
+    assert(partitionlessWindows(pruned).isEmpty,
+      "rngPrune ranking must partition by src")
+    // the ADC walk, lineage uncut so every round is visible to the plan:
+    // keyed equi-joins only, broadcast LUT, bounded top-beam aggregate
+    val books = Ann.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8)
+    val walked = Ann.graphSearchAdc(adj,
+      Ann.pqEncode(emb, "vec_id", "embedding", books), books, k = 8,
+      emb, emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+      entryIds = Seq(0L), beamWidth = 16, hops = 2, topK = 5,
+      cutLineage = false, expandHops = 2)
+    walked.count()
+    val plan = walked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "no all-pairs anywhere in the ADC walk")
+    assert(plan.contains("topk_by_score"),
+      "beam selection must be the bounded top-k aggregate")
+    assert(partitionlessWindows(walked).isEmpty,
+      "no single-partition window in the ADC walk")
+  }
+
   test("matryoshkaTopK: full-corpus shortlist ≡ exact; 16-dim prefix recall holds") {
     val emb = Tables.t(spark, dir, "embeddings")
     val n = emb.count().toInt
