@@ -36,6 +36,12 @@ object Verify {
         sys.exit(2)
       case _ =>
     }
+    // ADVICE r15: fewer than 2 args crashed with an opaque MatchError at
+    // the destructure instead of the usage line.
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [queryName...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet // optional query-name filter (dev loop)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -106,6 +112,22 @@ object Verify {
     val nOk = selected.size - failed.size
     println(f"[verify] $nOk ok, ${failed.size} failed of ${selected.size} in $secs%.1f s" +
       (if (failed.isEmpty) "" else s" — FAILED: ${java.util.List.copyOf(failed)}"))
+    // VERDICT r15 #7: the driver's correctness capture shipped `{}` three
+    // rounds (r11/r14/r15) with the wall-time theory falsified — give any
+    // stdout-scraping harness the result map directly as ONE machine-
+    // readable JSON line (≤2,000 bytes: counts + failed names only, and
+    // the failed list is truncated if it would blow the budget).
+    val failedNames = {
+      import scala.jdk.CollectionConverters._
+      failed.iterator().asScala.toSeq.sorted
+    }
+    val failedJson = {
+      val full = failedNames.map(q).mkString("[", ",", "]")
+      if (full.length <= 1800) full
+      else failedNames.take(20).map(q).mkString("[", ",", s",${q("...")}]")
+    }
+    println(s"""{"metric":"verify","n_pass":$nOk,"n_fail":${failed.size},""" +
+      s""""n_total":${selected.size},"secs":${f"$secs%.1f"},"failed":$failedJson}""")
     // rc stays 0 even on per-query failure: the driver's DuckDB compare is
     // what records a missing output as red; a nonzero rc could make it skip
     // the compare and ship an empty artifact (the exact r11 failure mode).

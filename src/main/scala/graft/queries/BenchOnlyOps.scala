@@ -346,6 +346,28 @@ object BenchOnlyOps {
       exact.join(dupB, Seq("doc_id"), "left_anti")
     }),
 
+    "funnel_stage4_dsir" -> ((s, dir) => {
+      // chain through the DSIR selection (VERDICT r15 #1: the composite's
+      // only unpriced remainder was the resample + per-stage aggregate
+      // tail; composite − stage4 now isolates the aggregates alone)
+      val docs = t(s, dir, "documents")
+      val q = docs.filter(graft.operators.TextAnalysis.gopherPass(col("text")))
+        .localCheckpoint()
+      val fp = q.withColumn("fp", xxhash64(col("text")))
+      val exact = fp.join(fp.groupBy("fp").agg(min("doc_id").as("keep")), "fp")
+        .filter(col("doc_id") === col("keep"))
+        .select(docs.columns.map(col): _*).localCheckpoint()
+      val dupB = graft.operators.Dedup.minhashLshPairs(exact, "doc_id",
+          "text", n = 3, numHashes = 32, bandSize = 4, threshold = 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      val nd = exact.join(dupB, Seq("doc_id"), "left_anti").localCheckpoint()
+      val sel = graft.operators.Sampling.dsirResample(
+          nd, docs.filter(col("lang") === "en"), "doc_id", "text",
+          k = 150, buckets = 512)
+        .select(col("doc").as("doc_id"))
+      nd.join(sel, Seq("doc_id"), "left_semi")
+    }),
+
     // RNG-pruned serve (HNSW Alg. 4 at build): the ann_graph_serve
     // batch over the SAME standing graph pruned to a 6-out-edge diverse
     // budget and re-symmetrized — prices what the degree cut buys at
@@ -387,6 +409,35 @@ object BenchOnlyOps {
         allowed = emb.filter(col("vec_id") % 3 === 0),
         beamUpper = 64, beamBase = 96, hopsBase = 1, topK = 10,
         expandHops = 2, expandUpper = 2)
+    }),
+
+    // batch-insert serve, flat tier (VERDICT r15 #2: ann_graph_insert
+    // was the last mixed build+measure row): a 10% vector batch linked
+    // into the PRE-BUILT 90% standing graph by the NSW insert rule —
+    // one bounded walk + the bidirectional edge emission, no build, no
+    // stream machinery (stream_graph_ingest prices the same kernel
+    // plus micro-batch barriers; the delta is the streaming tax)
+    "ann_graph_insert_serve" -> ((s, dir) => {
+      val (adjSrc, corpSrc, _, entries) = servedGraphIngest(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      Ann.graphInsertEdges(s.read.parquet(adjSrc), s.read.parquet(corpSrc),
+        emb.filter(col("vec_id") >= (n * 9) / 10), "vec_id", "embedding",
+        kLink = 12, entryIds = entries, beamWidth = 32, hops = 2,
+        expandHops = 2)
+    }),
+
+    // batch-insert serve, LAYERED tier: a 1% batch level-drawn and
+    // linked into every layer ≤ level of the pre-built hierarchy —
+    // prices the maintenance walk the layered tier pays per insert
+    // batch (same decomposition discipline as the flat row above)
+    "ann_layered_insert_serve" -> ((s, dir) => {
+      val (layers, _) = servedLayered(s, dir)
+      val emb = t(s, dir, "embeddings")
+      Ann.layeredInsertEdges(layers, emb,
+        emb.filter(col("vec_id") % 100 === 1), "vec_id", "embedding",
+        maxLevel = 1, p = 4, kLink = 12, beamWidth = 32, hops = 2,
+        expandHops = 2)
     }),
 
     // LAYERED deletion serve: 1%-of-corpus tombstone batch against the
@@ -476,6 +527,15 @@ object BenchOnlyOps {
     // bench seconds track total serve throughput round-over-round.
     "ann_serve_latency" -> ((s, dir) => {
       import s.implicits._
+      // Fixture lifecycle (VERDICT r15 missing #1): by sorted-name order
+      // every FixtureCache user (the oracle ann_* rows) has already run —
+      // only ann_topk_bruteforce follows in this family — so the oracle
+      // fixtures' retained localCheckpoint blocks are pure storage-memory
+      // pressure here (sf1 full-session: 295 s vs 51.5 s solo). Evict
+      // them and nudge the ContextCleaner so the percentile batches run
+      // under the same memory conditions as a solo capture. The serve
+      // tiers below read parquet-backed tables (served*), not the cache.
+      if (FixtureCache.evictPrefix(s, "") > 0) System.gc()
       val nBatches = sys.env.getOrElse("SPARK_GRAFT_LAT_BATCHES", "8").toInt
       def oneQuery(i: Int) =
         t(s, dir, "embeddings").filter(col("vec_id") === i % 100)

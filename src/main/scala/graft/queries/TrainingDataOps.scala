@@ -7437,8 +7437,16 @@ object TrainingDataOps {
         val n = emb.count()
         val corpus = emb.filter(col("vec_id") < n - 8)
         val batch = emb.filter(col("vec_id") >= n - 8)
-        val graph = Ann.serveGraph(
-          Ann.nnDescent(corpus, "vec_id", "embedding", k = 4, iters = 2))
+        // base graph is a session-shared fixture (VERDICT r15 #2: this
+        // was the last mixed build+measure row — its bench floor moved
+        // with build noise, not insert cost). Deterministic build, so
+        // sharing is result-identical; bench reps 2+ now price the
+        // insert walk alone, and the build has its own priced row
+        // (ann_graph_build).
+        val graph = FixtureCache.cached(s, s"insertBaseGraph|$dir") {
+          Ann.serveGraph(
+            Ann.nnDescent(corpus, "vec_id", "embedding", k = 4, iters = 2))
+        }
         Ann.graphInsertEdges(graph, corpus, batch, "vec_id", "embedding",
             kLink = 4, entryIds = Seq(0L), beamWidth = 16, hops = 2,
             expandHops = 2)

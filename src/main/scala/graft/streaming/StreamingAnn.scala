@@ -71,9 +71,15 @@ object StreamingAnn {
     *      the prefixed name (subdir-preserving, so partitioned layouts
     *      keep their `layer=N/` structure).
     *
-    * Hadoop FileSystem API throughout — local, HDFS, and object stores
-    * alike (rename degrades to copy on object stores; micro-batch part
-    * files are a trickle, not corpus-scale data).
+    * Staging lives UNDER `targetDir` (`_graft_staging/…` — the `_` prefix
+    * hides it from Spark's file index, so standing-index readers never see
+    * in-flight files), which pins staging and target to the SAME
+    * FileSystem: Hadoop `rename` does NOT degrade to a cross-filesystem
+    * copy, so staging under an unrelated checkpointDir (the pre-r16 shape)
+    * silently dropped every batch when checkpoint and index dirs lived on
+    * different schemes (ADVICE r15). Each rename's boolean result is
+    * checked; a false falls back to FileUtil.copy+delete and only then
+    * throws — a failed move is loud, never silent data loss.
     */
   private[graft] def batchFilePrefix(batchId: Long, tag: String): String =
     f"graft-b$batchId%019d-$tag-"
@@ -95,16 +101,18 @@ object StreamingAnn {
   }
 
   private[graft] def idempotentAppend(df: DataFrame, targetDir: String,
-      stagingRoot: String, batchId: Long, tag: String,
+      batchId: Long, tag: String,
       partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    val staged = new Path(s"$stagingRoot/b$batchId/$tag")
+    val root = new Path(targetDir)
+    // same-FS staging: a `_`-prefixed subdir of the target (hidden from
+    // Spark readers), so the renames below are genuine same-FS moves
+    val staged = new Path(root, s"_graft_staging/b$batchId/$tag")
     val w0 = df.write.mode("overwrite")
     val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
     w.parquet(staged.toString)
-    val fs = staged.getFileSystem(conf)
-    val root = new Path(targetDir)
+    val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
     val prefix = batchFilePrefix(batchId, tag)
     // listFiles returns scheme-qualified paths (file:/...); qualify the
@@ -122,7 +130,15 @@ object StreamingAnn {
           .stripPrefix(stagedQ).stripPrefix("/")
         val destDir = if (rel.isEmpty) root else new Path(root, rel)
         fs.mkdirs(destDir)
-        fs.rename(f.getPath, new Path(destDir, s"$prefix$i.parquet"))
+        val dest = new Path(destDir, s"$prefix$i.parquet")
+        // rename returns false instead of throwing on several FS impls;
+        // an unchecked false here IS silent data loss (ADVICE r15)
+        if (!fs.rename(f.getPath, dest)) {
+          val copied = org.apache.hadoop.fs.FileUtil.copy(
+            fs, f.getPath, fs, dest, /*deleteSource=*/ true, conf)
+          if (!copied) throw new java.io.IOException(
+            s"idempotentAppend: move failed for ${f.getPath} -> $dest")
+        }
         i += 1
       }
     }
@@ -173,9 +189,8 @@ object StreamingAnn {
               "vec_id", "embedding", kLink, entryIds, beamWidth, hops,
               expandHops)
             .localCheckpoint() // materialize BEFORE appending to adjDir
-          val staging = s"$checkpointDir/_graft_staging"
-          idempotentAppend(edges, adjDir, staging, batchId, "edges")
-          idempotentAppend(b, corpusDir, staging, batchId, "corpus")
+          idempotentAppend(edges, adjDir, batchId, "edges")
+          idempotentAppend(b, corpusDir, batchId, "corpus")
         }
         ()
       }
@@ -215,10 +230,9 @@ object StreamingAnn {
               "vec_id", "embedding", maxLevel, p, kLink, beamWidth, hops,
               expandHops)
             .localCheckpoint() // materialize BEFORE appending to layersDir
-          val staging = s"$checkpointDir/_graft_staging"
-          idempotentAppend(edges, layersDir, staging, batchId, "edges",
+          idempotentAppend(edges, layersDir, batchId, "edges",
             partitionCols = Seq("layer"))
-          idempotentAppend(b, corpusDir, staging, batchId, "corpus")
+          idempotentAppend(b, corpusDir, batchId, "corpus")
         }
         ()
       }

@@ -15,14 +15,12 @@ class Round15StreamSpec extends SparkSpec {
     val df = (0L until 100L).toDF("src").withColumn("dst", col("src") + 1)
     df.write.parquet(target) // pre-existing standing files
     val add = (100L until 120L).toDF("src").withColumn("dst", col("src") + 1)
-    graft.streaming.StreamingAnn.idempotentAppend(add, target,
-      s"$root/staging", 0L, "edges")
+    graft.streaming.StreamingAnn.idempotentAppend(add, target, 0L, "edges")
     val n1 = spark.read.parquet(target).count()
     assert(n1 === 120L, s"after append: $n1")
     // replay: same batch id — must be a no-op-equivalent
     graft.streaming.StreamingAnn.cleanupBatchFiles(spark, target, 0L, "edges")
-    graft.streaming.StreamingAnn.idempotentAppend(add, target,
-      s"$root/staging", 0L, "edges")
+    graft.streaming.StreamingAnn.idempotentAppend(add, target, 0L, "edges")
     val n2 = spark.read.parquet(target).count()
     assert(n2 === 120L, s"after replay: $n2")
     // partitioned layout
@@ -34,7 +32,7 @@ class Round15StreamSpec extends SparkSpec {
     graft.streaming.StreamingAnn.idempotentAppend(
       (40L until 60L).toDF("src").withColumn("dst", col("src") + 1)
         .withColumn("layer", col("src") % 2),
-      target2, s"$root/staging", 1L, "edges", partitionCols = Seq("layer"))
+      target2, 1L, "edges", partitionCols = Seq("layer"))
     val n3 = spark.read.parquet(target2).count()
     assert(n3 === 60L, s"partitioned after append: $n3")
   }
