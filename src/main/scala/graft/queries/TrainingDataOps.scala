@@ -6981,11 +6981,26 @@ object TrainingDataOps {
     // the oracle chains the same verified CTE fragments.
     "pipeline_pretrain_funnel" -> QuerySpec(
       (s, dir) => {
-        val docs = t(s, dir, "documents")
         // each stage feeds BOTH the next stage and its own funnel
         // aggregate (plus LSH/DSIR hang two consumers off `exact`/`nd`):
         // checkpoint-cut every stage so the chain executes once, not
-        // once per consumer (measured at sf0.1: 10.2 s uncut -> 5.2 s)
+        // once per consumer (measured at sf0.1: 10.2 s uncut -> 5.2 s).
+        // r16 (VERDICT r15 #1): the five stage aggregates each summed
+        // tokenCount over their own corpus copy — up to five regex
+        // tokenize passes, the ~2.8 s unpriced tail the stage rows
+        // exposed (composite 6.3 vs stage4 3.5 in one window). Tokenize
+        // ONCE, materialize the tokenized corpus, and carry `__toks`
+        // through the chain: every stage aggregate sums the
+        // already-computed column and the DSIR target reads the same
+        // materialized corpus. (A/B'd against tokenize-at-quality with
+        // no corpus checkpoint: 6.24 s vs 4.75 — the one-time
+        // materialization beats re-scanning parquet + re-tokenizing in
+        // the three extra consumers.) Identical results (same texts →
+        // same counts).
+        val docs = t(s, dir, "documents")
+          .withColumn("__toks",
+            TextAnalysis.tokenCount(col("text")).cast("long"))
+          .localCheckpoint()
         val quality = docs.filter(TextAnalysis.gopherPass(col("text")))
           .localCheckpoint()
         // exact stage keys its shuffles on xxhash64(text) — the 8-byte
@@ -7015,8 +7030,7 @@ object TrainingDataOps {
         def stage(name: String, idx: Int,
             df: org.apache.spark.sql.DataFrame) =
           df.agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(TextAnalysis.tokenCount(col("text")).cast("long")),
-              lit(0L)).as("n_tokens"))
+            coalesce(sum(col("__toks")), lit(0L)).as("n_tokens"))
             .select(lit(name).as("stage"), lit(idx).as("stage_idx"),
               col("n_docs"), col("n_tokens"))
         stage("raw", 1, docs)
