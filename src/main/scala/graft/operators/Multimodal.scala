@@ -1293,6 +1293,145 @@ object Multimodal {
     else Right((sr, ch, bits, fmtCode, dataOff, dataSize))
   }
 
+  // ---- G.711 companded telephony audio: REAL μ-law/A-law decode --------
+  // ITU-T G.711 (1972/1988; the public 8-bit logarithmic PCM codecs WAV
+  // carries as fmt codes 7 and 6). Decode is closed-form integer
+  // arithmetic per byte (the classic Sun g711.c public-domain tables'
+  // generating formulas), so a SQL oracle can replay every expanded
+  // sample — the same discipline as the MP3/AAC frame walkers and the
+  // 16-bit PCM energy tier.
+
+  /** Expand one μ-law byte to its 14-bit-range linear sample (±8031). */
+  private[graft] def ulawToLinear(u: Int): Int = {
+    val uc = ~u & 0xff
+    val t = (((uc & 0x0f) << 3) + 0x84) << ((uc & 0x70) >> 4)
+    if ((uc & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Expand one A-law byte to its 13-bit-range linear sample (±32256
+    * in the ×16 convention the reference implementation uses).
+    */
+  private[graft] def alawToLinear(a: Int): Int = {
+    val ac = (a ^ 0x55) & 0xff
+    val man = ac & 0x0f
+    val seg = (ac & 0x70) >> 4
+    val t = seg match {
+      case 0 => (man << 4) + 8
+      case 1 => (man << 4) + 0x108
+      case s => ((man << 4) + 0x108) << (s - 1)
+    }
+    if ((ac & 0x80) != 0) t else -t
+  }
+
+  /** G.711 WAV fixture spec. `law` 0 = μ-law (fmt code 7), 1 = A-law
+    * (fmt code 6). `cls` 0 = clean; 3 = truncated (header declares the
+    * full data chunk, half the sample bytes are missing); 4 = same
+    * payload mislabeled PCM fmt code 1 (the decoder must refuse it as
+    * not-G.711, never misread companded bytes as linear). Byte at frame
+    * k, channel c is `(seed + 31·k + 17·c) mod 256` — closed-form for
+    * the oracle, and it sweeps the full companded byte range so both
+    * decode formulas' every segment is exercised.
+    */
+  case class G711Spec(doc_id: Long, law: Int, sample_rate: Int,
+      channels: Int, n_frames: Int, seed: Int, cls: Int)
+
+  def synthesizeG711(spark: SparkSession, specs: Dataset[G711Spec]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureMinParallelism(specs.toDF()).as[G711Spec].mapPartitions { it =>
+      it.map { s =>
+        val dataSize = s.n_frames * s.channels // 1 byte per sample
+        val kept = if (s.cls == 3) dataSize / 2 else dataSize
+        val fmtCode = if (s.cls == 4) 1 else if (s.law == 0) 7 else 6
+        val bb = java.nio.ByteBuffer.allocate(44 + kept)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+        bb.put("fmt ".getBytes).putInt(16)
+          .putShort(fmtCode.toShort).putShort(s.channels.toShort)
+          .putInt(s.sample_rate).putInt(s.sample_rate * s.channels)
+          .putShort(s.channels.toShort).putShort(8.toShort)
+        bb.put("data".getBytes).putInt(dataSize) // declared FULL size
+        var j = 0
+        while (j < kept) {
+          val k = j / s.channels; val c = j % s.channels
+          bb.put(((s.seed + 31 * k + 17 * c) % 256).toByte)
+          j += 1
+        }
+        BinaryDoc(s.doc_id, bb.array())
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Per-payload G.711 decode digest: every companded byte expanded to
+    * linear, with exact integer statistics (peak |sample|, Σ|sample|,
+    * channel-0 zero crossings — the [[audioEnergy]] conventions) so the
+    * decode is verifiable end to end.
+    */
+  case class G711Meta(doc_id: Long, n_bytes: Long, status: String,
+      err: Option[String], codec: String, sample_rate: Int, channels: Int,
+      n_frames: Long, duration_ms: Long, peak: Int, sum_abs: Long,
+      n_zero_cross: Long)
+
+  /** EXECUTED G.711 sample decode over RIFF/WAVE payloads carrying fmt
+    * code 7 (μ-law) or 6 (A-law): parses the container, expands the
+    * ACTUAL companded bytes with [[ulawToLinear]]/[[alawToLinear]], and
+    * digests the linear signal. Same skip-and-account quarantine tier as
+    * [[audioEnergy]]: bad magic → unsupported; declared-vs-actual data
+    * mismatch / ragged layout → corrupt; PCM or any other fmt code →
+    * unsupported `fmt_code_N` (this tier decodes ONLY G.711 — linear PCM
+    * has its own executed tier). mapPartitions, zero shuffles,
+    * streaming-safe.
+    */
+  def g711Audit(spark: SparkSession, binDocs: DataFrame): Dataset[G711Meta] = {
+    import spark.implicits._
+    val base =
+      if (binDocs.isStreaming) binDocs
+      else graft.Tables.ensureMinParallelism(binDocs)
+    base.as[BinaryDoc].mapPartitions { it =>
+      it.map { d =>
+        def bad(status: String, reason: String) =
+          G711Meta(d.doc_id, d.payload.length.toLong, status, Some(reason),
+            "", 0, 0, 0L, 0L, 0, 0L, 0L)
+        val b = d.payload
+        if (!wavClaims(b)) bad("unsupported", "bad_magic")
+        else parseWavData(b) match {
+          case Left(reason) => bad("corrupt", reason)
+          case Right((sr, ch, bits, fmtCode, dataOff, dataLen)) =>
+            if (fmtCode != 7 && fmtCode != 6)
+              bad("unsupported", s"fmt_code_$fmtCode")
+            else if (bits != 8) bad("corrupt", s"bits_$bits")
+            else if (ch <= 0 || dataLen % ch != 0) bad("corrupt", "ragged_data")
+            else {
+              val ulaw = fmtCode == 7
+              val nFrames = dataLen / ch
+              var peak = 0; var sumAbs = 0L; var zc = 0L
+              var prevNonNeg = false
+              var k = 0L
+              while (k < nFrames) {
+                var c = 0
+                while (c < ch) {
+                  val u = b(dataOff + (k * ch + c).toInt) & 0xff
+                  val v = if (ulaw) ulawToLinear(u) else alawToLinear(u)
+                  val a = math.abs(v)
+                  if (a > peak) peak = a
+                  sumAbs += a
+                  if (c == 0) {
+                    val nonNeg = v >= 0
+                    if (k > 0 && nonNeg != prevNonNeg) zc += 1
+                    prevNonNeg = nonNeg
+                  }
+                  c += 1
+                }
+                k += 1
+              }
+              G711Meta(d.doc_id, b.length.toLong, "ok", None,
+                if (ulaw) "ulaw" else "alaw", sr, ch, nFrames,
+                nFrames * 1000L / sr, peak, sumAbs, zc)
+            }
+        }
+      }
+    }
+  }
+
   /** MP4 fixture synthesis: a minimal REAL ISO-BMFF file — `ftyp` +
     * `moov(mvhd v0, trak(tkhd v0))` — with the given movie timescale/
     * duration and track geometry. 232 bytes total, fixed layout.

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Round-16 specs for the G.711 μ-law/A-law executed decode tier
+  * (VERDICT r15 #6: one more real codec). Spot values are the public
+  * ITU-T G.711 reference expansions (the classic public-domain g711.c
+  * tables): ulaw2linear(0x00) = −32124, ulaw2linear(0xff) = 0,
+  * alaw2linear(0x55) = −8, alaw2linear(0xd5) = +8.
+  */
+class Round16CodecSpec extends SparkSpec {
+  test("G.711 expansion formulas match the public reference values") {
+    assert(Multimodal.ulawToLinear(0x00) === -32124)
+    assert(Multimodal.ulawToLinear(0xff) === 0)
+    assert(Multimodal.ulawToLinear(0x7f) === 0)
+    assert(Multimodal.ulawToLinear(0x80) === 32124)
+    assert(Multimodal.alawToLinear(0x55) === -8)
+    assert(Multimodal.alawToLinear(0xd5) === 8)
+    assert(Multimodal.alawToLinear(0x2a) === -32256) // full-scale negative
+    assert(Multimodal.alawToLinear(0xaa) === 32256)  // full-scale positive
+    // μ-law decode is odd-symmetric about the sign bit
+    for (u <- 0 until 128)
+      assert(Multimodal.ulawToLinear(u) === -Multimodal.ulawToLinear(u | 0x80))
+    // every A-law magnitude is even and ≤ 32256; μ-law ≤ 32124
+    for (u <- 0 until 256) {
+      assert(math.abs(Multimodal.alawToLinear(u)) <= 32256)
+      assert(math.abs(Multimodal.ulawToLinear(u)) <= 32124)
+    }
+  }
+
+  test("g711Audit: executed decode digests + quarantine fan-out") {
+    import spark.implicits._
+    val specs = Seq(
+      Multimodal.G711Spec(0L, 0, 8000, 1, 40, 7, 0),  // clean μ-law mono
+      Multimodal.G711Spec(1L, 1, 8000, 2, 40, 11, 0), // clean A-law stereo
+      Multimodal.G711Spec(2L, 0, 8000, 1, 40, 7, 3),  // truncated
+      Multimodal.G711Spec(3L, 1, 8000, 1, 40, 7, 4)   // mislabeled PCM
+    ).toDS()
+    val out = Multimodal.g711Audit(spark, Multimodal.synthesizeG711(spark, specs))
+      .collect().sortBy(_.doc_id)
+    assert(out(0).status === "ok" && out(0).codec === "ulaw")
+    assert(out(0).n_frames === 40L && out(0).duration_ms === 5L)
+    // digest equals a direct expansion of the same closed-form bytes
+    val exp = (0 until 40).map(k => Multimodal.ulawToLinear((7 + 31 * k) % 256))
+    assert(out(0).peak === exp.map(math.abs).max)
+    assert(out(0).sum_abs === exp.map(v => math.abs(v).toLong).sum)
+    assert(out(0).n_zero_cross ===
+      exp.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0)).toLong)
+    assert(out(1).status === "ok" && out(1).codec === "alaw")
+    assert(out(1).channels === 2 && out(1).n_frames === 40L)
+    assert(out(2).status === "corrupt" && out(2).err === Some("truncated"))
+    assert(out(3).status === "unsupported" && out(3).err === Some("fmt_code_1"))
+    // garbage payload: unsupported, never a task failure
+    val garbage = Seq((9L, "not audio".getBytes)).toDF("doc_id", "payload")
+    val g = Multimodal.g711Audit(spark, garbage).collect().head
+    assert(g.status === "unsupported" && g.err === Some("bad_magic"))
+  }
+}
