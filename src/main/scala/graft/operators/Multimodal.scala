@@ -1432,6 +1432,155 @@ object Multimodal {
     }
   }
 
+  // ---- FLAC container: REAL metadata-block walk ------------------------
+  // xiph.org FLAC format (public spec): `fLaC` magic, then metadata
+  // blocks of [1-byte header: bit7 last-flag, bits 0-6 type][24-bit BE
+  // length][payload]; type 0 = STREAMINFO (34 bytes) carries the stream
+  // geometry in a packed bit layout — 16b min/max block size, 24b
+  // min/max frame size, 20b sample rate, 3b channels−1, 5b bits−1,
+  // 36b total samples, 128b MD5. Type 127 is invalid per spec.
+
+  /** FLAC fixture spec. `cls` 0 = clean (STREAMINFO + VORBIS_COMMENT);
+    * 3 = a block's declared length overruns the payload (corrupt
+    * "truncated"); 4 = first block carries the invalid type 127
+    * (corrupt "bad_block_type"); 5 = no STREAMINFO (a VORBIS_COMMENT
+    * only — corrupt "no_streaminfo": spec requires STREAMINFO first).
+    */
+  case class FlacSpec(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, total_samples: Long, cls: Int)
+
+  def synthesizeFlac(spark: SparkSession, specs: Dataset[FlacSpec]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureMinParallelism(specs.toDF()).as[FlacSpec].mapPartitions { it =>
+      it.map { s =>
+        val out = new java.io.ByteArrayOutputStream()
+        out.write("fLaC".getBytes)
+        def blockHeader(tpe: Int, len: Int, last: Boolean): Unit = {
+          out.write((if (last) 0x80 else 0) | tpe)
+          out.write((len >> 16) & 0xff); out.write((len >> 8) & 0xff)
+          out.write(len & 0xff)
+        }
+        val si = new Array[Byte](34)
+        def put16(o: Int, v: Int): Unit = {
+          si(o) = ((v >> 8) & 0xff).toByte; si(o + 1) = (v & 0xff).toByte
+        }
+        put16(0, 4096); put16(2, 4096)           // min/max block size
+        // min/max frame size: 24-bit, deterministic from the spec
+        val fsz = 1000 + (s.doc_id % 5000).toInt
+        si(4) = ((fsz >> 16) & 0xff).toByte; si(5) = ((fsz >> 8) & 0xff).toByte
+        si(6) = (fsz & 0xff).toByte
+        si(7) = si(4); si(8) = si(5); si(9) = si(6)
+        // packed: sr(20) | ch-1(3) | bits-1(5) | total(36) = 64 bits
+        val packed = (s.sample_rate.toLong << 44) |
+          ((s.channels - 1).toLong << 41) | ((s.bits - 1).toLong << 36) |
+          (s.total_samples & 0xfffffffffL)
+        for (i <- 0 until 8)
+          si(10 + i) = ((packed >> (56 - 8 * i)) & 0xff).toByte
+        // md5: deterministic filler
+        for (i <- 0 until 16) si(18 + i) = ((s.doc_id + i) % 256).toByte
+        val vc = {
+          // minimal VORBIS_COMMENT: 32-bit LE vendor length + vendor
+          val vendor = s"graft${s.doc_id}".getBytes
+          val bb = java.nio.ByteBuffer
+            .allocate(8 + vendor.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.putInt(vendor.length).put(vendor).putInt(0) // 0 comments
+          bb.array()
+        }
+        s.cls match {
+          case 3 => // STREAMINFO declared but payload cut mid-block
+            blockHeader(0, 34, last = true); out.write(si, 0, 20)
+          case 4 =>
+            blockHeader(127, 34, last = true); out.write(si)
+          case 5 =>
+            blockHeader(4, vc.length, last = true); out.write(vc)
+          case _ =>
+            blockHeader(0, 34, last = false); out.write(si)
+            blockHeader(4, vc.length, last = true); out.write(vc)
+        }
+        BinaryDoc(s.doc_id, out.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Per-payload FLAC metadata digest; the STREAMINFO bit unpack is the
+    * executed decode (every geometry field crosses the packed layout).
+    */
+  case class FlacMeta(doc_id: Long, n_bytes: Long, status: String,
+      err: Option[String], sample_rate: Int, channels: Int, bits: Int,
+      total_samples: Long, duration_ms: Long, n_blocks: Int,
+      has_vorbis_comment: Boolean)
+
+  /** REAL FLAC metadata-block walk: magic check, block-header walk with
+    * strict bounds, STREAMINFO packed-bit unpack (20/3/5/36-bit fields),
+    * VORBIS_COMMENT presence. Quarantine fan-out: bad magic →
+    * unsupported; overrun block length → corrupt "truncated"; invalid
+    * block type 127 → corrupt "bad_block_type"; STREAMINFO absent or not
+    * first (both spec violations) → corrupt "no_streaminfo"; sample rate
+    * 0 → corrupt "bad_sample_rate" (division guard, per spec 0 is
+    * invalid for audio). mapPartitions, zero shuffles, streaming-safe.
+    */
+  def flacAudit(spark: SparkSession, binDocs: DataFrame): Dataset[FlacMeta] = {
+    import spark.implicits._
+    val base =
+      if (binDocs.isStreaming) binDocs
+      else graft.Tables.ensureMinParallelism(binDocs)
+    base.as[BinaryDoc].mapPartitions { it =>
+      it.map { d =>
+        val b = d.payload
+        val n = b.length.toLong
+        def bad(status: String, reason: String) =
+          FlacMeta(d.doc_id, n, status, Some(reason), 0, 0, 0, 0L, 0L, 0,
+            has_vorbis_comment = false)
+        if (b.length < 4 || tag4(b, 0) != "fLaC") bad("unsupported", "bad_magic")
+        else {
+          var o = 4
+          var nBlocks = 0
+          var sawVc = false
+          var siOff = -1
+          var siFirst = false
+          var last = false
+          var failure: String = null
+          while (!last && failure == null) {
+            if (o + 4 > b.length) { failure = "truncated" }
+            else {
+              val hdr = b(o) & 0xff
+              last = (hdr & 0x80) != 0
+              val tpe = hdr & 0x7f
+              val len = ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) |
+                (b(o + 3) & 0xff)
+              if (tpe == 127) failure = "bad_block_type"
+              else if (o + 4 + len > b.length) failure = "truncated"
+              else {
+                if (tpe == 0 && siOff < 0) {
+                  if (len < 34) failure = "truncated"
+                  else { siOff = o + 4; siFirst = nBlocks == 0 }
+                }
+                if (tpe == 4) sawVc = true
+                nBlocks += 1
+                o += 4 + len
+              }
+            }
+          }
+          if (failure != null) bad("corrupt", failure)
+          else if (siOff < 0 || !siFirst) bad("corrupt", "no_streaminfo")
+          else {
+            var packed = 0L
+            for (i <- 0 until 8)
+              packed = (packed << 8) | (b(siOff + 10 + i) & 0xffL)
+            val sr = ((packed >>> 44) & 0xfffff).toInt
+            val ch = (((packed >>> 41) & 0x7) + 1).toInt
+            val bits = (((packed >>> 36) & 0x1f) + 1).toInt
+            val total = packed & 0xfffffffffL
+            if (sr == 0) bad("corrupt", "bad_sample_rate")
+            else FlacMeta(d.doc_id, n, "ok", None, sr, ch, bits, total,
+              total * 1000L / sr, nBlocks, sawVc)
+          }
+        }
+      }
+    }
+  }
+
   /** MP4 fixture synthesis: a minimal REAL ISO-BMFF file — `ftyp` +
     * `moov(mvhd v0, trak(tkhd v0))` — with the given movie timescale/
     * duration and track geometry. 232 bytes total, fixed layout.

@@ -3547,6 +3547,70 @@ object TrainingDataOps {
          |ORDER BY s.doc_id""".stripMargin
     ),
 
+    // ---- FLAC metadata-block walk: the lossless-audio container ---------
+    // (r16) xiph FLAC: `fLaC` magic + [last|type|24-bit-BE length]
+    // metadata blocks; STREAMINFO's packed 20/3/5/36-bit geometry is the
+    // executed unpack. Fan-out: two clean geometries / garbage
+    // (unsupported) / mid-block truncation / invalid block type 127 /
+    // missing STREAMINFO (spec requires it first) — all corrupt-
+    // quarantined with stable reasons the oracle predicts.
+    "mm_flac_meta" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val m = col("doc_id") % 6
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          element_at(array(lit(8000), lit(22050), lit(44100), lit(48000)),
+            (col("doc_id") % 4 + 1).cast("int")).cast("int").as("sample_rate"),
+          (lit(1) + col("doc_id") % 3).cast("int").as("channels"),
+          (lit(16) + lit(8) * (col("doc_id") % 2)).cast("int").as("bits"),
+          (lit(1000) + col("doc_id") % 100000).cast("long").as("total_samples"),
+          when(m === 3, 3).when(m === 4, 4).when(m === 5, 5)
+            .otherwise(0).cast("int").as("cls")
+        ).as[Multimodal.FlacSpec]
+        val bin = Multimodal.synthesizeFlac(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 6 === 2,
+              concat(lit("not flac #"), col("doc_id").cast("string"))
+                .cast("binary"))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.flacAudit(s, bin).toDF()
+          .select(col("doc_id"), col("status"), col("err"),
+            col("sample_rate"), col("channels"), col("bits"),
+            col("total_samples"), col("duration_ms"), col("n_blocks"),
+            col("has_vorbis_comment"))
+          .orderBy("doc_id")
+      },
+      s"""WITH s AS (SELECT doc_id, doc_id % 6 AS m,
+         |    [8000, 22050, 44100, 48000][CAST(1 + doc_id % 4 AS INTEGER)]
+         |      AS sr,
+         |    CAST(1 + doc_id % 3 AS INTEGER) AS ch,
+         |    CAST(16 + 8 * (doc_id % 2) AS INTEGER) AS bits,
+         |    1000 + doc_id % 100000 AS total
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN m IN (0, 1) THEN 'ok' WHEN m = 2 THEN 'unsupported'
+         |    ELSE 'corrupt' END AS status,
+         |  CASE WHEN m = 2 THEN 'bad_magic' WHEN m = 3 THEN 'truncated'
+         |    WHEN m = 4 THEN 'bad_block_type'
+         |    WHEN m = 5 THEN 'no_streaminfo' END AS err,
+         |  CAST(CASE WHEN m IN (0, 1) THEN sr ELSE 0 END AS INTEGER)
+         |    AS sample_rate,
+         |  CAST(CASE WHEN m IN (0, 1) THEN ch ELSE 0 END AS INTEGER)
+         |    AS channels,
+         |  CAST(CASE WHEN m IN (0, 1) THEN bits ELSE 0 END AS INTEGER)
+         |    AS bits,
+         |  CAST(CASE WHEN m IN (0, 1) THEN total ELSE 0 END AS BIGINT)
+         |    AS total_samples,
+         |  CAST(CASE WHEN m IN (0, 1) THEN total * 1000 // sr ELSE 0 END
+         |    AS BIGINT) AS duration_ms,
+         |  CAST(CASE WHEN m IN (0, 1) THEN 2 ELSE 0 END AS INTEGER)
+         |    AS n_blocks,
+         |  CASE WHEN m IN (0, 1) THEN TRUE ELSE FALSE END
+         |    AS has_vorbis_comment
+         |FROM s ORDER BY doc_id""".stripMargin
+    ),
+
     // ---- MP3 VBR headers: the Xing/VBRI duration shortcut ---------------
     // Real VBR corpora carry a Xing (LAME) or VBRI (Fraunhofer) tag in
     // the first frame declaring stream frame/byte totals; tools read

@@ -56,4 +56,31 @@ class Round16CodecSpec extends SparkSpec {
     val g = Multimodal.g711Audit(spark, garbage).collect().head
     assert(g.status === "unsupported" && g.err === Some("bad_magic"))
   }
+
+  test("flacAudit: STREAMINFO packed-bit unpack + block-walk fan-out") {
+    import spark.implicits._
+    val specs = Seq(
+      Multimodal.FlacSpec(0L, 44100, 2, 16, 441000L, 0), // clean: 10 s
+      Multimodal.FlacSpec(1L, 8000, 1, 24, 12345L, 0),
+      Multimodal.FlacSpec(2L, 44100, 2, 16, 1000L, 3),   // truncated
+      Multimodal.FlacSpec(3L, 44100, 2, 16, 1000L, 4),   // type 127
+      Multimodal.FlacSpec(4L, 44100, 2, 16, 1000L, 5)    // no STREAMINFO
+    ).toDS()
+    val out = Multimodal.flacAudit(spark, Multimodal.synthesizeFlac(spark, specs))
+      .collect().sortBy(_.doc_id)
+    assert(out(0).status === "ok" && out(0).sample_rate === 44100 &&
+      out(0).channels === 2 && out(0).bits === 16 &&
+      out(0).total_samples === 441000L && out(0).duration_ms === 10000L &&
+      out(0).n_blocks === 2 && out(0).has_vorbis_comment)
+    assert(out(1).status === "ok" && out(1).sample_rate === 8000 &&
+      out(1).channels === 1 && out(1).bits === 24 &&
+      out(1).duration_ms === 12345L * 1000 / 8000)
+    assert(out(2).status === "corrupt" && out(2).err === Some("truncated"))
+    assert(out(3).status === "corrupt" && out(3).err === Some("bad_block_type"))
+    assert(out(4).status === "corrupt" && out(4).err === Some("no_streaminfo"))
+    val g = Multimodal.flacAudit(spark,
+      Seq((9L, "OggS not flac".getBytes)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(g.status === "unsupported" && g.err === Some("bad_magic"))
+  }
 }
