@@ -3547,6 +3547,128 @@ object TrainingDataOps {
          |ORDER BY s.doc_id""".stripMargin
     ),
 
+    // ---- IMA ADPCM: EXECUTED stateful sample decode ----------------------
+    // (r16) The fourth real audio codec tier, and the first STATEFUL one:
+    // WAV fmt code 0x11 nibbles update a (predictor, step-index) pair,
+    // re-seeded per block from the 4-byte block header. The oracle replays
+    // the recursion sample-for-sample as a DuckDB recursive CTE (state
+    // resets included), and the digest carries two state WITNESSES
+    // (final_pred, final_idx) that only a faithful full decode can
+    // produce. Fan-out: clean 1-block / clean 2-block (state reset
+    // exercised) / not-RIFF garbage (unsupported) / truncated data chunk
+    // (corrupt) / mislabeled linear PCM fmt 1 (unsupported — nibble soup
+    // must never decode as PCM).
+    "mm_adpcm_decode" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val m = col("doc_id") % 5
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          lit(8000).cast("int").as("sample_rate"),
+          (lit(12) + col("doc_id") % 20).cast("int").as("nb"),
+          (lit(1) + col("doc_id") % 2).cast("int").as("n_blocks"),
+          (col("doc_id") * 37 % 16384 - 8192).cast("int").as("pred0"),
+          (col("doc_id") % 89).cast("int").as("idx0"),
+          (col("doc_id") % 251).cast("int").as("seed"),
+          when(m === 3, 3).when(m === 4, 4).otherwise(0).cast("int").as("cls")
+        ).as[Multimodal.AdpcmSpec]
+        val bin = Multimodal.synthesizeAdpcm(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 2,
+              concat(lit("not audio #"), col("doc_id").cast("string"))
+                .cast("binary"))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.adpcmAudit(s, bin).toDF()
+          .select(col("doc_id"), col("status"), col("err"),
+            col("sample_rate"), col("n_blocks"), col("n_samples"),
+            col("duration_ms"), col("peak"), col("sum_abs"),
+            col("n_zero_cross"), col("final_pred"), col("final_idx"))
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE s AS (SELECT doc_id, doc_id % 5 AS m,
+         |    CAST(12 + doc_id % 20 AS INTEGER) AS nb,
+         |    CAST(1 + doc_id % 2 AS INTEGER) AS nblk,
+         |    CAST(doc_id % 251 AS INTEGER) AS seed,
+         |    CAST(doc_id * 37 % 16384 - 8192 AS INTEGER) AS pred0,
+         |    CAST(doc_id % 89 AS INTEGER) AS idx0
+         |  FROM documents),
+         |blk AS (SELECT doc_id, nb, seed,
+         |    unnest(range(nblk)) AS b FROM s WHERE m IN (0, 1)),
+         |dec AS (
+         |  SELECT blk.doc_id, blk.nb, blk.seed, blk.b, 0 AS k,
+         |      CAST(GREATEST(-32768, LEAST(32767, s.pred0 + 100 * blk.b))
+         |        AS INTEGER) AS pred,
+         |      CAST((s.idx0 + 7 * blk.b) % 89 AS INTEGER) AS idx
+         |    FROM blk JOIN s ON blk.doc_id = s.doc_id
+         |  UNION ALL
+         |  SELECT doc_id, nb, seed, b, k + 1,
+         |      CAST(GREATEST(-32768, LEAST(32767,
+         |        pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END))
+         |        AS INTEGER),
+         |      CAST(GREATEST(0, LEAST(88,
+         |        idx + ([-1,-1,-1,-1,2,4,6,8])[(nib % 8) + 1]))
+         |        AS INTEGER)
+         |    FROM (
+         |      SELECT *, st // 8
+         |          + CASE WHEN nib % 2 = 1 THEN st // 4 ELSE 0 END
+         |          + CASE WHEN (nib // 2) % 2 = 1 THEN st // 2 ELSE 0 END
+         |          + CASE WHEN (nib // 4) % 2 = 1 THEN st ELSE 0 END AS diff
+         |      FROM (
+         |        SELECT *,
+         |            ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+         |              41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,
+         |              173,190,209,230,253,279,307,337,371,408,449,494,544,
+         |              598,658,724,796,876,963,1060,1166,1282,1411,1552,
+         |              1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,
+         |              4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,
+         |              11487,12635,13899,15289,16818,18500,20350,22385,
+         |              24623,27086,29794,32767])[idx + 1] AS st,
+         |            CASE WHEN k % 2 = 0 THEN bv % 16 ELSE bv // 16 END
+         |              AS nib
+         |        FROM (
+         |          SELECT *, (seed + 31 * (b * nb + k // 2)) % 256 AS bv
+         |          FROM dec WHERE k < 2 * nb)))),
+         |zc0 AS (SELECT doc_id, pred,
+         |    lag(pred) OVER (PARTITION BY doc_id ORDER BY b, k) AS pv
+         |  FROM dec),
+         |zcs AS (SELECT doc_id, sum(CASE WHEN pv IS NOT NULL
+         |      AND ((pred >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS zc
+         |  FROM zc0 GROUP BY doc_id),
+         |agg AS (SELECT doc_id, max(abs(pred)) AS peak,
+         |    sum(abs(pred)) AS sum_abs FROM dec GROUP BY doc_id),
+         |fin AS (SELECT doc_id, pred AS fp, idx AS fi FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY b DESC, k DESC) AS rn FROM dec) WHERE rn = 1)
+         |SELECT s.doc_id,
+         |  CASE WHEN m IN (0, 1) THEN 'ok'
+         |    WHEN m = 3 THEN 'corrupt' ELSE 'unsupported' END AS status,
+         |  CASE WHEN m = 2 THEN 'bad_magic' WHEN m = 3 THEN 'truncated'
+         |    WHEN m = 4 THEN 'fmt_code_1' END AS err,
+         |  CAST(CASE WHEN m IN (0, 1) THEN 8000 ELSE 0 END AS INTEGER)
+         |    AS sample_rate,
+         |  CAST(CASE WHEN m IN (0, 1) THEN nblk ELSE 0 END AS BIGINT)
+         |    AS n_blocks,
+         |  CAST(CASE WHEN m IN (0, 1) THEN nblk * (1 + 2 * nb) ELSE 0 END
+         |    AS BIGINT) AS n_samples,
+         |  CAST(CASE WHEN m IN (0, 1)
+         |    THEN nblk * (1 + 2 * nb) * 1000 // 8000 ELSE 0 END
+         |    AS BIGINT) AS duration_ms,
+         |  CAST(CASE WHEN m IN (0, 1) THEN agg.peak ELSE 0 END AS INTEGER)
+         |    AS peak,
+         |  CAST(CASE WHEN m IN (0, 1) THEN agg.sum_abs ELSE 0 END AS BIGINT)
+         |    AS sum_abs,
+         |  CAST(CASE WHEN m IN (0, 1) THEN zcs.zc ELSE 0 END AS BIGINT)
+         |    AS n_zero_cross,
+         |  CAST(CASE WHEN m IN (0, 1) THEN fin.fp ELSE 0 END AS INTEGER)
+         |    AS final_pred,
+         |  CAST(CASE WHEN m IN (0, 1) THEN fin.fi ELSE 0 END AS INTEGER)
+         |    AS final_idx
+         |FROM s LEFT JOIN agg ON s.doc_id = agg.doc_id
+         |  LEFT JOIN zcs ON s.doc_id = zcs.doc_id
+         |  LEFT JOIN fin ON s.doc_id = fin.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+    ),
+
     // ---- FLAC metadata-block walk: the lossless-audio container ---------
     // (r16) xiph FLAC: `fLaC` magic + [last|type|24-bit-BE length]
     // metadata blocks; STREAMINFO's packed 20/3/5/36-bit geometry is the

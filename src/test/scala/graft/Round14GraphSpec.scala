@@ -142,6 +142,27 @@ class Round14GraphSpec extends SparkSpec {
     assert(updated === (old ++ expected))
   }
 
+  test("graphInsert: chunked walk (maxWalkBatch < batch) ≡ monolithic, edge-for-edge") {
+    // the self-bounding contract: chunk membership never affects which
+    // graph a vector searches (every chunk walks the same pre-batch
+    // adjacency), so the linked edge set is identical — only the walk's
+    // peak frontier volume changes. maxWalkBatch=3 forces ⌈8/3⌉ chunks.
+    val emb = Tables.t(spark, dir, "embeddings")
+    val n = emb.count()
+    val corpus = emb.filter(col("vec_id") < n - 8)
+    val batch = emb.filter(col("vec_id") >= n - 8)
+    val graph = Ann.serveGraph(Ann.nnDescent(corpus, "vec_id", "embedding",
+      k = 8, iters = 3, randomInit = true)).localCheckpoint()
+    def edges(bound: Int): Set[(Long, Long)] =
+      Ann.graphInsertEdges(graph, corpus, batch, "vec_id", "embedding",
+          kLink = 4, entryIds = Seq(0L), beamWidth = 16, hops = 2,
+          expandHops = 2, maxWalkBatch = bound)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mono = edges(Int.MaxValue)
+    assert(edges(3) === mono)
+    assert(edges(1) === mono) // one walk per vector, still identical
+  }
+
   test("graphIngest: stream ≡ sequential graphInsert fold, edge-for-edge") {
     import graft.streaming.StreamingAnn
     val emb = Tables.t(spark, dir, "embeddings")

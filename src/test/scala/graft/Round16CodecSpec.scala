@@ -57,6 +57,66 @@ class Round16CodecSpec extends SparkSpec {
     assert(g.status === "unsupported" && g.err === Some("bad_magic"))
   }
 
+  test("adpcmStep: IMA reference transitions") {
+    // hand-computed from the IMA spec's integer algorithm
+    assert(Multimodal.adpcmStep(0, 0, 0) === (0, 0))   // zero nibble, idx clamps at 0
+    assert(Multimodal.adpcmStep(0, 0, 7) === (11, 8))  // max magnitude at step 7
+    assert(Multimodal.adpcmStep(0, 0, 8) === (0, 0))   // −0: sign bit alone
+    assert(Multimodal.adpcmStep(0, 88, 7) === (32767, 88)) // clamp both ends
+    assert(Multimodal.adpcmStep(100, 20, 5) === (168, 24)) // step 50: 6+50+12
+    assert(Multimodal.adpcmStep(100, 20, 13) === (32, 24)) // same, negative
+    // predictor clamps at the negative rail too
+    assert(Multimodal.adpcmStep(-32768, 88, 15)._1 === -32768)
+  }
+
+  test("adpcmAudit: stateful decode ≡ reference replay, block reset, fan-out") {
+    import spark.implicits._
+    val specs = Seq(
+      Multimodal.AdpcmSpec(0L, 8000, 12, 1, -500, 30, 7, 0), // clean 1-block
+      Multimodal.AdpcmSpec(1L, 8000, 16, 2, 2000, 85, 11, 0), // clean 2-block
+      Multimodal.AdpcmSpec(2L, 8000, 12, 1, 0, 0, 7, 3),     // truncated
+      Multimodal.AdpcmSpec(3L, 8000, 12, 1, 0, 0, 7, 4)      // mislabeled PCM
+    ).toDS()
+    val out = Multimodal.adpcmAudit(spark, Multimodal.synthesizeAdpcm(spark, specs))
+      .collect().sortBy(_.doc_id)
+    // independent replay of the closed-form fixture through adpcmStep
+    def replay(nb: Int, nblk: Int, pred0: Int, idx0: Int, seed: Int) = {
+      val samples = scala.collection.mutable.ArrayBuffer[Int]()
+      var pred = 0; var idx = 0
+      for (b <- 0 until nblk) {
+        pred = math.max(-32768, math.min(32767, pred0 + 100 * b))
+        idx = (idx0 + 7 * b) % 89
+        samples += pred
+        for (g <- b * nb until (b + 1) * nb) {
+          val bv = (seed + 31 * g) % 256
+          val (p1, i1) = Multimodal.adpcmStep(pred, idx, bv & 0x0f)
+          samples += p1
+          val (p2, i2) = Multimodal.adpcmStep(p1, i1, bv >> 4)
+          samples += p2
+          pred = p2; idx = i2
+        }
+      }
+      (samples.toSeq, pred, idx)
+    }
+    for ((s, o) <- Seq(specs.collect()(0), specs.collect()(1)).zip(out.take(2))) {
+      val (exp, fp, fi) = replay(s.nb, s.n_blocks, s.pred0, s.idx0, s.seed)
+      assert(o.status === "ok")
+      assert(o.n_blocks === s.n_blocks.toLong)
+      assert(o.n_samples === exp.length.toLong)
+      assert(o.peak === exp.map(math.abs).max)
+      assert(o.sum_abs === exp.map(v => math.abs(v).toLong).sum)
+      assert(o.n_zero_cross ===
+        exp.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0)).toLong)
+      assert(o.final_pred === fp && o.final_idx === fi)
+    }
+    assert(out(2).status === "corrupt" && out(2).err === Some("truncated"))
+    assert(out(3).status === "unsupported" && out(3).err === Some("fmt_code_1"))
+    val g = Multimodal.adpcmAudit(spark,
+      Seq((9L, "not audio".getBytes)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(g.status === "unsupported" && g.err === Some("bad_magic"))
+  }
+
   test("flacAudit: STREAMINFO packed-bit unpack + block-walk fan-out") {
     import spark.implicits._
     val specs = Seq(
