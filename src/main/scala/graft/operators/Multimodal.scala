@@ -1637,6 +1637,249 @@ object Multimodal {
     }
   }
 
+  // ---- Ogg/Vorbis: REAL page walk with lacing + page-level CRC ---------
+  // xiph.org Ogg bitstream (RFC 3533): pages of [`OggS`][version=0]
+  // [header_type: 0x02 BOS / 0x04 EOS][granule u64 LE][serial u32]
+  // [page_seq u32][crc u32][n_segs u8][lacing table][payload]. The CRC
+  // is CRC-32 poly 0x04C11DB7, init 0, MSB-first, NO reflection, xorout
+  // 0 — computed over the whole page with the CRC field zeroed (so the
+  // check is only passable by a real recompute). Packets are laced:
+  // each segment < 255 terminates a packet. The BOS page of a Vorbis
+  // stream carries the 30-byte identification header (packet type 1 +
+  // "vorbis" + version u32=0 + channels u8 + rate u32 + 3×bitrate i32 +
+  // blocksizes u8 + framing bit) — Vorbis I spec.
+
+  private[graft] val oggCrcTable: Array[Int] = Array.tabulate(256) { i =>
+    var r = i << 24
+    var k = 0
+    while (k < 8) {
+      r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04C11DB7 else r << 1
+      k += 1
+    }
+    r
+  }
+
+  /** Ogg page CRC (RFC 3533 Annex A polynomial conventions). */
+  private[graft] def oggCrc(b: Array[Byte], off: Int, len: Int): Int = {
+    var crc = 0
+    var i = off
+    val end = off + len
+    while (i < end) {
+      crc = (crc << 8) ^ oggCrcTable(((crc >>> 24) ^ (b(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  /** Page CRC as the spec defines it — over the page image with the
+    * 4-byte CRC word (offsets 22..25 from the page start) read as zero —
+    * WITHOUT mutating the buffer: fold the three spans separately.
+    */
+  private def oggPageCrc(b: Array[Byte], off: Int, pageLen: Int): Int = {
+    var crc = oggCrc(b, off, 22)
+    var k = 0
+    while (k < 4) { // the zeroed CRC word
+      crc = (crc << 8) ^ oggCrcTable((crc >>> 24) & 0xff)
+      k += 1
+    }
+    var i = off + 26
+    val end = off + pageLen
+    while (i < end) {
+      crc = (crc << 8) ^ oggCrcTable(((crc >>> 24) ^ (b(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  /** Ogg/Vorbis fixture spec. BOS page 0 carries the 30-byte Vorbis id
+    * header; audio pages 1..n_pages each lace `n_segs` segments, global
+    * segment g sized `1 + (seed + 17·g) mod 254` (all < 255, so every
+    * segment ends a packet) with payload byte j = `(seed + 7·g + 3·j)
+    * mod 256`; audio page p's granule is `p · 441 · n_segs`; the last
+    * page sets EOS. `cls` 0 = clean; 3 = truncated (the final page's
+    * lacing declares bytes the buffer does not have); 4 = one flipped
+    * payload byte AFTER CRC stamping (the real CRC recompute must
+    * catch it); 5 = the BOS packet is not a Vorbis id header
+    * (unsupported `not_vorbis`); 6 = Vorbis version field ≠ 0
+    * (unsupported `version_1`).
+    */
+  case class OggSpec(doc_id: Long, sample_rate: Int, n_pages: Int,
+      n_segs: Int, seed: Int, cls: Int)
+
+  def synthesizeOgg(spark: SparkSession, specs: Dataset[OggSpec]): DataFrame = {
+    import spark.implicits._
+    graft.Tables.ensureMinParallelism(specs.toDF()).as[OggSpec].mapPartitions { it =>
+      it.map { s =>
+        val out = new java.io.ByteArrayOutputStream()
+        def page(headerType: Int, granule: Long, seq: Int,
+            segs: Seq[Array[Byte]]): Array[Byte] = {
+          val lace = segs.map(_.length)
+          require(lace.forall(_ < 255), "fixture segments must end packets")
+          val bb = java.nio.ByteBuffer
+            .allocate(27 + segs.size + lace.sum)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("OggS".getBytes).put(0.toByte).put(headerType.toByte)
+            .putLong(granule).putInt(0x6772616f /* serial */).putInt(seq)
+            .putInt(0) // crc placeholder
+            .put(segs.size.toByte)
+          lace.foreach(l => bb.put(l.toByte))
+          segs.foreach(bb.put)
+          val a = bb.array()
+          val crc = oggCrc(a, 0, a.length)
+          a(22) = (crc & 0xff).toByte
+          a(23) = ((crc >> 8) & 0xff).toByte
+          a(24) = ((crc >> 16) & 0xff).toByte
+          a(25) = ((crc >> 24) & 0xff).toByte
+          a
+        }
+        val idHeader = {
+          val bb = java.nio.ByteBuffer.allocate(30)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put(1.toByte).put("vorbis".getBytes)
+            .putInt(if (s.cls == 6) 1 else 0) // vorbis_version
+            .put((1 + (s.doc_id % 2)).toByte) // channels
+            .putInt(s.sample_rate)
+            .putInt(0).putInt(s.sample_rate * 4).putInt(0) // bitrates
+            .put(0xb8.toByte).put(1.toByte) // blocksizes, framing
+          bb.array()
+        }
+        val bos =
+          if (s.cls == 5) page(0x02, 0L, 0, Seq("theora-ish".getBytes))
+          else page(0x02, 0L, 0, Seq(idHeader))
+        out.write(bos)
+        var g = 0
+        for (p <- 1 to s.n_pages) {
+          val segs = (0 until s.n_segs).map { _ =>
+            val sz = 1 + (s.seed + 17 * g) % 254
+            val seg = Array.tabulate(sz)(j => ((s.seed + 7 * g + 3 * j) % 256).toByte)
+            g += 1
+            seg
+          }
+          val ht = if (p == s.n_pages) 0x04 else 0x00
+          out.write(page(ht, p.toLong * 441L * s.n_segs, p, segs))
+        }
+        val full = out.toByteArray
+        val payload = s.cls match {
+          case 3 => full.take(full.length - 3) // cut inside the last page
+          case 4 => full.updated(full.length - 1,
+            (full(full.length - 1) ^ 0x41).toByte) // corrupt AFTER stamping
+          case _ => full
+        }
+        BinaryDoc(s.doc_id, payload)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Per-payload Ogg/Vorbis digest. `crc_fail_pages` is the count of
+    * pages whose stored CRC differs from the real recompute — a witness
+    * only a genuine page-wide CRC pass can produce; `final_granule` and
+    * the packet/byte totals witness the lacing walk.
+    */
+  case class OggMeta(doc_id: Long, n_bytes: Long, status: String,
+      err: Option[String], sample_rate: Int, channels: Int,
+      bitrate_nominal: Int, n_pages: Long, n_packets: Long,
+      payload_bytes: Long, final_granule: Long, crc_fail_pages: Long)
+
+  /** REAL Ogg page walk + Vorbis identification decode: magic/version
+    * check per page, lacing-table walk with strict bounds, page CRC
+    * recomputed over the zeroed-CRC image and compared to the stored
+    * word, page_seq monotonicity, BOS Vorbis id unpack (channels, rate,
+    * nominal bitrate). Quarantine fan-out: non-Ogg bytes → unsupported
+    * `bad_magic`; non-Vorbis BOS packet → unsupported `not_vorbis`;
+    * Vorbis version ≠ 0 → unsupported `version_N`; lacing past the
+    * buffer → corrupt `truncated`; any CRC mismatch → corrupt `bad_crc`
+    * (with the failing-page count); missing EOS → corrupt `no_eos`;
+    * sequence gap → corrupt `bad_sequence`. mapPartitions, zero
+    * shuffles, streaming-safe.
+    */
+  def oggVorbisAudit(spark: SparkSession, binDocs: DataFrame): Dataset[OggMeta] = {
+    import spark.implicits._
+    val base =
+      if (binDocs.isStreaming) binDocs
+      else graft.Tables.ensureMinParallelism(binDocs)
+    base.as[BinaryDoc].mapPartitions { it =>
+      it.map { d =>
+        val b = d.payload
+        def bad(status: String, reason: String, crcFails: Long = 0L) =
+          OggMeta(d.doc_id, b.length.toLong, status, Some(reason),
+            0, 0, 0, 0L, 0L, 0L, 0L, crcFails)
+        if (b.length < 27 || tag4(b, 0) != "OggS") bad("unsupported", "bad_magic")
+        else {
+          var o = 0
+          var nPages = 0L
+          var nPackets = 0L
+          var payloadBytes = 0L
+          var finalGranule = 0L
+          var crcFails = 0L
+          var sawEos = false
+          var failure: String = null
+          var rate = 0; var channels = 0; var nominal = 0; var unsup: String = null
+          while (o < b.length && !sawEos && failure == null && unsup == null) {
+            // fewer than 27 bytes left is a cut page, not a foreign one
+            if (o + 27 > b.length) failure = "truncated"
+            else if (tag4(b, o) != "OggS") failure = "bad_page_magic"
+            else if (b(o + 4) != 0) failure = "bad_version"
+            else {
+              val headerType = b(o + 5) & 0xff
+              val granule = le32(b, o + 6) | (le32(b, o + 10) << 32)
+              val storedCrc = le32(b, o + 22).toInt
+              val nSegs = b(o + 26) & 0xff
+              if (le32(b, o + 18) != nPages)
+                failure = "bad_sequence"
+              else if (o + 27 + nSegs > b.length) failure = "truncated"
+              else {
+                var paySize = 0
+                var k = 0
+                while (k < nSegs) {
+                  val l = b(o + 27 + k) & 0xff
+                  paySize += l
+                  if (l < 255) nPackets += 1
+                  k += 1
+                }
+                val pageLen = 27 + nSegs + paySize
+                if (o + pageLen > b.length) failure = "truncated"
+                else {
+                  if (oggPageCrc(b, o, pageLen) != storedCrc) crcFails += 1
+                  if (nPages == 0L) {
+                    // BOS must carry the Vorbis identification header
+                    val po = o + 27 + nSegs
+                    if ((headerType & 0x02) == 0) failure = "no_bos"
+                    else if (paySize < 30 || b(po) != 1 ||
+                        new String(b, po + 1, 6,
+                          java.nio.charset.StandardCharsets.ISO_8859_1) != "vorbis")
+                      unsup = "not_vorbis"
+                    else {
+                      val ver = le32(b, po + 7)
+                      if (ver != 0L) unsup = s"version_$ver"
+                      else {
+                        channels = b(po + 11) & 0xff
+                        rate = le32(b, po + 12).toInt
+                        nominal = le32(b, po + 20).toInt
+                      }
+                    }
+                  } else {
+                    payloadBytes += paySize
+                    finalGranule = granule
+                  }
+                  if ((headerType & 0x04) != 0) sawEos = true
+                  nPages += 1
+                  o += pageLen
+                }
+              }
+            }
+          }
+          if (unsup != null) bad("unsupported", unsup)
+          else if (failure != null) bad("corrupt", failure, crcFails)
+          else if (crcFails > 0) bad("corrupt", "bad_crc", crcFails)
+          else if (!sawEos) bad("corrupt", "no_eos")
+          else OggMeta(d.doc_id, b.length.toLong, "ok", None, rate,
+            channels, nominal, nPages, nPackets - 1, payloadBytes,
+            finalGranule, 0L)
+        }
+      }
+    }
+  }
+
   // ---- FLAC container: REAL metadata-block walk ------------------------
   // xiph.org FLAC format (public spec): `fLaC` magic, then metadata
   // blocks of [1-byte header: bit7 last-flag, bits 0-6 type][24-bit BE

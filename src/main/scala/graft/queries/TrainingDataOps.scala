@@ -3669,6 +3669,81 @@ object TrainingDataOps {
          |ORDER BY s.doc_id""".stripMargin
     ),
 
+    // ---- Ogg/Vorbis: EXECUTED page walk + real page CRC ------------------
+    // (r16) RFC 3533 pages with lacing tables and the spec's own CRC-32
+    // (poly 0x04C11DB7, unreflected, computed over the zeroed-CRC page
+    // image — only a genuine recompute can pass it), plus the Vorbis I
+    // identification-header unpack on the BOS page. The oracle replays
+    // the lacing arithmetic closed-form (sizes, packet counts, granules)
+    // and pins the walk via the byte totals; the CRC pass itself is
+    // spec-tested against independent reference vectors. Fan-out: clean /
+    // garbage (unsupported) / truncated final page (corrupt) / one
+    // payload byte flipped after CRC stamping (corrupt bad_crc — the
+    // witness that the CRC actually runs) / non-Vorbis BOS packet /
+    // Vorbis version 1 (both unsupported).
+    "mm_ogg_decode" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val m = col("doc_id") % 7
+        val specs = t(s, dir, "documents").select(
+          col("doc_id").cast("long").as("doc_id"),
+          lit(16000).cast("int").as("sample_rate"),
+          (lit(1) + col("doc_id") % 3).cast("int").as("n_pages"),
+          (lit(1) + col("doc_id") % 4).cast("int").as("n_segs"),
+          (col("doc_id") % 251).cast("int").as("seed"),
+          when(m === 3, 3).when(m === 4, 4).when(m === 5, 5)
+            .when(m === 6, 6).otherwise(0).cast("int").as("cls")
+        ).as[Multimodal.OggSpec]
+        val bin = Multimodal.synthesizeOgg(s, specs)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 2,
+              concat(lit("not an ogg #"), col("doc_id").cast("string"))
+                .cast("binary"))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.oggVorbisAudit(s, bin).toDF()
+          .select(col("doc_id"), col("status"), col("err"),
+            col("sample_rate"), col("channels"), col("bitrate_nominal"),
+            col("n_pages"), col("n_packets"), col("payload_bytes"),
+            col("final_granule"), col("crc_fail_pages"))
+          .orderBy("doc_id")
+      },
+      s"""WITH s AS (SELECT doc_id, doc_id % 7 AS m,
+         |    CAST(1 + doc_id % 3 AS BIGINT) AS np,
+         |    CAST(1 + doc_id % 4 AS BIGINT) AS ns,
+         |    CAST(doc_id % 251 AS BIGINT) AS seed
+         |  FROM documents),
+         |segs AS (SELECT doc_id, seed,
+         |    unnest(range(np * ns)) AS g FROM s WHERE m IN (0, 1)),
+         |pb AS (SELECT doc_id,
+         |    sum(1 + (seed + 17 * g) % 254) AS payload_bytes
+         |  FROM segs GROUP BY doc_id)
+         |SELECT s.doc_id,
+         |  CASE WHEN m IN (0, 1) THEN 'ok'
+         |    WHEN m IN (3, 4) THEN 'corrupt' ELSE 'unsupported' END
+         |    AS status,
+         |  CASE WHEN m = 2 THEN 'bad_magic' WHEN m = 3 THEN 'truncated'
+         |    WHEN m = 4 THEN 'bad_crc' WHEN m = 5 THEN 'not_vorbis'
+         |    WHEN m = 6 THEN 'version_1' END AS err,
+         |  CAST(CASE WHEN m IN (0, 1) THEN 16000 ELSE 0 END AS INTEGER)
+         |    AS sample_rate,
+         |  CAST(CASE WHEN m IN (0, 1) THEN 1 + s.doc_id % 2 ELSE 0 END
+         |    AS INTEGER) AS channels,
+         |  CAST(CASE WHEN m IN (0, 1) THEN 64000 ELSE 0 END AS INTEGER)
+         |    AS bitrate_nominal,
+         |  CAST(CASE WHEN m IN (0, 1) THEN np + 1 ELSE 0 END AS BIGINT)
+         |    AS n_pages,
+         |  CAST(CASE WHEN m IN (0, 1) THEN np * ns ELSE 0 END AS BIGINT)
+         |    AS n_packets,
+         |  CAST(CASE WHEN m IN (0, 1) THEN pb.payload_bytes ELSE 0 END
+         |    AS BIGINT) AS payload_bytes,
+         |  CAST(CASE WHEN m IN (0, 1) THEN np * 441 * ns ELSE 0 END
+         |    AS BIGINT) AS final_granule,
+         |  CAST(CASE WHEN m = 4 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS crc_fail_pages
+         |FROM s LEFT JOIN pb ON s.doc_id = pb.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+    ),
+
     // ---- FLAC metadata-block walk: the lossless-audio container ---------
     // (r16) xiph FLAC: `fLaC` magic + [last|type|24-bit-BE length]
     // metadata blocks; STREAMINFO's packed 20/3/5/36-bit geometry is the

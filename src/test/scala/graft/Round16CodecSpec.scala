@@ -117,6 +117,49 @@ class Round16CodecSpec extends SparkSpec {
     assert(g.status === "unsupported" && g.err === Some("bad_magic"))
   }
 
+  test("oggCrc: RFC 3533 polynomial against independent reference vectors") {
+    // computed with a separate straight-from-the-spec bitwise
+    // implementation (poly 0x04C11DB7, init 0, MSB-first, no reflection)
+    def crc(s: Array[Byte]): Long =
+      Multimodal.oggCrc(s, 0, s.length) & 0xffffffffL
+    assert(crc("OggS".getBytes) === 0x5fb0a94fL)
+    assert(crc("vorbis".getBytes) === 0x01eb8985L)
+    assert(crc(Array.tabulate(16)(_.toByte)) === 0xfc57dd85L)
+  }
+
+  test("oggVorbisAudit: page walk, lacing, CRC witness, fan-out") {
+    import spark.implicits._
+    val specs = Seq(
+      Multimodal.OggSpec(0L, 16000, 2, 3, 7, 0),  // clean
+      Multimodal.OggSpec(1L, 16000, 1, 1, 0, 0),  // clean minimal
+      Multimodal.OggSpec(2L, 16000, 2, 2, 11, 3), // truncated
+      Multimodal.OggSpec(3L, 16000, 2, 2, 11, 4), // payload flip -> bad CRC
+      Multimodal.OggSpec(4L, 16000, 1, 1, 5, 5),  // not vorbis
+      Multimodal.OggSpec(5L, 16000, 1, 1, 5, 6)   // vorbis version 1
+    ).toDS()
+    val out = Multimodal.oggVorbisAudit(spark, Multimodal.synthesizeOgg(spark, specs))
+      .collect().sortBy(_.doc_id)
+    val c = out(0)
+    assert(c.status === "ok" && c.err.isEmpty)
+    assert(c.sample_rate === 16000 && c.channels === 1 && c.bitrate_nominal === 64000)
+    assert(c.n_pages === 3L && c.n_packets === 6L)
+    assert(c.payload_bytes ===
+      (0 until 6).map(g => 1L + (7 + 17 * g) % 254).sum)
+    assert(c.final_granule === 2L * 441L * 3L && c.crc_fail_pages === 0L)
+    val m = out(1)
+    assert(m.status === "ok" && m.n_pages === 2L && m.n_packets === 1L &&
+      m.channels === 2 && m.final_granule === 441L)
+    assert(out(2).status === "corrupt" && out(2).err === Some("truncated"))
+    assert(out(3).status === "corrupt" && out(3).err === Some("bad_crc") &&
+      out(3).crc_fail_pages === 1L)
+    assert(out(4).status === "unsupported" && out(4).err === Some("not_vorbis"))
+    assert(out(5).status === "unsupported" && out(5).err === Some("version_1"))
+    val g = Multimodal.oggVorbisAudit(spark,
+      Seq((9L, "not an ogg".getBytes)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(g.status === "unsupported" && g.err === Some("bad_magic"))
+  }
+
   test("flacAudit: STREAMINFO packed-bit unpack + block-walk fan-out") {
     import spark.implicits._
     val specs = Seq(
