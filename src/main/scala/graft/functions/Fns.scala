@@ -50,6 +50,17 @@ object Fns {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ofExpr(TopKByScore(toExpr(score), toExpr(id), k).toAggregateExpression())
 
+  /** [[topKByScore]] that additionally DEDUPS candidates by id inside the
+    * aggregate buffer (O(k) membership scan, k = a beam width). Only valid
+    * when every occurrence of an id within a group carries the same score —
+    * the graph-walk rounds' contract — where it replaces a distinct()
+    * exchange plus a seen-set anti-join per round (each a sequential AQE
+    * job barrier at serve grain).
+    */
+  def topKByScoreDistinct(score: Column, id: Column, k: Int): Column =
+    ofExpr(TopKByScore(toExpr(score), toExpr(id), k, distinctIds = true)
+      .toAggregateExpression())
+
   /** [[topKByScore]] with a LONG score — integer-exact comparisons for
     * selection keys that exceed double's 2^53 mantissa (see
     * [[TopKByLongScore]]; same order contract: score desc, id asc).

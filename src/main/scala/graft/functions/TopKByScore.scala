@@ -21,11 +21,21 @@ import org.apache.spark.sql.types._
   *
   * Buffer is a k-bounded binary min-heap keyed by "badness" (lowest score
   * worst; ties: larger id worse), so update is O(log k) and memory is O(k).
+  *
+  * `distinctIds=true` additionally drops an (score, id) candidate whose id
+  * is already held (O(k) membership scan — k is a beam width, ≤ ~100).
+  * ONLY valid when every occurrence of an id within a group carries the
+  * SAME score (true for the graph walks: the score is a deterministic
+  * function of (query, id)); it lets the beam-search rounds feed raw
+  * multi-hop frontier expansions straight into the aggregate with NO
+  * distinct() exchange and NO seen-set anti-join — each removed exchange
+  * is a removed AQE job barrier, the measured cost driver at serve grain.
   */
 case class TopKByScore(
     scoreExpr: Expression,
     idExpr: Expression,
     k: Int,
+    distinctIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKByScore.Buf] {
@@ -39,7 +49,8 @@ case class TopKByScore(
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType), StructField("id", LongType))), containsNull = false)
 
-  override def createAggregationBuffer(): TopKByScore.Buf = new TopKByScore.Buf(k)
+  override def createAggregationBuffer(): TopKByScore.Buf =
+    new TopKByScore.Buf(k, distinctIds)
 
   override def update(buf: TopKByScore.Buf, input: InternalRow): TopKByScore.Buf = {
     val s = scoreExpr.eval(input)
@@ -70,7 +81,7 @@ case class TopKByScore(
   override def deserialize(bytes: Array[Byte]): TopKByScore.Buf = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = new TopKByScore.Buf(k)
+    val buf = new TopKByScore.Buf(k, distinctIds)
     var j = 0
     while (j < n) { buf.add(in.readDouble(), in.readLong()); j += 1 }
     buf
@@ -90,8 +101,10 @@ object TopKByScore {
 
   /** k-bounded binary min-heap on "badness": heap root is the WORST kept
     * pair, evicted when a better candidate arrives at capacity.
+    * `distinctIds` drops candidates whose id is already held (callers
+    * guarantee same-id ⇒ same-score, so which copy wins is immaterial).
     */
-  final class Buf(k: Int) {
+  final class Buf(k: Int, distinctIds: Boolean = false) {
     private val scores = new Array[Double](k)
     private val ids = new Array[Long](k)
     private var n = 0
@@ -102,7 +115,14 @@ object TopKByScore {
     private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
       sa < sb || (sa == sb && ia > ib)
 
+    private def contains(i: Long): Boolean = {
+      var j = 0
+      while (j < n) { if (ids(j) == i) return true; j += 1 }
+      false
+    }
+
     def add(s: Double, i: Long): Unit = {
+      if (distinctIds && contains(i)) return
       if (n < k) {
         var c = n
         scores(c) = s; ids(c) = i; n += 1

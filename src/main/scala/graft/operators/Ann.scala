@@ -127,6 +127,15 @@ object Ann {
     def cut(df: DataFrame): DataFrame =
       if (!cutLineage) df
       else if (useReliable) df.checkpoint() else df.localCheckpoint()
+    // lazy cut + count in one job; the count doubles as the all-miss
+    // guard (same barrier diet as [[walkBeam]] — guide §2.4)
+    def cutCounted(df: DataFrame): (DataFrame, Long) =
+      if (!cutLineage) (df, -1L)
+      else {
+        val c = if (useReliable) df.checkpoint(eager = false)
+          else df.localCheckpoint(eager = false)
+        (c, c.count())
+      }
     val codes = encoded.select(col("id").cast("long").as("nid"), col("codes"))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
@@ -136,35 +145,40 @@ object Ann {
     def score(nodes: DataFrame): DataFrame = nodes
       .join(broadcast(qLut), "query_id").join(codes, "nid")
       .select(col("query_id"), col("nid"), pqAdc(m).as("dist"))
+    // candidate dedup lives inside the aggregate (ADC dist is a
+    // deterministic function of (query, nid), so duplicates tie) — no
+    // distinct() exchanges, no seen-set anti-join, one exchange per round
     def topBeam(cands: DataFrame): DataFrame = cands
       .groupBy("query_id")
-      .agg(Fns.topKByScore(-col("dist"), col("nid"), beamWidth).as("top"))
+      .agg(Fns.topKByScoreDistinct(-col("dist"), col("nid"), beamWidth).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t.id").as("nid"),
         (-col("t.score")).as("dist"))
-    def expandFrontier(nodes: DataFrame): DataFrame = {
+    def expandRaw(nodes: DataFrame): DataFrame = {
       var frontier = nodes
       var cand: DataFrame = null
       for (_ <- 1 to expandHops) {
         frontier = frontier.join(adj, "nid")
-          .select(col("query_id"), col("dst").as("nid")).distinct()
+          .select(col("query_id"), col("dst").as("nid"))
         cand = if (cand == null) frontier else cand.unionByName(frontier)
       }
-      cand.distinct()
+      cand
     }
     val e0 = q.select(col("query_id"),
       explode(lit(entryIds.toArray)).as("nid"))
-    var beam = cut(topBeam(score(
-      e0.unionByName(expandFrontier(e0)).distinct())))
-    if (beam.isEmpty && !q.isEmpty)
+    val (b0, n0) = cutCounted(topBeam(score(e0.unionByName(expandRaw(e0)))))
+    val miss = if (n0 >= 0L) n0 == 0L else b0.isEmpty
+    if (miss && !q.isEmpty)
       throw new IllegalArgumentException(
         "graphSearchAdc: no entry or entry-neighbor has a code row — " +
           "every entry is missing from the encoded corpus and graph")
-    for (_ <- 2 to hops) {
-      val expand = expandFrontier(beam.select(col("query_id"), col("nid")))
-        .join(beam.select(col("query_id"), col("nid")),
-          Seq("query_id", "nid"), "left_anti")
-      beam = cut(topBeam(beam.unionByName(score(expand))))
+    var beam = b0
+    for (h <- 2 to hops) {
+      val expand = expandRaw(beam.select(col("query_id"), col("nid")))
+      val merged = topBeam(beam.unionByName(score(expand)))
+      // the final beam feeds the exact re-rank exactly once — leave it
+      // uncut so its work rides the caller's action
+      beam = if (h == hops) merged else cut(merged)
     }
     // IndexRefine stage: exact full-precision rescoring of the beam only
     // (post-filter semi-join first, when present — disallowed candidates
@@ -613,8 +627,10 @@ object Ann {
       beamWidth: Int, hops: Int, topK: Int,
       cutLineage: Boolean = true, expandHops: Int = 1): DataFrame = {
     require(beamWidth >= topK, s"beamWidth $beamWidth must cover topK $topK")
+    // the beam is ranked exactly once below — leave the final round uncut
+    // so its work rides the caller's action instead of a checkpoint job
     val beam = walkBeam(graph, corpus, queries, idCol, vecCol, entries,
-      beamWidth, hops, cutLineage, expandHops)
+      beamWidth, hops, cutLineage, expandHops, cutFinal = false)
     rankTopK(beam
       .filter(col("query_id") =!= col("nid"))
       .select(col("query_id"), col("nid").as("neighbor_id"), col("cos")),
@@ -634,11 +650,26 @@ object Ann {
     * at single-query serve grain. Pre-scored entries are adopted as-is
     * (their lineage ends at the previous layer's cut — no re-cut, no
     * extra job) and pay the classic hops×(expand+score) rounds.
+    *
+    * r16 barrier diet (guide §2.4 — remove shuffles outright; measured
+    * 23 → 12 jobs per single-query serve): candidate dedup moved INSIDE
+    * the bounded top-beam aggregate ([[Fns.topKByScoreDistinct]] — valid
+    * because a node's exact cos is a deterministic function of
+    * (query, nid), so duplicates always tie), which deletes every
+    * per-hop/per-round distinct() exchange AND the seen-set anti-join
+    * (a rediscovered beam node re-scores to an identical pair and is
+    * dropped in the heap). Each round is now joins → ONE exchange (the
+    * aggregate's). The round-1 guard count rides the (lazy) checkpoint's
+    * materializing job instead of paying a second isEmpty job, and
+    * `cutFinal=false` lets a terminal caller (one that ranks the beam
+    * exactly once) leave the last round uncut so its work lands in the
+    * caller's own action instead of a dedicated checkpoint job.
     */
   private def walkBeam(graph: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, entries: DataFrame,
       beamWidth: Int, hops: Int,
-      cutLineage: Boolean, expandHops: Int): DataFrame = {
+      cutLineage: Boolean, expandHops: Int,
+      cutFinal: Boolean = true): DataFrame = {
     require(hops >= 1, s"bad hops $hops")
     require(expandHops >= 1 && expandHops <= 3, s"bad expandHops $expandHops")
     val useReliable =
@@ -651,6 +682,15 @@ object Ann {
     def cut(df: DataFrame): DataFrame =
       if (!cutLineage) df
       else if (useReliable) df.checkpoint() else df.localCheckpoint()
+    // lazy cut + count: ONE materializing job where eager-cut-then-isEmpty
+    // paid two sequential ones; the count doubles as the all-miss guard
+    def cutCounted(df: DataFrame): (DataFrame, Long) =
+      if (!cutLineage) (df, -1L)
+      else {
+        val c = if (useReliable) df.checkpoint(eager = false)
+          else df.localCheckpoint(eager = false)
+        (c, c.count())
+      }
     val vecs = corpus.select(col(idCol).cast("long").as("nid"),
       col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
@@ -664,23 +704,25 @@ object Ann {
         Fns.cosineSim(col("qv"), col("cv")).as("cos"))
     def topBeam(cands: DataFrame): DataFrame = cands
       .groupBy("query_id")
-      .agg(Fns.topKByScore(col("cos"), col("nid"), beamWidth).as("top"))
+      .agg(Fns.topKByScoreDistinct(col("cos"), col("nid"), beamWidth).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t.id").as("nid"), col("t.score").as("cos"))
     // expandHops > 1 trades per-round candidate volume (O(beam·degree^e))
     // for FEWER sequential round barriers — each round is a job (the
     // checkpoint), and at single-query grain the barriers dominate
     // latency (measured: 2 rounds × 2-hop ≈ the recall of 4 × 1-hop at
-    // roughly half the p50)
-    def expandFrontier(nodes: DataFrame): DataFrame = {
+    // roughly half the p50). Raw multi-hop rows (duplicates included) go
+    // straight to the aggregate — same candidate SET, zero extra
+    // exchanges; row volume stays beam·degree^e per query either way.
+    def expandRaw(nodes: DataFrame): DataFrame = {
       var frontier = nodes
       var cand: DataFrame = null
       for (_ <- 1 to expandHops) {
         frontier = frontier.join(adj, "nid")
-          .select(col("query_id"), col("dst").as("nid")).distinct()
+          .select(col("query_id"), col("dst").as("nid"))
         cand = if (cand == null) frontier else cand.unionByName(frontier)
       }
-      cand.distinct()
+      cand
     }
     val preScored = entries.columns.contains("cos")
     var beam =
@@ -696,25 +738,28 @@ object Ann {
         // expansion scored in a single job
         val e0 = entries.select(col("query_id").cast("long"),
           col("nid").cast("long"))
-        cut(topBeam(score(e0.unionByName(expandFrontier(e0)).distinct())))
+        val (b0, n0) = cutCounted(topBeam(score(e0.unionByName(expandRaw(e0)))))
+        // loud all-miss guard: ids absent from the corpus vanish in the
+        // scoring join, and a fully-missed entry set would walk to an
+        // empty result that reads as "no neighbors" (zero queries is the
+        // one legitimate empty first beam — the walk is then a typed
+        // no-op). On the plan-lock path (no cut, n0 < 0) this stays the
+        // isEmpty probe — specs run uncached anyway.
+        val miss = if (n0 >= 0L) n0 == 0L else b0.isEmpty
+        if (miss && !q.isEmpty)
+          throw new IllegalArgumentException(
+            "graphSearchFrom: no entry or entry-neighbor scored — every " +
+              "entry is missing from the corpus and graph (or the entry " +
+              "set was empty)")
+        b0
       }
-    if (!preScored) {
-      // loud all-miss guard: ids absent from the corpus vanish in the
-      // scoring join, and a fully-missed entry set would walk to an
-      // empty result that reads as "no neighbors" (zero queries is the
-      // one legitimate empty first beam — the walk is then a typed no-op)
-      if (beam.isEmpty && !q.isEmpty)
-        throw new IllegalArgumentException(
-          "graphSearchFrom: no entry or entry-neighbor scored — every " +
-            "entry is missing from the corpus and graph (or the entry " +
-            "set was empty)")
-    }
     val firstRound = if (preScored) 1 else 2
-    for (_ <- firstRound to hops) {
-      val expand = expandFrontier(beam.select(col("query_id"), col("nid")))
-        .join(beam.select(col("query_id"), col("nid")),
-          Seq("query_id", "nid"), "left_anti")
-      beam = cut(topBeam(beam.unionByName(score(expand))))
+    for (h <- firstRound to hops) {
+      // no seen-set anti-join: a rediscovered beam node re-scores to the
+      // identical (cos, nid) pair and the distinct-id heap drops it
+      val expand = expandRaw(beam.select(col("query_id"), col("nid")))
+      val merged = topBeam(beam.unionByName(score(expand)))
+      beam = if (h == hops && !cutFinal) merged else cut(merged)
     }
     beam
   }
@@ -877,7 +922,7 @@ object Ann {
     val beam = walkBeam(
       layers.filter(col("layer") === 0).select(col("src"), col("dst")),
       corpus, queries, idCol, vecCol, entries,
-      beamBase, hopsBase, cutLineage, expandHops)
+      beamBase, hopsBase, cutLineage, expandHops, cutFinal = false)
     rankTopK(beam
       .filter(col("query_id") =!= col("nid"))
       .join(allowed.select(col(idCol).cast("long").as("nid")),
@@ -1089,7 +1134,7 @@ object Ann {
     val entries = q0.select(col("query_id"),
       explode(lit(entryIds.toArray)).as("nid"))
     val beam = walkBeam(graph, corpus, queries, idCol, vecCol, entries,
-      beamWidth, hops, cutLineage, expandHops)
+      beamWidth, hops, cutLineage, expandHops, cutFinal = false)
     rankTopK(beam
       .filter(col("query_id") =!= col("nid"))
       .join(allowed.select(col(idCol).cast("long").as("nid")),
