@@ -536,7 +536,13 @@ object Ann {
         .select("src", "dst")
       val cand = cur.unionByName(rev).unionByName(two)
         .filter(col("src") =!= col("dst")).distinct()
-      val next = cut(topK(score(cand)))
+      // the FINAL fixed round's edge set is consumed exactly once (by the
+      // rankTopK re-score below), so its checkpoint job is pure overhead;
+      // counting rounds must stay cut (the left-anti count + next round
+      // both re-read the set), as must every non-final round (re-read
+      // three ways by the next round's candidate closure)
+      val isFinal = !counting && r == iters
+      val next = if (isFinal) topK(score(cand)) else cut(topK(score(cand)))
       if (counting) {
         val changed = next.join(cur, Seq("src", "dst"), "left_anti").count()
         telemetry += (r -> changed)
@@ -1010,11 +1016,14 @@ object Ann {
       batch: DataFrame, idCol: String, vecCol: String, kLink: Int = 4,
       entryIds: Seq[Long] = Seq(0L), beamWidth: Int = 16, hops: Int = 2,
       expandHops: Int = 2, cutLineage: Boolean = true,
-      maxWalkBatch: Int = 512): DataFrame = {
+      maxWalkBatch: Int = 512, knownCount: Option[Long] = None): DataFrame = {
     require(kLink >= 1 && kLink <= beamWidth,
       s"kLink $kLink must be within beamWidth $beamWidth")
     require(maxWalkBatch >= 1, s"bad maxWalkBatch $maxWalkBatch")
-    val n = batch.count()
+    // a caller that already counted the batch (the streaming maintainer's
+    // emptiness probe, the layered inserter's one-job level histogram)
+    // passes the count in instead of paying a second count job
+    val n = knownCount.getOrElse(batch.count())
     val found =
       if (n <= maxWalkBatch)
         graphSearch(graph, corpus, batch, idCol, vecCol, entryIds,
@@ -1082,30 +1091,37 @@ object Ann {
       cutLineage: Boolean = true, maxWalkBatch: Int = 512): DataFrame = {
     val leveled = batch.withColumn("__lvl",
       layerLevel(col(idCol), p, maxLevel))
+    // Driver-probe diet (guide §2.4/§5): the per-layer emptiness probes
+    // (one isEmpty job per layer) collapse into ONE level-histogram job —
+    // level-ℓ insert count = Σ counts[lvl ≥ ℓ] (membership is cumulative)
+    // — and the per-layer entry lookups (one min() job per layer) into
+    // ONE grouped aggregate over the whole layer table. Both aggregates
+    // are k-bounded (maxLevel+1 rows), never corpus-scale.
+    val lvlCounts: Map[Int, Long] = leveled
+      .groupBy(col("__lvl").cast("int").as("l")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val layerEntries: Map[Int, Long] = layers
+      .groupBy(col("layer").cast("int").as("l"))
+      .agg(min(col("src").cast("long")).as("e"))
+      .collect().collect { case r if !r.isNullAt(1) =>
+        r.getInt(0) -> r.getLong(1) }.toMap
     (0 to maxLevel).foldLeft(Option.empty[DataFrame]) { (acc, l) =>
-      val sub = leveled.filter(col("__lvl") >= l).drop("__lvl")
-      val adj = layers.filter(col("layer") === l).select(col("src"), col("dst"))
-      // a layer with no inserts at this level contributes nothing; the
-      // isEmpty probe is one cheap job against the (tiny) filtered batch
-      if (sub.isEmpty) acc
+      val subCount = (l to maxLevel).map(lvlCounts.getOrElse(_, 0L)).sum
+      // the walk's entry must be a MEMBER of this layer (a base-layer
+      // entry id has no out-edges in an upper slice and the walk would
+      // stall on it) — the deterministic min-id [[layeredEntry]] pick. A
+      // layer slice with NO edges (tiny corpus / over-tall maxLevel) has
+      // nothing to search — skip it rather than NPE on a missing min
+      if (subCount == 0L || !layerEntries.contains(l)) acc
       else {
-        // the walk's entry must be a MEMBER of this layer (a base-layer
-        // entry id has no out-edges in an upper slice and the walk would
-        // stall on it) — the same deterministic min-id [[layeredEntry]]
-        // picks; one tiny aggregate per non-empty layer. A layer slice
-        // with NO edges (tiny corpus / over-tall maxLevel) has nothing
-        // to search — skip it rather than NPE on a null min()
-        val entryRow = adj.agg(min(col("src"))).head()
-        if (entryRow.isNullAt(0)) acc
-        else {
-        val entry = entryRow.getLong(0)
+        val sub = leveled.filter(col("__lvl") >= l).drop("__lvl")
+        val adj = layers.filter(col("layer") === l).select(col("src"), col("dst"))
         val edges = graphInsertEdges(adj, corpus, sub, idCol, vecCol,
-            kLink, Seq(entry), beamWidth, hops, expandHops, cutLineage,
-            maxWalkBatch)
+            kLink, Seq(layerEntries(l)), beamWidth, hops, expandHops,
+            cutLineage, maxWalkBatch, knownCount = Some(subCount))
           .withColumn("layer", lit(l))
           .select(col("layer"), col("src"), col("dst"))
         Some(acc.map(_.unionByName(edges)).getOrElse(edges))
-        }
       }
     }.getOrElse(
       layers.filter(lit(false)).select(col("layer"), col("src"), col("dst")))
@@ -1277,7 +1293,7 @@ object Ann {
       .select(col("src"), col("dst").as("sid"), col("cv").as("sv"),
         col("rk").as("srk"))
       .localCheckpoint()
-    for (_ <- 2 to m) {
+    for (round <- 2 to m) {
       // pass = candidate closer to the node than to EVERY selected
       // neighbor (cos to node > cos to each selected — the cosine
       // rendering of Alg. 4's distance test); `last` gates the scan
@@ -1294,7 +1310,11 @@ object Ann {
         .join(ranked, Seq("src", "rk"))
         .select(col("src"), col("dst").as("sid"), col("cv").as("sv"),
           col("rk").as("srk"))
-      sel = sel.unionByName(next).localCheckpoint()
+      val merged = sel.unionByName(next)
+      // intermediate rounds re-read `sel` (twice per round) — cut; the
+      // FINAL round's selection is consumed exactly once by the caller's
+      // action, so its checkpoint job is pure overhead (guide §2.4)
+      sel = if (round == m) merged else merged.localCheckpoint()
     }
     sel.select(col("src"), col("sid").as("dst"))
   }

@@ -175,10 +175,15 @@ object StreamingAnn {
     reader.json(stagingDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // lazy checkpoint + count: one materializing job doubles as the
+        // emptiness probe, and the count feeds the walk's chunking
+        // decision (knownCount) — was 3 sequential jobs (eager
+        // checkpoint, isEmpty, count) per micro-batch
         val b = batch.select(col("vec_id"),
           col("embedding").cast("array<double>").as("embedding"))
-          .localCheckpoint()
-        if (!b.isEmpty) {
+          .localCheckpoint(eager = false)
+        val nB = b.count()
+        if (nB > 0L) {
           // replay-erase BEFORE reading the index: a crashed attempt's
           // partial appends must not be visible to the recomputed walk
           cleanupBatchFiles(spark, adjDir, batchId, "edges")
@@ -187,7 +192,7 @@ object StreamingAnn {
           val corpus = spark.read.parquet(corpusDir)
           val edges = Ann.graphInsertEdges(adj, corpus, b,
               "vec_id", "embedding", kLink, entryIds, beamWidth, hops,
-              expandHops)
+              expandHops, knownCount = Some(nB))
             .localCheckpoint() // materialize BEFORE appending to adjDir
           idempotentAppend(edges, adjDir, batchId, "edges")
           idempotentAppend(b, corpusDir, batchId, "corpus")
@@ -218,10 +223,11 @@ object StreamingAnn {
     reader.json(stagingDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // same probe merge as the flat maintainer: one job, not three
         val b = batch.select(col("vec_id"),
           col("embedding").cast("array<double>").as("embedding"))
-          .localCheckpoint()
-        if (!b.isEmpty) {
+          .localCheckpoint(eager = false)
+        if (b.count() > 0L) {
           cleanupBatchFiles(spark, layersDir, batchId, "edges")
           cleanupBatchFiles(spark, corpusDir, batchId, "corpus")
           val layers = spark.read.parquet(layersDir)
