@@ -45,10 +45,12 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet // optional query-name filter (dev loop)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Default lifted 8→16 (VERDICT r14 #1b): at sf0.01 queries are
-    // planning-dominated; 338 queries ran 297 s at 16 threads vs ~8-10 min
-    // at 8 — the latter drifts into the driver's check budget.
-    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "16").toInt.max(1)
+    // Default lifted 8→16 (VERDICT r14 #1b) →32 (VERDICT r16 #1): at
+    // sf0.01 queries are planning-dominated (driver-side Catalyst work,
+    // one thread per query), so the gate scales with submission threads
+    // almost independently of executor cores; 515 s on a degraded host at
+    // 16 threads is what keeps shipping an empty driver artifact.
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "32").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -82,12 +84,33 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only(name) }
     val failed = new ConcurrentLinkedQueue[String]()
     val pool = Executors.newFixedThreadPool(threads)
-    selected.foreach { case (name, fn) =>
+    // Straggler diet (VERDICT r16 #1, guide §2.6): the pool is FIFO, so an
+    // iterative heavyweight submitted late runs ALONE at the tail while
+    // every worker thread sits idle — the gate's wall becomes Σ(micro)/T +
+    // max(heavy) instead of max(Σ/T, heavy). Submit the known-iterative
+    // families first so the micro rows back-fill around them. Ordering is
+    // best-effort (an unlisted heavy row still finishes; it just
+    // serializes) and never affects results — only submission order.
+    val heavyPrefixes = Seq("sa_", "graph_", "er_", "id_resolution",
+      "tx_perceptron", "tx_bpe", "dd_semantic", "ann_graph", "ann_layered",
+      "ann_nndescent", "ann_recall", "ann_ivfpq", "dd_ngram", "sc_")
+    def heavyRank(name: String): Int = {
+      val i = heavyPrefixes.indexWhere(name.startsWith)
+      if (i >= 0) i else heavyPrefixes.size
+    }
+    val ordered = selected.toSeq.sortBy { case (n, _) => (heavyRank(n), n) }
+    ordered.foreach { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try {
             val q0 = System.nanoTime()
-            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            // No coalesce(1) (VERDICT r16 #1): the oracle compare reads
+            // the whole output DIRECTORY, so multi-part output is fine —
+            // and coalesce(1) propagated a 1-task constraint into each
+            // query's FINAL stage, serializing exactly the work the
+            // concurrent gate needs parallel. Outputs are k-bounded
+            // (LIMIT/top-k rows), so file count stays small either way.
+            fn(spark, sfDir).write.mode("overwrite")
               .parquet(s"$outDir/$name")
             // per-query wall time to stderr — the tail-hunting signal
             // (concurrent, so times overlap; relative order still ranks)

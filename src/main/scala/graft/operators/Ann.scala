@@ -451,6 +451,14 @@ object Ann {
     * LinkGraph contract) so lineage stays one round deep.
     * Output: (query_id, rank, neighbor_id, cos) — the k-NN graph.
     */
+  /** CONSUMED-ONCE CONTRACT (r16 barrier diet): the returned frame's
+    * final round is left UNCUT — drive it with exactly one action (or
+    * feed it to [[serveGraph]], whose one-pass symmetrize preserves the
+    * single reference). A second action re-executes the final round's
+    * post-shuffle work (correctness is unaffected — lineage is one cut
+    * deep and deterministic — but the recompute is the cost the uncut
+    * plan saved).
+    */
   def nnDescent(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 4, iters: Int = 2, randomInit: Boolean = false): DataFrame =
     nnDescentCore(emb, idCol, vecCol, k, iters, randomInit, delta = None)._1
@@ -584,12 +592,11 @@ object Ann {
     * projection + union + distinct over the edge table; out-degree stays
     * ≤ 2k. Output: (src, dst).
     */
-  def serveGraph(knn: DataFrame): DataFrame = {
-    val e = knn.select(col("query_id").cast("long").as("src"),
-      col("neighbor_id").cast("long").as("dst"))
-    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-  }
+  def serveGraph(knn: DataFrame): DataFrame =
+    // one-pass symmetrization: knn is often an UNCUT consumed-once plan
+    // (nnDescent's final round) — see [[symmetrize]]
+    symmetrize(knn.select(col("query_id").cast("long").as("src"),
+      col("neighbor_id").cast("long").as("dst")))
 
   /** `count` evenly-spaced entry-point ids for [[graphSearch]] over a
     * dense-id corpus of size `n`. With a random-init k-NN graph, ids are
@@ -610,12 +617,13 @@ object Ann {
   def graphSearch(graph: DataFrame, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, entryIds: Seq[Long],
       beamWidth: Int, hops: Int, topK: Int,
-      cutLineage: Boolean = true, expandHops: Int = 1): DataFrame = {
+      cutLineage: Boolean = true, expandHops: Int = 1,
+      cutFinal: Boolean = false): DataFrame = {
     require(entryIds.nonEmpty, "need at least one entry point")
     val q0 = queries.select(col(idCol).cast("long").as("query_id"))
     graphSearchFrom(graph, corpus, queries, idCol, vecCol,
       q0.select(col("query_id"), explode(lit(entryIds.toArray)).as("nid")),
-      beamWidth, hops, topK, cutLineage, expandHops)
+      beamWidth, hops, topK, cutLineage, expandHops, cutFinal)
   }
 
   /** [[graphSearch]] with PER-QUERY entry points: `entries` is
@@ -631,12 +639,18 @@ object Ann {
   def graphSearchFrom(graph: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, entries: DataFrame,
       beamWidth: Int, hops: Int, topK: Int,
-      cutLineage: Boolean = true, expandHops: Int = 1): DataFrame = {
+      cutLineage: Boolean = true, expandHops: Int = 1,
+      cutFinal: Boolean = false): DataFrame = {
     require(beamWidth >= topK, s"beamWidth $beamWidth must cover topK $topK")
-    // the beam is ranked exactly once below — leave the final round uncut
-    // so its work rides the caller's action instead of a checkpoint job
+    // cutFinal=false (default): the beam is ranked exactly once below —
+    // leave the final round uncut so its work rides the caller's single
+    // action instead of a checkpoint job. CONSUMED-ONCE CONTRACT: the
+    // result must then be driven by exactly ONE action, or the final
+    // round's post-shuffle work re-executes per action. A caller that
+    // needs eager, bounded execution (the chunked insert path — one
+    // bounded frontier in memory at a time) passes cutFinal=true.
     val beam = walkBeam(graph, corpus, queries, idCol, vecCol, entries,
-      beamWidth, hops, cutLineage, expandHops, cutFinal = false)
+      beamWidth, hops, cutLineage, expandHops, cutFinal)
     rankTopK(beam
       .filter(col("query_id") =!= col("nid"))
       .select(col("query_id"), col("nid").as("neighbor_id"), col("cos")),
@@ -719,7 +733,12 @@ object Ann {
     // latency (measured: 2 rounds × 2-hop ≈ the recall of 4 × 1-hop at
     // roughly half the p50). Raw multi-hop rows (duplicates included) go
     // straight to the aggregate — same candidate SET, zero extra
-    // exchanges; row volume stays beam·degree^e per query either way.
+    // exchanges. Worst-case row volume is beam·degree^e per query, but
+    // duplicates COMPOUND multiplicatively across hops (the old per-hop
+    // distinct bounded hop h's input to min(beam·degree, |nodes|) distinct
+    // ids; the raw form re-expands every duplicate hop-(h-1) row), so on
+    // hub-heavy / high-overlap graphs keep expandHops ≤ 2 — at 3, typical
+    // volume can far exceed the deduped path's.
     def expandRaw(nodes: DataFrame): DataFrame = {
       var frontier = nodes
       var cand: DataFrame = null
@@ -925,6 +944,8 @@ object Ann {
         layers.filter(col("layer") === l).select(col("src"), col("dst")),
         corpus, queries, idCol, vecCol, entries,
         beamUpper, hops = 1, cutLineage, expandHops = expandUpper)
+    // cutFinal=false invariant: the base beam is consumed EXACTLY ONCE
+    // (the single semi-join + rankTopK chain below)
     val beam = walkBeam(
       layers.filter(col("layer") === 0).select(col("src"), col("dst")),
       corpus, queries, idCol, vecCol, entries,
@@ -1037,13 +1058,16 @@ object Ann {
           .withColumn("__chunk", pmod(xxhash64(col(idCol)), lit(nChunks)))
           .localCheckpoint()
         val parts = (0 until nChunks).map { i =>
-          // graphSearch's internal lineage cuts execute eagerly, so this
-          // map runs the chunks SEQUENTIALLY — one bounded frontier at a
-          // time, never nChunks frontiers stacked in memory
+          // cutFinal=true (ADVICE r16): with the final round ALSO cut,
+          // every lineage cut inside graphSearch executes eagerly, so
+          // this map runs the chunks SEQUENTIALLY — one bounded frontier
+          // at a time, never nChunks final-hop frontiers (batch × beam ×
+          // degree^expandHops rows — the measured sf1 spill case) stacked
+          // into the single action that consumes the union
           graphSearch(graph, corpus,
             keyed.filter(col("__chunk") === i).drop("__chunk"),
             idCol, vecCol, entryIds, beamWidth, hops, kLink, cutLineage,
-            expandHops)
+            expandHops, cutFinal = cutLineage)
         }
         val all = parts.reduce(_.unionByName(_))
         // with cuts on, every chunk's walk has already executed (the cut
@@ -1052,11 +1076,27 @@ object Ann {
         if (cutLineage) keyed.unpersist()
         all
       }
-    val e = found.select(col("query_id").as("src"),
-      col("neighbor_id").as("dst"))
-    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    // one-pass symmetrization (ADVICE r16): emit both directions from a
+    // single scan of `found` via explode instead of found ∪ reverse(found)
+    // — the self-union referenced the (uncut, consumed-once) walk result
+    // twice, re-executing its post-shuffle work per reference (exchange
+    // reuse dedupes only at exchange boundaries). Same edge set.
+    symmetrize(found.select(col("query_id").as("src"),
+      col("neighbor_id").as("dst")))
   }
+
+  /** Both directions of an edge list, deduped — ONE scan of the input
+    * (explode of a 2-struct array), not edges ∪ reverse(edges): the
+    * self-union form evaluates the input subtree twice, which matters
+    * when the input is an uncut consumed-once plan (nnDescent's final
+    * round, an insert walk's rank). Output: (src, dst).
+    */
+  private def symmetrize(edges: DataFrame): DataFrame = edges
+    .select(explode(array(
+      struct(col("src"), col("dst")),
+      struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+    .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    .distinct()
 
   /** [[graphInsert]] for the LAYERED index (the full HNSW insert rule):
     * each new vector draws its deterministic [[layerLevel]] and, for
@@ -1149,6 +1189,8 @@ object Ann {
     val q0 = queries.select(col(idCol).cast("long").as("query_id"))
     val entries = q0.select(col("query_id"),
       explode(lit(entryIds.toArray)).as("nid"))
+    // cutFinal=false invariant: the beam is consumed EXACTLY ONCE (the
+    // single semi-join + rankTopK chain below)
     val beam = walkBeam(graph, corpus, queries, idCol, vecCol, entries,
       beamWidth, hops, cutLineage, expandHops, cutFinal = false)
     rankTopK(beam
@@ -1272,8 +1314,11 @@ object Ann {
     * the pruned adjacency as the standing index.
     *
     * Output: the kept DIRECTED edges (src, dst), out-degree ≤ m;
-    * symmetrize with [[serveGraph]]'s union-reverse for serving (the
+    * symmetrize with [[serveGraph]]'s one-pass reverse for serving (the
     * HNSW bidirectional-link rule applies after pruning too).
+    *
+    * CONSUMED-ONCE CONTRACT: the final selection round is left uncut —
+    * same single-action rule as [[nnDescent]].
     */
   def rngPrune(adj: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, m: Int): DataFrame = {

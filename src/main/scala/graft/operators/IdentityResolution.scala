@@ -50,6 +50,15 @@ object IdentityResolution {
     val useReliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     def cut(df: DataFrame): DataFrame =
       if (useReliable) df.checkpoint() else df.localCheckpoint()
+    // lazy cut + count: ONE materializing job returns the probe count the
+    // loop needs, where eager-cut-then-scan paid two sequential jobs per
+    // round (VERDICT r16 #3, the walkBeam cutCounted pattern — guide §5:
+    // driver probes ride the round's own materialization)
+    def cutCounted(df: DataFrame, probe: DataFrame => DataFrame): (DataFrame, Long) = {
+      val c = if (useReliable) df.checkpoint(eager = false)
+        else df.localCheckpoint(eager = false)
+      (c, probe(c).count())
+    }
     // localCheckpoint persists its RDD for the rest of the session; once a
     // round's successor is materialized the predecessor's blocks are dead
     // weight crowding every later query's memory (the same leak class the
@@ -61,16 +70,16 @@ object IdentityResolution {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
         }.foreach(_.unpersist(blocking = false))
 
-    val sym = cut(edges.select(col("src"), col("dst"))
+    // one job materializes the deduped symmetric edge list AND returns
+    // the size-gate count (was: eager cut + a second count job)
+    val (sym, nSym) = cutCounted(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
+      .distinct(), identity)
 
-    // Size-adaptive fast path: the checkpoint above already materialized
-    // the deduped symmetric edge list, so counting it is a block scan, not
-    // a recompute. Small graphs finish in one collect + union-find instead
-    // of O(log n) shuffle rounds whose cost at this size is pure fixed job
-    // overhead (2 jobs/round: checkpoint + convergence scan).
-    if (sym.count() <= smallGraphMaxEdges) {
+    // Size-adaptive fast path: small graphs finish in one collect +
+    // union-find instead of O(log n) shuffle rounds whose cost at this
+    // size is pure fixed job overhead.
+    if (nSym <= smallGraphMaxEdges) {
       val result = smallGraphComponents(sym)
       releaseBlocks(sym)
       return result
@@ -101,15 +110,16 @@ object IdentityResolution {
       // ~2× slower — the convergence count executes each round's plan
       // anyway, so a skipped checkpoint means the same work runs twice,
       // once for the count and again inside the next round's lineage).
-      val updated = cut(propagated
+      // Labels only ever decrease, so changed ⇔ component < prev; the
+      // changed-count rides the SAME job that materializes the round
+      // (VERDICT r16 #3 — was: eager cut + a second limit(1) scan job).
+      val (updated, nChanged) = cutCounted(propagated
         .join(parents, Seq("component"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("grand"), col("component"))).as("component"),
-          col("prev")))
-      // labels only ever decrease, so changed ⇔ component < prev; the scan
-      // reads the just-materialized checkpoint blocks (no recompute) and
-      // short-circuits on the first hit.
-      val changed = updated.filter(col("component") < col("prev")).limit(1).count() > 0
+          col("prev")),
+        _.filter(col("component") < col("prev")))
+      val changed = nChanged > 0
       prevRound.foreach(releaseBlocks) // predecessor no longer referenced
       prevRound = Some(updated)
       labels = updated.select(col("node"), col("component"))
@@ -151,10 +161,12 @@ object IdentityResolution {
       .filter(col("s").isNotNull && col("d").isNotNull)
     val useReliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     // materialized once; the salt probe counts and the mapping join both
-    // read these blocks (same cut contract as the Long loop)
+    // read these blocks (same cut contract as the Long loop). Lazy cut:
+    // the vertex count rides the materializing job (VERDICT r16 #3).
     val verts = {
       val v = e.select(col("s").as("v")).union(e.select(col("d").as("v"))).distinct()
-      if (useReliable) v.checkpoint() else v.localCheckpoint()
+      if (useReliable) v.checkpoint(eager = false)
+      else v.localCheckpoint(eager = false)
     }
     val n = verts.count()
     var salt = 0

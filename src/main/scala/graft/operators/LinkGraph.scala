@@ -328,20 +328,37 @@ object LinkGraph {
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 50, s"kCore: rounds must be 1..50, got $rounds")
+    // lazy cut + count (VERDICT r16 #3/#4 pattern): each round's edge
+    // count rides its own materializing job; the peel loop only SHRINKS
+    // the edge set, so an unchanged count means an unchanged set — a
+    // fixed point every remaining round would reproduce. Early exit.
+    def cutCounted(df: DataFrame): (DataFrame, Long) = {
+      val c = if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+      (c, c.count())
+    }
     val dir = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    var und = cut(dir.union(dir.select(col("b").as("a"), col("a").as("b"))).distinct())
+    var (und, nUnd) = cutCounted(
+      dir.union(dir.select(col("b").as("a"), col("a").as("b"))).distinct())
     var i = 0
-    while (i < rounds) {
+    var shrinking = true
+    while (i < rounds && shrinking) {
       val keep = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("node")
-      val next = cut(und
+      val (next, nNext) = cutCounted(und
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
         .select("a", "b"))
-      releaseBlocks(und)
-      und = next
+      if (nNext == nUnd) {
+        releaseBlocks(next)
+        shrinking = false
+      } else {
+        releaseBlocks(und)
+        und = next
+        nUnd = nNext
+      }
       i += 1
     }
     und.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
@@ -413,37 +430,99 @@ object LinkGraph {
     */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, seeds: DataFrame, seedCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"shortestPaths: rounds must be 1..50, got $rounds")
-    val e = cut(edges.select(col(srcCol).cast("long").as("src"),
+    // lazy cut + count (VERDICT r16 #3/#4 pattern): the size-gate /
+    // early-exit counts ride each frame's own materializing job instead
+    // of paying a separate probe job
+    def cutCounted(df: DataFrame): (DataFrame, Long) = {
+      val c = if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+      (c, c.count())
+    }
+    val (e, ne) = cutCounted(edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
       .filter(col("src") =!= col("dst") && col("w") >= 0L)
       .groupBy("src", "dst").agg(min("w").as("w")))
-    var dist = cut(seeds.select(col(seedCol).cast("long").as("node")).distinct()
-      .withColumn("dist", lit(0L)))
+    val (dist0, nSeeds) = cutCounted(
+      seeds.select(col(seedCol).cast("long").as("node")).distinct()
+        .withColumn("dist", lit(0L)))
+    // Size-adaptive driver tier (the [[pageRank]]/CC precedent): when the
+    // deduped edge list + seed set are bounded driver state, the whole
+    // relaxation loop is one collect instead of O(rounds) shuffle rounds
+    // of pure fixed job overhead — IDENTICAL synchronous-relaxation
+    // arithmetic (exact longs, min-merge per round), so the result is
+    // bit-equal to the distributed loop's.
+    if (ne + nSeeds <= smallGraphMaxEdges) {
+      val result = smallGraphShortestPaths(e, dist0, rounds)
+      releaseBlocks(e)
+      releaseBlocks(dist0)
+      return result
+    }
+    var dist = dist0
     var frontier = dist
     var i = 0
-    while (i < rounds) {
+    var open = true
+    while (i < rounds && open) {
       val relaxed = e.join(frontier.select(col("node").as("src"), col("dist")),
           "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
         .groupBy("node").agg(min("cand").as("cand"))
       val joined = relaxed.join(dist, Seq("node"), "left")
-      val improved = cut(joined.filter(col("dist").isNull ||
+      // early exit (VERDICT r16 #4): an empty improved frontier closes
+      // the wavefront — every later round relaxes nothing and dist is
+      // already the fixed point, so the remaining rounds are free
+      val (improved, nImp) = cutCounted(joined.filter(col("dist").isNull ||
           col("cand") < col("dist"))
         .select(col("node"), col("cand").as("dist")))
-      val nextDist = cut(dist.join(improved.select(col("node")), Seq("node"),
-          "left_anti")
-        .unionByName(improved))
-      releaseBlocks(dist)
-      if (i > 0) releaseBlocks(frontier)
-      dist = nextDist
-      frontier = improved
+      if (nImp == 0L) {
+        releaseBlocks(improved)
+        open = false
+      } else {
+        val nextDist = cut(dist.join(improved.select(col("node")), Seq("node"),
+            "left_anti")
+          .unionByName(improved))
+        releaseBlocks(dist)
+        if (i > 0) releaseBlocks(frontier)
+        dist = nextDist
+        frontier = improved
+      }
       i += 1
     }
     dist
+  }
+
+  /** Driver synchronous Bellman–Ford — identical per-round min-merge to
+    * the distributed loop (closed frontier, exact longs), for graphs
+    * whose edge list fits one task. Gate: [[SmallGraphMaxEdges]].
+    */
+  private def smallGraphShortestPaths(e: DataFrame, dist0: DataFrame,
+      rounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dist = scala.collection.mutable.HashMap.empty[Long, Long]
+    dist0.collect().foreach(r => dist(r.getLong(0)) = 0L)
+    var frontier: Set[Long] = dist.keySet.toSet
+    var i = 0
+    while (i < rounds && frontier.nonEmpty) {
+      val cand = scala.collection.mutable.HashMap.empty[Long, Long]
+      es.foreach { case (s, d, w) =>
+        if (frontier.contains(s)) {
+          val c = dist(s) + w
+          if (cand.get(d).forall(c < _)) cand(d) = c
+        }
+      }
+      frontier = cand.collect {
+        case (n, c) if dist.get(n).forall(c < _) => dist(n) = c; n
+      }.toSet
+      i += 1
+    }
+    import spark.implicits._
+    spark.sparkContext.parallelize(dist.toSeq.sortBy(_._1),
+        spark.sparkContext.defaultParallelism.min(8))
+      .toDF("node", "dist")
   }
 
   /** Hop distance from a seed set: synchronous BFS, `rounds` frontier
@@ -461,29 +540,80 @@ object LinkGraph {
     * re-join the whole reached set every time.
     */
   def bfsDistance(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+      seeds: DataFrame, seedCol: String, rounds: Int,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"bfsDistance: rounds must be 1..50, got $rounds")
-    val e = cut(edges.select(col(srcCol).cast("long").as("src"),
+    def cutCounted(df: DataFrame): (DataFrame, Long) = {
+      val c = if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+      (c, c.count())
+    }
+    val (e, ne) = cutCounted(edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct())
-    var dist = cut(seeds.select(col(seedCol).cast("long").as("node")).distinct()
-      .withColumn("dist", lit(0L)))
+    val (dist0, nSeeds) = cutCounted(
+      seeds.select(col(seedCol).cast("long").as("node")).distinct()
+        .withColumn("dist", lit(0L)))
+    // size-adaptive driver tier + early exit — see [[shortestPaths]]
+    if (ne + nSeeds <= smallGraphMaxEdges) {
+      val result = smallGraphBfs(e, dist0, rounds)
+      releaseBlocks(e)
+      releaseBlocks(dist0)
+      return result
+    }
+    var dist = dist0
     var frontier = dist
     var i = 0
-    while (i < rounds) {
+    var open = true
+    while (i < rounds && open) {
       val reached = e.join(frontier.select(col("node").as("src"), col("dist")),
           "src")
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
         .groupBy("node").agg(min("dist").as("dist"))
-      val fresh = cut(reached.join(dist.select("node"), Seq("node"), "left_anti"))
-      val nextDist = cut(dist.unionByName(fresh))
-      releaseBlocks(dist)
-      if (i > 0) releaseBlocks(frontier)
-      dist = nextDist
-      frontier = fresh
+      // an empty fresh frontier means every reachable-within-`rounds`
+      // node already has its hop count — the remaining rounds are no-ops
+      val (fresh, nFresh) =
+        cutCounted(reached.join(dist.select("node"), Seq("node"), "left_anti"))
+      if (nFresh == 0L) {
+        releaseBlocks(fresh)
+        open = false
+      } else {
+        val nextDist = cut(dist.unionByName(fresh))
+        releaseBlocks(dist)
+        if (i > 0) releaseBlocks(frontier)
+        dist = nextDist
+        frontier = fresh
+      }
       i += 1
     }
     dist
+  }
+
+  /** Driver synchronous BFS — identical frontier expansion to the
+    * distributed loop, for graphs whose edge list fits one task.
+    */
+  private def smallGraphBfs(e: DataFrame, dist0: DataFrame,
+      rounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dist = scala.collection.mutable.HashMap.empty[Long, Long]
+    dist0.collect().foreach(r => dist(r.getLong(0)) = 0L)
+    var frontier: Set[Long] = dist.keySet.toSet
+    var i = 0
+    while (i < rounds && frontier.nonEmpty) {
+      val next = scala.collection.mutable.HashSet.empty[Long]
+      es.foreach { case (s, d) =>
+        if (frontier.contains(s) && !dist.contains(d)) next += d
+      }
+      val hop = i + 1L
+      next.foreach(n => dist(n) = hop)
+      frontier = next.toSet
+      i += 1
+    }
+    import spark.implicits._
+    spark.sparkContext.parallelize(dist.toSeq.sortBy(_._1),
+        spark.sparkContext.defaultParallelism.min(8))
+      .toDF("node", "dist")
   }
 }

@@ -683,14 +683,30 @@ object TextAnalysis {
           sum(element_at(typedLit(wMap), col("j")) * col("x")).as("score"))
         .filter(col("y") * col("score") <= 0L)
     }
-    for (_ <- 1 to epochs) {
-      val mis = misclassified(w)
-      val err = mis.count()
-      if (err < bestErr) { bestErr = err; pocket = w.clone() }
-      feat.join(mis.select("doc"), "doc")
+    // Epoch fusion (VERDICT r16 #5): the error count and the gradient
+    // ride ONE action per epoch — the err count travels as a sentinel
+    // j = -1 row unioned onto the gradient aggregate (j is always ≥ 0
+    // for real buckets), where the unfused loop paid two sequential
+    // actions (mis.count(), then the gradient collect) that each
+    // re-executed the per-doc score aggregation. The two `mis` references
+    // share the score-agg exchange (ReuseExchange), so the epoch's
+    // corpus-scale work runs once. Same w/pocket sequence: err is the
+    // identical count, applied before the same gradient update.
+    def epochStats(weights: Array[Long]): (Long, Seq[(Long, Long)]) = {
+      val mis = misclassified(weights)
+      val rows = feat.join(mis.select("doc"), "doc")
         .groupBy("j").agg(sum(col("y") * col("x")).as("g"))
+        .unionByName(mis.groupBy().agg(count(lit(1)).as("g"))
+          .select(lit(-1L).as("j"), col("g")))
         .collect()
-        .foreach(r => w(r.getAs[Long]("j").toInt) += r.getAs[Long]("g"))
+        .map(r => (r.getAs[Long]("j"), r.getAs[Long]("g")))
+      val err = rows.collectFirst { case (-1L, c) => c }.get
+      (err, rows.filter(_._1 >= 0L).toSeq)
+    }
+    for (_ <- 1 to epochs) {
+      val (err, grad) = epochStats(w)
+      if (err < bestErr) { bestErr = err; pocket = w.clone() }
+      grad.foreach { case (j, g) => w(j.toInt) += g }
     }
     if (misclassified(w).count() < bestErr) pocket = w
     (pocket, feat)

@@ -104,4 +104,63 @@ class FnsSpec extends SparkSpec {
       .select(explode(col("top")).as("t")).select("t.id").as[Long].collect().toSeq
     assert(got == Seq(11L, 10L)) // best-first
   }
+
+  test("topKByScoreDistinct: dedup in add, merge, serde, and after eviction") {
+    import graft.functions.TopKByScore
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = TopKByScore(Literal(0.0d), Literal(0L), k = 2, distinctIds = true)
+
+    // add-path dedup: a re-seen id (same score — the caller contract) is
+    // dropped, whichever copy arrived first
+    val b = agg.createAggregationBuffer()
+    b.add(0.5, 7L); b.add(0.5, 7L); b.add(0.5, 7L)
+    assert(b.size == 1)
+
+    // eviction then rediscovery: an evicted id is NOT permanently banned —
+    // contains() reflects current membership only; the heap then rules on
+    // score like the window formulation would
+    val e = agg.createAggregationBuffer()
+    e.add(0.1, 1L); e.add(0.2, 2L) // full (k=2)
+    e.add(0.3, 3L)                 // evicts (0.1, 1)
+    e.add(0.1, 1L)                 // rediscovered: admitted to the heap test, loses on score
+    assert(e.sortedBestFirst.toSeq == Seq((0.3, 3L), (0.2, 2L)))
+    e.add(0.25, 3L) // would violate same-id-same-score; held copy wins (documented)
+    assert(e.sortedBestFirst.toSeq == Seq((0.3, 3L), (0.2, 2L)))
+
+    // merge-path dedup: merge funnels through the same add()
+    val m1 = agg.createAggregationBuffer()
+    m1.add(0.5, 7L)
+    val m2 = agg.createAggregationBuffer()
+    m2.add(0.5, 7L); m2.add(0.4, 8L)
+    val merged = agg.merge(m1, m2)
+    assert(merged.sortedBestFirst.toSeq == Seq((0.5, 7L), (0.4, 8L)))
+
+    // serde round-trip preserves contents AND the distinct flag
+    val back = agg.deserialize(agg.serialize(merged))
+    assert(back.sortedBestFirst.toSeq == merged.sortedBestFirst.toSeq)
+    back.add(0.5, 7L) // still deduped after deserialize
+    assert(back.sortedBestFirst.toSeq == Seq((0.5, 7L), (0.4, 8L)))
+
+    // DataFrame-level: duplicated candidates (same (id, score) repeated,
+    // many partitions so merge runs) equal the window over distinct rows
+    val rows = (0 until 3000).map { i =>
+      val q = i % 5
+      val id = i % 40
+      val score = ((id * 31 + q * 17) % 13) / 13.0
+      (q.toLong, id.toLong, score) // each (q, id) appears ~15×, identical score
+    }
+    val df = rows.toDF("query_id", "neighbor_id", "cos").repartition(16)
+    val viaAgg = df.groupBy("query_id")
+      .agg(Fns.topKByScoreDistinct(col("cos"), col("neighbor_id"), 5).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("query_id"), (col("r") + 1).as("rank"),
+        col("t.id").as("neighbor_id"), col("t.score").as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val viaWindow = df.distinct().withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+    assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty)
+  }
 }

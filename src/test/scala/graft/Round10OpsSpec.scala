@@ -583,6 +583,57 @@ class Round10OpsSpec extends SparkSpec {
     assert(correct == 30L, s"pocket should separate this trivially: $conf")
   }
 
+  test("perceptron fused epoch (r17) equals the two-action reference loop") {
+    import operators.TextAnalysis
+    import graft.functions.Fns
+    // non-separable mix (threshold label + shared vocab) so the pocket
+    // logic and every epoch's err/gradient ordering are all exercised
+    val docs = docsDf((0L until 36L).map { i =>
+      i -> (("w " * (1 + (i % 7).toInt)) + (if (i % 3 == 0) "alpha beta" else "omega")).trim
+    }: _*).withColumn("y", when(col("doc_id") % 2 === 0, 1L).otherwise(-1L))
+    val dim = 8; val epochs = 4; val biasScale = 5
+    val got = TextAnalysis.perceptronTrain(docs, "doc_id", "text",
+        col("y"), dim = dim, epochs = epochs, biasScale = biasScale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the pre-fusion loop — one mis.count() action, then a
+    // separate gradient collect, per epoch (epochs feed forward, so any
+    // fusion slip would compound into different final weights)
+    val feat = {
+      val tok = docs.filter(col("doc_id").isNotNull)
+        .select(col("doc_id").as("doc"), col("y"),
+          explode(Fns.tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .select(col("doc"), col("y"),
+          pmod(Fns.rollingHash(col("t")), lit(dim.toLong)).as("j"))
+        .groupBy("doc", "y", "j").agg(count(lit(1)).as("x"))
+      val bias = docs.filter(col("doc_id").isNotNull)
+        .select(col("doc_id").as("doc"), col("y"),
+          lit(dim.toLong).as("j"), lit(biasScale.toLong).as("x"))
+      tok.unionByName(bias).localCheckpoint()
+    }
+    val w = Array.fill(dim + 1)(0L)
+    var pocket = w.clone()
+    var bestErr = Long.MaxValue
+    def mis(weights: Array[Long]) = {
+      val wMap = weights.indices.map(i => i.toLong -> weights(i)).toMap
+      feat.groupBy("doc", "y").agg(
+          sum(element_at(typedLit(wMap), col("j")) * col("x")).as("score"))
+        .filter(col("y") * col("score") <= 0L)
+    }
+    for (_ <- 1 to epochs) {
+      val m = mis(w)
+      val err = m.count()
+      if (err < bestErr) { bestErr = err; pocket = w.clone() }
+      feat.join(m.select("doc"), "doc")
+        .groupBy("j").agg(sum(col("y") * col("x")).as("g"))
+        .collect()
+        .foreach(r => w(r.getAs[Long]("j").toInt) += r.getAs[Long]("g"))
+    }
+    if (mis(w).count() < bestErr) pocket = w
+    val want = pocket.zipWithIndex.map { case (wt, j) => j.toLong -> wt }.toMap
+    assert(got == want, s"fused=$got reference=$want")
+  }
+
   // ---- executed audio resample -------------------------------------------
 
   test("audioResample: hand-computed boxcar digest, tail block dropped") {

@@ -294,4 +294,47 @@ class Round11fOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d(4L) === 1L, "seed 7 reaches 4 in one hop, beating 1's three")
   }
+
+  test("shortestPaths/bfsDistance: driver tier == distributed loop (r17)") {
+    import spark.implicits._
+    // ring + chord graph, mixed weights; rounds over-provisioned so the
+    // distributed loop's early exit fires (frontier closes before round 12)
+    val n = 12L
+    val edges = (0L until n).flatMap { i =>
+      Seq((i, (i + 1) % n, 2L), (i, (i * 3) % n, 5L), (i, (i + n - 1) % n, 3L))
+    }.filter { case (s, d, _) => s != d }.toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("node")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = toMap(LinkGraph.shortestPaths(
+      edges, "src", "dst", "w", seeds, "node", rounds = 12))
+    // smallGraphMaxEdges = 0 forces the distributed relaxation loop
+    val viaLoop = toMap(LinkGraph.shortestPaths(
+      edges, "src", "dst", "w", seeds, "node", rounds = 12,
+      smallGraphMaxEdges = 0L))
+    assert(viaDriver === viaLoop && viaDriver.size == n)
+    // under-provisioned rounds must agree too (no early exit; both report
+    // the best ≤2-edge path)
+    val d2a = toMap(LinkGraph.shortestPaths(
+      edges, "src", "dst", "w", seeds, "node", rounds = 2))
+    val d2b = toMap(LinkGraph.shortestPaths(
+      edges, "src", "dst", "w", seeds, "node", rounds = 2,
+      smallGraphMaxEdges = 0L))
+    assert(d2a === d2b)
+    val bfsEdges = edges.select("src", "dst")
+    val bA = toMap(LinkGraph.bfsDistance(
+      bfsEdges, "src", "dst", seeds, "node", rounds = 12))
+    val bB = toMap(LinkGraph.bfsDistance(
+      bfsEdges, "src", "dst", seeds, "node", rounds = 12,
+      smallGraphMaxEdges = 0L))
+    assert(bA === bB && bA.size == n)
+    // an isolated seed (no out-edges) is still reported at distance 0
+    val iso = Seq(0L, 99L).toDF("node")
+    val iA = toMap(LinkGraph.bfsDistance(
+      bfsEdges, "src", "dst", iso, "node", rounds = 3))
+    val iB = toMap(LinkGraph.bfsDistance(
+      bfsEdges, "src", "dst", iso, "node", rounds = 3,
+      smallGraphMaxEdges = 0L))
+    assert(iA === iB && iA(99L) === 0L)
+  }
 }
