@@ -134,7 +134,10 @@ object Ann {
       else {
         val c = if (useReliable) df.checkpoint(eager = false)
           else df.localCheckpoint(eager = false)
-        (c, c.count())
+        // row-count the internal RDD directly: ONE job (no AQE aggregate
+        // stage — a df.count() over the lazy checkpoint pays a second
+        // job for its exchange materialization, measured r17)
+        (c, c.queryExecution.toRdd.count())
       }
     val codes = encoded.select(col("id").cast("long").as("nid"), col("codes"))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
@@ -709,7 +712,10 @@ object Ann {
       else {
         val c = if (useReliable) df.checkpoint(eager = false)
           else df.localCheckpoint(eager = false)
-        (c, c.count())
+        // row-count the internal RDD directly: ONE job (no AQE aggregate
+        // stage — a df.count() over the lazy checkpoint pays a second
+        // job for its exchange materialization, measured r17)
+        (c, c.queryExecution.toRdd.count())
       }
     val vecs = corpus.select(col(idCol).cast("long").as("nid"),
       col(vecCol).cast("array<double>").as("cv"))

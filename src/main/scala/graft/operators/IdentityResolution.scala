@@ -57,7 +57,10 @@ object IdentityResolution {
     def cutCounted(df: DataFrame, probe: DataFrame => DataFrame): (DataFrame, Long) = {
       val c = if (useReliable) df.checkpoint(eager = false)
         else df.localCheckpoint(eager = false)
-      (c, probe(c).count())
+      // count the probe's internal RDD directly: the filter + count rides
+      // the checkpoint's own materializing job as ONE Spark job (a
+      // df.count() would add an AQE aggregate-exchange job on top)
+      (c, probe(c).queryExecution.toRdd.count())
     }
     // localCheckpoint persists its RDD for the rest of the session; once a
     // round's successor is materialized the predecessor's blocks are dead

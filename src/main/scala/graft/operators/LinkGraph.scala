@@ -328,37 +328,25 @@ object LinkGraph {
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 50, s"kCore: rounds must be 1..50, got $rounds")
-    // lazy cut + count (VERDICT r16 #3/#4 pattern): each round's edge
-    // count rides its own materializing job; the peel loop only SHRINKS
-    // the edge set, so an unchanged count means an unchanged set — a
-    // fixed point every remaining round would reproduce. Early exit.
-    def cutCounted(df: DataFrame): (DataFrame, Long) = {
-      val c = if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
-      (c, c.count())
-    }
+    // NO per-round convergence count here (measured r17: the lazy-cut +
+    // count pattern costs one extra job per round, and the peel cascade
+    // is typically round-bound by construction — graph_kcore's chains
+    // peel one hop per round through round 6 of 7, so an early exit
+    // never pays for its probes; callers size `rounds` to the cascade)
     val dir = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    var (und, nUnd) = cutCounted(
-      dir.union(dir.select(col("b").as("a"), col("a").as("b"))).distinct())
+    var und = cut(dir.union(dir.select(col("b").as("a"), col("a").as("b"))).distinct())
     var i = 0
-    var shrinking = true
-    while (i < rounds && shrinking) {
+    while (i < rounds) {
       val keep = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("node")
-      val (next, nNext) = cutCounted(und
+      val next = cut(und
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
         .select("a", "b"))
-      if (nNext == nUnd) {
-        releaseBlocks(next)
-        shrinking = false
-      } else {
-        releaseBlocks(und)
-        und = next
-        nUnd = nNext
-      }
+      releaseBlocks(und)
+      und = next
       i += 1
     }
     und.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
@@ -439,7 +427,8 @@ object LinkGraph {
     def cutCounted(df: DataFrame): (DataFrame, Long) = {
       val c = if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
-      (c, c.count())
+      // one job: internal-RDD count, no AQE aggregate stage (measured r17)
+      (c, c.queryExecution.toRdd.count())
     }
     val (e, ne) = cutCounted(edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
@@ -547,7 +536,8 @@ object LinkGraph {
     def cutCounted(df: DataFrame): (DataFrame, Long) = {
       val c = if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
-      (c, c.count())
+      // one job: internal-RDD count, no AQE aggregate stage (measured r17)
+      (c, c.queryExecution.toRdd.count())
     }
     val (e, ne) = cutCounted(edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
